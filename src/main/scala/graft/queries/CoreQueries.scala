@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
+
+/** Queries that exercise the fixedwidth format itself end-to-end: encode the
+  * parquet table to fixed-width binary, read it back through the DSv2 scan,
+  * then run a relational plan on top. The DuckDB oracle runs the same plan on
+  * the original parquet, so a hash match proves byte-level encode/decode
+  * fidelity as well as the query semantics (SURVEY.md §7.1 step 5).
+  */
+object CoreQueries {
+
+  /** Deterministic double aggregation: cast each addend to a fixed-scale
+    * decimal (exact, order-insensitive sum), then back to double, rounded.
+    * Mirror SQL: `round(cast(sum(cast(x as decimal(30,10))) as double), 4)`.
+    */
+  def dsum(c: Column): Column = round(sum(c.cast("decimal(30,10)")).cast("double"), 4)
+  def dsumSql(expr: String): String = s"round(cast(sum(cast($expr as decimal(30,10))) as double), 4)"
+
+  val lineitemLayout: Seq[FieldSpec] = Seq(
+    FieldSpec("l_orderkey", "long", 0, 14),
+    FieldSpec("l_quantity", "double", 14, 25),
+    FieldSpec("l_extendedprice", "double", 39, 25),
+    FieldSpec("l_discount", "double", 64, 25),
+    FieldSpec("l_tax", "double", 89, 25),
+    FieldSpec("l_returnflag", "string", 114, 1),
+    FieldSpec("l_linestatus", "string", 115, 1),
+    FieldSpec("l_shipdate", "timestamp", 116, 20))
+
+  /** Encode lineitem to fixed-width binary (once per scale dir), return the
+    * DataFrame read back through the format. */
+  def lineitemViaFixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    val out = QueryRegistry.scratch(dir, "lineitem_fw")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(lineitemLayout.map(f => col(f.name)): _*)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+  }
+
+  /** Flagship: TPC-H Q1 pricing summary, computed over data that took a full
+    * round trip through the fixed-width format. */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitemViaFixedWidth(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Raw-mode parity query: default offset key + custom key slice, straight
+    * out of the (offset, key, value) schema the reference produces. Counts
+    * and min/max offsets are a stable, oracle-free sanity signal — verified
+    * by the ScalaTest property suite instead (no SQL oracle: DuckDB can't
+    * read the binary format).
+    */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fw = lineitemViaFixedWidth(spark, dir) // ensure encoded data exists
+    fw.sparkSession.read.format("fixedwidth")
+      .option("recordLength", 136)
+      .option("keyStartAt", 0).option("keyEndAt", 13)
+      .load(QueryRegistry.scratch(dir, "lineitem_fw"))
+      .select($"offset", $"key", $"value")
+      .agg(
+        count(lit(1)).as("n_records"),
+        min($"offset").as("min_offset"),
+        max($"offset").as("max_offset"),
+        sum(length($"value").cast("long")).as("total_bytes"))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
+    Q("q02_fw_raw_scan", q02, None))
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark plan plus (when SQL-expressible) a DuckDB
+  * oracle over the same parquet tables. Names are stable keys used by the
+  * driver's correctness gate (Verify) and the bench harness.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryRegistry {
+  /** All registered query groups, in presentation order. */
+  def all: Seq[Q] =
+    CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Read one of the driver-generated parquet tables for scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-scale-factor scratch dir for fixed-width round-trip artifacts. */
+  def scratch(dir: String, tag: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft-scratch/$sf/$tag"
+  }
+}

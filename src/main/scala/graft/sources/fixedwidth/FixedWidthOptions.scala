@@ -1,0 +1,152 @@
+package graft.sources.fixedwidth
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** One typed fixed-offset field inside a record.
+  *
+  * `start` is a zero-based byte offset, `len` a byte width; both refer to the
+  * raw record buffer. Mirrors (but generalizes) the reference's key-slice
+  * machinery (reference FixedLengthRecordReader.java:249-253), which only ever
+  * extracted a single untyped byte range.
+  */
+final case class FieldSpec(name: String, ftype: String, start: Int, len: Int) {
+  def dataType: DataType = ftype match {
+    case "string"    => StringType
+    case "int"       => IntegerType
+    case "long"      => LongType
+    case "double"    => DoubleType
+    case "date"      => DateType
+    case "timestamp" => TimestampType
+    case other =>
+      throw new IllegalArgumentException(
+        s"fixedwidth: unsupported field type '$other' for field '$name' " +
+          "(supported: string,int,long,double,date,timestamp)")
+  }
+  def end: Int = start + len
+}
+
+/** Parsed + validated reader/writer options for the `fixedwidth` format.
+  *
+  * Validation rules follow the reference's fail-fast plan-time checks
+  * (reference FixedLengthInputFormat.java:318-362, helper :249-261):
+  *   - recordLength > 0 (required unless derivable from `fields`);
+  *   - keyStartAt/keyEndAt must be set together; endAt >= startAt; both >= 0.
+  * We deliberately fix the reference's latent off-by-one (its checks at
+  * :351-352 admit startAt == recordLength which overruns the buffer): here
+  * both boundaries must be <= recordLength - 1 (documented divergence,
+  * SURVEY.md §4.3).
+  */
+final case class FixedWidthOptions(
+    recordLength: Int,
+    keyStartAt: Int,
+    keyEndAt: Int,
+    fields: Seq[FieldSpec],
+    charsetName: String,
+    trim: String) {
+
+  def typed: Boolean = fields.nonEmpty
+  def hasKey: Boolean = keyStartAt >= 0
+  def keyLen: Int = keyEndAt - keyStartAt + 1
+
+  /** Read schema. Raw mode matches the reference's (key, value) pair plus the
+    * deterministic record offset (the reference's default key — the record's
+    * absolute byte offset in the file, FixedLengthRecordReader.java:255-260).
+    */
+  def schema: StructType =
+    if (typed) {
+      StructType(StructField(FixedWidthOptions.OffsetCol, LongType, nullable = false) +:
+        fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+    } else {
+      val base = Seq(StructField(FixedWidthOptions.OffsetCol, LongType, nullable = false))
+      val key = if (hasKey) Seq(StructField(FixedWidthOptions.KeyCol, BinaryType, nullable = false)) else Nil
+      StructType(base ++ key :+ StructField(FixedWidthOptions.ValueCol, BinaryType, nullable = false))
+    }
+}
+
+object FixedWidthOptions {
+  val OffsetCol = "offset"
+  val KeyCol = "key"
+  val ValueCol = "value"
+
+  def apply(map: CaseInsensitiveStringMap): FixedWidthOptions = {
+    def intOpt(k: String, dflt: Int): Int = {
+      val v = map.get(k)
+      if (v == null) dflt
+      else
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"fixedwidth: option '$k' must be an integer, got '$v'")
+        }
+    }
+
+    val fields = parseFields(Option(map.get("fields")))
+    val derivedLen = if (fields.nonEmpty) fields.map(_.end).max else 0
+    val recordLength = intOpt("recordLength", derivedLen)
+    if (recordLength <= 0)
+      throw new IllegalArgumentException(
+        "fixedwidth: option 'recordLength' must be set and > 0 " +
+          "(or derivable from a non-empty 'fields' layout)")
+    fields.foreach { f =>
+      if (f.start < 0 || f.len <= 0 || f.end > recordLength)
+        throw new IllegalArgumentException(
+          s"fixedwidth: field '${f.name}' [start=${f.start}, len=${f.len}] does not fit in recordLength=$recordLength")
+    }
+    val dupNames = fields.groupBy(_.name.toLowerCase).collect { case (n, fs) if fs.size > 1 => n }
+    if (dupNames.nonEmpty)
+      throw new IllegalArgumentException(s"fixedwidth: duplicate field names: ${dupNames.mkString(", ")}")
+
+    val keyStart = intOpt("keyStartAt", -1)
+    val keyEnd = intOpt("keyEndAt", -1)
+    // Reference rule: both-or-neither (FixedLengthInputFormat.java:344-349).
+    if ((keyStart == -1) != (keyEnd == -1))
+      throw new IllegalArgumentException(
+        "fixedwidth: 'keyStartAt' and 'keyEndAt' must be set together (both or neither)")
+    if (keyStart != -1) {
+      if (keyStart < 0 || keyEnd < 0)
+        throw new IllegalArgumentException("fixedwidth: key boundaries must be >= 0 when set")
+      if (keyEnd < keyStart)
+        throw new IllegalArgumentException(
+          s"fixedwidth: 'keyEndAt' ($keyEnd) must be >= 'keyStartAt' ($keyStart)")
+      if (keyEnd > recordLength - 1)
+        throw new IllegalArgumentException(
+          s"fixedwidth: 'keyEndAt' ($keyEnd) must be <= recordLength - 1 (${recordLength - 1})")
+    }
+
+    val trim = Option(map.get("trim")).getOrElse("right").toLowerCase
+    if (!Set("right", "left", "both", "none").contains(trim))
+      throw new IllegalArgumentException(s"fixedwidth: option 'trim' must be one of right|left|both|none, got '$trim'")
+
+    FixedWidthOptions(
+      recordLength = recordLength,
+      keyStartAt = keyStart,
+      keyEndAt = keyEnd,
+      fields = fields,
+      charsetName = Option(map.get("charset")).getOrElse("UTF-8"),
+      trim = trim)
+  }
+
+  /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.
+    * Whitespace around entries is ignored. */
+  def parseFields(spec: Option[String]): Seq[FieldSpec] = spec match {
+    case None => Nil
+    case Some(s) if s.trim.isEmpty => Nil
+    case Some(s) =>
+      s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
+        entry.split(':') match {
+          case Array(name, ftype, start, len) =>
+            val f = FieldSpec(name.trim, ftype.trim.toLowerCase, start.trim.toInt, len.trim.toInt)
+            f.dataType // validate type token eagerly
+            f
+          case _ =>
+            throw new IllegalArgumentException(
+              s"fixedwidth: bad 'fields' entry '$entry' (expected name:type:start:len)")
+        }
+      }
+  }
+
+  /** Render a layout back to its option-string form (inverse of parseFields). */
+  def renderFields(fields: Seq[FieldSpec]): String =
+    fields.map(f => s"${f.name}:${f.ftype}:${f.start}:${f.len}").mkString(",")
+}

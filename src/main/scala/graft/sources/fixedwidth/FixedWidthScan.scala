@@ -1,0 +1,257 @@
+package graft.sources.fixedwidth
+
+import java.io.EOFException
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Column pruning (`SupportsPushDownRequiredColumns`): the reference always
+  * materializes the whole record (SURVEY.md §4 table); here a projection that
+  * only needs 2 of 16 fields decodes exactly those 2 byte ranges — the IO is
+  * still one sequential pass (no indexes to skip with), but per-record CPU
+  * drops with the projected width.
+  */
+class FixedWidthScanBuilder(
+    opts: FixedWidthOptions,
+    tableOptions: CaseInsensitiveStringMap,
+    conf: Configuration)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = opts.schema
+
+  override def pruneColumns(required: StructType): Unit = {
+    // Preserve OUR field order/decoders; keep only requested names.
+    val wanted = required.fieldNames.toSet
+    requiredSchema = StructType(opts.schema.fields.filter(f => wanted.contains(f.name)))
+  }
+
+  override def build(): Scan = new FixedWidthScan(opts, tableOptions, requiredSchema, conf)
+}
+
+class FixedWidthScan(
+    opts: FixedWidthOptions,
+    tableOptions: CaseInsensitiveStringMap,
+    requiredSchema: StructType,
+    conf: Configuration)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthScan(recordLength=${opts.recordLength}, columns=[${requiredSchema.fieldNames.mkString(",")}])"
+
+  /** Record-aligned split planning — the reference's one real physical
+    * planning rule (FixedLengthInputFormat.java:276-298): floor the target
+    * split size to a record multiple so no partition ever holds a partial
+    * record, bumping to at least one record when the target is smaller than a
+    * single record (:281-285). Spark's own `FilePartition.maxSplitBytes`
+    * slices at arbitrary byte offsets, so we plan partitions ourselves.
+    * Honors `spark.sql.files.maxPartitionBytes` and spreads small inputs
+    * across `defaultParallelism` like Spark's planner does.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = FixedWidthTable.listFiles(tableOptions, conf)
+    val recLen = opts.recordLength.toLong
+
+    files.foreach { st =>
+      if (FixedWidthTable.isCompressed(st.getPath))
+        throw new IllegalArgumentException(
+          s"fixedwidth: compressed input is not supported: ${st.getPath}")
+      if (st.getLen % recLen != 0)
+        throw new IllegalArgumentException(
+          s"fixedwidth: file length ${st.getLen} of ${st.getPath} is not a multiple of recordLength=$recLen " +
+            "(truncated or corrupt fixed-width file)")
+    }
+
+    val session = SparkSession.active
+    val maxPartitionBytes = session.sessionState.conf.filesMaxPartitionBytes
+    val parallelism = session.sparkContext.defaultParallelism.toLong.max(1L)
+    val totalBytes = files.map(_.getLen).sum
+    val bytesPerCore = totalBytes / parallelism
+    // Same shape as Spark's FilePartition.maxSplitBytes: don't create
+    // partitions bigger than maxPartitionBytes, but also don't leave cores
+    // idle on small inputs; then align to the record grid.
+    val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
+    val aligned = math.max(recLen, (target / recLen) * recLen)
+
+    files.flatMap { st =>
+      val path = st.getPath.toString
+      (0L until st.getLen by aligned).map { start =>
+        val len = math.min(aligned, st.getLen - start)
+        FixedWidthInputPartition(path, start, len)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
+}
+
+/** One record-aligned byte range of one file (serialized driver → executor,
+  * the Spark analog of a Hadoop `FileSplit`). */
+final case class FixedWidthInputPartition(filePath: String, start: Long, length: Long)
+    extends InputPartition
+
+class FixedWidthReaderFactory(
+    opts: FixedWidthOptions,
+    requiredSchema: StructType,
+    conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FixedWidthPartitionReader(partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value)
+}
+
+/** Streams whole records from one aligned split: open, seek once, readFully
+  * per record (reference FixedLengthRecordReader.java:186-243). Buffers are
+  * allocated once and reused for every record — the reference's deliberate
+  * perf idiom (:198-206) — and rows are emitted through a reused
+  * `UnsafeProjection`, so steady-state per-record allocation is ~zero (the
+  * 100 TB-scale must-have).
+  */
+class FixedWidthPartitionReader(
+    part: FixedWidthInputPartition,
+    opts: FixedWidthOptions,
+    requiredSchema: StructType,
+    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val recLen = opts.recordLength
+  private val path = new Path(part.filePath)
+  private val in = {
+    val fs = path.getFileSystem(conf)
+    val s = fs.open(path)
+    s.seek(part.start)
+    s
+  }
+  private val end = part.start + part.length
+  private var pos = part.start
+
+  private val buf = new Array[Byte](recLen)
+  private val keyBuf = if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen) else null
+  private val row = new GenericInternalRow(requiredSchema.length)
+  private val proj = UnsafeProjection.create(requiredSchema)
+
+  // Precompiled per-column decoders writing into `row`. Closing over the
+  // reusable `buf` is safe: `proj` copies all bytes into its own buffer
+  // before the next record overwrites `buf`.
+  private val decoders: Array[() => Unit] = requiredSchema.fields.zipWithIndex.map { case (sf, i) =>
+    sf.name match {
+      case FixedWidthOptions.OffsetCol =>
+        () => row.setLong(i, pos)
+      case FixedWidthOptions.KeyCol if !opts.typed =>
+        () => {
+          System.arraycopy(buf, opts.keyStartAt, keyBuf, 0, opts.keyLen)
+          row.update(i, keyBuf)
+        }
+      case FixedWidthOptions.ValueCol if !opts.typed =>
+        () => row.update(i, buf)
+      case name =>
+        val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
+        fieldDecoder(f, i)
+    }
+  }
+
+  private def fieldDecoder(f: FieldSpec, i: Int): () => Unit = f.ftype match {
+    case "string" =>
+      () => {
+        var s = f.start
+        var e = f.end
+        if (opts.trim == "right" || opts.trim == "both") while (e > s && buf(e - 1) == ' ') e -= 1
+        if (opts.trim == "left" || opts.trim == "both") while (s < e && buf(s) == ' ') s += 1
+        row.update(i, UTF8String.fromBytes(buf, s, e - s))
+      }
+    case "int" =>
+      () => {
+        val v = AsciiParse.parseLong(buf, f.start, f.end)
+        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setInt(i, v.toInt)
+      }
+    case "long" =>
+      () => {
+        val v = AsciiParse.parseLong(buf, f.start, f.end)
+        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setLong(i, v)
+      }
+    case "date" => // stored as epoch-day decimal int
+      () => {
+        val v = AsciiParse.parseLong(buf, f.start, f.end)
+        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setInt(i, v.toInt)
+      }
+    case "timestamp" => // stored as epoch-micros decimal long
+      () => {
+        val v = AsciiParse.parseLong(buf, f.start, f.end)
+        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setLong(i, v)
+      }
+    case "double" =>
+      () => {
+        val d = AsciiParse.parseDouble(buf, f.start, f.end)
+        if (d == null) row.setNullAt(i) else row.setDouble(i, d.doubleValue())
+      }
+  }
+
+  override def next(): Boolean = {
+    if (pos >= end) return false
+    try in.readFully(buf, 0, recLen)
+    catch {
+      case _: EOFException =>
+        // Parity with the reference's truncated-record detection
+        // (FixedLengthRecordReader.java:225-235).
+        throw new java.io.IOException(
+          s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
+            s"file is not a multiple of recordLength=$recLen")
+    }
+    var i = 0
+    while (i < decoders.length) { decoders(i)(); i += 1 }
+    pos += recLen
+    true
+  }
+
+  override def get(): InternalRow = proj(row)
+
+  override def close(): Unit = in.close()
+}
+
+/** Allocation-free ASCII numeric parsing over a byte range (spaces trimmed on
+  * both sides; all-space field decodes to SQL NULL). */
+object AsciiParse {
+  /** Sentinel for "field was all spaces" from parseLong; Long.MinValue is not
+    * producible by our writer (it never emits unparenthesized overflow). */
+  val NullSentinel: Long = Long.MinValue
+
+  def parseLong(buf: Array[Byte], from: Int, until: Int): Long = {
+    var s = from
+    var e = until
+    while (s < e && buf(s) == ' ') s += 1
+    while (e > s && buf(e - 1) == ' ') e -= 1
+    if (s >= e) return NullSentinel
+    var neg = false
+    if (buf(s) == '-') { neg = true; s += 1 }
+    else if (buf(s) == '+') s += 1
+    var v = 0L
+    while (s < e) {
+      val c = buf(s)
+      if (c < '0' || c > '9')
+        throw new NumberFormatException(s"fixedwidth: bad digit '${c.toChar}' in numeric field")
+      v = v * 10 + (c - '0')
+      s += 1
+    }
+    if (neg) -v else v
+  }
+
+  def parseDouble(buf: Array[Byte], from: Int, until: Int): java.lang.Double = {
+    var s = from
+    var e = until
+    while (s < e && buf(s) == ' ') s += 1
+    while (e > s && buf(e - 1) == ' ') e -= 1
+    if (s >= e) return null
+    // Doubles are written as Double.toString (shortest round-trip form), so
+    // java.lang.Double.parseDouble is the exact inverse.
+    java.lang.Double.parseDouble(new String(buf, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
+  }
+}
