@@ -1,5 +1,439 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import CoreQueries.{dsum, dsumSql}
+import QueryRegistry.table
+
+/** Relational breadth over the TPC-H-ish testdata — one query per operator
+  * family of SURVEY.md §2.3–2.8 (joins, aggregations, windows, sorts/top-k,
+  * set ops, scalar functions). The reference delegates all of these to host
+  * MapReduce user code (SURVEY.md §2 [HOST]); here they are Catalyst
+  * built-ins, each hash-checked against DuckDB.
+  *
+  * Determinism rules (SURVEY.md §7.4): every query pins an ORDER BY with a
+  * unique tie-break, and every floating-point aggregate goes through the
+  * exact decimal-sum pattern (CoreQueries.dsum) so Spark's partial-agg order
+  * can't drift the result.
+  */
 object RelationalQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Multiway join + filtered aggregation (TPC-H Q5 skeleton). Catalyst
+    * broadcast-joins the small dims automatically; at cluster scale the big
+    * fact-fact join (orders ⋈ lineitem) shuffles on the join key only. */
+  def multiwayJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revenue = dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(table(spark, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(table(spark, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA" &&
+        $"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy($"n_name")
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"n_name")
+  }
+
+  val multiwayJoinOracle: String =
+    s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_lines
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Explicit broadcast join: nation is tiny — never let it shuffle. */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("total_acctbal"))
+      .orderBy($"n_name")
+  }
+
+  val broadcastJoinOracle: String =
+    s"""SELECT n_name, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS total_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val semiJoinOracle: String =
+    s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_acctbal
+       |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val antiJoinOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Outer join with null handling: order counts per customer incl. zero. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_orders")
+  }
+
+  val outerJoinOracle: String =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |) GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  /** Non-equi (theta) condition on top of an equi join. */
+  def thetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part"),
+        $"l_partkey" === $"p_partkey" && $"l_quantity" > $"p_size".cast("double"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  val thetaJoinOracle: String =
+    s"""SELECT p_brand, count(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > cast(p_size AS double)
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Window: top-3 orders per market segment by price (rank + tie-break). */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
+    joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val windowTopkPerGroupOracle: String =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Window: running sum + lag over a fixed row frame (deterministic order
+    * by (custkey, orderdate, orderkey) ⇒ identical IEEE addition order). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("running_spend", round(sum($"o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .withColumn("prev_orderkey", lag($"o_orderkey", 1).over(w))
+      .withColumn("order_seq", row_number().over(w))
+      .select($"o_custkey", $"order_seq", $"o_orderkey", $"running_spend", $"prev_orderkey")
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  val windowRunningOracle: String =
+    """SELECT o_custkey, order_seq, o_orderkey, running_spend, prev_orderkey FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+      |    lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |  FROM orders WHERE o_custkey < 100
+      |) ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — no full sort at scale. */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(100)
+  }
+
+  val topKOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  /** Set ops over the nation-key sets of customers vs suppliers. */
+  private def nationSets(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    (c, s)
+  }
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = nationSets(spark, dir)
+    c.union(s).distinct().orderBy("nationkey")
+  }
+  val setUnionOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer UNION
+      |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = nationSets(spark, dir)
+    c.intersect(s).orderBy("nationkey")
+  }
+  val setIntersectOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer INTERSECT
+      |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = nationSets(spark, dir)
+    c.except(s).orderBy("nationkey")
+  }
+  val setExceptOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer EXCEPT
+      |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** count(DISTINCT) — expands to two-phase distinct aggregation. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val distinctAggOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP hierarchy totals (null grouping keys coalesced for stable sort). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n_lines", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val rollupAggOracle: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  count(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders")
+      .orderBy($"status", $"priority")
+  }
+
+  val cubeAggOracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** GROUPING SETS (SQL surface; Spark parses and plans Expand). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(1) AS n_orders
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  /** HAVING + aggregate filter over a high-cardinality key. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      .filter($"sum_qty" > 150.0)
+      .orderBy($"sum_qty".desc, $"l_partkey")
+      .limit(50)
+  }
+
+  val havingAggOracle: String =
+    s"""SELECT l_partkey, ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n_lines
+       |FROM lineitem GROUP BY l_partkey HAVING ${dsumSql("l_quantity")} > 150.0
+       |ORDER BY sum_qty DESC, l_partkey LIMIT 50""".stripMargin
+
+  /** Scalar subquery: orders above the (exactly computed) mean price. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("sq_orders")
+    spark.sql(
+      """SELECT o_orderstatus, count(1) AS n_above
+        |FROM sq_orders
+        |WHERE o_totalprice > (
+        |  SELECT cast(sum(cast(o_totalprice AS decimal(30,10))) AS double) / count(1) FROM sq_orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val scalarSubqueryOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_above
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT cast(sum(cast(o_totalprice AS decimal(30,10))) AS double) / count(*) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String scalar functions: substring/upper/length/replace/concat/trim. */
+  def scalarStrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "part")
+      .filter($"p_partkey" <= 200)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        substring($"p_type", 1, 6).as("type6"),
+        length($"p_name").cast("long").as("name_len"),
+        regexp_replace($"p_brand", "#", "_").as("brand_u"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        ltrim(rtrim($"p_name")).as("trimmed"))
+      .orderBy($"p_partkey")
+  }
+
+  val scalarStringsOracle: String =
+    """SELECT p_partkey, upper(p_name) AS uname, substring(p_type, 1, 6) AS type6,
+      |  cast(length(p_name) AS bigint) AS name_len,
+      |  regexp_replace(p_brand, '#', '_', 'g') AS brand_u,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  ltrim(rtrim(p_name)) AS trimmed
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
+  /** Date/time scalar functions: extraction + truncation + counting. */
+  def scalarDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        date_trunc("month", $"o_orderdate").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"y", $"m")
+  }
+
+  val scalarDatesOracle: String =
+    s"""SELECT cast(extract(year FROM o_orderdate) AS int) AS y,
+       |  cast(extract(month FROM o_orderdate) AS int) AS m,
+       |  date_trunc('month', o_orderdate) AS month_start,
+       |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin
+
+  /** Math scalar functions restricted to IEEE-exact ops (sqrt/abs/floor/
+    * ceil/mod) so both engines produce bit-identical doubles. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter($"l_orderkey" <= 500)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        sqrt($"l_extendedprice").as("sqrt_price"),
+        abs($"l_discount" - lit(0.05)).as("abs_disc"),
+        floor($"l_quantity").cast("long").as("floor_qty"),
+        ceil($"l_quantity").cast("long").as("ceil_qty"),
+        ($"l_orderkey" % 7).as("mod7"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scalarMathOracle: String =
+    """SELECT l_orderkey, l_linenumber, sqrt(l_extendedprice) AS sqrt_price,
+      |  abs(l_discount - 0.05) AS abs_disc,
+      |  cast(floor(l_quantity) AS bigint) AS floor_qty,
+      |  cast(ceil(l_quantity) AS bigint) AS ceil_qty,
+      |  l_orderkey % 7 AS mod7
+      |FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** CASE WHEN conditional aggregation. */
+  def caseWhenAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(when($"l_quantity" > 25.0, 1L).otherwise(0L)).as("n_bulk"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_linestatus")
+  }
+
+  val caseWhenAggOracle: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+      |  sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_bulk,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
+    Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
+    Q("q12_semi_join", semiJoin, Some(semiJoinOracle)),
+    Q("q13_anti_join", antiJoin, Some(antiJoinOracle)),
+    Q("q14_outer_join", outerJoin, Some(outerJoinOracle)),
+    Q("q15_theta_join", thetaJoin, Some(thetaJoinOracle)),
+    Q("q16_window_topk_per_group", windowTopkPerGroup, Some(windowTopkPerGroupOracle)),
+    Q("q17_window_running", windowRunning, Some(windowRunningOracle)),
+    Q("q18_topk", topK, Some(topKOracle)),
+    Q("q19_set_union", setUnion, Some(setUnionOracle)),
+    Q("q20_set_intersect", setIntersect, Some(setIntersectOracle)),
+    Q("q21_set_except", setExcept, Some(setExceptOracle)),
+    Q("q22_distinct_agg", distinctAgg, Some(distinctAggOracle)),
+    Q("q23_rollup", rollupAgg, Some(rollupAggOracle)),
+    Q("q24_cube", cubeAgg, Some(cubeAggOracle)),
+    Q("q25_grouping_sets", groupingSets, Some(groupingSetsOracle)),
+    Q("q26_having", havingAgg, Some(havingAggOracle)),
+    Q("q27_scalar_subquery", scalarSubquery, Some(scalarSubqueryOracle)),
+    Q("q28_scalar_strings", scalarStrings, Some(scalarStringsOracle)),
+    Q("q29_scalar_dates", scalarDates, Some(scalarDatesOracle)),
+    Q("q30_scalar_math", scalarMath, Some(scalarMathOracle)),
+    Q("q31_case_when_agg", caseWhenAgg, Some(caseWhenAggOracle)))
 }
