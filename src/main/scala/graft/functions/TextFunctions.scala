@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, language ID (stopword-marker heuristic), and document
+  * fingerprinting. All pure Catalyst column expressions — codegen'd, no
+  * UDFs, no shuffles — so they stream through a scan at full width on any
+  * cluster size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the classic pre-tokenizer shape (approximation of a trained BPE; kept
+    * regex-only so it is engine-portable and codegen-friendly). */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeishTokenCount(textColName: String): Column =
+    size(expr(s"regexp_extract_all(lower($textColName), '$BpeishPattern', 0)")).cast("long")
+
+  /** English-ish stopwords used by the quality score. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with")
+
+  /** Fraction of tokens that are stopwords (multiset semantics). */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = array(QualityStopwords.map(lit): _*)
+    round(size(filter(t, x => array_contains(sw, x))).cast("double") / size(t), 6)
+  }
+
+  /** Fraction of non-space characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(regexp_replace(text, "\\s", ""), "[a-zA-Z0-9]", ""))
+    round(punct.cast("double") / nonSpace, 6)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Score = number of *distinct* marker words present. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "una", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans"),
+    "zh" -> Seq("de", "shi", "le", "wo", "zai", "you"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(markers.map(lit): _*)))
+
+  /** Detected language: argmax marker score, ties resolved in LangMarkers
+    * order (en first) — deterministic and exactly replicable in SQL. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) => when(s === best && best > 0, lit(l)).otherwise(acc) }
+  }
+
+  /** SQL (DuckDB) rendering of the same language-ID computation. */
+  def langIdSql(textExpr: String): String = {
+    def score(markers: Seq[String]): String = {
+      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split_regex(trim($textExpr), '\\s+')), $arr))"
+    }
+    val scores = TextFunctions.LangMarkers.map { case (l, m) => l -> score(m) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, s) => s"WHEN $s = $best AND $best > 0 THEN '$l'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable across engines (DuckDB: md5(lower(regexp_replace(text,
+    * '\s+', ' ', 'g')))). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling-hash content fingerprint (polynomial over tokens) —
+    * order-sensitive unlike the md5 of the sorted token set; exact fold,
+    * deterministic on any engine that folds left-to-right. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+}

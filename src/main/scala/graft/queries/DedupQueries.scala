@@ -1,5 +1,77 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import QueryRegistry.table
+
+/** Deduplication over `documents`: exact, n-gram Jaccard (exact pairwise,
+  * DuckDB-checkable), MinHash+LSH and SimHash (hash-sketch ops with no
+  * cross-engine twin — their *internal consistency* is checked by the
+  * ScalaTest suite: LSH candidates ⊇ high-Jaccard pairs, SimHash Hamming
+  * correlates with Jaccard).
+  */
 object DedupQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Exact dedup: representative id + multiplicity per distinct text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.exact(table(spark, dir, "documents"), "doc_id", Seq("text"))
+      .select(col("rep_id"), col("n_dups"))
+      .orderBy(col("rep_id"))
+  }
+
+  val exactDedupOracle: String =
+    """SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin
+
+  /** Top word-3-gram Jaccard pairs (exact pairwise over a bounded corpus —
+    * the verification kernel the LSH path feeds at scale). */
+  def ngramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").filter(col("doc_id") < 200)
+    val grams = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+    Dedup.jaccardPairs(grams, "doc_id", "grams", 0.0)
+      .filter(col("jaccard") > 0.0)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  val ngramJaccardTopOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE doc_id < 200
+      |), grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(cast(len(list_intersect(a.g, b.g)) AS double)
+      |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+      |FROM grams a, grams b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.g, b.g)) > 0
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  /** MinHash+LSH near-dup sweep over the whole corpus (threshold low enough
+    * to produce candidates on this synthetic data). Scale path: map-side
+    * signatures, band-bucket shuffle, candidate-only verification. */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(table(spark, dir, "documents"), "doc_id", "text",
+        shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.05)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+
+  /** SimHash pairs within Hamming distance 16 over a bounded id range. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(spark, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", maxHamming = 16)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
+  def all: Seq[Q] = Seq(
+    Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
+    Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
+    Q("q52_minhash_lsh_neardup", minhashNearDups, None),
+    Q("q53_simhash_pairs", simhashPairs, None))
 }

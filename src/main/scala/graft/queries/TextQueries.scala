@@ -1,5 +1,90 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import QueryRegistry.table
+
+/** Text-analysis over the `documents` table: token counting, quality
+  * scoring, language ID, fingerprinting — every computation is a pure
+  * Catalyst expression pipeline (no UDFs, map-side only, no shuffle until
+  * the final small aggregate), each replicated exactly in DuckDB SQL.
+  */
 object TextQueries {
-  def all: Seq[Q] = Seq()
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        TextFunctions.tokenCount($"text").as("ws_tokens"),
+        TextFunctions.bpeishTokenCount("text").as("bpeish_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountsOracle: String =
+    s"""SELECT doc_id,
+       |  cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS ws_tokens,
+       |  cast(len(regexp_extract_all(lower(text), '${TextFunctions.BpeishPattern}')) AS bigint) AS bpeish_tokens,
+       |  cast(length(text) AS bigint) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id", $"lang",
+        TextFunctions.stopwordRatio($"text").as("stopword_ratio"),
+        TextFunctions.punctRatio($"text").as("punct_ratio"),
+        TextFunctions.meanTokenLen($"text").as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoresOracle: String = {
+    val sw = TextFunctions.QualityStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang,
+       |  round(cast(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains($sw, x))) AS double)
+       |    / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |  round(cast(length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[a-zA-Z0-9]', '', 'g')) AS double)
+       |    / length(regexp_replace(text, '\\s', '', 'g')), 6) AS punct_ratio,
+       |  round(cast(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x))) AS double)
+       |    / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID vs the labeled lang column: confusion-matrix counts. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"lang", TextFunctions.langId($"text").as("detected"))
+      .groupBy($"lang", $"detected")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"detected")
+  }
+
+  val langIdConfusionOracle: String =
+    s"""SELECT lang, ${TextFunctions.langIdSql("text")} AS detected, count(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, detected""".stripMargin
+
+  /** Content fingerprints: md5 of normalized text + order-sensitive rolling
+    * hash (the rolling hash has no cross-engine twin — verified by the
+    * ScalaTest suite instead, so this query exposes only the md5 side). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintsOracle: String =
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
+    Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
+    Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
+    Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }
