@@ -20,10 +20,15 @@ object TextFunctions {
 
   /** BPE-ish token count: letter runs, single digits, single punctuation —
     * the classic pre-tokenizer shape (approximation of a trained BPE; kept
-    * regex-only so it is engine-portable and codegen-friendly). */
+    * regex-only so it is engine-portable and codegen-friendly).
+    *
+    * NOTE: must go through the `regexp_extract_all(Column, Column, Column)`
+    * function form, NOT `expr("... '$pattern' ...")` — Spark SQL string
+    * literals escape-process backslashes, which silently turned `\s` into
+    * `s` and made whitespace count as tokens (round-1 q40 hash mismatch). */
   val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
-  def bpeishTokenCount(textColName: String): Column =
-    size(expr(s"regexp_extract_all(lower($textColName), '$BpeishPattern', 0)")).cast("long")
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("long")
 
   /** English-ish stopwords used by the quality score. */
   val QualityStopwords: Seq[String] =

@@ -56,27 +56,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the minimum
-    * xxhash64 over the shingle set. Pure expression — computed map-side. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
-    }: _*)
+  /** MinHash signature over PRE-HASHED shingles: element i is the minimum of
+    * `xxhash64(h, i)` over the shingle hashes `h`. Each shingle string is
+    * hashed exactly once (string traversal is the expensive part); the
+    * numHashes permutations are cheap long→long re-hashes. Built as ONE
+    * nested `transform` so the expression tree stays small — round 1 inlined
+    * 64 separate transforms, which blew codegen up to 20 MiB task binaries. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band; docs sharing any band hash become candidates. */
+    * and hash each band; docs sharing any band hash become candidates.
+    * Compact nested-transform form (see minhashSignature). */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
-    }: _*)
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** All ordered pairs (a < b) of a sorted id array, as an array of structs.
+    * Used to expand an LSH bucket into candidate pairs without a self-join. */
+  private def pairsOf(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, greatest(size(sortedIds) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Near-duplicate pairs via MinHash + LSH, verified with exact Jaccard.
     *
-    * Plan shape at scale: map-side signature/banding → explode to
-    * (bandIdx, bandHash, id) → shuffle on the band hash only → per-bucket
-    * pairs → join back for exact verification. A hot bucket (all-identical
-    * spam) is the known skew risk — AQE skew-join handles moderate skew;
-    * pathological buckets should be capped upstream.
+    * Plan shape at scale (the 100 TB path):
+    *   1. map-side: shingle → hash each shingle once → signature → band
+    *      hashes (pure codegen'd expressions, no shuffle);
+    *   2. ONE shuffle on (band_idx, band_hash) → buckets; pairs are expanded
+    *      inside each bucket with an array expression — never a quadratic
+    *      self-join of the exploded table (round 1's mistake: that self-join
+    *      recomputed the whole signature pipeline on both sides and took
+    *      646 s at sf0.1);
+    *   3. `distinct` over candidate pairs, then a join back to the persisted
+    *      gram sets for exact-Jaccard verification of candidates only.
+    *
+    * `bucketCap` bounds the blast radius of a degenerate bucket (all-identical
+    * spam): a bucket with more than `bucketCap` docs is dropped from
+    * candidate generation — at that size the docs are near-certain exact
+    * duplicates, which the exact-dedup pass (cheaper, shuffle-on-key) already
+    * handles. This is the standard skew guard for LSH at scale.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -85,29 +108,35 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rowsPerBand = numHashes / bands
 
-    val grams = docs
+    // (id, grams, sig) computed once and persisted: the band explode and the
+    // two verification joins below would otherwise each recompute the full
+    // shingle+signature pipeline.
+    val sigs = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("grams"))
       .filter(size(col("grams")) > 0)
+      .withColumn("sig",
+        minhashSignature(transform(col("grams"), s => xxhash64(s)), numHashes))
+      .persist()
 
-    val banded = grams
-      .select(col("id"), bandHashes(minhashSignature(col("grams"), numHashes), bands, rowsPerBand).as("bh"))
-      .select(col("id"), posexplode(col("bh")).as(Seq("band_idx", "band_hash")))
+    val banded = sigs
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+      .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     candidates
-      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

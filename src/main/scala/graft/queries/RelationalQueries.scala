@@ -408,8 +408,8 @@ object RelationalQueries {
 
   val caseWhenAggOracle: String =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-      |  sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_bulk,
+      |  cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bigint) AS n_returned,
+      |  cast(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS bigint) AS n_bulk,
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 

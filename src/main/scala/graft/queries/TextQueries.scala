@@ -19,7 +19,7 @@ object TextQueries {
       .select(
         $"doc_id",
         TextFunctions.tokenCount($"text").as("ws_tokens"),
-        TextFunctions.bpeishTokenCount("text").as("bpeish_tokens"),
+        TextFunctions.bpeishTokenCount($"text").as("bpeish_tokens"),
         length($"text").cast("long").as("n_chars"))
       .orderBy($"doc_id")
   }

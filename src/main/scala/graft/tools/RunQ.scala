@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.QueryRegistry
+
+/** Run named queries against a scale dir and print row count + wall time.
+  * Usage: sbt "runMain graft.tools.RunQ <sfDir> <query...>"
+  * Add `explain` as a query name prefix (e.g. explain:q52...) to dump the
+  * formatted physical plan instead of executing.
+  */
+object RunQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val all = QueryRegistry.queries
+    names.foreach { raw =>
+      val (doExplain, name) =
+        if (raw.startsWith("explain:")) (true, raw.stripPrefix("explain:")) else (false, raw)
+      val df = all(name)(spark, sfDir)
+      if (doExplain) { println(s"=== $name ==="); df.explain("formatted") }
+      else {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"RUNQ $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+}
