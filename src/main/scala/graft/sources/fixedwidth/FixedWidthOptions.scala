@@ -49,6 +49,11 @@ final case class FixedWidthOptions(
   def hasKey: Boolean = keyStartAt >= 0
   def keyLen: Int = keyEndAt - keyStartAt + 1
 
+  /** Resolved charset for typed string fields (name validated at option
+    * parse; kept as a name because Charset is not Serializable and this
+    * object ships driver → executor). */
+  def charset: java.nio.charset.Charset = java.nio.charset.Charset.forName(charsetName)
+
   /** Read schema. Raw mode matches the reference's (key, value) pair plus the
     * deterministic record offset (the reference's default key — the record's
     * absolute byte offset in the file, FixedLengthRecordReader.java:255-260).
@@ -99,6 +104,12 @@ object FixedWidthOptions {
 
     val keyStart = intOpt("keyStartAt", -1)
     val keyEnd = intOpt("keyEndAt", -1)
+    // Typed mode has no key column — silently ignoring key options would
+    // mislead; fail fast instead.
+    if (fields.nonEmpty && (keyStart != -1 || keyEnd != -1))
+      throw new IllegalArgumentException(
+        "fixedwidth: 'keyStartAt'/'keyEndAt' cannot be combined with a 'fields' layout " +
+          "(typed mode has no key column; declare the key bytes as a field instead)")
     // Reference rule: both-or-neither (FixedLengthInputFormat.java:344-349).
     if ((keyStart == -1) != (keyEnd == -1))
       throw new IllegalArgumentException(
@@ -118,12 +129,19 @@ object FixedWidthOptions {
     if (!Set("right", "left", "both", "none").contains(trim))
       throw new IllegalArgumentException(s"fixedwidth: option 'trim' must be one of right|left|both|none, got '$trim'")
 
+    val charsetName = Option(map.get("charset")).getOrElse("UTF-8")
+    try java.nio.charset.Charset.forName(charsetName)
+    catch {
+      case _: Exception =>
+        throw new IllegalArgumentException(s"fixedwidth: unknown charset '$charsetName'")
+    }
+
     FixedWidthOptions(
       recordLength = recordLength,
       keyStartAt = keyStart,
       keyEndAt = keyEnd,
       fields = fields,
-      charsetName = Option(map.get("charset")).getOrElse("UTF-8"),
+      charsetName = charsetName,
       trim = trim)
   }
 

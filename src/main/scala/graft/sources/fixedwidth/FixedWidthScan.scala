@@ -161,32 +161,25 @@ class FixedWidthPartitionReader(
 
   private def fieldDecoder(f: FieldSpec, i: Int): () => Unit = f.ftype match {
     case "string" =>
+      val cs = opts.charset
+      val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
       () => {
         var s = f.start
         var e = f.end
         if (opts.trim == "right" || opts.trim == "both") while (e > s && buf(e - 1) == ' ') e -= 1
         if (opts.trim == "left" || opts.trim == "both") while (s < e && buf(s) == ' ') s += 1
-        row.update(i, UTF8String.fromBytes(buf, s, e - s))
+        if (utf8) row.update(i, UTF8String.fromBytes(buf, s, e - s))
+        else row.update(i, UTF8String.fromString(new String(buf, s, e - s, cs)))
       }
-    case "int" =>
+    case "int" | "date" => // date stored as epoch-day decimal int
       () => {
-        val v = AsciiParse.parseLong(buf, f.start, f.end)
-        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setInt(i, v.toInt)
+        if (AsciiParse.isBlank(buf, f.start, f.end)) row.setNullAt(i)
+        else row.setInt(i, AsciiParse.parseInt(buf, f.start, f.end))
       }
-    case "long" =>
+    case "long" | "timestamp" => // timestamp stored as epoch-micros decimal long
       () => {
-        val v = AsciiParse.parseLong(buf, f.start, f.end)
-        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setLong(i, v)
-      }
-    case "date" => // stored as epoch-day decimal int
-      () => {
-        val v = AsciiParse.parseLong(buf, f.start, f.end)
-        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setInt(i, v.toInt)
-      }
-    case "timestamp" => // stored as epoch-micros decimal long
-      () => {
-        val v = AsciiParse.parseLong(buf, f.start, f.end)
-        if (v == AsciiParse.NullSentinel) row.setNullAt(i) else row.setLong(i, v)
+        if (AsciiParse.isBlank(buf, f.start, f.end)) row.setNullAt(i)
+        else row.setLong(i, AsciiParse.parseLong(buf, f.start, f.end))
       }
     case "double" =>
       () => {
@@ -218,30 +211,57 @@ class FixedWidthPartitionReader(
 }
 
 /** Allocation-free ASCII numeric parsing over a byte range (spaces trimmed on
-  * both sides; all-space field decodes to SQL NULL). */
+  * both sides; all-space field decodes to SQL NULL — callers test `isBlank`
+  * first, so no in-band sentinel value can collide with real data). */
 object AsciiParse {
-  /** Sentinel for "field was all spaces" from parseLong; Long.MinValue is not
-    * producible by our writer (it never emits unparenthesized overflow). */
-  val NullSentinel: Long = Long.MinValue
 
+  /** True iff the byte range is entirely spaces (the encoding of SQL NULL). */
+  def isBlank(buf: Array[Byte], from: Int, until: Int): Boolean = {
+    var s = from
+    while (s < until) { if (buf(s) != ' ') return false; s += 1 }
+    true
+  }
+
+  /** Parse a signed decimal long. Overflow throws NumberFormatException
+    * instead of silently wrapping (a 20-digit foreign value must error, not
+    * alias to some in-range long). Accumulates negative so Long.MinValue
+    * itself parses exactly. Caller must have checked `isBlank` first. */
   def parseLong(buf: Array[Byte], from: Int, until: Int): Long = {
     var s = from
     var e = until
     while (s < e && buf(s) == ' ') s += 1
     while (e > s && buf(e - 1) == ' ') e -= 1
-    if (s >= e) return NullSentinel
+    if (s >= e)
+      throw new NumberFormatException("fixedwidth: empty numeric field (caller must isBlank-check)")
     var neg = false
     if (buf(s) == '-') { neg = true; s += 1 }
     else if (buf(s) == '+') s += 1
-    var v = 0L
+    if (s >= e)
+      throw new NumberFormatException("fixedwidth: sign with no digits in numeric field")
+    var v = 0L // accumulated NEGATIVE
+    val lim = Long.MinValue / 10
     while (s < e) {
       val c = buf(s)
       if (c < '0' || c > '9')
         throw new NumberFormatException(s"fixedwidth: bad digit '${c.toChar}' in numeric field")
-      v = v * 10 + (c - '0')
+      val d = c - '0'
+      if (v < lim || v * 10 < Long.MinValue + d)
+        throw new NumberFormatException("fixedwidth: numeric field overflows 64-bit long")
+      v = v * 10 - d
       s += 1
     }
-    if (neg) -v else v
+    if (neg) v
+    else if (v == Long.MinValue)
+      throw new NumberFormatException("fixedwidth: numeric field overflows 64-bit long")
+    else -v
+  }
+
+  /** parseLong + 32-bit range check (silent truncation would corrupt data). */
+  def parseInt(buf: Array[Byte], from: Int, until: Int): Int = {
+    val v = parseLong(buf, from, until)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new NumberFormatException(s"fixedwidth: value $v overflows 32-bit int field")
+    v.toInt
   }
 
   def parseDouble(buf: Array[Byte], from: Int, until: Int): java.lang.Double = {

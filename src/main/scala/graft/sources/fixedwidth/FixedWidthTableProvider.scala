@@ -64,9 +64,17 @@ object FixedWidthTable {
   def listFiles(opts: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] = {
     val raw = Option(opts.get("paths")) match {
       case Some(js) =>
-        // `load(p1, p2, ...)` passes a JSON array; entries are plain strings.
-        js.stripPrefix("[").stripSuffix("]").split(',').toIndexedSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        // `load(p1, p2, ...)` passes a JSON-encoded string array. Parse it
+        // with a real JSON parser (Jackson ships on Spark's classpath) —
+        // naive split-on-comma mis-splits any path containing ',' or '"'.
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          mapper.readValue(js, classOf[Array[String]]).toIndexedSeq.filter(_.nonEmpty)
+        } catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(
+              s"fixedwidth: option 'paths' is not a JSON string array: $js", e)
+        }
       case None =>
         Option(opts.get("path")).toSeq
     }

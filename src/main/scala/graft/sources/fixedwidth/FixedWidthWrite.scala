@@ -41,6 +41,15 @@ class FixedWidthWriteBuilder(
   }
 }
 
+/** Job-level commit protocol (the analog of Hadoop's FileOutputCommitter,
+  * which the reference's MapReduce pipeline got for free): every task writes
+  * into a job-scoped `_temporary-<jobId>` directory; `commit()` renames the
+  * committed tasks' files into the final directory and drops a `_SUCCESS`
+  * marker; `abort()` (or a task lost without abort) leaves nothing visible
+  * because readers skip `_`-prefixed paths and the temp dir is deleted.
+  * Speculative/zombie task attempts are harmless: only files named in commit
+  * messages are renamed, the rest die with the temp dir.
+  */
 class FixedWidthBatchWrite(
     path: String,
     opts: FixedWidthOptions,
@@ -49,37 +58,50 @@ class FixedWidthBatchWrite(
     conf: SerializableHadoopConf)
     extends BatchWrite {
 
+  private val jobId = java.util.UUID.randomUUID().toString
+  private def tempDir = new Path(path, s"_temporary-$jobId")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // Driver-side, before any task launches.
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
-    fs.mkdirs(dir)
+    fs.mkdirs(tempDir)
     // Validate the incoming schema maps onto the layout once, up front.
     FixedWidthEncoder.plan(opts, querySchema)
-    new FixedWidthDataWriterFactory(path, opts, querySchema, conf)
+    new FixedWidthDataWriterFactory(tempDir.toString, opts, querySchema, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    messages.collect { case m: FixedWidthCommitMessage => m }.foreach { m =>
+      val src = new Path(m.file)
+      val dst = new Path(dir, src.getName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"fixedwidth: commit failed to rename $src -> $dst")
+    }
+    fs.delete(tempDir, true)
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
-    messages.collect { case m: FixedWidthCommitMessage => m.file }
-      .foreach(f => fs.delete(new Path(f), false))
+    fs.delete(tempDir, true)
   }
 }
 
 final case class FixedWidthCommitMessage(file: String, records: Long) extends WriterCommitMessage
 
 class FixedWidthDataWriterFactory(
-    path: String,
+    tempDir: String,
     opts: FixedWidthOptions,
     querySchema: StructType,
     conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FixedWidthDataWriter(
-      f"$path/part-$partitionId%05d-$taskId.fwb", opts, querySchema, conf.value)
+      f"$tempDir/part-$partitionId%05d-$taskId.fwb", opts, querySchema, conf.value)
 }
 
 class FixedWidthDataWriter(
@@ -132,16 +154,22 @@ object FixedWidthEncoder {
           throw new IllegalArgumentException(
             s"fixedwidth: write schema is missing layout field '${f.name}' " +
               s"(have: ${querySchema.fieldNames.mkString(", ")})")
-        fieldEncoder(f, ord, querySchema.fields(ord).dataType)
+        fieldEncoder(f, ord, querySchema.fields(ord).dataType, opts.charset)
       }.toArray
     } else {
       val ord = querySchema.fieldNames.indexWhere(_.equalsIgnoreCase(FixedWidthOptions.ValueCol))
       if (ord < 0)
         throw new IllegalArgumentException(
           "fixedwidth: raw-mode write requires a 'value' column (binary or string)")
+      val cs = opts.charset
+      val utf8 = cs == StandardCharsets.UTF_8
       val enc: Enc = querySchema.fields(ord).dataType match {
         case BinaryType => (row, buf) => place(row.getBinary(ord), buf, 0, buf.length, "value")
-        case StringType => (row, buf) => place(row.getUTF8String(ord).getBytes, buf, 0, buf.length, "value")
+        case StringType => (row, buf) => {
+          val b = if (utf8) row.getUTF8String(ord).getBytes
+                  else row.getUTF8String(ord).toString.getBytes(cs)
+          place(b, buf, 0, buf.length, "value")
+        }
         case dt => throw new IllegalArgumentException(
           s"fixedwidth: raw-mode 'value' column must be binary or string, got $dt")
       }
@@ -158,14 +186,16 @@ object FixedWidthEncoder {
 
   private def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
 
-  private def fieldEncoder(f: FieldSpec, ord: Int, dt: DataType): Enc = {
+  private def fieldEncoder(f: FieldSpec, ord: Int, dt: DataType, cs: java.nio.charset.Charset): Enc = {
     def numeric(render: InternalRow => String): Enc = (row, buf) =>
       if (!row.isNullAt(ord)) place(ascii(render(row)), buf, f.start, f.len, f.name)
+    val utf8 = cs == StandardCharsets.UTF_8
     (f.ftype, dt) match {
       case ("string", StringType) =>
         (row, buf) =>
           if (!row.isNullAt(ord)) {
-            val b = row.getUTF8String(ord).getBytes
+            val b = if (utf8) row.getUTF8String(ord).getBytes
+                    else row.getUTF8String(ord).toString.getBytes(cs)
             // Strings may be truncated to the declared width (SURVEY.md §2.1
             // S9: pad/truncate); numerics error instead — truncation would
             // silently corrupt them.

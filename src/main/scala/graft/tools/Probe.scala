@@ -73,6 +73,59 @@ object Probe {
         .option("recordLength", 10).mode("overwrite").save(s"$base/over")
     }
 
+    expectError("key-options-with-fields") {
+      spark.read.format("fixedwidth").option("fields", "a:string:0:10")
+        .option("keyStartAt", 0).option("keyEndAt", 3).load(s"$base/raw").count()
+    }
+    expectError("unknown-charset") {
+      spark.read.format("fixedwidth").option("recordLength", 10)
+        .option("charset", "NOPE-8").load(s"$base/raw").count()
+    }
+    expectError("long-field-overflow") {
+      // 20-digit value must error, not wrap to an in-range long.
+      Seq("99999999999999999999").toDF("v")
+        .write.format("fixedwidth").option("fields", "v:string:0:20")
+        .mode("overwrite").save(s"$base/ovf")
+      spark.read.format("fixedwidth").option("fields", "v:long:0:20")
+        .load(s"$base/ovf").collect()
+    }
+    expectError("int-field-out-of-range") {
+      Seq("3000000000").toDF("v")
+        .write.format("fixedwidth").option("fields", "v:string:0:10")
+        .mode("overwrite").save(s"$base/bigint")
+      spark.read.format("fixedwidth").option("fields", "v:int:0:10")
+        .load(s"$base/bigint").collect()
+    }
+
+    // Long.MinValue must round-trip exactly (it is 20 ASCII bytes).
+    Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("v")
+      .write.format("fixedwidth").option("fields", "v:long:0:20")
+      .mode("overwrite").save(s"$base/minmax")
+    val mm = spark.read.format("fixedwidth").option("fields", "v:long:0:20")
+      .load(s"$base/minmax").select(min($"v"), max($"v")).head
+    println(s"PROBE long-roundtrip: min=${mm.getLong(0)} max=${mm.getLong(1)}")
+
+    // Non-UTF-8 charset round trip (ISO-8859-1 'é' is byte 0xE9).
+    Seq("café").toDF("s")
+      .write.format("fixedwidth").option("fields", "s:string:0:8").option("charset", "ISO-8859-1")
+      .mode("overwrite").save(s"$base/latin1")
+    val latin = spark.read.format("fixedwidth")
+      .option("fields", "s:string:0:8").option("charset", "ISO-8859-1")
+      .load(s"$base/latin1").select($"s").head.getString(0)
+    val latinBytes = Files.readAllBytes(
+      Files.list(Paths.get(s"$base/latin1")).filter(p => p.getFileName.toString.startsWith("part-")).findFirst.get)
+    println(s"PROBE charset-latin1: back='$latin' ok=${latin == "café"} " +
+      s"byte3=0x${(latinBytes(3) & 0xff).toHexString} success=${Files.exists(Paths.get(s"$base/latin1/_SUCCESS"))}")
+
+    // Commit protocol: no _temporary-* residue after a successful write.
+    val resid = Files.list(Paths.get(s"$base/latin1")).filter(_.getFileName.toString.startsWith("_temporary")).count()
+    println(s"PROBE commit-protocol: tempResidue=$resid")
+
+    // Multi-path load (two dirs through the JSON 'paths' option).
+    df.write.format("fixedwidth").option("recordLength", 10).mode("overwrite").save(s"$base/raw2")
+    val multi = spark.read.format("fixedwidth").option("recordLength", 10).load(s"$base/raw", s"$base/raw2")
+    println(s"PROBE multi-path: n=${multi.count()}")
+
     // split-smaller-than-record analog: tiny maxPartitionBytes must still
     // produce whole records (reference test :235-238 forces split < record).
     spark.conf.set("spark.sql.files.maxPartitionBytes", "3")
