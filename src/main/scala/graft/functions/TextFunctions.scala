@@ -92,9 +92,11 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
-  /** 64-bit rolling-hash content fingerprint (polynomial over tokens) —
-    * order-sensitive unlike the md5 of the sorted token set; exact fold,
-    * deterministic on any engine that folds left-to-right. */
+  /** 64-bit rolling-hash content fingerprint — order-sensitive unlike the
+    * md5 of the sorted token set. Folds acc' = xxhash64(acc, hash(token)):
+    * equivalent mixing power to the classic polynomial hash but with no
+    * arithmetic overflow, so it is safe under ANSI mode (Spark 4 default),
+    * where `acc * 31 + h` would throw ARITHMETIC_OVERFLOW. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Internal-consistency checks for the sketch-based dedup operators (no
+  * cross-engine oracle exists for hash sketches — these are the invariants
+  * the driver's ROWS_ONLY queries rely on). */
+class DedupSpec extends SparkSpec with Matchers {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // Three near-dup clusters + distinct noise docs. Cluster members share
+    // most 2-shingles; noise shares none.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "pack my box with five dozen liquor jugs for the trip to the coast",
+      "how vexingly quick daft zebras jump when the circus music starts up")
+    val variants = base.zipWithIndex.flatMap { case (t, c) =>
+      Seq(
+        (c * 10 + 0, t),
+        (c * 10 + 1, t), // exact dup
+        (c * 10 + 2, t.replace("the", "a")), // near dup
+        (c * 10 + 3, t + " extra trailing words appended here")) // near dup
+    }
+    val noise = (100 until 110).map(i => (i, s"unique document number $i with its own totally distinct vocabulary set $i"))
+    (variants ++ noise).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min-id representative") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text")).collect()
+    out.map(_.getAs[Long]("n_dups")).sum shouldBe docs.count()
+    // each base text has one exact-dup pair → group of 2 with rep = c*10
+    out.count(_.getAs[Long]("n_dups") == 2L) shouldBe 3
+    out.filter(_.getAs[Long]("n_dups") == 2L).map(_.getAs[Int]("rep_id")).sorted shouldBe Array(0, 10, 20)
+  }
+
+  test("LSH candidates are a superset of truly-similar pairs (recall invariant)") {
+    import spark.implicits._
+    // ground truth: all pairs with exact 2-shingle jaccard >= 0.5
+    val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))
+      .filter(org.apache.spark.sql.functions.size($"g") > 0)
+    val truth = Dedup.jaccardPairs(grams, "doc_id", "g", 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    truth should not be empty
+
+    // 64 hashes / 32 bands of 2 rows: P(candidate) = 1-(1-j^2)^32 → ≈1 for j≥0.5
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    truth -- found shouldBe empty
+  }
+
+  test("minhash verified jaccard equals exact jaccard for reported pairs") {
+    import spark.implicits._
+    val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))
+    val exact = Dedup.jaccardPairs(grams, "doc_id", "g", 0.0)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.3).collect()
+    mh should not be empty
+    mh.foreach { r =>
+      r.getDouble(2) shouldBe exact((r.getInt(0), r.getInt(1)))
+    }
+  }
+
+  test("bucketCap drops degenerate buckets without affecting small ones") {
+    // cap of 1 kills every bucket → no pairs at all
+    Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.0, bucketCap = 1)
+      .count() shouldBe 0L
+  }
+
+  test("simhash: exact dups at hamming 0; unrelated docs far apart") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    // exact duplicates (id c*10 vs c*10+1) → identical signature
+    pairs((0, 1)) shouldBe 0
+    pairs((10, 11)) shouldBe 0
+    pairs((20, 21)) shouldBe 0
+    // unrelated noise docs: expect large distance (median ~32 for random)
+    pairs((100, 101)) should be > 10
+  }
+
+  test("shingles: short docs yield empty set, n-grams are distinct and ordered windows") {
+    import spark.implicits._
+    val out = Seq("a b", "a b c d", "x x x x")
+      .toDF("t").select(Dedup.shingles($"t", 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    out(0) shouldBe Seq.empty
+    out(1) shouldBe Seq("a b c", "b c d")
+    out(2) shouldBe Seq("x x x") // distinct
+  }
+}
