@@ -1,0 +1,81 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec with Matchers {
+
+  private val dim = 32
+
+  /** Planted-cluster corpus: 10 base directions, 10 small-noise variants
+    * each (pairwise cos ≈ 0.99 within a cluster), plus 100 random vectors. */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rng = new Random(7)
+    def randVec(): Array[Float] = Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
+    val clustered = (0 until 10).flatMap { c =>
+      val base = randVec()
+      (0 until 10).map { v =>
+        val noisy = base.map(x => x + (rng.nextDouble() * 0.1 - 0.05).toFloat)
+        (c * 10 + v, noisy, c)
+      }
+    }
+    val noise = (100 until 200).map(i => (i + 100, randVec(), -1))
+    (clustered ++ noise).toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0, opposite -1.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f)),
+      (Array(3f, 4f), Array(3f, 4f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    out(0) shouldBe 1.0
+    out(1) shouldBe 0.0
+    out(2) shouldBe -1.0
+    out(3) shouldBe 1.0 +- 1e-12
+  }
+
+  test("brute-force kNN ranks same-cluster vectors first") {
+    val queries = corpus.filter(col("vec_id").isin(0, 10, 20))
+    val out = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9).collect()
+    out.length shouldBe 27
+    // every top-9 neighbor of query c*10 is from cluster c (ids c*10..c*10+9)
+    out.foreach { r =>
+      val q = r.getAs[Int]("query_id")
+      val n = r.getAs[Int]("neighbor_id")
+      n / 10 shouldBe q / 10
+    }
+  }
+
+  test("SRP-LSH kNN achieves high recall on clustered data") {
+    val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"))).toSet
+    val approx = Similarity.knnApproxLsh(corpus, queries, "vec_id", "embedding",
+        k = 9, tables = 16, planes = 8)
+      .collect().map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
+  test("SRP buckets are deterministic across evaluations") {
+    val b1 = corpus.select(Similarity.srpBuckets(col("embedding"), 4, 8)).collect()
+    val b2 = corpus.select(Similarity.srpBuckets(col("embedding"), 4, 8)).collect()
+    b1.map(_.getSeq[Long](0)) should contain theSameElementsInOrderAs b2.map(_.getSeq[Long](0))
+  }
+
+  test("near-dup pairs finds exactly the planted clusters at high threshold") {
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95).collect()
+    pairs.length should be >= 400 // 10 clusters x C(10,2)=45 minus noise-edge cases
+    pairs.foreach { r =>
+      r.getAs[Int]("id_a") / 10 shouldBe r.getAs[Int]("id_b") / 10
+    }
+  }
+}
