@@ -1,5 +1,147 @@
 package graft.queries
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import QueryRegistry.table
+
+/** Structured Streaming over the `events` table and the fixedwidth source
+  * (the reference is batch-only MapReduce — SURVEY.md §2.9 [EXT]).
+  *
+  * Driver-contract note: each query RUNS a real stream (readStream →
+  * windowed agg → memory sink, Trigger.AvailableNow) to completion and
+  * returns the materialized result, so the DuckDB oracle can check the
+  * streaming computation against its batch-SQL equivalent — the strongest
+  * cross-engine statement one can make about a stream.
+  */
 object StreamingQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Run a streaming DataFrame to a memory sink until AvailableNow drains,
+    * return the result table. */
+  private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stream the events parquet as a file stream. The table stores
+    * TIMESTAMP(NANOS), which Spark 4 only reads via the nanosAsLong legacy
+    * conf — so read `ts` as long nanoseconds and derive a proper timestamp
+    * (integral division keeps it exact; double math would round above 2^53). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events").schema // already long ts under the conf
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet") // the file stream source wants a directory
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows with a watermark: count + exact value sum per
+    * (window, event_type). Complete output mode → every window emitted once
+    * the stream drains, which is exactly the batch answer. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        CoreQueries.dsum(col("value")).as("sum_value"))
+    runToMemory(spark, agg, "stream_tumbling", "complete")
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val tumblingOracle: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  count(*) AS n_events, ${CoreQueries.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows (1 hour, sliding every 30 minutes): each event lands in
+    * two windows. The oracle replicates the window assignment by unioning
+    * the two half-hour-aligned window starts per event. */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "stream_sliding", "complete")
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val slidingOracle: String =
+    """WITH assigned AS (
+      |  SELECT ts, event_type,
+      |    date_trunc('hour', ts) + (CASE WHEN extract(minute FROM ts) >= 30
+      |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END) - (o * INTERVAL 30 MINUTE) AS window_start
+      |  FROM events, (SELECT unnest([0, 1]) AS o)
+      |)
+      |SELECT window_start, event_type, count(*) AS n_events
+      |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user: Spark's built-in
+    * session_window in a streaming agg; the oracle reconstructs identical
+    * sessions with the classic lag/cumsum gap-split. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "stream_sessions", "complete")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), sessioned AS (
+      |  SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, cast(count(DISTINCT session_id) AS bigint) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM sessioned GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The fixedwidth format as a STREAMING source: stream the fixed-width
+    * lineitem encoding (same files as q01) through a windowless agg and
+    * check it against DuckDB over the original parquet — proves the
+    * MicroBatchStream delivers exactly the batch bytes. */
+  def fwStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    CoreQueries.lineitemViaFixedWidth(spark, dir) // ensure encoded files exist
+    val fieldsOpt = graft.sources.fixedwidth.FixedWidthOptions.renderFields(CoreQueries.lineitemLayout)
+    val stream = spark.readStream.format("fixedwidth")
+      .option("fields", fieldsOpt)
+      .load(QueryRegistry.scratch(dir, "lineitem_fw"))
+    val agg = stream
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), CoreQueries.dsum(col("l_quantity")).as("sum_qty"))
+    runToMemory(spark, agg, "stream_fw", "complete")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val fwStreamOracle: String =
+    s"""SELECT l_returnflag, count(*) AS n_lines, ${CoreQueries.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
+    Q("q71_stream_sliding", sliding, Some(slidingOracle)),
+    Q("q72_stream_sessions", sessions, Some(sessionsOracle)),
+    Q("q73_stream_fixedwidth", fwStream, Some(fwStreamOracle)))
 }

@@ -1,0 +1,73 @@
+package graft.sources.fixedwidth
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming offset = the set of fixed-width files already ingested, with
+  * their lengths. Fixed-width data files are immutable once committed (the
+  * writer renames whole files into place, never appends), so "new data"
+  * means "new files" — the same model as Spark's built-in file stream
+  * source, minus its driver-side metadata log. */
+final case class FixedWidthStreamOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    files.toSeq.sortBy(_._1).foreach { case (p, l) => node.put(p, l) }
+    mapper.writeValueAsString(node)
+  }
+}
+
+object FixedWidthStreamOffset {
+  def fromJson(json: String): FixedWidthStreamOffset = {
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(json)
+    val files = node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    FixedWidthStreamOffset(files)
+  }
+}
+
+/** Micro-batch streaming read for the fixedwidth format
+  * (`spark.readStream.format("fixedwidth")`): each micro-batch scans the
+  * files that appeared since the previous offset, with the same
+  * record-aligned partitioning and reader as the batch path. The reference
+  * is batch-only MapReduce (SURVEY.md §2.9) — this is the [EXT] Structured
+  * Streaming surface over the same byte format.
+  */
+class FixedWidthMicroBatchStream(
+    opts: FixedWidthOptions,
+    tableOptions: CaseInsensitiveStringMap,
+    requiredSchema: StructType,
+    conf: Configuration)
+    extends MicroBatchStream {
+
+  private def snapshot(): Map[String, Long] =
+    FixedWidthTable.listFiles(tableOptions, conf)
+      .map(st => st.getPath.toString -> st.getLen).toMap
+
+  override def initialOffset(): Offset = FixedWidthStreamOffset(Map.empty)
+
+  override def latestOffset(): Offset = FixedWidthStreamOffset(snapshot())
+
+  override def deserializeOffset(json: String): Offset = FixedWidthStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FixedWidthStreamOffset].files.keySet
+    val target = end.asInstanceOf[FixedWidthStreamOffset].files
+    val fresh = FixedWidthTable.listFiles(tableOptions, conf)
+      .filter(st => target.contains(st.getPath.toString) && !seen.contains(st.getPath.toString))
+    FixedWidthScan.alignedPartitions(fresh, opts.recordLength.toLong)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -47,6 +47,20 @@ class FixedWidthScan(
   override def description(): String =
     s"FixedWidthScan(recordLength=${opts.recordLength}, columns=[${requiredSchema.fieldNames.mkString(",")}])"
 
+  /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = FixedWidthTable.listFiles(tableOptions, conf)
+    FixedWidthScan.alignedPartitions(files, opts.recordLength.toLong)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf)
+}
+
+object FixedWidthScan {
   /** Record-aligned split planning — the reference's one real physical
     * planning rule (FixedLengthInputFormat.java:276-298): floor the target
     * split size to a record multiple so no partition ever holds a partial
@@ -56,10 +70,7 @@ class FixedWidthScan(
     * Honors `spark.sql.files.maxPartitionBytes` and spreads small inputs
     * across `defaultParallelism` like Spark's planner does.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = FixedWidthTable.listFiles(tableOptions, conf)
-    val recLen = opts.recordLength.toLong
-
+  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], recLen: Long): Array[InputPartition] = {
     files.foreach { st =>
       if (FixedWidthTable.isCompressed(st.getPath))
         throw new IllegalArgumentException(
@@ -89,9 +100,6 @@ class FixedWidthScan(
       }
     }.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
 }
 
 /** One record-aligned byte range of one file (serialized driver → executor,

@@ -105,6 +105,7 @@ class FixedWidthTable(val fwOptions: FixedWidthOptions, tableOptions: CaseInsens
   override def capabilities(): util.Set[TableCapability] =
     Set(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       // Write schema is validated by the writer itself against the `fields`
