@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import QueryRegistry.table
+
+/** Multimodal-column queries over synthetic binary payloads attached to the
+  * `documents` ids. The payload headers carry metadata derived from doc_id
+  * by fixed arithmetic, so the DuckDB oracle can recompute every value from
+  * doc_id alone — a hash match certifies the whole binary encode → header
+  * parse round trip without DuckDB ever seeing the bytes.
+  */
+object MultimodalQueries {
+
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.attachMedia(table(spark, dir, "documents").select(col("doc_id")), "doc_id")
+
+  /** Expression-only header decode + per-format aggregate. */
+  def meta(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    m.filter(Multimodal.magicOk(col("media")))
+      .select(
+        col("id"),
+        Multimodal.fmtName(col("media")).as("fmt"),
+        Multimodal.width(col("media")).as("w"),
+        Multimodal.height(col("media")).as("h"),
+        Multimodal.channels(col("media")).as("c"),
+        Multimodal.nframes(col("media")).as("nf"),
+        length(col("media")).cast("long").as("total_bytes"))
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long") * col("h") * col("c") * col("nf")).as("payload_bytes"),
+        sum(col("total_bytes")).as("total_bytes"),
+        max(col("nf")).as("max_frames"))
+      .orderBy(col("fmt"))
+  }
+
+  /** DuckDB recomputes the same metadata from doc_id arithmetic (see
+    * Multimodal.widthOf etc.): header len 24, width 8+id%17, height 8+id%13,
+    * channels 1+id%3, nframes video ? 1+id%5 : 1. */
+  val metaOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+      |    (8 + doc_id % 17) AS w, (8 + doc_id % 13) AS h, (1 + doc_id % 3) AS c,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5 ELSE 1 END AS nf
+      |  FROM documents
+      |)
+      |SELECT fmt, count(*) AS n_docs,
+      |  cast(sum(w * h * c * nf) AS bigint) AS payload_bytes,
+      |  cast(sum(24 + w * h * c * nf) AS bigint) AS total_bytes,
+      |  cast(max(nf) AS int) AS max_frames
+      |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin
+
+  /** Frame sampling (every 2nd frame) on video payloads — the count side is
+    * oracle-checkable from arithmetic; the checksum side is covered by the
+    * ScalaTest suite. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    m.filter(Multimodal.fmtCode(col("media")) === 2)
+      .select(
+        col("id").as("doc_id"),
+        Multimodal.nframes(col("media")).as("n_frames"),
+        size(Multimodal.sampledFrameChecksums(col("media"), 2)).as("n_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val frameSampleOracle: String =
+    """SELECT doc_id, cast(1 + doc_id % 5 AS int) AS n_frames,
+      |  cast((1 + doc_id % 5 + 1) // 2 AS int) AS n_sampled
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+
+  /** Batched mapPartitions feature extraction over the stub decoder —
+    * deterministic but not SQL-replicable (payload bytes exist only JVM-side)
+    * → ROWS_ONLY for the driver; invariants live in MultimodalSpec. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    Multimodal.extractFeatures(m).toDF()
+      .groupBy(col("n_frames"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        max(col("max_byte")).as("max_byte"),
+        sum(col("frame_bytes")).as("total_frame_bytes"))
+      .orderBy(col("n_frames"))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q80_multimodal_meta", meta, Some(metaOracle)),
+    Q("q81_multimodal_features", features, None),
+    Q("q82_frame_sample", frameSample, Some(frameSampleOracle)))
+}
