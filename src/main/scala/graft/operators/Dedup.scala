@@ -47,10 +47,15 @@ object Dedup {
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
 
   /** Exact pairwise n-gram Jaccard over (id, grams) rows. Quadratic — feed
-    * it candidates, not a raw corpus. */
+    * it candidates, not a raw corpus. Grams are hashed to 64-bit longs ONCE
+    * per row before pairing: set intersection over longs is several times
+    * cheaper than over strings, and |A ∩ B| is unchanged modulo xxhash64
+    * collisions (~2^-64 per pair of distinct shingles — negligible). */
   def jaccardPairs(grams: DataFrame, idCol: String, gramsCol: String, threshold: Double): DataFrame = {
-    val a = grams.select(col(idCol).as("id_a"), col(gramsCol).as("g_a"))
-    val b = grams.select(col(idCol).as("id_b"), col(gramsCol).as("g_b"))
+    val hashed = grams.select(
+      col(idCol).as("_id"), transform(col(gramsCol), g => xxhash64(g)).as("_gh"))
+    val a = hashed.select(col("_id").as("id_a"), col("_gh").as("g_a"))
+    val b = hashed.select(col("_id").as("id_b"), col("_gh").as("g_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -77,23 +82,91 @@ object Dedup {
 
   /** All ordered pairs (a < b) of a sorted id array, as an array of structs.
     * Used to expand an LSH bucket into candidate pairs without a self-join. */
-  private def pairsOf(sortedIds: Column): Column =
+  private[graft] def pairsOf(sortedIds: Column): Column =
     flatten(transform(sortedIds, (x, i) =>
       transform(slice(sortedIds, i + 2, greatest(size(sortedIds) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Splitmix-style 64-bit string hash + per-permutation long mixer — the
+    * JVM twin of the expression pipeline, used inside mapPartitions where
+    * interpreted higher-order functions would dominate (measured: the
+    * numHashes × |shingles| lambda evals of the expression form took 12 s of
+    * q52's 15 s at sf0.1; the primitive-loop form takes well under 1 s). */
+  private[graft] def hash64(s: String): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) {
+      h = java.lang.Long.rotateLeft((h ^ s.charAt(i).toLong) * 0xC2B2AE3D27D4EB4FL, 31)
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
+  private[graft] def mix64(h: Long, i: Int): Long = {
+    var z = h + 0x9E3779B97F4A7C15L * (i + 1)
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-doc MinHash state: distinct shingle hashes, signature, band hashes.
+    * Pure function of (text, params) — deterministic everywhere. */
+  private[graft] def sketchOf(text: String, shingleLen: Int, numHashes: Int,
+      bands: Int): (Array[Long], Array[Long], Array[Long]) = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < shingleLen) return (Array.empty, Array.empty, Array.empty)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - shingleLen) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < shingleLen) { sb.append(' ').append(toks(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val gh = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var g = 0
+    while (it.hasNext) { gh(g) = hash64(it.next()); g += 1 }
+    val sig = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      var minV = Long.MaxValue
+      var j = 0
+      while (j < gh.length) { val v = mix64(gh(j), p); if (v < minV) minV = v; j += 1 }
+      sig(p) = minV
+      p += 1
+    }
+    val rowsPerBand = numHashes / bands
+    val bh = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x27D4EB2F165667C5L + b
+      var r = 0
+      while (r < rowsPerBand) { acc = mix64(acc ^ sig(b * rowsPerBand + r), r); r += 1 }
+      bh(b) = acc
+      b += 1
+    }
+    (gh, sig, bh)
+  }
+
   /** Near-duplicate pairs via MinHash + LSH, verified with exact Jaccard.
     *
     * Plan shape at scale (the 100 TB path):
-    *   1. map-side: shingle → hash each shingle once → signature → band
-    *      hashes (pure codegen'd expressions, no shuffle);
+    *   1. map-side: shingle → hash → signature → band hashes, computed in
+    *      primitive loops via mapPartitions (Spark's higher-order array
+    *      functions are interpreted, not codegen'd — the expression form of
+    *      this sketch was the dominant cost of the whole pipeline);
     *   2. ONE shuffle on (band_idx, band_hash) → buckets; pairs are expanded
     *      inside each bucket with an array expression — never a quadratic
     *      self-join of the exploded table (round 1's mistake: that self-join
     *      recomputed the whole signature pipeline on both sides and took
     *      646 s at sf0.1);
     *   3. `distinct` over candidate pairs, then a join back to the persisted
-    *      gram sets for exact-Jaccard verification of candidates only.
+    *      hashed-shingle sets for exact-Jaccard verification of candidates
+    *      only (set ops over longs — several times cheaper than strings,
+    *      identical counts modulo ~2^-64 collisions).
     *
     * `bucketCap` bounds the blast radius of a degenerate bucket (all-identical
     * spam): a bucket with more than `bucketCap` docs is dropped from
@@ -111,20 +184,24 @@ object Dedup {
       threshold: Double = 0.5,
       bucketCap: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
 
-    // (id, grams, sig) computed once and persisted: the band explode and the
-    // two verification joins below would otherwise each recompute the full
-    // shingle+signature pipeline.
+    // (id, gh, bands) computed once in primitive loops and persisted: the
+    // band explode and the two verification joins below would otherwise each
+    // recompute the full shingle+signature pipeline.
     val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig",
-        minhashSignature(transform(col("grams"), s => xxhash64(s)), numHashes))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val (gh, _, bh) = sketchOf(text, shingleLen, numHashes, bands)
+        if (gh.isEmpty) None else Some((id, gh, bh))
+      })
+      .toDF("id", "gh", "bands")
       .persist()
 
     val banded = sigs
-      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
 
     val candidates = banded
       .groupBy(col("band_idx"), col("band_hash"))
@@ -135,8 +212,8 @@ object Dedup {
       .distinct()
 
     candidates
-      .join(sigs.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("gh").as("g_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("gh").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -40,6 +40,11 @@ object Similarity {
     * similarity rows move through the per-query top-k. At cluster scale the
     * window's shuffle carries Q x N skinny rows; for very large Q, swap the
     * window for a two-phase per-partition heap merge.
+    *
+    * Norms are computed once per row BEFORE the pairing (N + Q sqrt-dots
+    * instead of 2·N·Q) — the per-pair math is a single dot product. The
+    * factoring changes no IEEE result: each norm is the same double wherever
+    * it is computed.
     */
   def knnBruteForce(
       corpus: DataFrame,
@@ -47,37 +52,76 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val e = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("e_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"))
+    val e = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("e_vec"),
+      norm(col(vecCol)).as("e_nrm"))
     val sims = e.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("e_vec")).as("cos"))
+        (dot(col("q_vec"), col("e_vec")) / (col("q_nrm") * col("e_nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): component
-    * `j` of hyperplane `p` of table `t`. Derived from xxhash64 so every
-    * executor materializes the same hyperplanes with no broadcast state. */
-  private def hyperplane(t: Int, p: Int, tables: Int, planes: Int)(j: Column): Column =
-    pmod(xxhash64(lit(t * planes + p), j), lit(2000001L)).cast("double") / 1000000.0 - 1.0
+  /** Deterministic pseudo-random hyperplanes, materialized DRIVER-SIDE as
+    * literal coefficient arrays and folded into the plan as constants.
+    * (Deriving each coefficient from xxhash64 per row — the first version —
+    * recomputed tables*planes*dim hashes for every vector; with 16x8x64
+    * that was 8k hashes per row and dominated the ANN stage.) */
+  private[operators] def hyperplaneMatrix(tables: Int, planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(tables * planes) { k =>
+      val rng = new java.util.Random(0x5EED00000000L + k) // JDK algorithm is specified → same planes everywhere
+      Array.fill(dim)(rng.nextDouble() * 2 - 1)
+    }
 
   /** SRP-LSH bucket ids, one per table: bit p of table t's bucket is the
     * sign of the projection onto pseudo-random hyperplane (t, p). Returns an
-    * array<long> of length `tables`. Pure map-side expression; works for any
-    * vector dimensionality (the index-aware `transform` supplies j). */
-  def srpBuckets(vec: Column, tables: Int, planes: Int): Column = {
+    * array<long> of length `tables`. Pure map-side expression over literal
+    * hyperplane constants. `dim` must match the embedding dimensionality.
+    *
+    * NOTE: kept as the reference/API form; the hot path in [[knnApproxLsh]]
+    * uses [[srpBucketsOf]] inside mapPartitions instead — Spark's
+    * higher-order functions are interpreted (not codegen'd), and
+    * tables*planes*dim interpreted lambda evals per row dominated the ANN
+    * stage. Both produce identical buckets (same matrix, same fold order). */
+  def srpBuckets(vec: Column, tables: Int, planes: Int, dim: Int): Column = {
+    val mat = hyperplaneMatrix(tables, planes, dim)
     def bucketFor(t: Int): Column =
       (0 until planes).map { p =>
+        val plane = typedlit(mat(t * planes + p).toIndexedSeq)
         val proj = aggregate(
-          transform(vec, (x, j) => x.cast("double") * hyperplane(t, p, tables, planes)(j)),
+          zip_with(vec, plane, (x, w) => x.cast("double") * w),
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
     array((0 until tables).map(bucketFor): _*)
+  }
+
+  /** JVM-side twin of [[srpBuckets]]: same matrix, same left-to-right
+    * accumulation order, primitive loops. */
+  def srpBucketsOf(vec: Array[Float], tables: Int, planes: Int, dim: Int,
+      mat: Array[Array[Double]]): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = mat(t * planes + p)
+        var proj = 0.0
+        var j = 0
+        val n = math.min(vec.length, dim)
+        while (j < n) { proj += vec(j).toDouble * plane(j); j += 1 }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
   }
 
   /** Approximate k-NN via SRP-LSH: candidates are corpus vectors sharing at
@@ -96,12 +140,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      dim: Int,
       tables: Int = 16,
       planes: Int = 8): DataFrame = {
-    def banded(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"))
-        .select(col(id), col(s"${id}_vec"),
-          posexplode(srpBuckets(col(s"${id}_vec"), tables, planes)).as(Seq("t", "bucket")))
+    val mat = hyperplaneMatrix(tables, planes, dim)
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.flatMap { case (rid, vec) =>
+            val buckets = srpBucketsOf(vec, tables, planes, dim, mat)
+            Iterator.tabulate(tables)(t => (rid, vec, t, buckets(t)))
+          }
+        }
+        .toDF(id, s"${id}_vec", "t", "bucket")
+    }
 
     val qb = broadcast(banded(queries, "query_id"))
     val eb = banded(corpus, "neighbor_id")
@@ -121,16 +176,20 @@ object Similarity {
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-duplicate
     * detection. Quadratic: bound the input or use knnApproxLsh's bucketing
-    * for the billion-row regime. */
+    * for the billion-row regime. Norms are computed once per row before the
+    * self-join (N instead of N² sqrt-dots; identical IEEE doubles). */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val withNorm = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      norm(col(vecCol)).as("_n"))
+    val a = withNorm.select(col("_id").as("id_a"), col("_v").as("v_a"), col("_n").as("n_a"))
+    val b = withNorm.select(col("_id").as("id_b"), col("_v").as("v_b"), col("_n").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }

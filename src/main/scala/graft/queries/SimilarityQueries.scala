@@ -47,7 +47,7 @@ object SimilarityQueries {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val embs = table(spark, dir, "embeddings")
     Similarity.knnApproxLsh(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, tables = 16, planes = 8)
+        k = 10, dim = 64, tables = 16, planes = 8)
       .orderBy(col("query_id"), col("rank"))
   }
 

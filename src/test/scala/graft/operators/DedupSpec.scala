@@ -43,13 +43,14 @@ class DedupSpec extends SparkSpec with Matchers {
     val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))
       .filter(org.apache.spark.sql.functions.size($"g") > 0)
     val truth = Dedup.jaccardPairs(grams, "doc_id", "g", 0.5)
-      .select($"id_a", $"id_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
     truth should not be empty
 
     // 64 hashes / 32 bands of 2 rows: P(candidate) = 1-(1-j^2)^32 → ≈1 for j≥0.5
     val found = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5)
-      .select($"id_a", $"id_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     truth -- found shouldBe empty
   }
 
@@ -57,12 +58,12 @@ class DedupSpec extends SparkSpec with Matchers {
     import spark.implicits._
     val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))
     val exact = Dedup.jaccardPairs(grams, "doc_id", "g", 0.0)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getInt(0).toLong, r.getInt(1).toLong), r.getDouble(2))).toMap
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.3).collect()
     mh should not be empty
     mh.foreach { r =>
-      r.getDouble(2) shouldBe exact((r.getInt(0), r.getInt(1)))
+      r.getDouble(2) shouldBe exact((r.getLong(0), r.getLong(1)))
     }
   }
 

@@ -54,21 +54,30 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }
   }
 
+  private def pairOf(r: org.apache.spark.sql.Row): (Long, Long) =
+    (r.getAs[Number]("query_id").longValue, r.getAs[Number]("neighbor_id").longValue)
+
   test("SRP-LSH kNN achieves high recall on clustered data") {
     val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
     val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
-      .collect().map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"))).toSet
+      .collect().map(pairOf).toSet
     val approx = Similarity.knnApproxLsh(corpus, queries, "vec_id", "embedding",
-        k = 9, tables = 16, planes = 8)
-      .collect().map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"))).toSet
+        k = 9, dim = dim, tables = 16, planes = 8)
+      .collect().map(pairOf).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     recall should be >= 0.9
   }
 
-  test("SRP buckets are deterministic across evaluations") {
-    val b1 = corpus.select(Similarity.srpBuckets(col("embedding"), 4, 8)).collect()
-    val b2 = corpus.select(Similarity.srpBuckets(col("embedding"), 4, 8)).collect()
-    b1.map(_.getSeq[Long](0)) should contain theSameElementsInOrderAs b2.map(_.getSeq[Long](0))
+  test("SRP buckets: expression form and JVM fast path agree, deterministically") {
+    import spark.implicits._
+    val exprBuckets = corpus.orderBy("vec_id")
+      .select(Similarity.srpBuckets(col("embedding"), 4, 8, dim)).collect()
+      .map(_.getSeq[Long](0))
+    val mat = Similarity.hyperplaneMatrix(4, 8, dim)
+    val jvmBuckets = corpus.orderBy("vec_id")
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(v => Similarity.srpBucketsOf(v, 4, 8, dim, mat).toSeq)
+    exprBuckets should contain theSameElementsInOrderAs jvmBuckets
   }
 
   test("near-dup pairs finds exactly the planted clusters at high threshold") {
