@@ -17,14 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * only needs 2 of 16 fields decodes exactly those 2 byte ranges — the IO is
   * still one sequential pass (no indexes to skip with), but per-record CPU
   * drops with the projected width.
+  *
+  * Filter pushdown (`SupportsPushDownFilters`): supported comparison filters
+  * are evaluated INSIDE the reader right after the predicate's own fields
+  * decode, so non-matching records skip the remaining field decodes and the
+  * row emit entirely. The source cannot skip IO (no indexes — same as the
+  * reference), so every filter is also returned as a post-scan filter for
+  * Spark to re-apply; the win is decode CPU, which is the per-record cost.
   */
 class FixedWidthScanBuilder(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
     conf: Configuration)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var requiredSchema: StructType = opts.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(required: StructType): Unit = {
     // Preserve OUR field order/decoders; keep only requested names.
@@ -32,20 +41,31 @@ class FixedWidthScanBuilder(
     requiredSchema = StructType(opts.schema.fields.filter(f => wanted.contains(f.name)))
   }
 
-  override def build(): Scan = new FixedWidthScan(opts, tableOptions, requiredSchema, conf)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => FixedWidthFilters.supported(f, opts))
+    filters // conservative: Spark re-evaluates everything post-scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed)
 }
 
 class FixedWidthScan(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
     requiredSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"FixedWidthScan(recordLength=${opts.recordLength}, columns=[${requiredSchema.fieldNames.mkString(",")}])"
+    s"FixedWidthScan(recordLength=${opts.recordLength}, " +
+      s"columns=[${requiredSchema.fieldNames.mkString(",")}], " +
+      s"PushedFilters=[${pushedFilters.mkString(", ")}])"
 
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -54,10 +74,43 @@ class FixedWidthScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
+    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf)
+
+  /** Task-level metrics surfaced in the Spark UI / listener (the analog of
+    * the reference's byte counter + progress, FixedLengthRecordReader.java:
+    * 91,154-157,247). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    FixedWidthMetrics.all
+}
+
+object FixedWidthMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  class RecordsRead extends CustomSumMetric {
+    override def name(): String = "fwRecordsRead"
+    override def description(): String = "fixed-width records read"
+  }
+  class BytesRead extends CustomSumMetric {
+    override def name(): String = "fwBytesRead"
+    override def description(): String = "fixed-width bytes read"
+  }
+  class RecordsSkipped extends CustomSumMetric {
+    override def name(): String = "fwRecordsSkipped"
+    override def description(): String = "records skipped by pushed filters"
+  }
+
+  def all: Array[CustomMetric] = Array(new RecordsRead, new BytesRead, new RecordsSkipped)
+
+  // NB: parameter must not be called `name` — inside the anonymous class the
+  // member `name()` would shadow it and `def name() = name` becomes a
+  // scalac-optimized self-tail-call, i.e. an infinite loop.
+  def task(metricName: String, metricValue: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
 }
 
 object FixedWidthScan {
@@ -110,10 +163,12 @@ final case class FixedWidthInputPartition(filePath: String, start: Long, length:
 class FixedWidthReaderFactory(
     opts: FixedWidthOptions,
     requiredSchema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FixedWidthPartitionReader(partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value)
+    new FixedWidthPartitionReader(
+      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
 }
 
 /** Streams whole records from one aligned split: open, seek once, readFully
@@ -127,7 +182,8 @@ class FixedWidthPartitionReader(
     part: FixedWidthInputPartition,
     opts: FixedWidthOptions,
     requiredSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val recLen = opts.recordLength
@@ -145,6 +201,9 @@ class FixedWidthPartitionReader(
   private val keyBuf = if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen) else null
   private val row = new GenericInternalRow(requiredSchema.length)
   private val proj = UnsafeProjection.create(requiredSchema)
+
+  private var recordsRead = 0L
+  private var recordsSkipped = 0L
 
   // Precompiled per-column decoders writing into `row`. Closing over the
   // reusable `buf` is safe: `proj` copies all bytes into its own buffer
@@ -165,6 +224,17 @@ class FixedWidthPartitionReader(
           throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
         fieldDecoder(f, i)
     }
+  }
+
+  // Pushed-filter plan: predicates run after ONLY their referenced ordinals
+  // decode; the remaining decoders run for surviving records. Falls back to
+  // decode-everything when nothing was pushed.
+  private val (predicates, predDecoders, restDecoders) = {
+    val compiled = pushedFilters.flatMap(f => FixedWidthFilters.compile(f, requiredSchema, row))
+    val predOrds = compiled.flatMap(_._1).toSet
+    (compiled.map(_._2),
+      predOrds.toArray.sorted.map(decoders),
+      decoders.indices.filterNot(predOrds).map(decoders).toArray)
   }
 
   private def fieldDecoder(f: FieldSpec, i: Int): () => Unit = f.ftype match {
@@ -197,25 +267,43 @@ class FixedWidthPartitionReader(
   }
 
   override def next(): Boolean = {
-    if (pos >= end) return false
-    try in.readFully(buf, 0, recLen)
-    catch {
-      case _: EOFException =>
-        // Parity with the reference's truncated-record detection
-        // (FixedLengthRecordReader.java:225-235).
-        throw new java.io.IOException(
-          s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
-            s"file is not a multiple of recordLength=$recLen")
+    while (pos < end) {
+      try in.readFully(buf, 0, recLen)
+      catch {
+        case _: EOFException =>
+          // Parity with the reference's truncated-record detection
+          // (FixedLengthRecordReader.java:225-235).
+          throw new java.io.IOException(
+            s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
+              s"file is not a multiple of recordLength=$recLen")
+      }
+      recordsRead += 1
+      var i = 0
+      while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
+      var pass = true
+      i = 0
+      while (pass && i < predicates.length) { pass = predicates(i)(); i += 1 }
+      if (pass) {
+        i = 0
+        while (i < restDecoders.length) { restDecoders(i)(); i += 1 }
+        pos += recLen
+        return true
+      }
+      recordsSkipped += 1
+      pos += recLen
     }
-    var i = 0
-    while (i < decoders.length) { decoders(i)(); i += 1 }
-    pos += recLen
-    true
+    false
   }
 
   override def get(): InternalRow = proj(row)
 
   override def close(): Unit = in.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      FixedWidthMetrics.task("fwRecordsRead", recordsRead),
+      FixedWidthMetrics.task("fwBytesRead", recordsRead * recLen),
+      FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped))
 }
 
 /** Allocation-free ASCII numeric parsing over a byte range (spaces trimmed on

@@ -147,6 +147,27 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
     r.getString(0) shouldBe ""
   }
 
+  test("filter pushdown: source-side skip produces identical results to post-filtering") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = (0 until 500).map(i => (i.toLong, i * 2.5, s"name$i"))
+      .toDF("id", "score", "name")
+    val fields = "id:long:0:10,score:double:10:24,name:string:34:10"
+    in.write.format("fixedwidth").option("fields", fields).mode("overwrite").save(dir)
+    val fw = spark.read.format("fixedwidth").option("fields", fields).load(dir)
+
+    val filtered = fw.filter($"id" >= 100 && $"id" < 120 && $"score" > 260.0)
+      .select($"id", $"score", $"name").orderBy($"id")
+    // plan advertises the pushed filters
+    filtered.queryExecution.executedPlan.toString should include("PushedFilters=[")
+    val got = filtered.collect()
+    got.map(_.getLong(0)).toSeq shouldBe (105L until 120L)
+    got.foreach(r => r.getString(2) shouldBe s"name${r.getLong(0)}")
+
+    // string + In pushdown
+    fw.filter($"name".isin("name7", "name8")).count() shouldBe 2
+  }
+
   test("column pruning: value-only projection still correct, offset-only too") {
     val dir = tmp()
     writeDummy(dir, 20, 16)
