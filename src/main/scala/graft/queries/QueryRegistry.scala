@@ -28,6 +28,16 @@ object QueryRegistry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with its TIMESTAMP(NANOS) column converted to a real
+    * timestamp: Spark 4 reads parquet nanos only via the nanosAsLong legacy
+    * conf; integral `div` keeps the µs conversion exact (double math would
+    * round above 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Per-scale-factor scratch dir for fixed-width round-trip artifacts. */
   def scratch(dir: String, tag: String): String = {
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")

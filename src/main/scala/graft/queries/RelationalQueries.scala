@@ -413,6 +413,66 @@ object RelationalQueries {
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** As-of join (SURVEY.md §2.3 range/as-of row): each purchase event gets
+    * the user's most recent prior-or-equal view event. DuckDB's native
+    * ASOF JOIN is the oracle for our union+window implementation. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("view_value"))
+    graft.operators.AsOfJoin.asOf(purchases, views, "user_id", "ts", Seq("view_value"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"asof_view_value")
+      .orderBy($"event_id")
+  }
+
+  val asofJoinOracle: String =
+    """SELECT p.event_id, p.user_id, cast(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  v.value AS asof_view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Range join against a literal bucket table (broadcast nested-loop). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = Seq(
+      ("b0_tiny", 0.0, 5.0), ("b1_small", 5.0, 10.0), ("b2_mid", 10.0, 20.0),
+      ("b3_large", 20.0, 50.0), ("b4_huge", 50.0, 1e9))
+      .toDF("bucket", "lo", "hi")
+    QueryRegistry.events(spark, dir)
+      .join(broadcast(ranges), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"bucket")
+  }
+
+  val rangeJoinOracle: String =
+    s"""WITH ranges(bucket, lo, hi) AS (VALUES
+       |  ('b0_tiny', 0.0, 5.0), ('b1_small', 5.0, 10.0), ('b2_mid', 10.0, 20.0),
+       |  ('b3_large', 20.0, 50.0), ('b4_huge', 50.0, 1e9))
+       |SELECT bucket, count(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events JOIN ranges ON value >= lo AND value < hi
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Custom typed Aggregator (SURVEY.md §2.10): exact median per group,
+    * checked against DuckDB's median(). */
+  def medianAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val median = udaf(graft.functions.ExactMedian)
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(median($"l_quantity").as("median_qty"), count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val medianAggOracle: String =
+    """SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -435,5 +495,8 @@ object RelationalQueries {
     Q("q28_scalar_strings", scalarStrings, Some(scalarStringsOracle)),
     Q("q29_scalar_dates", scalarDates, Some(scalarDatesOracle)),
     Q("q30_scalar_math", scalarMath, Some(scalarMathOracle)),
-    Q("q31_case_when_agg", caseWhenAgg, Some(caseWhenAggOracle)))
+    Q("q31_case_when_agg", caseWhenAgg, Some(caseWhenAggOracle)),
+    Q("q32_asof_join", asofJoin, Some(asofJoinOracle)),
+    Q("q33_range_join", rangeJoin, Some(rangeJoinOracle)),
+    Q("q34_median_agg", medianAgg, Some(medianAggOracle)))
 }

@@ -32,13 +32,11 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  /** Stream the events parquet as a file stream. The table stores
-    * TIMESTAMP(NANOS), which Spark 4 only reads via the nanosAsLong legacy
-    * conf — so read `ts` as long nanoseconds and derive a proper timestamp
-    * (integral division keeps it exact; double math would round above 2^53). */
+  /** Stream the events parquet as a file stream — same TIMESTAMP(NANOS)
+    * handling as the batch QueryRegistry.events helper. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events").schema // already long ts under the conf
+    val raw = table(spark, dir, "events").schema // long ts under the conf
     spark.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet") // the file stream source wants a directory

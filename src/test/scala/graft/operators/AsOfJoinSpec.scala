@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec with Matchers {
+
+  test("as-of join picks latest right <= left.ts per key; null when none precedes") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (1L, 200L, 20L), (1L, 50L, 5L), // key 1
+      (2L, 100L, 99L)) // key 2 — no right rows at all
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 60L, "r60"), (1L, 100L, "r100"), (1L, 150L, "r150"),
+      (3L, 10L, "other-key"))
+      .toDF("k", "ts", "rv")
+
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv"))
+      .select($"k", $"ts", $"lv", $"asof_rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) null else r.getString(3))).toSet
+
+    out shouldBe Set(
+      (1L, 50L, null),    // nothing at or before 50
+      (1L, 100L, "r100"), // equal ts is inclusive (right sorts first)
+      (1L, 200L, "r150"),
+      (2L, 100L, null))   // key with no right side
+  }
+}
