@@ -13,11 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FixedWidthFilters {
 
-  /** Field types we can compare without timezone/calendar subtleties. */
+  /** Field types we can compare (timestamps/dates are stored as epoch
+    * micros/days, so comparisons reduce to long/int compares once the
+    * literal is converted through Catalyst's own DateTimeUtils). */
   private def comparableField(name: String, opts: FixedWidthOptions): Boolean =
     name.equalsIgnoreCase(FixedWidthOptions.OffsetCol) ||
       opts.fields.exists(f => f.name.equalsIgnoreCase(name) &&
-        Set("int", "long", "double", "string").contains(f.ftype))
+        Set("int", "long", "double", "string", "timestamp", "date").contains(f.ftype))
 
   def supported(f: Filter, opts: FixedWidthOptions): Boolean = f match {
     case EqualTo(a, _)            => comparableField(a, opts)
@@ -62,6 +64,25 @@ object FixedWidthFilters {
           case StringType =>
             val v = UTF8String.fromString(value.toString)
             () => if (row.isNullAt(i)) null else Integer.valueOf(row.getUTF8String(i).compareTo(v))
+          case TimestampType | TimestampNTZType =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val v: Long = value match {
+              case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+              case inst: java.time.Instant    => DateTimeUtils.instantToMicros(inst)
+              case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
+              case n: Number                  => n.longValue()
+              case _                          => return None
+            }
+            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Long.compare(row.getLong(i), v))
+          case DateType =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val v: Int = value match {
+              case d: java.sql.Date        => DateTimeUtils.fromJavaDate(d)
+              case ld: java.time.LocalDate => DateTimeUtils.localDateToDays(ld)
+              case n: Number               => n.intValue()
+              case _                       => return None
+            }
+            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Integer.compare(row.getInt(i), v))
           case _ => null
         }
         (Set(i), f)
