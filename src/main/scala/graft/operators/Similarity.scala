@@ -45,6 +45,13 @@ object Similarity {
     * instead of 2·N·Q) — the per-pair math is a single dot product. The
     * factoring changes no IEEE result: each norm is the same double wherever
     * it is computed.
+    *
+    * The per-query top-k is a bounded typed Aggregator with map-side partial
+    * aggregation: each task keeps ≤ 2k candidates per query, so the shuffle
+    * carries O(Q·k) rows — NOT the Q·N similarity rows a window over the
+    * cross product would move. That is the property that survives a 100×
+    * corpus. (score desc, id) is a total order → result identical to the
+    * window formulation.
     */
   def knnBruteForce(
       corpus: DataFrame,
@@ -54,16 +61,26 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_nrm"))
-    val e = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("e_vec"),
+    val e = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("e_vec"),
       norm(col(vecCol)).as("e_nrm"))
     val sims = e.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_id").cast("long") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("e_vec")) / (col("q_nrm") * col("e_nrm"))).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    topKPerGroup(sims, k)
+  }
+
+  /** Per-query bounded top-k + rank/rounding shared by exact and ANN kNN. */
+  private def topKPerGroup(sims: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"),
+        round(col("p._1"), 6).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplanes, materialized DRIVER-SIDE as
@@ -168,10 +185,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("query_id_vec"), col("neighbor_id_vec")).as("cos"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    topKPerGroup(sims, k)
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-duplicate

@@ -48,8 +48,8 @@ class SimilaritySpec extends SparkSpec with Matchers {
     out.length shouldBe 27
     // every top-9 neighbor of query c*10 is from cluster c (ids c*10..c*10+9)
     out.foreach { r =>
-      val q = r.getAs[Int]("query_id")
-      val n = r.getAs[Int]("neighbor_id")
+      val q = r.getAs[Number]("query_id").longValue
+      val n = r.getAs[Number]("neighbor_id").longValue
       n / 10 shouldBe q / 10
     }
   }
