@@ -61,7 +61,7 @@ class FixedWidthMicroBatchStream(
     val target = end.asInstanceOf[FixedWidthStreamOffset].files
     val fresh = FixedWidthTable.listFiles(tableOptions, conf)
       .filter(st => target.contains(st.getPath.toString) && !seen.contains(st.getPath.toString))
-    FixedWidthScan.alignedPartitions(fresh, opts.recordLength.toLong)
+    FixedWidthScan.alignedPartitions(fresh, opts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -43,7 +43,11 @@ final case class FixedWidthOptions(
     keyEndAt: Int,
     fields: Seq[FieldSpec],
     charsetName: String,
-    trim: String) {
+    trim: String,
+    mode: String = "FAILFAST",
+    allowCompressed: Boolean = false) {
+
+  def permissive: Boolean = mode == "PERMISSIVE"
 
   def typed: Boolean = fields.nonEmpty
   def hasKey: Boolean = keyStartAt >= 0
@@ -136,13 +140,23 @@ object FixedWidthOptions {
         throw new IllegalArgumentException(s"fixedwidth: unknown charset '$charsetName'")
     }
 
+    // FAILFAST = reference parity (truncated file ⇒ error,
+    // FixedLengthRecordReader.java:225-235); PERMISSIVE drops a trailing
+    // partial record instead.
+    val mode = Option(map.get("mode")).getOrElse("FAILFAST").toUpperCase
+    if (!Set("FAILFAST", "PERMISSIVE").contains(mode))
+      throw new IllegalArgumentException(
+        s"fixedwidth: option 'mode' must be FAILFAST or PERMISSIVE, got '$mode'")
+
     FixedWidthOptions(
       recordLength = recordLength,
       keyStartAt = keyStart,
       keyEndAt = keyEnd,
       fields = fields,
       charsetName = charsetName,
-      trim = trim)
+      trim = trim,
+      mode = mode,
+      allowCompressed = Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true")))
   }
 
   /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.

@@ -70,7 +70,7 @@ class FixedWidthScan(
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = FixedWidthTable.listFiles(tableOptions, conf)
-    FixedWidthScan.alignedPartitions(files, opts.recordLength.toLong)
+    FixedWidthScan.alignedPartitions(files, opts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -123,21 +123,27 @@ object FixedWidthScan {
     * Honors `spark.sql.files.maxPartitionBytes` and spreads small inputs
     * across `defaultParallelism` like Spark's planner does.
     */
-  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], recLen: Long): Array[InputPartition] = {
-    files.foreach { st =>
-      if (FixedWidthTable.isCompressed(st.getPath))
+  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], opts: FixedWidthOptions): Array[InputPartition] = {
+    val recLen = opts.recordLength.toLong
+    val (compressed, plain) = files.partition(st => FixedWidthTable.isCompressed(st.getPath))
+
+    compressed.foreach { st =>
+      if (!opts.allowCompressed)
         throw new IllegalArgumentException(
-          s"fixedwidth: compressed input is not supported: ${st.getPath}")
-      if (st.getLen % recLen != 0)
+          s"fixedwidth: compressed input is not supported: ${st.getPath} " +
+            "(reference parity — set allowCompressed=true for a single-partition whole-file read)")
+    }
+    plain.foreach { st =>
+      if (st.getLen % recLen != 0 && !opts.permissive)
         throw new IllegalArgumentException(
           s"fixedwidth: file length ${st.getLen} of ${st.getPath} is not a multiple of recordLength=$recLen " +
-            "(truncated or corrupt fixed-width file)")
+            "(truncated or corrupt fixed-width file; mode=PERMISSIVE drops the trailing partial record)")
     }
 
     val session = SparkSession.active
     val maxPartitionBytes = session.sessionState.conf.filesMaxPartitionBytes
     val parallelism = session.sparkContext.defaultParallelism.toLong.max(1L)
-    val totalBytes = files.map(_.getLen).sum
+    val totalBytes = plain.map(_.getLen).sum
     val bytesPerCore = totalBytes / parallelism
     // Same shape as Spark's FilePartition.maxSplitBytes: don't create
     // partitions bigger than maxPartitionBytes, but also don't leave cores
@@ -145,19 +151,29 @@ object FixedWidthScan {
     val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
     val aligned = math.max(recLen, (target / recLen) * recLen)
 
-    files.flatMap { st =>
+    val plainParts = plain.flatMap { st =>
       val path = st.getPath.toString
-      (0L until st.getLen by aligned).map { start =>
-        val len = math.min(aligned, st.getLen - start)
+      // PERMISSIVE: partitions cover only whole records; the trailing
+      // fragment is never read.
+      val usable = (st.getLen / recLen) * recLen
+      (0L until usable by aligned).map { start =>
+        val len = math.min(aligned, usable - start)
         FixedWidthInputPartition(path, start, len)
       }
-    }.toArray
+    }
+    // Compressed ⇒ not splittable (reference FixedLengthInputFormat.java:
+    // 371-380): one whole-file partition, decompressed by the reader.
+    val gzParts = compressed.map(st =>
+      FixedWidthInputPartition(st.getPath.toString, 0L, st.getLen, compressed = true))
+    (plainParts ++ gzParts).toArray
   }
 }
 
 /** One record-aligned byte range of one file (serialized driver → executor,
-  * the Spark analog of a Hadoop `FileSplit`). */
-final case class FixedWidthInputPartition(filePath: String, start: Long, length: Long)
+  * the Spark analog of a Hadoop `FileSplit`). `compressed` partitions cover
+  * the whole file; `length` is then the on-disk (compressed) size. */
+final case class FixedWidthInputPartition(
+    filePath: String, start: Long, length: Long, compressed: Boolean = false)
     extends InputPartition
 
 class FixedWidthReaderFactory(
@@ -188,14 +204,24 @@ class FixedWidthPartitionReader(
 
   private val recLen = opts.recordLength
   private val path = new Path(part.filePath)
-  private val in = {
+  private val rawIn = {
     val fs = path.getFileSystem(conf)
     val s = fs.open(path)
-    s.seek(part.start)
+    if (!part.compressed) s.seek(part.start)
     s
   }
+  /** Decompressing stream for whole-file compressed partitions; null for the
+    * plain record-aligned path. */
+  private val compIn: java.io.InputStream =
+    if (!part.compressed) null
+    else {
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(path)
+      if (codec == null)
+        throw new IllegalArgumentException(s"fixedwidth: no Hadoop codec for ${part.filePath}")
+      codec.createInputStream(rawIn)
+    }
   private val end = part.start + part.length
-  private var pos = part.start
+  private var pos = part.start // uncompressed logical offset when compressed
 
   private val buf = new Array[Byte](recLen)
   private val keyBuf = if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen) else null
@@ -266,17 +292,39 @@ class FixedWidthPartitionReader(
       }
   }
 
-  override def next(): Boolean = {
-    while (pos < end) {
-      try in.readFully(buf, 0, recLen)
-      catch {
-        case _: EOFException =>
-          // Parity with the reference's truncated-record detection
-          // (FixedLengthRecordReader.java:225-235).
-          throw new java.io.IOException(
-            s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
-              s"file is not a multiple of recordLength=$recLen")
+  private def truncated(): Nothing =
+    // Parity with the reference's truncated-record detection
+    // (FixedLengthRecordReader.java:225-235).
+    throw new java.io.IOException(
+      s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
+        s"file is not a multiple of recordLength=$recLen")
+
+  /** Fill `buf` with the next whole record; false at clean end-of-data.
+    * Plain path: bounded by the partition's aligned byte range. Compressed
+    * path: stream until EOF; a trailing partial record errors (FAILFAST) or
+    * is dropped (PERMISSIVE). */
+  private def fetchRecord(): Boolean =
+    if (part.compressed) {
+      var n = 0
+      while (n < recLen) {
+        val r = compIn.read(buf, n, recLen - n)
+        if (r < 0) {
+          if (n == 0) return false
+          if (opts.permissive) return false // drop trailing partial record
+          truncated()
+        }
+        n += r
       }
+      true
+    } else {
+      if (pos >= end) return false
+      try rawIn.readFully(buf, 0, recLen)
+      catch { case _: EOFException => truncated() }
+      true
+    }
+
+  override def next(): Boolean = {
+    while (fetchRecord()) {
       recordsRead += 1
       var i = 0
       while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
@@ -297,7 +345,10 @@ class FixedWidthPartitionReader(
 
   override def get(): InternalRow = proj(row)
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    if (compIn != null) compIn.close()
+    rawIn.close()
+  }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(

@@ -100,6 +100,40 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
     e.getMessage should include("not a multiple of recordLength")
   }
 
+  test("PERMISSIVE mode drops the trailing partial record instead of failing") {
+    val dir = tmp()
+    val bytes = ("A" * 10 + "B" * 10 + "CCC").getBytes("US-ASCII") // 23 bytes: 2 records + fragment
+    Files.write(JPath.of(dir, "frag.fwb"), bytes)
+    val df = spark.read.format("fixedwidth")
+      .option("recordLength", 10).option("mode", "PERMISSIVE").load(dir)
+    df.select(col("value").cast("string")).collect().map(_.getString(0)).sorted shouldBe
+      Array("A" * 10, "B" * 10)
+  }
+
+  test("compressed input: rejected by default, whole-file read with allowCompressed") {
+    import java.util.zip.GZIPOutputStream
+    val dir = tmp()
+    val recs = (0 until 250).map(i => f"gz-rec$i%04d")
+    val gz = new GZIPOutputStream(Files.newOutputStream(JPath.of(dir, "data.fwb.gz")))
+    recs.foreach(r => gz.write(r.getBytes("US-ASCII")))
+    gz.close()
+
+    // parity: rejected without the opt-in (reference behavior)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("fixedwidth").option("recordLength", 10).load(dir).count()
+    }
+    e.getMessage should include("compressed input is not supported")
+
+    // opt-in: single whole-file partition, decompressed, offsets logical
+    val df = spark.read.format("fixedwidth")
+      .option("recordLength", 10).option("allowCompressed", "true").load(dir)
+    df.rdd.getNumPartitions shouldBe 1
+    val rows = df.select(col("offset"), col("value").cast("string")).collect()
+    rows.length shouldBe 250
+    rows.map(_.getString(1)).sorted shouldBe recs.sorted.toArray
+    rows.map(_.getLong(0)).sorted shouldBe (0 until 250).map(_ * 10L).toArray
+  }
+
   test("typed layout round-trips ints, longs, doubles, strings and NULLs") {
     import spark.implicits._
     val dir = tmp()
