@@ -151,30 +151,49 @@ object FixedWidthScan {
     val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
     val aligned = math.max(recLen, (target / recLen) * recLen)
 
-    val plainParts = plain.flatMap { st =>
+    val plainChunks = plain.flatMap { st =>
       val path = st.getPath.toString
-      // PERMISSIVE: partitions cover only whole records; the trailing
-      // fragment is never read.
+      // PERMISSIVE: chunks cover only whole records; the trailing fragment
+      // is never read.
       val usable = (st.getLen / recLen) * recLen
       (0L until usable by aligned).map { start =>
         val len = math.min(aligned, usable - start)
-        FixedWidthInputPartition(path, start, len)
+        FileChunk(path, start, len, compressed = false)
       }
     }
     // Compressed ⇒ not splittable (reference FixedLengthInputFormat.java:
-    // 371-380): one whole-file partition, decompressed by the reader.
-    val gzParts = compressed.map(st =>
-      FixedWidthInputPartition(st.getPath.toString, 0L, st.getLen, compressed = true))
-    (plainParts ++ gzParts).toArray
+    // 371-380): one whole-file chunk, decompressed by the reader.
+    val gzChunks = compressed.map(st =>
+      FileChunk(st.getPath.toString, 0L, st.getLen, compressed = true))
+
+    // Pack chunks into partitions up to the target size (greedy, listing
+    // order) — a million small files must NOT become a million partitions.
+    // Each chunk stays independently record-aligned, so packing never risks
+    // a record straddling two files (the multi-file coalescing hazard
+    // SURVEY.md §7.4 flags in Spark's own FilePartition packing).
+    val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val current = scala.collection.mutable.ArrayBuffer.empty[FileChunk]
+    var currentBytes = 0L
+    (plainChunks ++ gzChunks).foreach { c =>
+      if (current.nonEmpty && currentBytes + c.length > target) {
+        partitions += FixedWidthInputPartition(current.toSeq)
+        current.clear(); currentBytes = 0L
+      }
+      current += c
+      currentBytes += c.length
+    }
+    if (current.nonEmpty) partitions += FixedWidthInputPartition(current.toSeq)
+    partitions.toArray
   }
 }
 
-/** One record-aligned byte range of one file (serialized driver → executor,
-  * the Spark analog of a Hadoop `FileSplit`). `compressed` partitions cover
-  * the whole file; `length` is then the on-disk (compressed) size. */
-final case class FixedWidthInputPartition(
-    filePath: String, start: Long, length: Long, compressed: Boolean = false)
-    extends InputPartition
+/** One record-aligned byte range of one file. `compressed` chunks cover the
+  * whole file; `length` is then the on-disk (compressed) size. */
+final case class FileChunk(filePath: String, start: Long, length: Long, compressed: Boolean)
+
+/** A packed set of independently record-aligned chunks (serialized driver →
+  * executor; the Spark analog of a packed `FilePartition`). */
+final case class FixedWidthInputPartition(chunks: Seq[FileChunk]) extends InputPartition
 
 class FixedWidthReaderFactory(
     opts: FixedWidthOptions,
@@ -203,25 +222,45 @@ class FixedWidthPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val recLen = opts.recordLength
-  private val path = new Path(part.filePath)
-  private val rawIn = {
-    val fs = path.getFileSystem(conf)
-    val s = fs.open(path)
-    if (!part.compressed) s.seek(part.start)
-    s
+
+  // Per-chunk cursor: a partition packs several independently-aligned file
+  // chunks (small-files coalescing); streams open lazily chunk by chunk.
+  private var chunkIdx = -1
+  private var rawIn: org.apache.hadoop.fs.FSDataInputStream = null
+  private var compIn: java.io.InputStream = null
+  private var curCompressed = false
+  private var curPath: String = ""
+  private var end = 0L
+  private var pos = 0L // byte offset in the current file (uncompressed/logical)
+
+  private def closeStreams(): Unit = {
+    if (compIn != null) { compIn.close(); compIn = null }
+    if (rawIn != null) { rawIn.close(); rawIn = null }
   }
-  /** Decompressing stream for whole-file compressed partitions; null for the
-    * plain record-aligned path. */
-  private val compIn: java.io.InputStream =
-    if (!part.compressed) null
-    else {
-      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(path)
+
+  private def openNextChunk(): Boolean = {
+    closeStreams()
+    chunkIdx += 1
+    if (chunkIdx >= part.chunks.length) return false
+    val c = part.chunks(chunkIdx)
+    val p = new Path(c.filePath)
+    rawIn = p.getFileSystem(conf).open(p)
+    curCompressed = c.compressed
+    curPath = c.filePath
+    if (c.compressed) {
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
       if (codec == null)
-        throw new IllegalArgumentException(s"fixedwidth: no Hadoop codec for ${part.filePath}")
-      codec.createInputStream(rawIn)
+        throw new IllegalArgumentException(s"fixedwidth: no Hadoop codec for ${c.filePath}")
+      compIn = codec.createInputStream(rawIn)
+      pos = 0L
+      end = Long.MaxValue // compressed: bounded by stream EOF, not byte range
+    } else {
+      rawIn.seek(c.start)
+      pos = c.start
+      end = c.start + c.length
     }
-  private val end = part.start + part.length
-  private var pos = part.start // uncompressed logical offset when compressed
+    true
+  }
 
   private val buf = new Array[Byte](recLen)
   private val keyBuf = if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen) else null
@@ -296,15 +335,15 @@ class FixedWidthPartitionReader(
     // Parity with the reference's truncated-record detection
     // (FixedLengthRecordReader.java:225-235).
     throw new java.io.IOException(
-      s"fixedwidth: EOF mid-record at offset $pos of ${part.filePath}: " +
+      s"fixedwidth: EOF mid-record at offset $pos of $curPath: " +
         s"file is not a multiple of recordLength=$recLen")
 
-  /** Fill `buf` with the next whole record; false at clean end-of-data.
-    * Plain path: bounded by the partition's aligned byte range. Compressed
-    * path: stream until EOF; a trailing partial record errors (FAILFAST) or
-    * is dropped (PERMISSIVE). */
-  private def fetchRecord(): Boolean =
-    if (part.compressed) {
+  /** Fill `buf` with the next whole record of the current chunk; false at
+    * the chunk's clean end. Plain chunks are bounded by their aligned byte
+    * range; compressed chunks stream to EOF, where a trailing partial record
+    * errors (FAILFAST) or is dropped (PERMISSIVE). */
+  private def fetchFromChunk(): Boolean =
+    if (curCompressed) {
       var n = 0
       while (n < recLen) {
         val r = compIn.read(buf, n, recLen - n)
@@ -322,6 +361,15 @@ class FixedWidthPartitionReader(
       catch { case _: EOFException => truncated() }
       true
     }
+
+  /** Advance across packed chunks until a record is read or all are drained. */
+  private def fetchRecord(): Boolean = {
+    while (true) {
+      if (chunkIdx >= 0 && rawIn != null && fetchFromChunk()) return true
+      if (!openNextChunk()) return false
+    }
+    false // unreachable
+  }
 
   override def next(): Boolean = {
     while (fetchRecord()) {
@@ -345,10 +393,7 @@ class FixedWidthPartitionReader(
 
   override def get(): InternalRow = proj(row)
 
-  override def close(): Unit = {
-    if (compIn != null) compIn.close()
-    rawIn.close()
-  }
+  override def close(): Unit = closeStreams()
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
