@@ -42,9 +42,14 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
-  /** Jaccard similarity of two distinct-element array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+  /** Jaccard similarity of two DISTINCT-element array columns. Computes only
+    * the intersection and derives |A ∪ B| = |A| + |B| − |A ∩ B| — half the
+    * hash-set work of an explicit array_union, identical value for
+    * distinct-element inputs (which shingle sets are by construction). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
 
   /** Exact pairwise n-gram Jaccard over (id, grams) rows. Quadratic — feed
     * it candidates, not a raw corpus. Grams are hashed to 64-bit longs ONCE
