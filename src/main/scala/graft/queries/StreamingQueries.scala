@@ -137,9 +137,46 @@ object StreamingQueries {
     s"""SELECT l_returnflag, count(*) AS n_lines, ${CoreQueries.dsumSql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Custom state via mapGroupsWithState: per-user running (count, exact
+    * decimal sum) carried in explicit GroupState. The sum is accumulated as
+    * BigDecimal(scale 10) — order-insensitive exact arithmetic, identical to
+    * the dsum decimal-cast pattern — so the final state matches the batch
+    * oracle bit-for-bit however Spark orders the per-group iterator. */
+  def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val counted = ev
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, java.math.BigDecimal)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+          rows.foreach { case (_, v) =>
+            c += 1
+            s = s.add(java.math.BigDecimal.valueOf(v).setScale(10, java.math.RoundingMode.HALF_UP))
+          }
+          state.update((c, s))
+          (user, c, s)
+      }
+      .toDF("user_id", "n_events", "dec_sum")
+    runToMemory(spark, counted, "stream_stateful", "update")
+      // several micro-batches re-emit a user's row; the running count is
+      // monotone, so max/max_by select each user's final state.
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        round(max_by(col("dec_sum"), col("n_events")).cast("double"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val statefulTotalsOracle: String =
+    s"""SELECT user_id, count(*) AS n_events, ${CoreQueries.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
     Q("q72_stream_sessions", sessions, Some(sessionsOracle)),
-    Q("q73_stream_fixedwidth", fwStream, Some(fwStreamOracle)))
+    Q("q73_stream_fixedwidth", fwStream, Some(fwStreamOracle)),
+    Q("q74_stream_stateful", statefulTotals, Some(statefulTotalsOracle)))
 }

@@ -82,9 +82,23 @@ object TextQueries {
     """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Order-sensitive rolling-hash fingerprints (xxhash64 fold — no
+    * cross-engine twin, so ROWS_ONLY; exactness invariants live in
+    * TextFunctionsSpec). Groups by fingerprint to surface exact-duplicate
+    * token sequences. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.rollingHash($"text").as("rh"))
+      .groupBy($"rh")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_id"))
+      .orderBy($"rep_id")
+  }
+
   def all: Seq[Q] = Seq(
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
-    Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)))
+    Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)),
+    Q("q44_rolling_fingerprint", rollingFingerprints, None))
 }
