@@ -29,7 +29,7 @@ object FixedWidthFilters {
     case LessThanOrEqual(a, _)    => comparableField(a, opts)
     case IsNotNull(a)             => comparableField(a, opts)
     case IsNull(a)                => comparableField(a, opts)
-    case In(a, vs)                => vs.nonEmpty && comparableField(a, opts)
+    case In(a, vs)                => vs.nonEmpty && vs.forall(_ != null) && comparableField(a, opts)
     case And(l, r)                => supported(l, opts) && supported(r, opts)
     case _                        => false
   }
