@@ -1,0 +1,109 @@
+package graft.sources.fixedwidth
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Vectorized fixedwidth reader: decodes records in batches of `capacity`
+  * straight into reused `OnHeapColumnVector`s, emitted as `ColumnarBatch`es
+  * that Spark's ColumnarToRow/whole-stage codegen consume with tight loops —
+  * the Spark-native analog of parquet's vectorized reader, far beyond the
+  * reference's one-row-at-a-time `RecordReader` (SURVEY.md §4: "columnar
+  * reader = later optimization"). Selected automatically when no filters
+  * were pushed (the row path's skip-decode wins otherwise).
+  */
+class FixedWidthColumnarReader(
+    part: FixedWidthInputPartition,
+    opts: FixedWidthOptions,
+    requiredSchema: StructType,
+    conf: Configuration)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val capacity = 4096
+  private val recLen = opts.recordLength
+  private val stream = new ChunkedRecordStream(part, opts, conf)
+  private val buf = new Array[Byte](recLen)
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, requiredSchema)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  /** Offset of the record currently being decoded (set before decoders run). */
+  private var recOffset = 0L
+
+  // Per-column vectorized decoders: (vector, rowIdx) writes from `buf`.
+  private val decoders: Array[Int => Unit] = requiredSchema.fields.zipWithIndex.map { case (sf, ci) =>
+    val v = vectors(ci)
+    sf.name match {
+      case FixedWidthOptions.OffsetCol =>
+        (r: Int) => v.putLong(r, recOffset)
+      case FixedWidthOptions.KeyCol if !opts.typed =>
+        (r: Int) => v.putByteArray(r, buf, opts.keyStartAt, opts.keyLen)
+      case FixedWidthOptions.ValueCol if !opts.typed =>
+        (r: Int) => v.putByteArray(r, buf, 0, recLen)
+      case name =>
+        val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
+        fieldDecoder(f, v)
+    }
+  }
+
+  private def fieldDecoder(f: FieldSpec, v: OnHeapColumnVector): Int => Unit = f.ftype match {
+    case "string" =>
+      val cs = opts.charset
+      val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+      (r: Int) => {
+        var s = f.start
+        var e = f.end
+        if (opts.trim == "right" || opts.trim == "both") while (e > s && buf(e - 1) == ' ') e -= 1
+        if (opts.trim == "left" || opts.trim == "both") while (s < e && buf(s) == ' ') s += 1
+        if (utf8) v.putByteArray(r, buf, s, e - s)
+        else v.putByteArray(r, new String(buf, s, e - s, cs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    case "int" | "date" =>
+      (r: Int) => {
+        if (AsciiParse.isBlank(buf, f.start, f.end)) v.putNull(r)
+        else v.putInt(r, AsciiParse.parseInt(buf, f.start, f.end))
+      }
+    case "long" | "timestamp" =>
+      (r: Int) => {
+        if (AsciiParse.isBlank(buf, f.start, f.end)) v.putNull(r)
+        else v.putLong(r, AsciiParse.parseLong(buf, f.start, f.end))
+      }
+    case "double" =>
+      (r: Int) => {
+        val d = AsciiParse.parseDouble(buf, f.start, f.end)
+        if (d == null) v.putNull(r) else v.putDouble(r, d.doubleValue())
+      }
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var at = 0L
+    while (n < capacity && { at = stream.fetch(buf); at >= 0 }) {
+      recOffset = at
+      var c = 0
+      while (c < decoders.length) { decoders(c)(n); c += 1 }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    stream.close()
+    batch.close()
+  }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
+      FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
+      FixedWidthMetrics.task("fwRecordsSkipped", 0L))
+}

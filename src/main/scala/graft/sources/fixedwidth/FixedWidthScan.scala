@@ -204,27 +204,28 @@ class FixedWidthReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthPartitionReader(
       partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
+
+  /** Columnar (vectorized) reads when no filters were pushed — with pushed
+    * filters the row path's skip-decode is the better trade. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    pushedFilters.isEmpty
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FixedWidthColumnarReader(
+      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value)
 }
 
-/** Streams whole records from one aligned split: open, seek once, readFully
-  * per record (reference FixedLengthRecordReader.java:186-243). Buffers are
-  * allocated once and reused for every record — the reference's deliberate
-  * perf idiom (:198-206) — and rows are emitted through a reused
-  * `UnsafeProjection`, so steady-state per-record allocation is ~zero (the
-  * 100 TB-scale must-have).
+/** Chunk-walking record cursor shared by the row and columnar readers: opens
+  * one stream at a time across a partition's packed chunks, fills the caller
+  * buffer with whole records. `fetch` returns the record's byte offset in
+  * its file (the reference's default-key semantics) or -1 at end of data.
   */
-class FixedWidthPartitionReader(
+final class ChunkedRecordStream(
     part: FixedWidthInputPartition,
     opts: FixedWidthOptions,
-    requiredSchema: StructType,
-    conf: Configuration,
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends PartitionReader[InternalRow] {
+    conf: Configuration) {
 
   private val recLen = opts.recordLength
-
-  // Per-chunk cursor: a partition packs several independently-aligned file
-  // chunks (small-files coalescing); streams open lazily chunk by chunk.
   private var chunkIdx = -1
   private var rawIn: org.apache.hadoop.fs.FSDataInputStream = null
   private var compIn: java.io.InputStream = null
@@ -233,13 +234,15 @@ class FixedWidthPartitionReader(
   private var end = 0L
   private var pos = 0L // byte offset in the current file (uncompressed/logical)
 
-  private def closeStreams(): Unit = {
+  var recordsRead = 0L
+
+  def close(): Unit = {
     if (compIn != null) { compIn.close(); compIn = null }
     if (rawIn != null) { rawIn.close(); rawIn = null }
   }
 
   private def openNextChunk(): Boolean = {
-    closeStreams()
+    close()
     chunkIdx += 1
     if (chunkIdx >= part.chunks.length) return false
     val c = part.chunks(chunkIdx)
@@ -262,12 +265,73 @@ class FixedWidthPartitionReader(
     true
   }
 
+  private def truncated(): Nothing =
+    // Parity with the reference's truncated-record detection
+    // (FixedLengthRecordReader.java:225-235).
+    throw new java.io.IOException(
+      s"fixedwidth: EOF mid-record at offset $pos of $curPath: " +
+        s"file is not a multiple of recordLength=$recLen")
+
+  private def fetchFromChunk(buf: Array[Byte]): Boolean =
+    if (curCompressed) {
+      var n = 0
+      while (n < recLen) {
+        val r = compIn.read(buf, n, recLen - n)
+        if (r < 0) {
+          if (n == 0) return false
+          if (opts.permissive) return false // drop trailing partial record
+          truncated()
+        }
+        n += r
+      }
+      true
+    } else {
+      if (pos >= end) return false
+      try rawIn.readFully(buf, 0, recLen)
+      catch { case _: EOFException => truncated() }
+      true
+    }
+
+  /** Fill `buf` with the next record; returns its byte offset in its file,
+    * or -1 when all chunks are drained. */
+  def fetch(buf: Array[Byte]): Long = {
+    while (true) {
+      if (chunkIdx >= 0 && rawIn != null && fetchFromChunk(buf)) {
+        val at = pos
+        pos += recLen
+        recordsRead += 1
+        return at
+      }
+      if (!openNextChunk()) return -1L
+    }
+    -1L // unreachable
+  }
+}
+
+/** Streams whole records from one aligned split: open, seek once, readFully
+  * per record (reference FixedLengthRecordReader.java:186-243). Buffers are
+  * allocated once and reused for every record — the reference's deliberate
+  * perf idiom (:198-206) — and rows are emitted through a reused
+  * `UnsafeProjection`, so steady-state per-record allocation is ~zero (the
+  * 100 TB-scale must-have).
+  */
+class FixedWidthPartitionReader(
+    part: FixedWidthInputPartition,
+    opts: FixedWidthOptions,
+    requiredSchema: StructType,
+    conf: Configuration,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
+
+  private val recLen = opts.recordLength
+  private val stream = new ChunkedRecordStream(part, opts, conf)
+  private var pos = 0L // byte offset of the CURRENT record in its file
+
   private val buf = new Array[Byte](recLen)
   private val keyBuf = if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen) else null
   private val row = new GenericInternalRow(requiredSchema.length)
   private val proj = UnsafeProjection.create(requiredSchema)
 
-  private var recordsRead = 0L
   private var recordsSkipped = 0L
 
   // Precompiled per-column decoders writing into `row`. Closing over the
@@ -331,49 +395,10 @@ class FixedWidthPartitionReader(
       }
   }
 
-  private def truncated(): Nothing =
-    // Parity with the reference's truncated-record detection
-    // (FixedLengthRecordReader.java:225-235).
-    throw new java.io.IOException(
-      s"fixedwidth: EOF mid-record at offset $pos of $curPath: " +
-        s"file is not a multiple of recordLength=$recLen")
-
-  /** Fill `buf` with the next whole record of the current chunk; false at
-    * the chunk's clean end. Plain chunks are bounded by their aligned byte
-    * range; compressed chunks stream to EOF, where a trailing partial record
-    * errors (FAILFAST) or is dropped (PERMISSIVE). */
-  private def fetchFromChunk(): Boolean =
-    if (curCompressed) {
-      var n = 0
-      while (n < recLen) {
-        val r = compIn.read(buf, n, recLen - n)
-        if (r < 0) {
-          if (n == 0) return false
-          if (opts.permissive) return false // drop trailing partial record
-          truncated()
-        }
-        n += r
-      }
-      true
-    } else {
-      if (pos >= end) return false
-      try rawIn.readFully(buf, 0, recLen)
-      catch { case _: EOFException => truncated() }
-      true
-    }
-
-  /** Advance across packed chunks until a record is read or all are drained. */
-  private def fetchRecord(): Boolean = {
-    while (true) {
-      if (chunkIdx >= 0 && rawIn != null && fetchFromChunk()) return true
-      if (!openNextChunk()) return false
-    }
-    false // unreachable
-  }
-
   override def next(): Boolean = {
-    while (fetchRecord()) {
-      recordsRead += 1
+    var at = stream.fetch(buf)
+    while (at >= 0) {
+      pos = at
       var i = 0
       while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
       var pass = true
@@ -382,23 +407,22 @@ class FixedWidthPartitionReader(
       if (pass) {
         i = 0
         while (i < restDecoders.length) { restDecoders(i)(); i += 1 }
-        pos += recLen
         return true
       }
       recordsSkipped += 1
-      pos += recLen
+      at = stream.fetch(buf)
     }
     false
   }
 
   override def get(): InternalRow = proj(row)
 
-  override def close(): Unit = closeStreams()
+  override def close(): Unit = stream.close()
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
-      FixedWidthMetrics.task("fwRecordsRead", recordsRead),
-      FixedWidthMetrics.task("fwBytesRead", recordsRead * recLen),
+      FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
+      FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
       FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped))
 }
 
