@@ -15,12 +15,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query must be visible as -1, not recorded as a fast run.
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Drop state a query persisted (e.g. LSH sketch caches) so later
-      // queries aren't taxed by another query's memory footprint.
+      // Drop state a query persisted/cached so later queries aren't taxed
+      // by another query's memory footprint.
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param valueCols right-side columns to carry onto each left row
-    *                   (null when no right row precedes the left row). */
+    *                   (null when no right row precedes the left row).
+    *
+    * The matched right row is carried as a WHOLE struct, so a right row
+    * whose value column is NULL still wins the match and contributes its
+    * NULL (carrying bare value columns with `last(ignoreNulls)` would skip
+    * it and resurrect an older row's value — not ASOF semantics). NULL join
+    * keys never match, same as SQL equality.
+    */
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -27,24 +34,32 @@ object AsOfJoin {
       tsCol: String,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val rstruct = struct(valueCols.map(c => right(c).as(c)): _*)
+    val nullRstruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c).copy(name = c))))
+
     val taggedLeft = left
       .withColumn("_side", lit(1))
       .select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +: col("_side") +:
-        leftCols.map(col) ++: valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.map(col) ++: Seq(nullRstruct.as("_rrow")): _*)
     val taggedRight = right
       .withColumn("_side", lit(0))
       .select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +: col("_side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        valueCols.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(rstruct.as("_rrow")): _*)
 
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // NULL-keyed rows share a window partition; mask their matches to NULL
+    // (SQL equality semantics: NULL = NULL is not a match).
+    val carried = when(col("_k").isNotNull, last(col("_rrow"), ignoreNulls = true).over(w))
+
     taggedLeft.unionByName(taggedRight)
       .select(
         (col("_side") +: leftCols.map(col) ++:
-          valueCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+          valueCols.map(c => carried.getField(c).as(s"asof_$c"))): _*)
       .filter(col("_side") === 1)
       .drop("_side")
   }

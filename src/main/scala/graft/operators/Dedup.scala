@@ -192,9 +192,13 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // (id, gh, bands) computed once in primitive loops and persisted: the
-    // band explode and the two verification joins below would otherwise each
-    // recompute the full shingle+signature pipeline.
+    // (id, gh, bands) computed in primitive loops, materialized ONCE for the
+    // three consumers below via a lazy LOCAL checkpoint: unlike .persist(),
+    // whose CacheManager entry would outlive the caller with no clean
+    // unpersist point, local-checkpoint blocks are released by the context
+    // cleaner once the result DataFrame is garbage-collected. (Trade-off:
+    // local checkpoints don't survive executor loss — on a real cluster a
+    // long near-dup job should swap this for a reliable checkpoint dir.)
     val sigs = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -203,7 +207,7 @@ object Dedup {
         if (gh.isEmpty) None else Some((id, gh, bh))
       })
       .toDF("id", "gh", "bands")
-      .persist()
+      .localCheckpoint(false)
 
     val banded = sigs
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

@@ -30,8 +30,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; NULL when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; NULL when either vector has zero norm (guarded —
+    * bare IEEE division would yield NaN/Infinity and leak into top-k
+    * rankings). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (nullif(norm(a), lit(0.0)) * nullif(norm(b), lit(0.0)))
 
   /** Exact k-nearest-neighbors by cosine for every query vector.
     *
@@ -121,6 +124,8 @@ object Similarity {
     * accumulation order, primitive loops. */
   def srpBucketsOf(vec: Array[Float], tables: Int, planes: Int, dim: Int,
       mat: Array[Array[Double]]): Array[Long] = {
+    require(vec.length >= dim,
+      s"srpBucketsOf: vector has ${vec.length} dims, expected >= $dim (silent truncation would mask a dimension mismatch)")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -130,7 +135,7 @@ object Similarity {
         val plane = mat(t * planes + p)
         var proj = 0.0
         var j = 0
-        val n = math.min(vec.length, dim)
+        val n = dim
         while (j < n) { proj += vec(j).toDouble * plane(j); j += 1 }
         if (proj >= 0) bucket |= (1L << p)
         p += 1

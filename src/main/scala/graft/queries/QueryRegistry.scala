@@ -31,7 +31,13 @@ object QueryRegistry {
   /** The events table with its TIMESTAMP(NANOS) column converted to a real
     * timestamp: Spark 4 reads parquet nanos only via the nanosAsLong legacy
     * conf; integral `div` keeps the µs conversion exact (double math would
-    * round above 2^53). */
+    * round above 2^53).
+    *
+    * SIDE EFFECT (documented): sets the session-wide nanosAsLong conf — any
+    * later read of a TIMESTAMP(NANOS) parquet in this session sees longs.
+    * The driver mains (Verify/Bench/RunQ) run every query under one session,
+    * so the flag is effectively session-constant there; standalone callers
+    * should set it at session build time. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -100,10 +100,14 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  // NB: Spark's session_window is half-open [start, start+gap): an event
+  // exactly `gap` after the previous one starts a NEW session, so the
+  // gap-split uses >= (a `>` here diverges whenever a timestamp lands
+  // exactly on the boundary).
   val sessionsOracle: String =
     """WITH marked AS (
       |  SELECT user_id, ts,
-      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
       |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |), sessioned AS (

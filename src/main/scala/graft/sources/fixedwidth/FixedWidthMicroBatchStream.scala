@@ -13,7 +13,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * their lengths. Fixed-width data files are immutable once committed (the
   * writer renames whole files into place, never appends), so "new data"
   * means "new files" — the same model as Spark's built-in file stream
-  * source, minus its driver-side metadata log. */
+  * source, minus its driver-side metadata log.
+  *
+  * Scale trade-off (deliberate): the offset carries the full seen-file map,
+  * so offset JSON grows O(total files) and each trigger re-lists the
+  * directory — fine for bounded directories; for the millions-of-files
+  * regime the next step is the compacting metadata log Spark's file source
+  * uses, with the offset holding only a log sequence number. */
 final case class FixedWidthStreamOffset(files: Map[String, Long]) extends Offset {
   override def json(): String = {
     val mapper = new ObjectMapper()
@@ -59,9 +65,11 @@ class FixedWidthMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[FixedWidthStreamOffset].files.keySet
     val target = end.asInstanceOf[FixedWidthStreamOffset].files
-    val fresh = FixedWidthTable.listFiles(tableOptions, conf)
-      .filter(st => target.contains(st.getPath.toString) && !seen.contains(st.getPath.toString))
-    FixedWidthScan.alignedPartitions(fresh, opts)
+    // Plan from the OFFSET's recorded (path, length) pairs, never from a
+    // fresh listing: replaying a checkpointed batch after a file was
+    // deleted must fail loudly at read time, not silently plan without it.
+    val fresh = (target -- seen).toSeq.sortBy(_._1)
+    FixedWidthScan.alignedPartitionsOf(fresh, opts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -123,27 +123,34 @@ object FixedWidthScan {
     * Honors `spark.sql.files.maxPartitionBytes` and spreads small inputs
     * across `defaultParallelism` like Spark's planner does.
     */
-  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], opts: FixedWidthOptions): Array[InputPartition] = {
-    val recLen = opts.recordLength.toLong
-    val (compressed, plain) = files.partition(st => FixedWidthTable.isCompressed(st.getPath))
+  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], opts: FixedWidthOptions): Array[InputPartition] =
+    alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts)
 
-    compressed.foreach { st =>
+  /** Plan from bare (path, length) pairs — used by the streaming source to
+    * plan strictly from offset-recorded state rather than a live listing. */
+  def alignedPartitionsOf(files: Seq[(String, Long)], opts: FixedWidthOptions): Array[InputPartition] = {
+    val recLen = opts.recordLength.toLong
+    val (compressed, plain) = files.partition { case (p, _) =>
+      FixedWidthTable.isCompressed(new org.apache.hadoop.fs.Path(p))
+    }
+
+    compressed.foreach { case (p, _) =>
       if (!opts.allowCompressed)
         throw new IllegalArgumentException(
-          s"fixedwidth: compressed input is not supported: ${st.getPath} " +
+          s"fixedwidth: compressed input is not supported: $p " +
             "(reference parity — set allowCompressed=true for a single-partition whole-file read)")
     }
-    plain.foreach { st =>
-      if (st.getLen % recLen != 0 && !opts.permissive)
+    plain.foreach { case (p, len) =>
+      if (len % recLen != 0 && !opts.permissive)
         throw new IllegalArgumentException(
-          s"fixedwidth: file length ${st.getLen} of ${st.getPath} is not a multiple of recordLength=$recLen " +
+          s"fixedwidth: file length $len of $p is not a multiple of recordLength=$recLen " +
             "(truncated or corrupt fixed-width file; mode=PERMISSIVE drops the trailing partial record)")
     }
 
     val session = SparkSession.active
     val maxPartitionBytes = session.sessionState.conf.filesMaxPartitionBytes
     val parallelism = session.sparkContext.defaultParallelism.toLong.max(1L)
-    val totalBytes = plain.map(_.getLen).sum
+    val totalBytes = plain.map(_._2).sum
     val bytesPerCore = totalBytes / parallelism
     // Same shape as Spark's FilePartition.maxSplitBytes: don't create
     // partitions bigger than maxPartitionBytes, but also don't leave cores
@@ -151,20 +158,17 @@ object FixedWidthScan {
     val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
     val aligned = math.max(recLen, (target / recLen) * recLen)
 
-    val plainChunks = plain.flatMap { st =>
-      val path = st.getPath.toString
+    val plainChunks = plain.flatMap { case (path, len) =>
       // PERMISSIVE: chunks cover only whole records; the trailing fragment
       // is never read.
-      val usable = (st.getLen / recLen) * recLen
+      val usable = (len / recLen) * recLen
       (0L until usable by aligned).map { start =>
-        val len = math.min(aligned, usable - start)
-        FileChunk(path, start, len, compressed = false)
+        FileChunk(path, start, math.min(aligned, usable - start), compressed = false)
       }
     }
     // Compressed ⇒ not splittable (reference FixedLengthInputFormat.java:
     // 371-380): one whole-file chunk, decompressed by the reader.
-    val gzChunks = compressed.map(st =>
-      FileChunk(st.getPath.toString, 0L, st.getLen, compressed = true))
+    val gzChunks = compressed.map { case (p, len) => FileChunk(p, 0L, len, compressed = true) }
 
     // Pack chunks into partitions up to the target size (greedy, listing
     // order) — a million small files must NOT become a million partitions.

@@ -27,4 +27,23 @@ class AsOfJoinSpec extends SparkSpec with Matchers {
       (1L, 200L, "r150"),
       (2L, 100L, null))   // key with no right side
   }
+
+  test("a matched right row with NULL value wins the match and contributes its NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 200L)).toDF("k", "ts")
+    val right = Seq((1L, 50L, Some("old")), (1L, 100L, None: Option[String]))
+      .toDF("k", "ts", "rv")
+    val r = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv")).select($"asof_rv").head
+    // ASOF semantics: the ts=100 row matches even though its value is NULL;
+    // carrying bare values with last(ignoreNulls) would wrongly return "old".
+    r.isNullAt(0) shouldBe true
+  }
+
+  test("NULL join keys never match (SQL equality semantics)") {
+    import spark.implicits._
+    val left = Seq((Option.empty[Long], 100L, 1)).toDF("k", "ts", "tag")
+    val right = Seq((Option.empty[Long], 50L, "nullkey-right")).toDF("k", "ts", "rv")
+    val r = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv")).select($"asof_rv").head
+    r.isNullAt(0) shouldBe true
+  }
 }
