@@ -58,9 +58,24 @@ class FixedWidthScan(
     requiredSchema: StructType,
     conf: Configuration,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Size/row statistics from file lengths — exact for this format (every
+    * record is recordLength bytes), so Catalyst's broadcast-join threshold
+    * sees the true table size instead of defaulting to "huge". */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private lazy val totalBytes =
+        FixedWidthTable.listFiles(tableOptions, conf)
+          .filterNot(st => FixedWidthTable.isCompressed(st.getPath))
+          .map(_.getLen).sum
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(totalBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(totalBytes / opts.recordLength)
+    }
   override def toBatch: Batch = this
   override def description(): String =
     s"FixedWidthScan(recordLength=${opts.recordLength}, " +
@@ -70,7 +85,7 @@ class FixedWidthScan(
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = FixedWidthTable.listFiles(tableOptions, conf)
-    FixedWidthScan.alignedPartitions(files, opts)
+    FixedWidthScan.alignedPartitions(files, opts, conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -123,8 +138,29 @@ object FixedWidthScan {
     * Honors `spark.sql.files.maxPartitionBytes` and spreads small inputs
     * across `defaultParallelism` like Spark's planner does.
     */
-  def alignedPartitions(files: Seq[org.apache.hadoop.fs.FileStatus], opts: FixedWidthOptions): Array[InputPartition] =
-    alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts)
+  def alignedPartitions(
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      opts: FixedWidthOptions,
+      conf: Configuration = null): Array[InputPartition] = {
+    val parts = alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts)
+    if (conf == null) return parts
+    // Attach HDFS block hosts per chunk for executor data locality (same
+    // driver-side NN lookups Spark's own file sources do at plan time).
+    val byPath = files.map(st => st.getPath.toString -> st).toMap
+    parts.map { p =>
+      val fwp = p.asInstanceOf[FixedWidthInputPartition]
+      FixedWidthInputPartition(fwp.chunks.map { c =>
+        val hosts =
+          try {
+            val st = byPath(c.filePath)
+            val fs = st.getPath.getFileSystem(conf)
+            fs.getFileBlockLocations(st, c.start, math.max(c.length, 1L))
+              .flatMap(_.getHosts).toSeq.distinct.filterNot(_ == "localhost")
+          } catch { case _: Exception => Nil }
+        c.copy(hosts = hosts)
+      })
+    }
+  }
 
   /** Plan from bare (path, length) pairs — used by the streaming source to
     * plan strictly from offset-recorded state rather than a live listing. */
@@ -192,12 +228,22 @@ object FixedWidthScan {
 }
 
 /** One record-aligned byte range of one file. `compressed` chunks cover the
-  * whole file; `length` is then the on-disk (compressed) size. */
-final case class FileChunk(filePath: String, start: Long, length: Long, compressed: Boolean)
+  * whole file; `length` is then the on-disk (compressed) size. `hosts` are
+  * the HDFS block hosts of the range (empty on non-located filesystems). */
+final case class FileChunk(
+    filePath: String, start: Long, length: Long, compressed: Boolean,
+    hosts: Seq[String] = Nil)
 
 /** A packed set of independently record-aligned chunks (serialized driver →
   * executor; the Spark analog of a packed `FilePartition`). */
-final case class FixedWidthInputPartition(chunks: Seq[FileChunk]) extends InputPartition
+final case class FixedWidthInputPartition(chunks: Seq[FileChunk]) extends InputPartition {
+  /** Hosts holding the most bytes of this partition, for locality-aware
+    * scheduling on a real cluster. */
+  override def preferredLocations(): Array[String] =
+    chunks.flatMap(c => c.hosts.map(_ -> c.length))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .toSeq.sortBy(-_._2).take(3).map(_._1).toArray
+}
 
 class FixedWidthReaderFactory(
     opts: FixedWidthOptions,
