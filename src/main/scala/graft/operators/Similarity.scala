@@ -193,6 +193,76 @@ object Similarity {
     topKPerGroup(sims, k)
   }
 
+  /** Approximate k-NN via IVF (inverted file) coarse quantization: corpus
+    * vectors are assigned map-side to their nearest of `nlist` centroids;
+    * each query probes its `nprobe` nearest cells and exact-scores only the
+    * vectors inside them. Complements SRP-LSH: IVF adapts to the data
+    * distribution (centroids are corpus points) where SRP's hyperplanes are
+    * data-independent.
+    *
+    * Centroids are a deterministic corpus sample — the `nlist` vectors with
+    * the smallest xxhash64(id) (reproducible everywhere, no training loop;
+    * swap in k-means iterations for production-grade cells). Scale shape:
+    * centroids broadcast, assignment is one map-side pass in primitive
+    * loops, the only wide op is the (cell) equi-join of corpus cells against
+    * the exploded query probes — the full cross product never materializes.
+    */
+  def knnApproxIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val typed = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val centroids: Array[Array[Float]] = typed
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"))
+      .limit(nlist)
+      .select(col(vecCol))
+      .as[Array[Float]]
+      .collect()
+
+    def nearestCells(vec: Array[Float], n: Int): Array[Int] = {
+      val sims = centroids.zipWithIndex.map { case (c, ci) =>
+        var dotV = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < math.min(vec.length, c.length)) {
+          dotV += vec(j).toDouble * c(j); na += vec(j).toDouble * vec(j); nb += c(j).toDouble * c(j)
+          j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        (if (denom == 0) -2.0 else dotV / denom, ci)
+      }
+      sims.sortBy { case (s, ci) => (-s, ci) }.take(n).map(_._2)
+    }
+
+    val assigned = typed.mapPartitions { it =>
+      it.map { case (id, vec) => (id, vec, nearestCells(vec, 1)(0)) }
+    }.toDF("neighbor_id", "neighbor_vec", "cell")
+
+    val probes = broadcast(
+      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.flatMap { case (id, vec) =>
+          nearestCells(vec, nprobe).map(cell => (id, vec, cell))
+        })
+        .toDF("query_id", "q_vec", "cell"))
+
+    val sims = assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("neighbor_vec")).as("cos"))
+
+    topKPerGroup(sims, k)
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding near-duplicate
     * detection. Quadratic: bound the input or use knnApproxLsh's bucketing
     * for the billion-row regime. Norms are computed once per row before the

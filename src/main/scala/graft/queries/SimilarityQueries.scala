@@ -51,6 +51,13 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    Similarity.knnApproxIvf(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 32, nprobe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         table(spark, dir, "embeddings").filter(col("vec_id") < 500),
@@ -68,5 +75,6 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, None),
-    Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)))
+    Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)),
+    Q("q63_knn_ivf", knnIvf, None))
 }

@@ -68,6 +68,17 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("IVF kNN achieves high recall on clustered data") {
+    val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(pairOf).toSet
+    val approx = Similarity.knnApproxIvf(corpus, queries, "vec_id", "embedding",
+        k = 9, nlist = 16, nprobe = 4)
+      .collect().map(pairOf).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("SRP buckets: expression form and JVM fast path agree, deterministically") {
     import spark.implicits._
     val exprBuckets = corpus.orderBy("vec_id")
