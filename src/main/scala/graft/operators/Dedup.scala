@@ -252,6 +252,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dups at scale via band bucketing: split the 64-bit
+    * signature into `bands` equal bit-slices; by pigeonhole, any pair with
+    * Hamming distance < bands shares at least one identical slice, so
+    * bucketing on (band, slice) finds ALL pairs with `maxHamming <=
+    * bands - 1` with one shuffle — no pairwise scan. (The quadratic
+    * `simhashPairs` remains for larger radii over bounded inputs, where no
+    * sub-quadratic exact method exists.)
+    */
+  def simhashNearDupsBanded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      bucketCap: Int = 2000): DataFrame = {
+    require(maxHamming < bands,
+      s"banded simhash guarantees recall only for maxHamming < bands (got $maxHamming >= $bands)")
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+
+    val sigs = docs.select(
+      col(idCol).cast("long").as("id"),
+      simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
+        .as(Seq("band_idx", "slice")))
+
+    val candidates = banded
+      .groupBy(col("band_idx"), col("slice"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+      .select(explode(pairsOf(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic keep/drop verdict from near-dup pairs: keep the smallest
     * id of each connected component's star (single-pass approximation:
     * drop any doc that matches a smaller-id doc). */

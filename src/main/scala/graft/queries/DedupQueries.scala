@@ -69,9 +69,18 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 16)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
 
+  /** Banded SimHash over the WHOLE corpus (no id bound): the pigeonhole
+    * guarantee makes Hamming <= 3 exact with one shuffle — the scale path
+    * the bounded pairwise q53 can't take. */
+  def simhashBanded(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupsBanded(table(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, bands = 4)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
     Q("q52_minhash_lsh_neardup", minhashNearDups, None),
-    Q("q53_simhash_pairs", simhashPairs, None))
+    Q("q53_simhash_pairs", simhashPairs, None),
+    Q("q54_simhash_banded", simhashBanded, None))
 }

@@ -86,6 +86,19 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs((100, 101)) should be > 10
   }
 
+  test("banded simhash finds ALL pairs within the guaranteed Hamming radius") {
+    import spark.implicits._
+    // ground truth: full pairwise at hamming <= 3 (the bands=4 guarantee)
+    val truth = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
+    truth should not be empty // exact dups (hamming 0) exist by construction
+    val banded = Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded shouldBe truth // pigeonhole: no false negatives; verify step: no false positives
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 4, bands = 4)
+  }
+
   test("shingles: short docs yield empty set, n-grams are distinct and ordered windows") {
     import spark.implicits._
     val out = Seq("a b", "a b c d", "x x x x")
