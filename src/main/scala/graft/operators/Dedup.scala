@@ -228,7 +228,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: bit b is set iff more than half
-    * of the token hashes have bit b set. Pure expressions, map-side. */
+    * of the token hashes have bit b set. Pure expressions, map-side — kept
+    * as the API/reference form; the operators below use the JVM twin
+    * [[simhashOf]] (interpreted HOF lambdas here cost 64×|tokens| evals per
+    * doc — the same pitfall as the MinHash/SRP sketches). */
   def simhash64(tokensCol: Column): Column = {
     val hashed = transform(tokensCol, t => xxhash64(t))
     val n = size(hashed)
@@ -238,13 +241,37 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** JVM SimHash over whitespace tokens (hash64-based — primitive loops). */
+  private[graft] def simhashOf(text: String): Long = {
+    val toks = text.trim.split("\\s+")
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash64(toks(i))
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > toks.length) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
+      .toDF("id", "sig")
+  }
+
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
-    * Pairwise over the supplied frame — bound the input (or pre-bucket by
-    * signature bytes: equal-prefix buckets make this shuffle-local). */
+    * Pairwise over the supplied frame — bound the input, or use
+    * [[simhashNearDupsBanded]] for small radii at scale. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+    val sigs = simhashSigs(docs, idCol, textCol)
     sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -272,9 +299,7 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
 
-    val sigs = docs.select(
-      col(idCol).cast("long").as("id"),
-      simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+    val sigs = simhashSigs(docs, idCol, textCol)
 
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>

@@ -77,20 +77,20 @@ class DedupSpec extends SparkSpec with Matchers {
   test("simhash: exact dups at hamming 0; unrelated docs far apart") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     // exact duplicates (id c*10 vs c*10+1) → identical signature
-    pairs((0, 1)) shouldBe 0
-    pairs((10, 11)) shouldBe 0
-    pairs((20, 21)) shouldBe 0
+    pairs((0L, 1L)) shouldBe 0
+    pairs((10L, 11L)) shouldBe 0
+    pairs((20L, 21L)) shouldBe 0
     // unrelated noise docs: expect large distance (median ~32 for random)
-    pairs((100, 101)) should be > 10
+    pairs((100L, 101L)) should be > 10
   }
 
   test("banded simhash finds ALL pairs within the guaranteed Hamming radius") {
     import spark.implicits._
     // ground truth: full pairwise at hamming <= 3 (the bands=4 guarantee)
     val truth = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     truth should not be empty // exact dups (hamming 0) exist by construction
     val banded = Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 3, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
