@@ -77,10 +77,26 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 3, bands = 4)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
 
+  /** End-to-end dedup pipeline: near-dup pairs → keep/drop verdicts → the
+    * surviving corpus, summarized per language. This is the shape a real
+    * training-data pipeline runs (detect → decide → filter); the verdict is
+    * the deterministic star rule (drop any doc matching a smaller id). */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val drops = Dedup.dropVerdicts(pairs)
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
     Q("q52_minhash_lsh_neardup", minhashNearDups, None),
     Q("q53_simhash_pairs", simhashPairs, None),
-    Q("q54_simhash_banded", simhashBanded, None))
+    Q("q54_simhash_banded", simhashBanded, None),
+    Q("q55_dedup_pipeline", dedupPipeline, None))
 }
