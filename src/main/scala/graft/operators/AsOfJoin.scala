@@ -42,7 +42,12 @@ object AsOfJoin {
       .withColumn("_side", lit(1))
       .select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +: col("_side") +:
         leftCols.map(col) ++: Seq(nullRstruct.as("_rrow")): _*)
+    // A NULL-ts right row can never satisfy right.ts <= left.ts (SQL
+    // comparison semantics) — drop it before the union, or Spark's
+    // nulls-first ascending sort would place it before every left row and
+    // last(ignoreNulls) would carry it into every match.
     val taggedRight = right
+      .filter(col(tsCol).isNotNull)
       .withColumn("_side", lit(0))
       .select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +: col("_side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:

@@ -119,6 +119,7 @@ object Dedup {
     * Pure function of (text, params) — deterministic everywhere. */
   private[graft] def sketchOf(text: String, shingleLen: Int, numHashes: Int,
       bands: Int): (Array[Long], Array[Long], Array[Long]) = {
+    if (text == null) return (Array.empty, Array.empty, Array.empty)
     val toks = text.trim.split("\\s+")
     if (toks.length < shingleLen) return (Array.empty, Array.empty, Array.empty)
     val seen = new java.util.LinkedHashSet[String]()
@@ -199,8 +200,12 @@ object Dedup {
     // cleaner once the result DataFrame is garbage-collected. (Trade-off:
     // local checkpoints don't survive executor loss — on a real cluster a
     // long near-dup job should swap this for a reliable checkpoint dir.)
+    // NULL text never matches anything (SQL semantics) — drop before the
+    // JVM sketch loop, which (unlike the old expression form) is not
+    // null-propagating.
     val sigs = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val (gh, _, bh) = sketchOf(text, shingleLen, numHashes, bands)
@@ -241,8 +246,11 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** JVM SimHash over whitespace tokens (hash64-based — primitive loops). */
+  /** JVM SimHash over whitespace tokens (hash64-based — primitive loops).
+    * Callers filter NULL text rows out; the 0L here is a belt-and-braces
+    * guard, not a meaningful signature. */
   private[graft] def simhashOf(text: String): Long = {
+    if (text == null) return 0L
     val toks = text.trim.split("\\s+")
     val counts = new Array[Int](64)
     var i = 0
@@ -262,6 +270,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull) // NULL text matches nothing (SQL semantics)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
       .toDF("id", "sig")
@@ -286,6 +295,11 @@ object Dedup {
     * bands - 1` with one shuffle — no pairwise scan. (The quadratic
     * `simhashPairs` remains for larger radii over bounded inputs, where no
     * sub-quadratic exact method exists.)
+    *
+    * `bucketCap` defaults to unbounded so the pigeonhole exactness guarantee
+    * holds; set a finite cap on heavily skewed corpora to bound a degenerate
+    * (band, slice) bucket, accepting that pairs inside dropped buckets are
+    * lost (exact duplicates in such buckets are the exact-dedup pass's job).
     */
   def simhashNearDupsBanded(
       docs: DataFrame,
@@ -293,7 +307,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       bands: Int = 4,
-      bucketCap: Int = 2000): DataFrame = {
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands,
       s"banded simhash guarantees recall only for maxHamming < bands (got $maxHamming >= $bands)")
     require(64 % bands == 0, "bands must divide 64")

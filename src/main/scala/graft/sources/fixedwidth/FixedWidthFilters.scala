@@ -59,8 +59,19 @@ object FixedWidthFilters {
             val v = value.asInstanceOf[Number].longValue()
             () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Long.compare(row.getLong(i), v))
           case DoubleType =>
-            val v = value.asInstanceOf[Number].doubleValue()
-            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Double.compare(row.getDouble(i), v))
+            // Normalize -0.0 to 0.0 on both sides: Double.compare orders
+            // -0.0 < 0.0 while Catalyst's primitive comparison treats them
+            // equal — a pushed EqualTo(0.0) must not drop -0.0 records at the
+            // source (the post-scan re-filter cannot restore them). NaN
+            // ordering via Double.compare already matches Spark (NaN ==
+            // greatest).
+            val raw = value.asInstanceOf[Number].doubleValue()
+            val v = if (raw == 0.0d) 0.0d else raw
+            () => if (row.isNullAt(i)) null else {
+              val rv0 = row.getDouble(i)
+              val rv = if (rv0 == 0.0d) 0.0d else rv0
+              Integer.valueOf(java.lang.Double.compare(rv, v))
+            }
           case StringType =>
             val v = UTF8String.fromString(value.toString)
             () => if (row.isNullAt(i)) null else Integer.valueOf(row.getUTF8String(i).compareTo(v))

@@ -65,16 +65,21 @@ class FixedWidthScan(
 
   /** Size/row statistics from file lengths — exact for this format (every
     * record is recordLength bytes), so Catalyst's broadcast-join threshold
-    * sees the true table size instead of defaulting to "huge". */
+    * sees the true table size instead of defaulting to "huge". When any
+    * compressed file is present the on-disk length is NOT the data size, so
+    * report unknown rather than an undercount that would trick Catalyst into
+    * auto-broadcasting an arbitrarily large table. Row count floors per file
+    * (a trailing fragment under PERMISSIVE yields no record). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private lazy val totalBytes =
-        FixedWidthTable.listFiles(tableOptions, conf)
-          .filterNot(st => FixedWidthTable.isCompressed(st.getPath))
-          .map(_.getLen).sum
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(totalBytes)
+      private lazy val files = FixedWidthTable.listFiles(tableOptions, conf)
+      private lazy val anyCompressed = files.exists(st => FixedWidthTable.isCompressed(st.getPath))
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (anyCompressed) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(files.map(_.getLen).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(totalBytes / opts.recordLength)
+        if (anyCompressed) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(files.map(_.getLen / opts.recordLength).sum)
     }
   override def toBatch: Batch = this
   override def description(): String =

@@ -39,6 +39,19 @@ class AsOfJoinSpec extends SparkSpec with Matchers {
     r.isNullAt(0) shouldBe true
   }
 
+  test("right rows with NULL ts never match (right.ts <= left.ts is never true)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], "null-ts"), (1L, Some(50L), "r50"))
+      .toDF("k", "ts", "rv")
+    val r = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv")).select($"asof_rv").head
+    // nulls-first sort would otherwise carry the NULL-ts row into every match
+    r.getString(0) shouldBe "r50"
+
+    val onlyNull = Seq((1L, Option.empty[Long], "null-ts")).toDF("k", "ts", "rv")
+    AsOfJoin.asOf(left, onlyNull, "k", "ts", Seq("rv")).select($"asof_rv").head.isNullAt(0) shouldBe true
+  }
+
   test("NULL join keys never match (SQL equality semantics)") {
     import spark.implicits._
     val left = Seq((Option.empty[Long], 100L, 1)).toDF("k", "ts", "tag")

@@ -99,6 +99,20 @@ class DedupSpec extends SparkSpec with Matchers {
       Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 4, bands = 4)
   }
 
+  test("NULL text rows are ignored, not NPE'd, by the sketch operators") {
+    import spark.implicits._
+    val withNull = docs.unionByName(
+      Seq((999, Option.empty[String])).toDF("doc_id", "text"))
+    // same results as without the NULL row (NULL text matches nothing)
+    Dedup.minhashNearDups(withNull, "doc_id", "text",
+        shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .count() shouldBe
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.5).count()
+    Dedup.simhashPairs(withNull, "doc_id", "text", maxHamming = 3)
+      .filter(col("id_a") === 999L || col("id_b") === 999L).count() shouldBe 0L
+  }
+
   test("shingles: short docs yield empty set, n-grams are distinct and ordered windows") {
     import spark.implicits._
     val out = Seq("a b", "a b c d", "x x x x")
