@@ -93,10 +93,11 @@ object TextFunctions {
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
   /** 64-bit rolling-hash content fingerprint — order-sensitive unlike the
-    * md5 of the sorted token set. Folds acc' = xxhash64(acc, hash(token)):
-    * equivalent mixing power to the classic polynomial hash but with no
-    * arithmetic overflow, so it is safe under ANSI mode (Spark 4 default),
-    * where `acc * 31 + h` would throw ARITHMETIC_OVERFLOW. */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
+    * md5 of the sorted token set. Folds acc' = mix64(acc ^ hash64(token))
+    * via the codegen'd [[graft.functions.RollingHash64]] expression (one
+    * static call per row — no interpreted higher-order functions, no
+    * overflow under ANSI mode), and the same fold is rendered in DuckDB
+    * hugeint SQL by [[graft.queries.DuckHashSql.rollingHashSql]] so the
+    * fingerprint query has a true cross-engine oracle. */
+  def rollingHash(text: Column): Column = Hashing.rollingHash(text)
 }

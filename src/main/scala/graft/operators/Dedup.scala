@@ -96,24 +96,11 @@ object Dedup {
     * JVM twin of the expression pipeline, used inside mapPartitions where
     * interpreted higher-order functions would dominate (measured: the
     * numHashes × |shingles| lambda evals of the expression form took 12 s of
-    * q52's 15 s at sf0.1; the primitive-loop form takes well under 1 s). */
-  private[graft] def hash64(s: String): Long = {
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < s.length) {
-      h = java.lang.Long.rotateLeft((h ^ s.charAt(i).toLong) * 0xC2B2AE3D27D4EB4FL, 31)
-      i += 1
-    }
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-    h ^ (h >>> 33)
-  }
-
-  private[graft] def mix64(h: Long, i: Int): Long = {
-    var z = h + 0x9E3779B97F4A7C15L * (i + 1)
-    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-    z ^= z >>> 27; z *= 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+    * q52's 15 s at sf0.1; the primitive-loop form takes well under 1 s).
+    * Canonical implementation lives in [[graft.functions.Hashing]] (shared
+    * with the codegen'd expressions and the DuckDB oracle renderer). */
+  private[graft] def hash64(s: String): Long = graft.functions.Hashing.hash64(s)
+  private[graft] def mix64(h: Long, i: Int): Long = graft.functions.Hashing.mix64(h, i)
 
   /** Per-doc MinHash state: distinct shingle hashes, signature, band hashes.
     * Pure function of (text, params) — deterministic everywhere. */
@@ -247,34 +234,17 @@ object Dedup {
   }
 
   /** JVM SimHash over whitespace tokens (hash64-based — primitive loops).
-    * Callers filter NULL text rows out; the 0L here is a belt-and-braces
-    * guard, not a meaningful signature. */
-  private[graft] def simhashOf(text: String): Long = {
-    if (text == null) return 0L
-    val toks = text.trim.split("\\s+")
-    val counts = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val h = hash64(toks(i))
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) * 2 > toks.length) sig |= (1L << b); b += 1 }
-    sig
-  }
+    * Canonical implementation: [[graft.functions.Hashing.simhashOf]]. */
+  private[graft] def simhashOf(text: String): Long = graft.functions.Hashing.simhashOf(text)
 
-  private def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .filter(col("text").isNotNull) // NULL text matches nothing (SQL semantics)
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
-      .toDF("id", "sig")
-  }
+  /** Per-doc signatures via the codegen'd [[graft.functions.SimHash64]]
+    * expression: the whole token-hash-fold is one static call inside
+    * whole-stage codegen — no Dataset encoder round-trip, no interpreted
+    * higher-order functions, stays map-side at full scan width. */
+  private def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull) // NULL text matches nothing (SQL semantics)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Hashing.simhash(col(textCol)).as("sig"))
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
     * Pairwise over the supplied frame — bound the input, or use

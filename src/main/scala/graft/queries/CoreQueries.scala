@@ -75,10 +75,14 @@ object CoreQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Raw-mode parity query: default offset key + custom key slice, straight
-    * out of the (offset, key, value) schema the reference produces. Counts
-    * and min/max offsets are a stable, oracle-free sanity signal — verified
-    * by the ScalaTest property suite instead (no SQL oracle: DuckDB can't
-    * read the binary format).
+    * out of the (offset, key, value) schema the reference produces. Every
+    * aggregate is a pure function of the record count and recordLength=136,
+    * independent of how the writer laid records out across files — so DuckDB
+    * can oracle it from the original `lineitem` parquet: n_records =
+    * count(*), min_offset = 0 (every non-empty file starts with a record),
+    * n_misaligned = 0 (every record offset is a recordLength multiple — the
+    * Spark side genuinely measures this from the scan's offsets), and
+    * total_bytes = count(*) * 136.
     */
   def q02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -91,11 +95,16 @@ object CoreQueries {
       .agg(
         count(lit(1)).as("n_records"),
         min($"offset").as("min_offset"),
-        max($"offset").as("max_offset"),
+        sum(when(pmod($"offset", lit(136L)) =!= 0, 1L).otherwise(0L)).as("n_misaligned"),
         sum(length($"value").cast("long")).as("total_bytes"))
   }
 
+  val q02Oracle: String =
+    """SELECT count(*) AS n_records, 0::BIGINT AS min_offset,
+      |  0::BIGINT AS n_misaligned, count(*) * 136 AS total_bytes
+      |FROM lineitem""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
-    Q("q02_fw_raw_scan", q02, None))
+    Q("q02_fw_raw_scan", q02, Some(q02Oracle)))
 }

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import QueryRegistry.table
 
-/** Deduplication over `documents`: exact, n-gram Jaccard (exact pairwise,
-  * DuckDB-checkable), MinHash+LSH and SimHash (hash-sketch ops with no
-  * cross-engine twin — their *internal consistency* is checked by the
-  * ScalaTest suite: LSH candidates ⊇ high-Jaccard pairs, SimHash Hamming
-  * correlates with Jaccard).
+/** Deduplication over `documents`: exact, n-gram Jaccard, MinHash+LSH and
+  * SimHash. ALL of them are DuckDB-checkable: the hash sketches are rendered
+  * bit-for-bit in hugeint SQL by [[DuckHashSql]], so even the LSH candidate
+  * sets and Hamming distances hash-match cross-engine (the ScalaTest suite
+  * additionally checks the statistical invariants: LSH candidates ⊇
+  * high-Jaccard pairs, banded recall, etc.).
   */
 object DedupQueries {
 
@@ -57,11 +58,18 @@ object DedupQueries {
 
   /** MinHash+LSH near-dup sweep over the whole corpus (threshold low enough
     * to produce candidates on this synthetic data). Scale path: map-side
-    * signatures, band-bucket shuffle, candidate-only verification. */
+    * signatures, band-bucket shuffle, candidate-only verification. The
+    * DuckDB oracle recomputes the ENTIRE pipeline — shingles, hash64 grams,
+    * signed-min signatures, band folds, bucket pairs, exact Jaccard — in
+    * hugeint SQL (DuckHashSql.minhashPairsSql), so candidates and scores are
+    * hash-checked cross-engine, not just row-counted. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(table(spark, dir, "documents"), "doc_id", "text",
         shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.05)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+
+  val minhashNearDupsOracle: String =
+    DuckHashSql.minhashPairsSql(shingleLen = 2, numHashes = 64, bands = 32, threshold = 0.05)
 
   /** SimHash pairs within Hamming distance 16 over a bounded id range. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -69,13 +77,31 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 16)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
 
+  val simhashPairsOracle: String =
+    s"""${DuckHashSql.simhashSigsCte("WHERE doc_id < 200")}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+       |FROM sigs a, sigs b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 16
+       |ORDER BY hamming, id_a, id_b""".stripMargin
+
   /** Banded SimHash over the WHOLE corpus (no id bound): the pigeonhole
     * guarantee makes Hamming <= 3 exact with one shuffle — the scale path
-    * the bounded pairwise q53 can't take. */
+    * the bounded pairwise q53 can't take. Because banding is EXACT for
+    * maxHamming < bands (and bucketCap no longer binds by default), the
+    * oracle is a plain pairwise sweep over DuckDB-computed signatures. */
   def simhashBanded(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupsBanded(table(spark, dir, "documents"),
         "doc_id", "text", maxHamming = 3, bands = 4)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
+  val simhashBandedOracle: String =
+    s"""${DuckHashSql.simhashSigsCte("")}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+       |FROM sigs a, sigs b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY hamming, id_a, id_b""".stripMargin
 
   /** End-to-end dedup pipeline: near-dup pairs → keep/drop verdicts → the
     * surviving corpus, summarized per language. This is the shape a real
@@ -95,8 +121,8 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
-    Q("q52_minhash_lsh_neardup", minhashNearDups, None),
-    Q("q53_simhash_pairs", simhashPairs, None),
-    Q("q54_simhash_banded", simhashBanded, None),
+    Q("q52_minhash_lsh_neardup", minhashNearDups, Some(minhashNearDupsOracle)),
+    Q("q53_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
+    Q("q54_simhash_banded", simhashBanded, Some(simhashBandedOracle)),
     Q("q55_dedup_pipeline", dedupPipeline, None))
 }

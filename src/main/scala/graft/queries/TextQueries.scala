@@ -82,10 +82,11 @@ object TextQueries {
     """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Order-sensitive rolling-hash fingerprints (xxhash64 fold — no
-    * cross-engine twin, so ROWS_ONLY; exactness invariants live in
-    * TextFunctionsSpec). Groups by fingerprint to surface exact-duplicate
-    * token sequences. */
+  /** Order-sensitive rolling-hash fingerprints (hash64/mix64 fold via the
+    * codegen'd RollingHash64 expression). Groups by fingerprint to surface
+    * exact-duplicate token sequences. The DuckDB oracle recomputes the exact
+    * same fold in hugeint SQL (see DuckHashSql), making this a true
+    * cross-engine hash check of the sketch math. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
@@ -95,10 +96,17 @@ object TextQueries {
       .orderBy($"rep_id")
   }
 
+  val rollingFingerprintsOracle: String =
+    s"""WITH rh AS (
+       |  SELECT doc_id, ${DuckHashSql.signedSql(DuckHashSql.rollingHashSql("text"))} AS rh FROM documents
+       |)
+       |SELECT rh, count(*) AS n_docs, min(doc_id) AS rep_id
+       |FROM rh GROUP BY rh ORDER BY rep_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
     Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)),
-    Q("q44_rolling_fingerprint", rollingFingerprints, None))
+    Q("q44_rolling_fingerprint", rollingFingerprints, Some(rollingFingerprintsOracle)))
 }

@@ -44,4 +44,14 @@ class TextFunctionsSpec extends SparkSpec with Matchers {
     val rh2 = one(TextFunctions.rollingHash($"t"), "beta alpha")
     rh1 should not be rh2
   }
+
+  test("codegen'd hash expressions agree with the JVM loops (same value through a plan)") {
+    import spark.implicits._
+    val t = "key agg row scan slow fast"
+    one(TextFunctions.rollingHash($"t"), t) shouldBe Hashing.rollingHashOf(t)
+    one(Hashing.simhash($"t"), t) shouldBe Hashing.simhashOf(t)
+    // null propagates as null, not 0
+    Seq(Option.empty[String]).toDF("t")
+      .select(Hashing.rollingHash($"t")).head.isNullAt(0) shouldBe true
+  }
 }
