@@ -306,9 +306,86 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Deterministic keep/drop verdict from near-dup pairs: keep the smallest
-    * id of each connected component's star (single-pass approximation:
-    * drop any doc that matches a smaller-id doc). */
+  /** Connected components over near-dup pairs by alternating large-star /
+    * small-star min-id propagation (the MapReduce-native CC algorithm —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Returns (id, component) for every node that appears in a
+    * pair, where component = the minimum id of the node's component.
+    *
+    * Scale shape: each round is two aggregate+explode passes (shuffle on
+    * node id) over the current edge set; the edge set only shrinks toward
+    * the final star forest and the round count is O(log n) — the algorithm
+    * of choice at the billions-of-edges regime, unlike single-hop label
+    * propagation whose round count is the graph DIAMETER (a duplicate
+    * *chain* of length k needs k rounds). Lineage is truncated per round
+    * with a local checkpoint, the standard Spark pattern for iterative
+    * plans (swap for a reliable checkpoint dir on a real cluster).
+    *
+    * Convergence is detected by an order-insensitive edge-set checksum
+    * (count + sum of pair hashes) — one tiny driver-side tuple per round,
+    * never the edge data itself.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // canonical undirected edges u < v
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"), greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: for every node, link its LARGER neighbors to the minimum
+    // of its neighborhood (incl. itself) — shrinks tall chains fast.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      nbrs.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"), least(col("u"), array_min(col("nv"))).as("m"), col("nv"))
+        .select(col("m"), explode(filter(col("nv"), x => x > col("u"))).as("bigger"))
+        .select(col("m").as("u"), col("bigger").as("v"))
+        .distinct()
+    }
+
+    // small-star: for every node, link its SMALLER neighbors (and itself)
+    // to the minimum among them — flattens local stars.
+    def smallStar(e: DataFrame): DataFrame = {
+      e.groupBy(col("v")).agg(collect_set(col("u")).as("nu"))
+        .select(col("v"), array_min(col("nu")).as("m"), col("nu"))
+        .select(col("m"),
+          explode(concat(filter(col("nu"), x => x =!= col("m")), array(col("v")))).as("member"))
+        .filter(col("m") =!= col("member"))
+        .select(col("m").as("u"), col("member").as("v"))
+        .distinct()
+    }
+
+    // decimal accumulator: a long sum of 64-bit hashes overflows (ANSI throws)
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var prev = checksum(edges)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    // Fixpoint is a star forest: u = component minimum for every edge.
+    edges.select(col("v").as("id"), col("u").as("component"))
+      .union(edges.select(col("u").as("id"), col("u").as("component")).distinct())
+  }
+
+  /** Deterministic keep/drop verdict from near-dup pairs: keep exactly the
+    * smallest id of each CONNECTED COMPONENT of the pair graph (true
+    * transitive closure via [[connectedComponents]] — a doc that matches
+    * only larger-id docs is still dropped when some chain links it to a
+    * smaller one). */
   def dropVerdicts(pairs: DataFrame): DataFrame =
-    pairs.select(col("id_b").as("drop_id")).distinct()
+    connectedComponents(pairs)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as("drop_id"))
+      .distinct()
 }

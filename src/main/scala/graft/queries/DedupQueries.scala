@@ -105,8 +105,11 @@ object DedupQueries {
 
   /** End-to-end dedup pipeline: near-dup pairs → keep/drop verdicts → the
     * surviving corpus, summarized per language. This is the shape a real
-    * training-data pipeline runs (detect → decide → filter); the verdict is
-    * the deterministic star rule (drop any doc matching a smaller id). */
+    * training-data pipeline runs (detect → decide → filter); the verdict
+    * keeps exactly the minimum id of each CONNECTED COMPONENT of the pair
+    * graph (large-star/small-star min-id propagation — true transitive
+    * closure, not the single-hop star rule). The DuckDB oracle recomputes
+    * the whole thing: hugeint MinHash pipeline + recursive-CTE components. */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
@@ -118,11 +121,14 @@ object DedupQueries {
       .orderBy(col("lang"))
   }
 
+  val dedupPipelineOracle: String =
+    DuckHashSql.dedupPipelineSql(shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5)
+
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
     Q("q52_minhash_lsh_neardup", minhashNearDups, Some(minhashNearDupsOracle)),
     Q("q53_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q54_simhash_banded", simhashBanded, Some(simhashBandedOracle)),
-    Q("q55_dedup_pipeline", dedupPipeline, None))
+    Q("q55_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)))
 }

@@ -114,12 +114,13 @@ object DuckHashSql {
     s"list_distinct(list_transform(generate_series(1, len(t) - ${n - 1}), gi -> $concat))"
   }
 
-  /** Full MinHash+LSH near-dup pipeline over `documents`, replicating
+  /** CTE chain (no leading WITH) computing `dups(id_a, id_b, jaccard)` —
+    * the MinHash+LSH near-dup pipeline over `documents`, replicating
     * [[graft.operators.Dedup.minhashNearDups]] (sketchOf + band buckets +
     * candidate pairs + exact Jaccard over hashed shingles). The signature
     * minimum is Java's SIGNED long min — hence the signed detour. `bucketCap`
     * is omitted: callers guarantee it does not bind at oracle scale. */
-  def minhashPairsSql(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  def minhashPairsCtes(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String = {
     val rpb = numHashes / bands
     val ghList = s"list_transform(grams, gg -> ${hash64Sql("gg")})"
     // sig[p] = SIGNED min over gram hashes of mix64(g, p), kept signed here
@@ -133,7 +134,7 @@ object DuckHashSql {
       s"(ba, br) -> ${mix64Sql(let(s"sig[cast(bb*$rpb+br+1 AS INT)]", "sgl", xor("ba", usig)), "br")}))"
     val jac = "round(cast(len(list_intersect(g_a, g_b)) AS DOUBLE) / " +
       "(len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))), 6)"
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
        |), g AS (
        |  SELECT doc_id, ${gramsSql(shingleLen)} AS grams FROM toks WHERE len(t) >= $shingleLen
@@ -149,9 +150,40 @@ object DuckHashSql {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.gh AS g_a, b.gh AS g_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |), pairs AS (
+       |), jacs AS (
        |  SELECT id_a, id_b, $jac AS jaccard FROM cand
-       |)
-       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
+       |), dups AS (
+       |  SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= $threshold
+       |)""".stripMargin
   }
+
+  /** Standalone near-dup pair query (see [[minhashPairsCtes]]). */
+  def minhashPairsSql(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"WITH ${minhashPairsCtes(shingleLen, numHashes, bands, threshold)}\n" +
+      "SELECT id_a, id_b, jaccard FROM dups"
+
+  /** End-to-end dedup pipeline twin of
+    * [[graft.queries.DedupQueries.dedupPipeline]]: near-dup pairs (above) →
+    * connected components (recursive CTE computing, per node, the minimum id
+    * reachable through the pair graph — exactly the min-id components the
+    * Spark side derives with large-star/small-star) → drop every non-minimum
+    * member → count survivors per language. */
+  def dedupPipelineSql(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(shingleLen, numHashes, bands, threshold)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dups
+       |  UNION SELECT id_b, id_a FROM dups
+       |), cc AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+       |), roots AS (
+       |  SELECT node, min(label) AS root FROM cc GROUP BY node
+       |), drops AS (
+       |  SELECT node FROM roots WHERE root < node
+       |)
+       |SELECT lang, count(*) AS n_kept
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM drops)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec with Matchers {
       Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 4, bands = 4)
   }
 
+  test("connected components: verdicts keep exactly one doc per component (chains included)") {
+    import spark.implicits._
+    // component {1,5,7} whose ONLY edges are 1-7 and 5-7: the old star rule
+    // kept 5 (its only match, 7, has a larger id) — transitively wrong.
+    // Plus a long chain 10-11-...-16 (diameter stress for the star rounds),
+    // an isolated pair {100,101}, and untouched singletons.
+    val pairs = (Seq((1L, 7L), (5L, 7L), (100L, 101L)) ++
+      (10L until 16L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc(7L) shouldBe 1L
+    cc(5L) shouldBe 1L
+    (10L to 16L).foreach(i => cc(i) shouldBe 10L)
+    cc(101L) shouldBe 100L
+
+    val drops = Dedup.dropVerdicts(pairs).collect().map(_.getLong(0)).toSet
+    drops shouldBe Set(5L, 7L) ++ (11L to 16L) ++ Set(101L)
+  }
+
+  test("connected components of an empty pair set is empty") {
+    import spark.implicits._
+    Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() shouldBe 0L
+  }
+
   test("NULL text rows are ignored, not NPE'd, by the sketch operators") {
     import spark.implicits._
     val withNull = docs.unionByName(
