@@ -104,7 +104,57 @@ object CoreQueries {
       |  0::BIGINT AS n_misaligned, count(*) * 136 AS total_bytes
       |FROM lineitem""".stripMargin
 
+  /** Money-column layout: the mainframe shape DecimalType fields exist for
+    * (SURVEY.md §1.4). Doubles are cast to decimal(15,2) BEFORE the encode,
+    * so what round-trips through the format is the exact fixed-point value. */
+  val moneyLayout: Seq[FieldSpec] = Seq(
+    FieldSpec("l_orderkey", "long", 0, 14),
+    FieldSpec("l_extendedprice", "decimal(15,2)", 14, 18),
+    FieldSpec("l_discount", "decimal(15,2)", 32, 18),
+    FieldSpec("l_tax", "decimal(15,2)", 50, 18),
+    FieldSpec("l_returnflag", "string", 68, 1))
+
+  /** Decimal round-trip: encode TPC-H money columns as decimal(15,2) through
+    * the fixed-width format, read them back, and aggregate with EXACT decimal
+    * sums (no double-drift dsum workaround needed — fixed-point addition is
+    * associative, the whole reason mainframe feeds use it). */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fieldsOpt = FixedWidthOptions.renderFields(moneyLayout)
+    val out = QueryRegistry.scratch(dir, "lineitem_fw_money")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(
+          $"l_orderkey",
+          $"l_extendedprice".cast("decimal(15,2)").as("l_extendedprice"),
+          $"l_discount".cast("decimal(15,2)").as("l_discount"),
+          $"l_tax".cast("decimal(15,2)").as("l_tax"),
+          $"l_returnflag")
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_extendedprice").as("sum_price"),
+        sum($"l_discount").as("sum_disc"),
+        sum($"l_tax").as("sum_tax"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q03Oracle: String =
+    """SELECT l_returnflag,
+      |  sum(cast(l_extendedprice AS DECIMAL(15,2))) AS sum_price,
+      |  sum(cast(l_discount AS DECIMAL(15,2))) AS sum_disc,
+      |  sum(cast(l_tax AS DECIMAL(15,2))) AS sum_tax,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
-    Q("q02_fw_raw_scan", q02, Some(q02Oracle)))
+    Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
+    Q("q03_fw_decimal_money", q03, Some(q03Oracle)))
 }

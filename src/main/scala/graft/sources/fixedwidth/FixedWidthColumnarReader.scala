@@ -77,6 +77,12 @@ class FixedWidthColumnarReader(
         val d = AsciiParse.parseDouble(buf, f.start, f.end)
         if (d == null) v.putNull(r) else v.putDouble(r, d.doubleValue())
       }
+    case FieldSpec.DecimalRe(p, s) =>
+      val (prec, scale) = (p.toInt, s.toInt)
+      (r: Int) => {
+        if (AsciiParse.isBlank(buf, f.start, f.end)) v.putNull(r)
+        else v.putDecimal(r, AsciiParse.parseDecimal(buf, f.start, f.end, prec, scale), prec)
+      }
   }
 
   override def next(): Boolean = {

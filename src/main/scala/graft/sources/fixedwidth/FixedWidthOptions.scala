@@ -18,12 +18,22 @@ final case class FieldSpec(name: String, ftype: String, start: Int, len: Int) {
     case "double"    => DoubleType
     case "date"      => DateType
     case "timestamp" => TimestampType
+    case FieldSpec.DecimalRe(p, s) =>
+      val (prec, scale) = (p.toInt, s.toInt)
+      if (prec < 1 || prec > 38 || scale < 0 || scale > prec)
+        throw new IllegalArgumentException(
+          s"fixedwidth: bad decimal($prec,$scale) for field '$name' (need 1<=p<=38, 0<=s<=p)")
+      DecimalType(prec, scale)
     case other =>
       throw new IllegalArgumentException(
         s"fixedwidth: unsupported field type '$other' for field '$name' " +
-          "(supported: string,int,long,double,date,timestamp)")
+          "(supported: string,int,long,double,date,timestamp,decimal(p,s))")
   }
   def end: Int = start + len
+}
+
+object FieldSpec {
+  private[fixedwidth] val DecimalRe = """decimal\((\d+),(\d+)\)""".r
 }
 
 /** Parsed + validated reader/writer options for the `fixedwidth` format.
@@ -160,12 +170,13 @@ object FixedWidthOptions {
   }
 
   /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.
-    * Whitespace around entries is ignored. */
+    * Whitespace around entries is ignored. The entry separator is a comma
+    * NOT inside parentheses, so `decimal(15,2)` type tokens parse. */
   def parseFields(spec: Option[String]): Seq[FieldSpec] = spec match {
     case None => Nil
     case Some(s) if s.trim.isEmpty => Nil
     case Some(s) =>
-      s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
+      s.split(",(?![^(]*\\))").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
         entry.split(':') match {
           case Array(name, ftype, start, len) =>
             val f = FieldSpec(name.trim, ftype.trim.toLowerCase, start.trim.toInt, len.trim.toInt)

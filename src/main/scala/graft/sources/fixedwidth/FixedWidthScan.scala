@@ -448,6 +448,12 @@ class FixedWidthPartitionReader(
         val d = AsciiParse.parseDouble(buf, f.start, f.end)
         if (d == null) row.setNullAt(i) else row.setDouble(i, d.doubleValue())
       }
+    case FieldSpec.DecimalRe(p, s) =>
+      val (prec, scale) = (p.toInt, s.toInt)
+      () => {
+        if (AsciiParse.isBlank(buf, f.start, f.end)) row.setNullAt(i)
+        else row.update(i, AsciiParse.parseDecimal(buf, f.start, f.end, prec, scale))
+      }
   }
 
   override def next(): Boolean = {
@@ -544,5 +550,34 @@ object AsciiParse {
     // Doubles are written as Double.toString (shortest round-trip form), so
     // java.lang.Double.parseDouble is the exact inverse.
     java.lang.Double.parseDouble(new String(buf, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  /** Parse a plain-notation decimal into an exact Decimal(precision, scale).
+    * A value that does not FIT the declared precision/scale errors rather
+    * than silently rounding — mainframe money fields must round-trip
+    * bit-exact. Caller must have checked `isBlank` first. */
+  def parseDecimal(buf: Array[Byte], from: Int, until: Int,
+      precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = {
+    var s = from
+    var e = until
+    while (s < e && buf(s) == ' ') s += 1
+    while (e > s && buf(e - 1) == ' ') e -= 1
+    if (s >= e)
+      throw new NumberFormatException("fixedwidth: empty decimal field (caller must isBlank-check)")
+    val str = new String(buf, s, e - s, java.nio.charset.StandardCharsets.US_ASCII)
+    val bd =
+      try new java.math.BigDecimal(str)
+      catch {
+        case _: NumberFormatException =>
+          throw new NumberFormatException(s"fixedwidth: bad decimal literal '$str'")
+      }
+    if (bd.scale > scale)
+      throw new NumberFormatException(
+        s"fixedwidth: decimal '$str' has scale ${bd.scale}, exceeds declared scale $scale")
+    val d = org.apache.spark.sql.types.Decimal(bd)
+    if (!d.changePrecision(precision, scale))
+      throw new NumberFormatException(
+        s"fixedwidth: decimal '$str' does not fit decimal($precision,$scale)")
+    d
   }
 }

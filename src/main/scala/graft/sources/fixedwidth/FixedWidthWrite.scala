@@ -208,6 +208,10 @@ object FixedWidthEncoder {
       case ("date", DateType)          => numeric(r => r.getInt(ord).toString)      // epoch day
       case ("timestamp", TimestampType) => numeric(r => r.getLong(ord).toString)    // epoch micros
       case ("timestamp", TimestampNTZType) => numeric(r => r.getLong(ord).toString) // epoch micros (no zone)
+      case (FieldSpec.DecimalRe(p, s), dt: DecimalType)
+          if dt.precision == p.toInt && dt.scale == s.toInt =>
+        // toPlainString: no exponent notation, exact inverse of parseDecimal
+        numeric(r => r.getDecimal(ord, dt.precision, dt.scale).toJavaBigDecimal.toPlainString)
       case (ft, other) =>
         throw new IllegalArgumentException(
           s"fixedwidth: cannot encode column '${f.name}' of Spark type $other as layout type '$ft'")

@@ -166,6 +166,38 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("decimal(p,s) fields round-trip exactly, including NULL, negatives, and edge scales") {
+    import spark.implicits._
+    val dir = tmp()
+    val in = Seq(
+      (1, Some(BigDecimal("12345.67"))),
+      (2, Some(BigDecimal("-0.01"))),
+      (3, None),
+      (4, Some(BigDecimal("0.00"))),
+      (5, Some(BigDecimal("9999999999999.99")))) // 15 digits, max for (15,2)
+      .toDF("id", "m")
+      .select($"id", $"m".cast("decimal(15,2)").as("m"))
+    val fields = "id:int:0:5,m:decimal(15,2):5:18"
+    in.write.format("fixedwidth").option("fields", fields).mode("overwrite").save(dir)
+    val back = spark.read.format("fixedwidth").option("fields", fields).load(dir)
+      .select($"id", $"m").orderBy($"id")
+    back.schema("m").dataType.simpleString shouldBe "decimal(15,2)"
+    val got = back.collect()
+    val want = in.orderBy($"id").collect()
+    got.zip(want).foreach { case (g, w) =>
+      (g.isNullAt(1), w.isNullAt(1)) match {
+        case (false, false) => g.getDecimal(1) shouldBe w.getDecimal(1)
+        case (a, b)         => a shouldBe b
+      }
+    }
+    // a value that does not fit the declared scale fails loudly, not rounds
+    val bad = Seq((9, BigDecimal("1.999"))).toDF("id", "m")
+      .select($"id", $"m".cast("decimal(15,3)").as("m"))
+    an[Exception] should be thrownBy {
+      bad.write.format("fixedwidth").option("fields", fields).mode("overwrite").save(tmp())
+    }
+  }
+
   test("string NULL is lossy by design: decodes back as empty string") {
     import spark.implicits._
     // Fixed-width has no out-of-band NULL for strings — an all-space field
