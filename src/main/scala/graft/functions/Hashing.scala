@@ -94,6 +94,24 @@ object Hashing {
   /** Column API for the codegen'd expressions below. */
   def rollingHash(text: Column): Column = ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
   def simhash(text: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+  def mix64Col(id: Column): Column = ColumnBridge.column(Mix64Of(ColumnBridge.expression(id)))
+}
+
+/** mix64(x, 0) over a long column — the deterministic sampling hash used by
+  * IVF centroid selection. Unlike xxhash64 it has a DuckDB hugeint twin
+  * ([[graft.queries.DuckHashSql.mix64Sql]]), so even the centroid SAMPLE is
+  * reproducible in the cross-engine oracle. */
+case class Mix64Of(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64 requires a bigint argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.mix64(input.asInstanceOf[Long], 0)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.mix64($c, 0)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64Of = copy(child = newChild)
 }
 
 /** Per-row sketches as native Catalyst expressions: the whole token-hash-fold

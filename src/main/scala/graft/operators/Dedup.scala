@@ -51,13 +51,27 @@ object Dedup {
     round(inter / (size(a) + size(b) - inter), 6)
   }
 
+  /** Enforced bound for the quadratic verification kernels: the docs said
+    * "feed candidates only", but nothing made that contract mechanical — one
+    * misuse away from an O(N²) cartesian at cluster scale. The count is one
+    * cheap aggregate over an input that is small by contract. */
+  private[graft] def requireBounded(df: DataFrame, maxInput: Long, op: String): DataFrame = {
+    val n = df.count()
+    require(n <= maxInput,
+      s"$op is a quadratic pairwise kernel: input has $n rows > maxInput=$maxInput. " +
+        "Feed it a candidate set (LSH/banded buckets) or raise maxInput deliberately.")
+    df
+  }
+
   /** Exact pairwise n-gram Jaccard over (id, grams) rows. Quadratic — feed
-    * it candidates, not a raw corpus. Grams are hashed to 64-bit longs ONCE
-    * per row before pairing: set intersection over longs is several times
-    * cheaper than over strings, and |A ∩ B| is unchanged modulo xxhash64
-    * collisions (~2^-64 per pair of distinct shingles — negligible). */
-  def jaccardPairs(grams: DataFrame, idCol: String, gramsCol: String, threshold: Double): DataFrame = {
-    val hashed = grams.select(
+    * it candidates, not a raw corpus (enforced: inputs larger than
+    * `maxInput` throw). Grams are hashed to 64-bit longs ONCE per row before
+    * pairing: set intersection over longs is several times cheaper than over
+    * strings, and |A ∩ B| is unchanged modulo xxhash64 collisions (~2^-64
+    * per pair of distinct shingles — negligible). */
+  def jaccardPairs(grams: DataFrame, idCol: String, gramsCol: String, threshold: Double,
+      maxInput: Long = 10000): DataFrame = {
+    val hashed = requireBounded(grams, maxInput, "jaccardPairs").select(
       col(idCol).as("_id"), transform(col(gramsCol), g => xxhash64(g)).as("_gh"))
     val a = hashed.select(col("_id").as("id_a"), col("_gh").as("g_a"))
     val b = hashed.select(col("_id").as("id_b"), col("_gh").as("g_b"))
@@ -247,10 +261,11 @@ object Dedup {
         graft.functions.Hashing.simhash(col(textCol)).as("sig"))
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
-    * Pairwise over the supplied frame — bound the input, or use
+    * Pairwise over the supplied frame — bounded input enforced; use
     * [[simhashNearDupsBanded]] for small radii at scale. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhashSigs(docs, idCol, textCol)
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      maxInput: Long = 10000): DataFrame = {
+    val sigs = simhashSigs(requireBounded(docs, maxInput, "simhashPairs"), idCol, textCol)
     sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),

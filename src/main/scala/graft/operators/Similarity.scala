@@ -91,7 +91,7 @@ object Similarity {
     * (Deriving each coefficient from xxhash64 per row — the first version —
     * recomputed tables*planes*dim hashes for every vector; with 16x8x64
     * that was 8k hashes per row and dominated the ANN stage.) */
-  private[operators] def hyperplaneMatrix(tables: Int, planes: Int, dim: Int): Array[Array[Double]] =
+  private[graft] def hyperplaneMatrix(tables: Int, planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(tables * planes) { k =>
       val rng = new java.util.Random(0x5EED00000000L + k) // JDK algorithm is specified → same planes everywhere
       Array.fill(dim)(rng.nextDouble() * 2 - 1)
@@ -201,8 +201,10 @@ object Similarity {
     * data-independent.
     *
     * Centroids are a deterministic corpus sample — the `nlist` vectors with
-    * the smallest xxhash64(id) (reproducible everywhere, no training loop;
-    * swap in k-means iterations for production-grade cells). Scale shape:
+    * the smallest mix64(id) (reproducible everywhere INCLUDING the DuckDB
+    * oracle, which recomputes the same sample via the hugeint hash twin; no
+    * training loop — swap in k-means iterations for production-grade
+    * cells). Scale shape:
     * centroids broadcast, assignment is one map-side pass in primitive
     * loops, the only wide op is the (cell) equi-join of corpus cells against
     * the exploded query probes — the full cross product never materializes.
@@ -222,7 +224,7 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     val centroids: Array[Array[Float]] = typed
-      .withColumn("h", xxhash64(col(idCol)))
+      .withColumn("h", graft.functions.Hashing.mix64Col(col(idCol)))
       .orderBy(col("h"))
       .limit(nlist)
       .select(col(vecCol))
@@ -263,16 +265,70 @@ object Similarity {
     topKPerGroup(sims, k)
   }
 
+  /** Embedding near-duplicates AT SCALE: SRP-bucket candidate generation +
+    * exact cosine verification over candidates only — the scale path that
+    * replaces [[cosineNearDupPairs]]'s all-pairs join for unbounded corpora.
+    *
+    * Plan shape (mirrors MinHash LSH): map-side bucket signatures in
+    * primitive loops, ONE shuffle on (table, bucket), in-bucket pair
+    * expansion (never a self-join of the exploded table), distinct, then the
+    * exact double-precision cosine for candidates only. `bucketCap` bounds a
+    * degenerate bucket. Recall is tuned by (tables, planes): for pairs at
+    * cosine c, P(candidate) = 1 - (1 - (1 - arccos(c)/π)^planes)^tables —
+    * fewer planes = bigger buckets = more candidates = higher recall.
+    */
+  def cosineNearDupsBucketed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      tables: Int = 16,
+      planes: Int = 4,
+      bucketCap: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mat = hyperplaneMatrix(tables, planes, dim)
+
+    val sigs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, vec) =>
+        (id, vec, srpBucketsOf(vec, tables, planes, dim, mat))
+      })
+      .toDF("id", "vec", "buckets")
+      .localCheckpoint(false)
+
+    val candidates = sigs
+      .select(col("id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+      .groupBy(col("t"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+      .select(explode(Dedup.pairsOf(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding near-duplicate
-    * detection. Quadratic: bound the input or use knnApproxLsh's bucketing
-    * for the billion-row regime. Norms are computed once per row before the
-    * self-join (N instead of N² sqrt-dots; identical IEEE doubles). */
+    * detection. Quadratic: bounded input enforced (inputs larger than
+    * `maxInput` throw — use [[cosineNearDupsBucketed]] for the billion-row
+    * regime). Norms are computed once per row before the self-join (N
+    * instead of N² sqrt-dots; identical IEEE doubles). */
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val withNorm = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      threshold: Double,
+      maxInput: Long = 10000): DataFrame = {
+    val bounded = graft.operators.Dedup.requireBounded(corpus, maxInput, "cosineNearDupPairs")
+    val withNorm = bounded.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       norm(col(vecCol)).as("_n"))
     val a = withNorm.select(col("_id").as("id_a"), col("_v").as("v_a"), col("_n").as("n_a"))
     val b = withNorm.select(col("_id").as("id_b"), col("_v").as("v_b"), col("_n").as("n_b"))

@@ -7,10 +7,13 @@ import graft.operators.Similarity
 import QueryRegistry.table
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64):
-  * brute-force cosine top-k (exact, DuckDB-checked) and SRP-LSH approximate
-  * top-k (the scale path — checked for recall by the ScalaTest suite, since
-  * hash-bucket membership has no cross-engine twin), plus embedding-cosine
-  * near-duplicate pairs (exact, DuckDB-checked).
+  * brute-force cosine top-k, SRP-LSH and IVF approximate top-k, plus
+  * embedding-cosine near-duplicate pairs (bounded all-pairs kernel AND the
+  * SRP-bucketed scale path). ALL are DuckDB-checked — the ANN oracles embed
+  * the deterministic hyperplanes as SQL literals / recompute the centroid
+  * hash-sample with the hugeint mix64 twin, so approximate results are
+  * hash-compared exactly, not merely recall-tested (the ScalaTest suite
+  * keeps the recall properties as semantic checks on planted clusters).
   *
   * All cosines are computed in double precision with a left-to-right fold;
   * the oracle replicates the exact same fold via generate_series (DuckDB's
@@ -23,6 +26,37 @@ object SimilarityQueries {
     s"list_sum(list_transform(generate_series(1, len($a)), i -> cast($a[i] AS double) * cast($b[i] AS double)))"
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** The SRP hyperplanes are deterministic driver-side constants
+    * (Similarity.hyperplaneMatrix) — so the oracle can embed them as SQL
+    * double literals (shortest round-trip rendering; DuckDB's parser
+    * restores the exact bit pattern) and recompute the very same buckets:
+    * even LSH candidate generation is hash-checked cross-engine. */
+  private def planeLit(w: Array[Double]): String = w.map(_.toString).mkString("[", ", ", "]")
+
+  /** Dot of a vector column against a literal plane — same left-to-right
+    * fold as srpBucketsOf's primitive loop. */
+  private def dotLitSql(v: String, plane: Array[Double]): String =
+    s"list_sum(list_transform(generate_series(1, ${plane.length}), i -> cast($v[i] AS double) * (${planeLit(plane)})[i]))"
+
+  /** Bucket id of table `t` (bit p = sign of projection onto plane (t,p)). */
+  private def srpBucketSql(v: String, mat: Array[Array[Double]], t: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${dotLitSql(v, mat(t * planes + p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** CTE: per (vec_id, t) rows with the SRP bucket — parallel unnest zips
+    * the table index with the per-table bucket expressions. */
+  private def srpBandedCte(tables: Int, planes: Int, dim: Int, whereClause: String): String = {
+    val mat = graft.operators.Similarity.hyperplaneMatrix(tables, planes, dim)
+    val buckets = (0 until tables).map(t => srpBucketSql("embedding", mat, t, planes)).mkString(", ")
+    s"""banded AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(generate_series(0, ${tables - 1})) AS t,
+       |    unnest([$buckets]) AS bucket
+       |  FROM embeddings $whereClause
+       |)""".stripMargin
+  }
 
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val embs = table(spark, dir, "embeddings")
@@ -51,11 +85,63 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The full ANN pipeline in SQL: literal-hyperplane buckets for corpus and
+    * queries, candidate equi-join on (t, bucket), distinct, exact cosine,
+    * per-query rank — byte-identical to the Spark plan's result. */
+  val knnLshOracle: String =
+    s"""WITH ${srpBandedCte(tables = 16, planes = 8, dim = 64, whereClause = "")},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.embedding AS q_emb, e.embedding AS e_emb
+       |  FROM banded q JOIN banded e ON q.t = e.t AND q.bucket = e.bucket
+       |  WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       |), sims AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("q_emb", "e_emb")} AS cos FROM cand
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val embs = table(spark, dir, "embeddings")
     Similarity.knnApproxIvf(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 32, nprobe = 8)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF replicated relationally: the centroid sample is the nlist rows with
+    * the smallest signed mix64(vec_id) (hugeint hash twin — same sample as
+    * the Spark driver's collect), cell assignment/probing are rank-1/rank-8
+    * over the same double cosine fold, then candidate join + per-query
+    * top-k. */
+  val knnIvfOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
+    s"""WITH cents AS (
+       |  SELECT embedding AS c_emb, row_number() OVER (ORDER BY $h) - 1 AS ci
+       |  FROM embeddings QUALIFY ci < 32
+       |), cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS n_emb, ci AS cell
+       |  FROM embeddings CROSS JOIN cents
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "c_emb")} DESC, ci) = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, ci AS cell
+       |  FROM embeddings CROSS JOIN cents
+       |  WHERE vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "c_emb")} DESC, ci) <= 8
+       |), sims AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("q_emb", "n_emb")} AS cos
+       |  FROM cells JOIN probes USING (cell)
+       |  WHERE neighbor_id != query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
@@ -72,9 +158,31 @@ object SimilarityQueries {
        |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dups over the FULL table via SRP-bucket candidates +
+    * exact cosine — the scale path (q62 stays as the bounded all-pairs
+    * exactness kernel). Oracle replicates bucket generation from the same
+    * literal hyperplanes, so the candidate set itself is cross-checked. */
+  def nearDupsBucketed(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupsBucketed(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val nearDupsBucketedOracle: String =
+    s"""WITH ${srpBandedCte(tables = 16, planes = 4, dim = 64, whereClause = "")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.embedding AS e_a, b.embedding AS e_b
+       |  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT id_a, id_b, ${cosSql("e_a", "e_b")} AS cos FROM cand
+       |)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
-    Q("q61_knn_lsh", knnLsh, None),
+    Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)),
-    Q("q63_knn_ivf", knnIvf, None))
+    Q("q63_knn_ivf", knnIvf, Some(knnIvfOracle)),
+    Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)))
 }

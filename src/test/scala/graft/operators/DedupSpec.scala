@@ -120,6 +120,15 @@ class DedupSpec extends SparkSpec with Matchers {
     drops shouldBe Set(5L, 7L) ++ (11L to 16L) ++ Set(101L)
   }
 
+  test("quadratic kernels enforce the bounded-input contract") {
+    import spark.implicits._
+    val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.jaccardPairs(grams, "doc_id", "g", 0.0, maxInput = 3)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxInput = 3)
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))

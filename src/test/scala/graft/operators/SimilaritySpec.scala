@@ -98,4 +98,22 @@ class SimilaritySpec extends SparkSpec with Matchers {
       r.getAs[Int]("id_a") / 10 shouldBe r.getAs[Int]("id_b") / 10
     }
   }
+
+  test("bucketed near-dups ⊇ exact pairs on planted clusters (scale path recall)") {
+    val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Int]("id_a").toLong, r.getAs[Int]("id_b").toLong)).toSet
+    val bucketed = Similarity.cosineNearDupsBucketed(corpus, "vec_id", "embedding", 0.95,
+        dim = dim, tables = 16, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    // in-cluster cosines ≈ 0.99 → miss probability per pair < 1e-8 with 16x4
+    (exact -- bucketed) shouldBe empty
+    // verification step: no false positives either
+    bucketed.foreach { case (a, b) => a / 10 shouldBe b / 10 }
+  }
+
+  test("quadratic kernels enforce the bounded-input contract") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95, maxInput = 10)
+  }
 }
