@@ -11,20 +11,37 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * that Spark's ColumnarToRow/whole-stage codegen consume with tight loops —
   * the Spark-native analog of parquet's vectorized reader, far beyond the
   * reference's one-row-at-a-time `RecordReader` (SURVEY.md §4: "columnar
-  * reader = later optimization"). Selected automatically when no filters
-  * were pushed (the row path's skip-decode wins otherwise).
+  * reader = later optimization").
+  *
+  * Pushed filters keep the row path's skip-decode property WITHOUT leaving
+  * the columnar lane: predicate-referenced fields decode into a scratch row
+  * first; only surviving records decode their remaining columns into the
+  * vectors. Non-matching records cost exactly the predicate fields' decode,
+  * matching records re-decode those few fields into vectors (cheap ASCII
+  * parses) — and the scan stays inside whole-stage codegen's columnar loop.
   */
 class FixedWidthColumnarReader(
     part: FixedWidthInputPartition,
     opts: FixedWidthOptions,
     requiredSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val capacity = 4096
   private val recLen = opts.recordLength
   private val stream = new ChunkedRecordStream(part, opts, conf)
   private val buf = new Array[Byte](recLen)
+
+  // Scratch row + compiled predicates (same machinery as the row reader);
+  // only the predicate-referenced ordinals ever decode into the scratch row.
+  private val scratch = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(requiredSchema.length)
+  private val rowDecoders = FixedWidthRowDecoders.plan(opts, requiredSchema, buf, scratch, () => recOffset)
+  private val (predicates, predDecoders) = {
+    val compiled = pushedFilters.flatMap(f => FixedWidthFilters.compile(f, requiredSchema, scratch))
+    (compiled.map(_._2), compiled.flatMap(_._1).toSet.toArray.sorted.map(rowDecoders))
+  }
+  private var skipped = 0L
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, requiredSchema)
@@ -92,9 +109,18 @@ class FixedWidthColumnarReader(
     var at = 0L
     while (n < capacity && { at = stream.fetch(buf); at >= 0 }) {
       recOffset = at
-      var c = 0
-      while (c < decoders.length) { decoders(c)(n); c += 1 }
-      n += 1
+      var pass = true
+      if (predicates.length > 0) {
+        var p = 0
+        while (p < predDecoders.length) { predDecoders(p)(); p += 1 }
+        p = 0
+        while (pass && p < predicates.length) { pass = predicates(p)(); p += 1 }
+      }
+      if (pass) {
+        var c = 0
+        while (c < decoders.length) { decoders(c)(n); c += 1 }
+        n += 1
+      } else skipped += 1
     }
     batch.setNumRows(n)
     n > 0
@@ -111,5 +137,5 @@ class FixedWidthColumnarReader(
     Array(
       FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
       FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
-      FixedWidthMetrics.task("fwRecordsSkipped", 0L))
+      FixedWidthMetrics.task("fwRecordsSkipped", skipped))
 }

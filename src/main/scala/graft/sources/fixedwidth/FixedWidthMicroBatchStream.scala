@@ -4,37 +4,90 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Streaming offset = the set of fixed-width files already ingested, with
-  * their lengths. Fixed-width data files are immutable once committed (the
-  * writer renames whole files into place, never appends), so "new data"
-  * means "new files" — the same model as Spark's built-in file stream
-  * source, minus its driver-side metadata log.
-  *
-  * Scale trade-off (deliberate): the offset carries the full seen-file map,
-  * so offset JSON grows O(total files) and each trigger re-lists the
-  * directory — fine for bounded directories; for the millions-of-files
-  * regime the next step is the compacting metadata log Spark's file source
-  * uses, with the offset holding only a log sequence number. */
-final case class FixedWidthStreamOffset(files: Map[String, Long]) extends Offset {
-  override def json(): String = {
-    val mapper = new ObjectMapper()
-    val node = mapper.createObjectNode()
-    files.toSeq.sortBy(_._1).foreach { case (p, l) => node.put(p, l) }
-    mapper.writeValueAsString(node)
-  }
+/** Streaming offset = a metadata-log SEQUENCE NUMBER — O(1) regardless of
+  * how many files the source has ever seen (round-2 design note fixed: the
+  * previous offset carried the full seen-file map, O(total files) JSON per
+  * trigger). */
+final case class FixedWidthStreamOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
 }
 
 object FixedWidthStreamOffset {
-  def fromJson(json: String): FixedWidthStreamOffset = {
-    val mapper = new ObjectMapper()
-    val node = mapper.readTree(json)
-    val files = node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    FixedWidthStreamOffset(files)
+  def fromJson(json: String): FixedWidthStreamOffset =
+    FixedWidthStreamOffset(json.trim.toLong)
+}
+
+/** Compacting file-metadata log under the query's checkpoint location — the
+  * same design as Spark's built-in file stream source. Entry `N.json` holds
+  * the (path, length) pairs FIRST SEEN at batch N; every `compactInterval`-th
+  * entry is instead a COMPACT entry holding the union of everything seen up
+  * to N, so recovery replays at most `compactInterval` delta files plus one
+  * compact file — never the whole history. Entries are immutable once
+  * written; lengths recorded at discovery time make checkpointed batches
+  * replay the exact same bytes (a file deleted after discovery fails loudly
+  * at read time instead of silently shrinking the batch).
+  */
+final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: Int = 10) {
+  private val fs = dir.getFileSystem(conf)
+  private val mapper = new ObjectMapper()
+
+  private def entryPath(seq: Long) = new Path(dir, f"$seq%020d.json")
+
+  def latestSeq(): Long = {
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).foldLeft(0L)(math.max)
+  }
+
+  def write(seq: Long, files: Map[String, Long], compact: Boolean): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val node = mapper.createObjectNode()
+    node.put("compact", compact)
+    val fnode = node.putObject("files")
+    files.toSeq.sortBy(_._1).foreach { case (p, l) => fnode.put(p, l) }
+    val tmp = new Path(dir, s".${entryPath(seq).getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, entryPath(seq)) && !fs.exists(entryPath(seq)))
+      throw new java.io.IOException(s"fixedwidth stream: failed to commit log entry $seq")
+  }
+
+  /** Compact positions are deterministic — every compactInterval-th entry —
+    * so readers jump straight to the nearest compact base, no scanning. */
+  def isCompact(seq: Long): Boolean = seq % compactInterval == 0
+
+  private def read(seq: Long): Map[String, Long] = {
+    val in = fs.open(entryPath(seq))
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    val node = mapper.readTree(bytes)
+    node.get("files").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Files first seen in entries (startExclusive, endInclusive]: union of the
+    * window's entries minus everything known at the window start (a compact
+    * entry inside the window is cumulative — the subtraction restores delta
+    * semantics). Bounded by window size + one compact recovery. */
+  def filesInRange(startExclusive: Long, endInclusive: Long): Map[String, Long] = {
+    val prior = allSeenUpTo(startExclusive).keySet
+    ((startExclusive + 1) to endInclusive)
+      .foldLeft(Map.empty[String, Long])((acc, s) => acc ++ read(s))
+      .filterNot { case (p, _) => prior.contains(p) }
+  }
+
+  /** Union of everything seen up to `seq`: nearest compact base + following
+    * deltas — at most `compactInterval` reads, never the whole history. */
+  def allSeenUpTo(seq: Long): Map[String, Long] = {
+    if (seq <= 0) return Map.empty
+    val base = (seq / compactInterval) * compactInterval
+    val start = if (base > 0) read(base) else Map.empty[String, Long]
+    ((base + 1) to seq).foldLeft(start)((acc, s) => acc ++ read(s))
   }
 }
 
@@ -44,32 +97,54 @@ object FixedWidthStreamOffset {
   * record-aligned partitioning and reader as the batch path. The reference
   * is batch-only MapReduce (SURVEY.md §2.9) — this is the [EXT] Structured
   * Streaming surface over the same byte format.
+  *
+  * Per-trigger work: ONE directory listing diffed against the in-memory
+  * seen-set (rebuilt from the compacting log on restart); the offset itself
+  * is a sequence number.
   */
 class FixedWidthMicroBatchStream(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
     requiredSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    checkpointLocation: String)
     extends MicroBatchStream {
+
+  private val log = new FixedWidthFileLog(new Path(checkpointLocation, "graft-file-log"), conf)
+
+  // Recovered once at stream construction: current log head + seen paths.
+  private var curSeq: Long = log.latestSeq()
+  private val seen: scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set.empty ++ log.allSeenUpTo(curSeq).keySet
 
   private def snapshot(): Map[String, Long] =
     FixedWidthTable.listFiles(tableOptions, conf)
       .map(st => st.getPath.toString -> st.getLen).toMap
 
-  override def initialOffset(): Offset = FixedWidthStreamOffset(Map.empty)
+  override def initialOffset(): Offset = FixedWidthStreamOffset(0L)
 
-  override def latestOffset(): Offset = FixedWidthStreamOffset(snapshot())
+  override def latestOffset(): Offset = synchronized {
+    val fresh = snapshot().filterNot { case (p, _) => seen.contains(p) }
+    if (fresh.nonEmpty) {
+      curSeq += 1
+      val compact = log.isCompact(curSeq)
+      if (compact) log.write(curSeq, log.allSeenUpTo(curSeq - 1) ++ fresh, compact = true)
+      else log.write(curSeq, fresh, compact = false)
+      seen ++= fresh.keySet
+    }
+    FixedWidthStreamOffset(curSeq)
+  }
 
   override def deserializeOffset(json: String): Offset = FixedWidthStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[FixedWidthStreamOffset].files.keySet
-    val target = end.asInstanceOf[FixedWidthStreamOffset].files
-    // Plan from the OFFSET's recorded (path, length) pairs, never from a
-    // fresh listing: replaying a checkpointed batch after a file was
-    // deleted must fail loudly at read time, not silently plan without it.
-    val fresh = (target -- seen).toSeq.sortBy(_._1)
-    FixedWidthScan.alignedPartitionsOf(fresh, opts)
+    val s = start.asInstanceOf[FixedWidthStreamOffset].seq
+    val e = end.asInstanceOf[FixedWidthStreamOffset].seq
+    // Plan from the LOG's recorded (path, length) pairs, never from a fresh
+    // listing: replaying a checkpointed batch after a file was deleted must
+    // fail loudly at read time, not silently plan without it.
+    val files = log.filesInRange(s, e).toSeq.sortBy(_._1)
+    FixedWidthScan.alignedPartitionsOf(files, opts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -97,7 +97,7 @@ class FixedWidthScan(
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf)
+    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf, checkpointLocation)
 
   /** Task-level metrics surfaced in the Spark UI / listener (the analog of
     * the reference's byte counter + progress, FixedLengthRecordReader.java:
@@ -260,14 +260,16 @@ class FixedWidthReaderFactory(
     new FixedWidthPartitionReader(
       partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
 
-  /** Columnar (vectorized) reads when no filters were pushed — with pushed
-    * filters the row path's skip-decode is the better trade. */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    pushedFilters.isEmpty
+  /** Always columnar: with pushed filters the columnar reader now evaluates
+    * predicates on a scratch row per record (same skip-decode property as
+    * the row path) while keeping the batch output format that whole-stage
+    * codegen consumes fastest. The row reader remains for API completeness
+    * and as the plain-`InternalRow` fallback. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new FixedWidthColumnarReader(
-      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value)
+      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
 }
 
 /** Chunk-walking record cursor shared by the row and columnar readers: opens
@@ -392,23 +394,8 @@ class FixedWidthPartitionReader(
   // Precompiled per-column decoders writing into `row`. Closing over the
   // reusable `buf` is safe: `proj` copies all bytes into its own buffer
   // before the next record overwrites `buf`.
-  private val decoders: Array[() => Unit] = requiredSchema.fields.zipWithIndex.map { case (sf, i) =>
-    sf.name match {
-      case FixedWidthOptions.OffsetCol =>
-        () => row.setLong(i, pos)
-      case FixedWidthOptions.KeyCol if !opts.typed =>
-        () => {
-          System.arraycopy(buf, opts.keyStartAt, keyBuf, 0, opts.keyLen)
-          row.update(i, keyBuf)
-        }
-      case FixedWidthOptions.ValueCol if !opts.typed =>
-        () => row.update(i, buf)
-      case name =>
-        val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
-          throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
-        fieldDecoder(f, i)
-    }
-  }
+  private val decoders: Array[() => Unit] =
+    FixedWidthRowDecoders.plan(opts, requiredSchema, buf, row, () => pos, keyBuf)
 
   // Pushed-filter plan: predicates run after ONLY their referenced ordinals
   // decode; the remaining decoders run for surviving records. Falls back to
@@ -421,7 +408,77 @@ class FixedWidthPartitionReader(
       decoders.indices.filterNot(predOrds).map(decoders).toArray)
   }
 
-  private def fieldDecoder(f: FieldSpec, i: Int): () => Unit = f.ftype match {
+  override def next(): Boolean = {
+    var at = stream.fetch(buf)
+    while (at >= 0) {
+      pos = at
+      var i = 0
+      while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
+      var pass = true
+      i = 0
+      while (pass && i < predicates.length) { pass = predicates(i)(); i += 1 }
+      if (pass) {
+        i = 0
+        while (i < restDecoders.length) { restDecoders(i)(); i += 1 }
+        return true
+      }
+      recordsSkipped += 1
+      at = stream.fetch(buf)
+    }
+    false
+  }
+
+  override def get(): InternalRow = proj(row)
+
+  override def close(): Unit = stream.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
+      FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
+      FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped))
+}
+
+/** Precompiled per-column decoders from a reused record buffer into a
+  * `GenericInternalRow` — shared by the row reader (all columns) and the
+  * columnar reader's pushed-filter path (predicate columns only, into a
+  * scratch row). Closing over the caller's reusable `buf` is intentional;
+  * consumers copy bytes out before the next record overwrites it. */
+object FixedWidthRowDecoders {
+
+  def plan(
+      opts: FixedWidthOptions,
+      requiredSchema: StructType,
+      buf: Array[Byte],
+      row: GenericInternalRow,
+      offset: () => Long,
+      keyBufOrNull: Array[Byte] = null): Array[() => Unit] = {
+    val keyBuf =
+      if (keyBufOrNull != null) keyBufOrNull
+      else if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen)
+      else null
+    requiredSchema.fields.zipWithIndex.map { case (sf, i) =>
+      sf.name match {
+        case FixedWidthOptions.OffsetCol =>
+          () => row.setLong(i, offset())
+        case FixedWidthOptions.KeyCol if !opts.typed =>
+          () => {
+            System.arraycopy(buf, opts.keyStartAt, keyBuf, 0, opts.keyLen)
+            row.update(i, keyBuf)
+          }
+        case FixedWidthOptions.ValueCol if !opts.typed =>
+          () => row.update(i, buf)
+        case name =>
+          val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+            throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
+          fieldDecoder(opts, f, i, buf, row)
+      }
+    }
+  }
+
+  private def fieldDecoder(
+      opts: FixedWidthOptions, f: FieldSpec, i: Int,
+      buf: Array[Byte], row: GenericInternalRow): () => Unit = f.ftype match {
     case "string" =>
       val cs = opts.charset
       val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
@@ -455,36 +512,6 @@ class FixedWidthPartitionReader(
         else row.update(i, AsciiParse.parseDecimal(buf, f.start, f.end, prec, scale))
       }
   }
-
-  override def next(): Boolean = {
-    var at = stream.fetch(buf)
-    while (at >= 0) {
-      pos = at
-      var i = 0
-      while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
-      var pass = true
-      i = 0
-      while (pass && i < predicates.length) { pass = predicates(i)(); i += 1 }
-      if (pass) {
-        i = 0
-        while (i < restDecoders.length) { restDecoders(i)(); i += 1 }
-        return true
-      }
-      recordsSkipped += 1
-      at = stream.fetch(buf)
-    }
-    false
-  }
-
-  override def get(): InternalRow = proj(row)
-
-  override def close(): Unit = stream.close()
-
-  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(
-      FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
-      FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
-      FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped))
 }
 
 /** Allocation-free ASCII numeric parsing over a byte range (spaces trimmed on

@@ -232,6 +232,11 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
 
     // string + In pushdown
     fw.filter($"name".isin("name7", "name8")).count() shouldBe 2
+
+    // the filtered scan must STAY vectorized: predicates evaluate on a
+    // scratch row inside the columnar reader, so the plan keeps the
+    // ColumnarToRow lane instead of falling back to one-row-at-a-time
+    filtered.queryExecution.executedPlan.toString should include("ColumnarToRow")
   }
 
   test("column pruning: value-only projection still correct, offset-only too") {

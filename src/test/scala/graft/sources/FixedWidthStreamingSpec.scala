@@ -42,5 +42,50 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     val rows = spark.read.parquet(out).collect().map(_.getString(0))
     rows.length shouldBe 42
     rows.count(_.startsWith("bbbbb")) shouldBe 12
+
+    // offsets are O(1) sequence numbers, not O(files) maps: the recorded
+    // offset JSON must stay tiny no matter how many files were ingested
+    val offsetsDir = new java.io.File(ckpt, "offsets")
+    val latest = offsetsDir.listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val lines = scala.io.Source.fromFile(latest)
+    val sourceOffset = try lines.getLines().toSeq.last.trim finally lines.close()
+    sourceOffset.length should be <= 20 // a bare sequence number
+    sourceOffset.toLong should be >= 1L
+  }
+
+  test("file log: compaction bounds recovery reads; many batches resume exactly") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-stream-data2").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt2").toString
+    val out = Files.createTempDirectory("graft-stream-out2").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("fixedwidth").option("recordLength", 10).load(data)
+        .select(col("value").cast("string").as("value"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // 25 separate ingest rounds → the 10th/20th log entries are compact
+    (1 to 25).foreach { b =>
+      Seq(f"b$b%03d-rec0", f"b$b%03d-rec1").toDF("value").coalesce(1)
+        .write.format("fixedwidth").option("recordLength", 10).mode("append").save(data)
+      drain()
+    }
+    val rows = spark.read.parquet(out).collect().map(_.getString(0))
+    rows.length shouldBe 50
+    rows.distinct.length shouldBe 50 // no batch re-delivered, none lost
+
+    // the per-source log lives under <ckpt>/sources/<i>/graft-file-log
+    val logDir = {
+      def find(d: java.io.File): Option[java.io.File] =
+        if (d.getName == "graft-file-log") Some(d)
+        else Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory).flatMap(find).headOption
+      find(new java.io.File(ckpt)).get
+    }
+    val entries = logDir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    entries.length should be >= 20 // one entry per ingesting trigger
   }
 }
