@@ -11,9 +11,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/filesystem first-touch costs otherwise land
-    // on whichever query the map iterator happens to run first.
+    // on whichever query runs first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order: Map iteration order shuffles across builds,
+    // which moved shared lazy-init costs between queries and made
+    // round-over-round per-query timings non-comparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query must be visible as -1, not recorded as a fast run.
       val ok = try { fn(spark, sfDir).count(); true }
@@ -26,7 +29,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two equal-length numeric arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two equal-length numeric arrays — a
+    * codegen'd primitive loop ([[graft.functions.FloatDot]]), NOT the
+    * interpreted `aggregate(zip_with(...))` HOF fold (identical values: same
+    * left-to-right accumulation; the HOF form cost one interpreted lambda
+    * eval per element per row and dominated candidate verification). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

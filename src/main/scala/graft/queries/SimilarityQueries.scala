@@ -164,11 +164,11 @@ object SimilarityQueries {
     * literal hyperplanes, so the candidate set itself is cross-checked. */
   def nearDupsBucketed(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupsBucketed(table(spark, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 4)
+        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 6)
       .orderBy(col("id_a"), col("id_b"))
 
   val nearDupsBucketedOracle: String =
-    s"""WITH ${srpBandedCte(tables = 16, planes = 4, dim = 64, whereClause = "")},
+    s"""WITH ${srpBandedCte(tables = 16, planes = 6, dim = 64, whereClause = "")},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |    a.embedding AS e_a, b.embedding AS e_b
