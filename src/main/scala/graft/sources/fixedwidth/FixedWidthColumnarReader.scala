@@ -33,14 +33,10 @@ class FixedWidthColumnarReader(
   private val stream = new ChunkedRecordStream(part, opts, conf)
   private val buf = new Array[Byte](recLen)
 
-  // Scratch row + compiled predicates (same machinery as the row reader);
-  // only the predicate-referenced ordinals ever decode into the scratch row.
-  private val scratch = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(requiredSchema.length)
-  private val rowDecoders = FixedWidthRowDecoders.plan(opts, requiredSchema, buf, scratch, () => recOffset)
-  private val (predicates, predDecoders) = {
-    val compiled = pushedFilters.flatMap(f => FixedWidthFilters.compile(f, requiredSchema, scratch))
-    (compiled.map(_._2), compiled.flatMap(_._1).toSet.toArray.sorted.map(rowDecoders))
-  }
+  // Pushed predicates evaluate straight off the record buffer (independent
+  // of the pruned output schema — see FixedWidthFilters.compileOnBuffer).
+  private val predicates: Array[() => Boolean] =
+    pushedFilters.flatMap(f => FixedWidthFilters.compileOnBuffer(f, opts, buf, () => recOffset))
   private var skipped = 0L
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -110,12 +106,8 @@ class FixedWidthColumnarReader(
     while (n < capacity && { at = stream.fetch(buf); at >= 0 }) {
       recOffset = at
       var pass = true
-      if (predicates.length > 0) {
-        var p = 0
-        while (p < predDecoders.length) { predDecoders(p)(); p += 1 }
-        p = 0
-        while (pass && p < predicates.length) { pass = predicates(p)(); p += 1 }
-      }
+      var p = 0
+      while (pass && p < predicates.length) { pass = predicates(p)(); p += 1 }
       if (pass) {
         var c = 0
         while (c < decoders.length) { decoders(c)(n); c += 1 }

@@ -6,10 +6,14 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pushed-filter compilation for the fixedwidth reader: each supported
-  * `sources.Filter` becomes a predicate over the reader's reused row,
-  * evaluated right after the referenced fields decode so non-matching
-  * records skip the rest of the decode work. Unsupported shapes are simply
-  * not pushed (Spark evaluates them post-scan as usual).
+  * `sources.Filter` becomes a predicate evaluated DIRECTLY against the
+  * reused record buffer, before any column decodes — non-matching records
+  * cost only their predicate fields' parse. Pushed filters are fully
+  * accepted (NOT returned as post-scan residuals), so Spark plans no
+  * redundant re-evaluation and may prune predicate-only columns from the
+  * read schema entirely; that is why predicates read from the buffer, not
+  * from the output row. Unsupported shapes are simply not pushed (Spark
+  * evaluates them post-scan as usual).
   */
 object FixedWidthFilters {
 
@@ -34,58 +38,33 @@ object FixedWidthFilters {
     case _                        => false
   }
 
-  /** Compile to (referencedOrdinals, predicate-over-row). Returns None if the
-    * attribute is not in the read schema (cannot happen for filters Spark
-    * pushes, but stay safe). */
-  def compile(
+  /** Compile a pushed filter to a predicate over the reused record buffer.
+    * `offset` supplies the current record's byte offset (the synthetic
+    * `offset` column). Returns None only for shapes `supported` rejects —
+    * the ScanBuilder guarantees it never pushes those. */
+  def compileOnBuffer(
       f: Filter,
-      schema: StructType,
-      row: GenericInternalRow): Option[(Set[Int], () => Boolean)] = {
+      opts: FixedWidthOptions,
+      buf: Array[Byte],
+      offset: () => Long): Option[() => Boolean] = {
 
-    def ord(name: String): Option[Int] = {
-      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
-      if (i < 0) None else Some(i)
-    }
+    def fieldOf(name: String): Option[FieldSpec] =
+      opts.fields.find(_.name.equalsIgnoreCase(name))
 
-    /** Comparator returning sign of (row value - literal), null-aware. */
-    def cmp(name: String, value: Any): Option[(Set[Int], () => java.lang.Integer)] =
-      ord(name).map { i =>
-        val dt = schema.fields(i).dataType
-        val f: () => java.lang.Integer = dt match {
-          case IntegerType =>
-            val v = value.asInstanceOf[Number].intValue()
-            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Integer.compare(row.getInt(i), v))
-          case LongType =>
-            val v = value.asInstanceOf[Number].longValue()
-            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Long.compare(row.getLong(i), v))
-          case DoubleType =>
-            // Normalize -0.0 to 0.0 on both sides: Double.compare orders
-            // -0.0 < 0.0 while Catalyst's primitive comparison treats them
-            // equal — a pushed EqualTo(0.0) must not drop -0.0 records at the
-            // source (the post-scan re-filter cannot restore them). NaN
-            // ordering via Double.compare already matches Spark (NaN ==
-            // greatest).
-            val raw = value.asInstanceOf[Number].doubleValue()
-            val v = if (raw == 0.0d) 0.0d else raw
-            () => if (row.isNullAt(i)) null else {
-              val rv0 = row.getDouble(i)
-              val rv = if (rv0 == 0.0d) 0.0d else rv0
-              Integer.valueOf(java.lang.Double.compare(rv, v))
-            }
-          case StringType =>
-            val v = UTF8String.fromString(value.toString)
-            () => if (row.isNullAt(i)) null else Integer.valueOf(row.getUTF8String(i).compareTo(v))
-          case TimestampType | TimestampNTZType =>
-            import org.apache.spark.sql.catalyst.util.DateTimeUtils
-            val v: Long = value match {
-              case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
-              case inst: java.time.Instant    => DateTimeUtils.instantToMicros(inst)
-              case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
-              case n: Number                  => n.longValue()
-              case _                          => return None
-            }
-            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Long.compare(row.getLong(i), v))
-          case DateType =>
+    def isOffset(name: String): Boolean = name.equalsIgnoreCase(FixedWidthOptions.OffsetCol)
+
+    /** Comparator returning sign of (record value - literal), null when the
+      * field is blank (SQL NULL — comparisons never match). */
+    def cmp(name: String, value: Any): Option[() => java.lang.Integer] = {
+      if (isOffset(name)) {
+        val v = value.asInstanceOf[Number].longValue()
+        return Some(() => Integer.valueOf(java.lang.Long.compare(offset(), v)))
+      }
+      fieldOf(name).flatMap { fs =>
+        val from = fs.start
+        val until = fs.end
+        fs.ftype match {
+          case "int" | "date" =>
             import org.apache.spark.sql.catalyst.util.DateTimeUtils
             val v: Int = value match {
               case d: java.sql.Date        => DateTimeUtils.fromJavaDate(d)
@@ -93,16 +72,72 @@ object FixedWidthFilters {
               case n: Number               => n.intValue()
               case _                       => return None
             }
-            () => if (row.isNullAt(i)) null else Integer.valueOf(java.lang.Integer.compare(row.getInt(i), v))
-          case _ => null
+            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
+              else Integer.valueOf(java.lang.Integer.compare(AsciiParse.parseInt(buf, from, until), v)))
+          case "long" | "timestamp" =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val v: Long = value match {
+              case t: java.sql.Timestamp        => DateTimeUtils.fromJavaTimestamp(t)
+              case inst: java.time.Instant      => DateTimeUtils.instantToMicros(inst)
+              case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
+              case n: Number                    => n.longValue()
+              case _                            => return None
+            }
+            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
+              else Integer.valueOf(java.lang.Long.compare(AsciiParse.parseLong(buf, from, until), v)))
+          case "double" =>
+            // Normalize -0.0 to 0.0 on both sides: Double.compare orders
+            // -0.0 < 0.0 while Catalyst's primitive comparison treats them
+            // equal — a pushed EqualTo(0.0) must not drop -0.0 records at
+            // the source. NaN ordering via Double.compare already matches
+            // Spark (NaN == greatest).
+            val raw = value.asInstanceOf[Number].doubleValue()
+            val v = if (raw == 0.0d) 0.0d else raw
+            Some(() => {
+              val d = AsciiParse.parseDouble(buf, from, until)
+              if (d == null) null
+              else {
+                val rv0 = d.doubleValue()
+                val rv = if (rv0 == 0.0d) 0.0d else rv0
+                Integer.valueOf(java.lang.Double.compare(rv, v))
+              }
+            })
+          case "string" =>
+            val cs = opts.charset
+            val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+            val v = UTF8String.fromString(value.toString)
+            val trimRight = opts.trim == "right" || opts.trim == "both"
+            val trimLeft = opts.trim == "left" || opts.trim == "both"
+            Some(() => {
+              var s = from
+              var e = until
+              if (trimRight) while (e > s && buf(e - 1) == ' ') e -= 1
+              if (trimLeft) while (s < e && buf(s) == ' ') s += 1
+              val got = if (utf8) UTF8String.fromBytes(buf, s, e - s)
+                        else UTF8String.fromString(new String(buf, s, e - s, cs))
+              Integer.valueOf(got.compareTo(v))
+            })
+          case _ => None // decimal etc. — not in `supported`, never pushed
         }
-        (Set(i), f)
-      }.filter(_._2 != null)
-
-    def fromCmp(name: String, value: Any)(test: Int => Boolean): Option[(Set[Int], () => Boolean)] =
-      cmp(name, value).map { case (refs, c) =>
-        (refs, () => { val r = c(); r != null && test(r.intValue()) })
       }
+    }
+
+    /** String fields decode to "" (never NULL); numeric fields are NULL iff
+      * blank; offset is never NULL. */
+    def isNullPred(name: String, expectNull: Boolean): Option[() => Boolean] = {
+      if (isOffset(name)) return Some(() => !expectNull)
+      fieldOf(name).map { fs =>
+        fs.ftype match {
+          case "string" => () => !expectNull
+          case _ =>
+            val (from, until) = (fs.start, fs.end)
+            () => AsciiParse.isBlank(buf, from, until) == expectNull
+        }
+      }
+    }
+
+    def fromCmp(name: String, value: Any)(test: Int => Boolean): Option[() => Boolean] =
+      cmp(name, value).map(c => () => { val r = c(); r != null && test(r.intValue()) })
 
     f match {
       case EqualTo(a, v)            => fromCmp(a, v)(_ == 0)
@@ -110,17 +145,17 @@ object FixedWidthFilters {
       case GreaterThanOrEqual(a, v) => fromCmp(a, v)(_ >= 0)
       case LessThan(a, v)           => fromCmp(a, v)(_ < 0)
       case LessThanOrEqual(a, v)    => fromCmp(a, v)(_ <= 0)
-      case IsNotNull(a)             => ord(a).map(i => (Set(i), () => !row.isNullAt(i)))
-      case IsNull(a)                => ord(a).map(i => (Set(i), () => row.isNullAt(i)))
+      case IsNotNull(a)             => isNullPred(a, expectNull = false)
+      case IsNull(a)                => isNullPred(a, expectNull = true)
       case In(a, vs) =>
         val compiled = vs.toSeq.map(v => fromCmp(a, v)(_ == 0))
         if (compiled.exists(_.isEmpty)) None
-        else Some((compiled.flatMap(_.get._1).toSet, () => compiled.exists(_.get._2())))
+        else Some(() => compiled.exists(_.get()))
       case And(l, r) =>
         for {
-          (lr, lp) <- compile(l, schema, row)
-          (rr, rp) <- compile(r, schema, row)
-        } yield (lr ++ rr, () => lp() && rp())
+          lp <- compileOnBuffer(l, opts, buf, offset)
+          rp <- compileOnBuffer(r, opts, buf, offset)
+        } yield () => lp() && rp()
       case _ => None
     }
   }

@@ -43,8 +43,13 @@ class FixedWidthScanBuilder(
 
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    // Fully accept what we can evaluate: the readers run these predicates
+    // against the raw record buffer with Catalyst-identical semantics
+    // (NULL/blank fields, -0.0, NaN ordering, binary UTF8 collation), so no
+    // post-scan re-evaluation is needed and predicate-only columns can be
+    // pruned from the read schema. Only unsupported shapes are residual.
     pushed = filters.filter(f => FixedWidthFilters.supported(f, opts))
-    filters // conservative: Spark re-evaluates everything post-scan
+    filters.filterNot(f => FixedWidthFilters.supported(f, opts))
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
@@ -397,29 +402,23 @@ class FixedWidthPartitionReader(
   private val decoders: Array[() => Unit] =
     FixedWidthRowDecoders.plan(opts, requiredSchema, buf, row, () => pos, keyBuf)
 
-  // Pushed-filter plan: predicates run after ONLY their referenced ordinals
-  // decode; the remaining decoders run for surviving records. Falls back to
-  // decode-everything when nothing was pushed.
-  private val (predicates, predDecoders, restDecoders) = {
-    val compiled = pushedFilters.flatMap(f => FixedWidthFilters.compile(f, requiredSchema, row))
-    val predOrds = compiled.flatMap(_._1).toSet
-    (compiled.map(_._2),
-      predOrds.toArray.sorted.map(decoders),
-      decoders.indices.filterNot(predOrds).map(decoders).toArray)
-  }
+  // Pushed predicates evaluate straight off the record buffer — fully
+  // independent of the (possibly pruned) output schema, because fully-pushed
+  // filters are NOT re-evaluated by Spark and their columns may not even be
+  // projected. Non-matching records never run a single column decoder.
+  private val predicates: Array[() => Boolean] =
+    pushedFilters.flatMap(f => FixedWidthFilters.compileOnBuffer(f, opts, buf, () => pos))
 
   override def next(): Boolean = {
     var at = stream.fetch(buf)
     while (at >= 0) {
       pos = at
-      var i = 0
-      while (i < predDecoders.length) { predDecoders(i)(); i += 1 }
       var pass = true
-      i = 0
+      var i = 0
       while (pass && i < predicates.length) { pass = predicates(i)(); i += 1 }
       if (pass) {
         i = 0
-        while (i < restDecoders.length) { restDecoders(i)(); i += 1 }
+        while (i < decoders.length) { decoders(i)(); i += 1 }
         return true
       }
       recordsSkipped += 1

@@ -233,10 +233,22 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
     // string + In pushdown
     fw.filter($"name".isin("name7", "name8")).count() shouldBe 2
 
-    // the filtered scan must STAY vectorized: predicates evaluate on a
-    // scratch row inside the columnar reader, so the plan keeps the
+    // the filtered scan must STAY vectorized: predicates evaluate on the
+    // record buffer inside the columnar reader, so the plan keeps the
     // ColumnarToRow lane instead of falling back to one-row-at-a-time
     filtered.queryExecution.executedPlan.toString should include("ColumnarToRow")
+
+    // fully-pushed predicates are NOT re-evaluated post-scan: no FilterExec
+    // in the plan (the source's buffer predicates are Catalyst-identical)
+    import org.apache.spark.sql.execution.FilterExec
+    filtered.queryExecution.executedPlan.collect { case f: FilterExec => f } shouldBe empty
+
+    // a predicate-ONLY column may be pruned from the read schema entirely
+    // and the filter still applies at the source
+    val pruned = fw.filter($"score" > 260.0 && $"score" < 300.0).select($"name")
+    pruned.queryExecution.executedPlan.collect { case f: FilterExec => f } shouldBe empty
+    pruned.collect().map(_.getString(0)).sorted shouldBe
+      (105 to 119).filter(i => i * 2.5 > 260.0 && i * 2.5 < 300.0).map(i => s"name$i").sorted
   }
 
   test("column pruning: value-only projection still correct, offset-only too") {
