@@ -210,6 +210,33 @@ object Similarity {
     * loops, the only wide op is the (cell) equi-join of corpus cells against
     * the exploded query probes — the full cross product never materializes.
     */
+  /** Nearest `n` centroid indices by cosine, ties broken by index — one
+    * primitive-loop pass, shared by assignment, probing, and refinement. */
+  private def nearestCellsIn(vec: Array[Float], cents: Array[Array[Double]], n: Int): Array[Int] = {
+    val sims = cents.zipWithIndex.map { case (c, ci) =>
+      var dotV = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < math.min(vec.length, c.length)) {
+        dotV += vec(j).toDouble * c(j); na += vec(j).toDouble * vec(j); nb += c(j) * c(j)
+        j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      (if (denom == 0) -2.0 else dotV / denom, ci)
+    }
+    sims.sortBy { case (s, ci) => (-s, ci) }.take(n).map(_._2)
+  }
+
+  /** @param kmeansIters optional Lloyd refinement rounds for the coarse
+    *   quantizer: assign every corpus vector to its nearest centroid
+    *   (map-side, broadcast centroids), recompute each cell's element-wise
+    *   mean via the [[graft.functions.VectorMean]] Aggregator (map-side
+    *   partial sums — the shuffle carries O(cells × dim) doubles, not
+    *   O(N) vectors), collect the nlist × dim means to the driver. Default
+    *   0 keeps the deterministic hash-sample centroids, which the DuckDB
+    *   oracle reproduces exactly (double-sum order inside a refinement
+    *   mean is partition-dependent, so refined centroids are adaptive but
+    *   not bit-reproducible cross-engine — the classic trade). Empty cells
+    *   keep their previous centroid. */
   def knnApproxIvf(
       corpus: DataFrame,
       queries: DataFrame,
@@ -217,44 +244,49 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 64,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8,
+      kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val typed = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    val centroids: Array[Array[Float]] = typed
+    var cents: Array[Array[Double]] = typed
       .withColumn("h", graft.functions.Hashing.mix64Col(col(idCol)))
       .orderBy(col("h"))
       .limit(nlist)
       .select(col(vecCol))
       .as[Array[Float]]
       .collect()
+      .map(_.map(_.toDouble))
+    val dim = cents.headOption.map(_.length).getOrElse(0)
 
-    def nearestCells(vec: Array[Float], n: Int): Array[Int] = {
-      val sims = centroids.zipWithIndex.map { case (c, ci) =>
-        var dotV = 0.0; var na = 0.0; var nb = 0.0
-        var j = 0
-        while (j < math.min(vec.length, c.length)) {
-          dotV += vec(j).toDouble * c(j); na += vec(j).toDouble * vec(j); nb += c(j).toDouble * c(j)
-          j += 1
-        }
-        val denom = math.sqrt(na) * math.sqrt(nb)
-        (if (denom == 0) -2.0 else dotV / denom, ci)
-      }
-      sims.sortBy { case (s, ci) => (-s, ci) }.take(n).map(_._2)
+    var iter = 0
+    while (iter < kmeansIters && cents.nonEmpty) {
+      val cur = cents
+      val assignedVecs = typed
+        .mapPartitions(_.map { case (_, vec) => (nearestCellsIn(vec, cur, 1)(0), vec) })
+        .toDF("cell", "vec")
+      val mean = udaf(new graft.functions.VectorMean(dim))
+      val updated = assignedVecs.groupBy(col("cell")).agg(mean(col("vec")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = Array.tabulate(cur.length)(ci => updated.getOrElse(ci, cur(ci)))
+      iter += 1
     }
+    val finalCents = cents
 
     val assigned = typed.mapPartitions { it =>
-      it.map { case (id, vec) => (id, vec, nearestCells(vec, 1)(0)) }
+      it.map { case (id, vec) => (id, vec, nearestCellsIn(vec, finalCents, 1)(0)) }
     }.toDF("neighbor_id", "neighbor_vec", "cell")
 
     val probes = broadcast(
       queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])]
         .mapPartitions(_.flatMap { case (id, vec) =>
-          nearestCells(vec, nprobe).map(cell => (id, vec, cell))
+          nearestCellsIn(vec, finalCents, nprobe).map(cell => (id, vec, cell))
         })
         .toDF("query_id", "q_vec", "cell"))
 

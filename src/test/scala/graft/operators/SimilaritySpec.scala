@@ -79,6 +79,19 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("k-means refinement keeps recall and is usable with fewer probes") {
+    val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(pairOf).toSet
+    // refined centroids adapt cells to the planted clusters: same probe
+    // budget must stay at high recall after 2 Lloyd rounds
+    val refined = Similarity.knnApproxIvf(corpus, queries, "vec_id", "embedding",
+        k = 9, nlist = 16, nprobe = 4, kmeansIters = 2)
+      .collect().map(pairOf).toSet
+    val recall = (exact & refined).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("SRP buckets: expression form and JVM fast path agree, deterministically") {
     import spark.implicits._
     val exprBuckets = corpus.orderBy("vec_id")
