@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDot, Mix64Of, RollingHash64, SimHash64}
+
+/** SQL-surface registration of graft's native expressions via the public
+  * `SparkSessionExtensions` hook — the blessed way for a library to extend
+  * Spark SQL without touching internals:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT rolling_hash64(text), simhash64(text) FROM docs")
+  * }}}
+  *
+  * Every function is a codegen'd Catalyst expression (no UDF wrapping), so
+  * the SQL form and the Column API (`Hashing.rollingHash`, `VectorOps.dot`)
+  * produce identical plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, usage: String, build: Expression => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects exactly 1 argument, got ${args.length}")
+        build(args.head)
+      })
+
+  private def binary(name: String, usage: String, build: (Expression, Expression) => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects exactly 2 arguments, got ${args.length}")
+        build(args(0), args(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(unary("rolling_hash64",
+      "rolling_hash64(text) - order-sensitive 64-bit fingerprint of the whitespace-token sequence",
+      RollingHash64.apply))
+    ext.injectFunction(unary("simhash64",
+      "simhash64(text) - 64-bit SimHash over the whitespace-token multiset",
+      SimHash64.apply))
+    ext.injectFunction(unary("mix64",
+      "mix64(x) - splitmix64 finalizer of a bigint (deterministic sampling hash)",
+      Mix64Of.apply))
+    ext.injectFunction(binary("float_dot",
+      "float_dot(a, b) - double-precision left-to-right dot product of two float/double arrays",
+      FloatDot.apply))
+  }
+}

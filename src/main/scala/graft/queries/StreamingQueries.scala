@@ -177,10 +177,70 @@ object StreamingQueries {
     s"""SELECT user_id, count(*) AS n_events, ${CoreQueries.dsumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Multi-row custom state via flatMapGroupsWithState: per-user
+    * SESSIONIZATION in explicit state — the open session (start, count,
+    * last-seen) is carried in GroupState; each batch sorts its events,
+    * extends or closes sessions by the 30-minute gap rule (>= gap starts a
+    * new one, matching session_window's half-open convention), and emits
+    * one row PER SESSION — the multi-row-per-group shape
+    * mapGroupsWithState cannot express. Re-emissions of a still-open
+    * session (later batches) carry monotone counts, so the max-per
+    * (user, session_start) post-aggregation selects each session's final
+    * extent; the batch oracle rebuilds identical sessions with the
+    * lag/cumsum gap-split. */
+  def sessionEmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts")).as[(Long, java.time.Instant)]
+    val emitted = ev
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant)],
+            state: GroupState[(Long, Long, Long)]) =>
+          val times = rows.map { case (_, i) =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }.toArray.sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          state.getOption.foreach(sessions += _) // the open session, if any
+          times.foreach { t =>
+            if (sessions.nonEmpty && t - sessions.last._3 < gapMicros) {
+              val (s0, c, last) = sessions.last
+              sessions(sessions.length - 1) = (s0, c + 1, math.max(last, t))
+            } else sessions += ((t, 1L, t))
+          }
+          if (sessions.nonEmpty) state.update(sessions.last)
+          sessions.iterator.map { case (s0, c, _) => (user, s0, c) }
+      }
+      .toDF("user_id", "start_micros", "n_events")
+    runToMemory(spark, emitted, "stream_session_emit", "update")
+      .groupBy(col("user_id"), timestamp_micros(col("start_micros")).as("session_start"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val sessionEmitOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), sessioned AS (
+      |  SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM sessioned GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
     Q("q72_stream_sessions", sessions, Some(sessionsOracle)),
     Q("q73_stream_fixedwidth", fwStream, Some(fwStreamOracle)),
-    Q("q74_stream_stateful", statefulTotals, Some(statefulTotalsOracle)))
+    Q("q74_stream_stateful", statefulTotals, Some(statefulTotalsOracle)),
+    Q("q75_stream_session_emit", sessionEmit, Some(sessionEmitOracle)))
 }
