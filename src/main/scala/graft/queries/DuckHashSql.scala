@@ -119,13 +119,23 @@ object DuckHashSql {
     * [[graft.operators.Dedup.minhashNearDups]] (sketchOf + band buckets +
     * candidate pairs + exact Jaccard over hashed shingles). The signature
     * minimum is Java's SIGNED long min — hence the signed detour. `bucketCap`
-    * is omitted: callers guarantee it does not bind at oracle scale. */
+    * is omitted: callers guarantee it does not bind at oracle scale.
+    *
+    * Performance shape: the permutation stage is RELATIONAL, not lambda —
+    * mix64 runs as staged vectorized columns over (distinct gram) ×
+    * (permutation) rows, and per-doc signatures come from a join + GROUP BY
+    * min. The lambda form (64 × |per-doc grams| interpreted let-bound evals)
+    * took ~75 s at sf0.01; this takes ~1 s. Shingles repeat heavily across
+    * documents, so hashing each DISTINCT gram once is also a big dedup win. */
   def minhashPairsCtes(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String = {
     val rpb = numHashes / bands
-    val ghList = s"list_transform(grams, gg -> ${hash64Sql("gg")})"
-    // sig[p] = SIGNED min over gram hashes of mix64(g, p), kept signed here
-    val sig = s"list_transform(generate_series(0, ${numHashes - 1}), sp -> " +
-      s"list_min(list_transform(gh, mg -> ${let(mix64Sql("mg", "sp"), "mr", signedSql("mr"))})))"
+    // mix64(gh, p) over COLUMNS gh/p, staged through CTE columns (each
+    // stage's output is a plain column — no let-bindings, fully vectorized)
+    val addc = s"((${uh(Hashing.Golden)} * (p + 1)) % $M)"
+    val z0 = s"((gh + $addc) % $M)"
+    val stage1 = mul(xor("mza", "mza // 1073741824"), uh(Hashing.Mix1))
+    val stage2 = mul(xor("mzb", "mzb // 134217728"), uh(Hashing.Mix2))
+    val stage3 = xor("mzc", "mzc // 2147483648")
     // band fold consumes the unsigned bit pattern of the signed sig values
     val usig = s"(CASE WHEN sgl < 0 THEN sgl + $M ELSE sgl END)"
     val binit = s"((${uh(Hashing.BandSeed)} + bb) % $M)"
@@ -138,12 +148,27 @@ object DuckHashSql {
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
        |), g AS (
        |  SELECT doc_id, ${gramsSql(shingleLen)} AS grams FROM toks WHERE len(t) >= $shingleLen
+       |), flat AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g
+       |), ghm AS (
+       |  SELECT gram, ${hash64Sql("gram")} AS gh FROM (SELECT DISTINCT gram FROM flat)
+       |), pm0 AS (
+       |  SELECT gh, p, $z0 AS mza
+       |  FROM ghm CROSS JOIN (SELECT unnest(generate_series(0, ${numHashes - 1})) AS p)
+       |), pm1 AS ( SELECT gh, p, $stage1 AS mzb FROM pm0
+       |), pm2 AS ( SELECT gh, p, $stage2 AS mzc FROM pm1
+       |), pm AS ( SELECT gh, p, ${signedSql(stage3)} AS ms FROM pm2
+       |), sigrows AS (
+       |  SELECT f.doc_id, pm.p, min(pm.ms) AS s
+       |  FROM flat f JOIN ghm USING (gram) JOIN pm USING (gh)
+       |  GROUP BY f.doc_id, pm.p
        |), sk AS (
-       |  SELECT doc_id, $ghList AS gh FROM g
+       |  SELECT f.doc_id, list(m.gh) AS gh
+       |  FROM flat f JOIN ghm m USING (gram) GROUP BY f.doc_id
        |), sg AS (
-       |  SELECT doc_id, gh, $sig AS sig FROM sk
+       |  SELECT doc_id, list(s ORDER BY p) AS sig FROM sigrows GROUP BY doc_id
        |), bh AS (
-       |  SELECT doc_id, gh, $bh AS bh FROM sg
+       |  SELECT sk.doc_id, sk.gh, $bh AS bh FROM sg JOIN sk USING (doc_id)
        |), banded AS (
        |  SELECT doc_id, gh, unnest(generate_series(0, ${bands - 1})) AS band_idx, unnest(bh) AS band_hash FROM bh
        |), cand AS (
@@ -170,7 +195,7 @@ object DuckHashSql {
     * member → count survivors per language. */
   def dedupPipelineSql(shingleLen: Int, numHashes: Int, bands: Int, threshold: Double): String =
     s"""WITH RECURSIVE ${minhashPairsCtes(shingleLen, numHashes, bands, threshold)},
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM dups
        |  UNION SELECT id_b, id_a FROM dups
        |), cc AS (

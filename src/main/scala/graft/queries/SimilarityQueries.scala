@@ -34,27 +34,30 @@ object SimilarityQueries {
     * even LSH candidate generation is hash-checked cross-engine. */
   private def planeLit(w: Array[Double]): String = w.map(_.toString).mkString("[", ", ", "]")
 
-  /** Dot of a vector column against a literal plane — same left-to-right
-    * fold as srpBucketsOf's primitive loop. */
-  private def dotLitSql(v: String, plane: Array[Double]): String =
-    s"list_sum(list_transform(generate_series(1, ${plane.length}), i -> cast($v[i] AS double) * (${planeLit(plane)})[i]))"
-
-  /** Bucket id of table `t` (bit p = sign of projection onto plane (t,p)). */
-  private def srpBucketSql(v: String, mat: Array[Array[Double]], t: Int, planes: Int): String =
-    (0 until planes).map { p =>
-      s"(CASE WHEN ${dotLitSql(v, mat(t * planes + p))} >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
-  /** CTE: per (vec_id, t) rows with the SRP bucket — parallel unnest zips
-    * the table index with the per-table bucket expressions. */
+  /** CTE: per (vec_id, t) rows with the SRP bucket. The hyperplanes sit in a
+    * VALUES table (one row per (t, p) with the weight list as a column) and
+    * each projection is one left-to-right list_sum fold per (vector, plane)
+    * row — bit-exact vs srpBucketsOf, and ~300× faster than inlining the
+    * literal array inside the lambda (DuckDB rebuilt the 64-element literal
+    * per element eval: 90 s → 0.3 s at sf0.01). Bucket assembly sums
+    * disjoint bit values — integer arithmetic, order-free. */
   private def srpBandedCte(tables: Int, planes: Int, dim: Int, whereClause: String): String = {
     val mat = graft.operators.Similarity.hyperplaneMatrix(tables, planes, dim)
-    val buckets = (0 until tables).map(t => srpBucketSql("embedding", mat, t, planes)).mkString(", ")
-    s"""banded AS (
-       |  SELECT vec_id, embedding,
-       |    unnest(generate_series(0, ${tables - 1})) AS t,
-       |    unnest([$buckets]) AS bucket
-       |  FROM embeddings $whereClause
+    val values = (0 until tables * planes).map { k =>
+      s"(${k / planes}, ${k % planes}, ${planeLit(mat(k))})"
+    }.mkString(",\n    ")
+    val dot = s"list_sum(list_transform(generate_series(1, $dim), i -> cast(e.embedding[i] AS double) * pl.w[i]))"
+    s"""pl(t, p, w) AS (VALUES
+       |    $values
+       |), srp_proj AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CASE WHEN $dot >= 0 THEN (1::BIGINT << pl.p) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN pl $whereClause
+       |), srp_buckets AS (
+       |  SELECT vec_id, t, sum(bit)::BIGINT AS bucket FROM srp_proj GROUP BY vec_id, t
+       |), banded AS (
+       |  SELECT b.vec_id, e.embedding, b.t, b.bucket
+       |  FROM srp_buckets b JOIN embeddings e USING (vec_id)
        |)""".stripMargin
   }
 
