@@ -53,14 +53,17 @@ object Dedup {
 
   /** Enforced bound for the quadratic verification kernels: the docs said
     * "feed candidates only", but nothing made that contract mechanical — one
-    * misuse away from an O(N²) cartesian at cluster scale. The count is one
-    * cheap aggregate over an input that is small by contract. */
+    * misuse away from an O(N²) cartesian at cluster scale. The guard count
+    * doubles as a materialization point: the input is local-checkpointed, so
+    * both sides of the pairwise self-join reuse the computed rows instead of
+    * re-deriving the upstream (e.g. shingle) pipeline per side. */
   private[graft] def requireBounded(df: DataFrame, maxInput: Long, op: String): DataFrame = {
-    val n = df.count()
+    val cp = df.localCheckpoint(false)
+    val n = cp.count()
     require(n <= maxInput,
       s"$op is a quadratic pairwise kernel: input has $n rows > maxInput=$maxInput. " +
         "Feed it a candidate set (LSH/banded buckets) or raise maxInput deliberately.")
-    df
+    cp
   }
 
   /** Exact pairwise n-gram Jaccard over (id, grams) rows. Quadratic — feed

@@ -458,6 +458,24 @@ object RelationalQueries {
        |FROM events JOIN ranges ON value >= lo AND value < hi
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Salted skew join: lineitem×part on partkey with the key salted by the
+    * order key — row-identical to the plain join (which IS the oracle), but
+    * a hot partkey's rows spread over 16 reducers instead of one. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem").select($"l_partkey".as("partkey"), $"l_orderkey", $"l_quantity")
+    val pt = table(spark, dir, "part").select($"p_partkey".as("partkey"), $"p_brand")
+    graft.operators.SkewJoin.saltedInnerJoin(li, pt, "partkey", saltBy = "l_orderkey", salts = 16)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  val saltedJoinOracle: String =
+    s"""SELECT p_brand, count(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Custom typed Aggregator (SURVEY.md §2.10): exact median per group,
     * checked against DuckDB's median(). */
   def medianAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -498,5 +516,6 @@ object RelationalQueries {
     Q("q31_case_when_agg", caseWhenAgg, Some(caseWhenAggOracle)),
     Q("q32_asof_join", asofJoin, Some(asofJoinOracle)),
     Q("q33_range_join", rangeJoin, Some(rangeJoinOracle)),
-    Q("q34_median_agg", medianAgg, Some(medianAggOracle)))
+    Q("q34_median_agg", medianAgg, Some(medianAggOracle)),
+    Q("q35_salted_skew_join", saltedJoin, Some(saltedJoinOracle)))
 }
