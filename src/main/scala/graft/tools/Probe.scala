@@ -96,6 +96,26 @@ object Probe {
       spark.read.format("fixedwidth").option("fields", "v:int:0:10")
         .load(s"$base/bigint").collect()
     }
+    expectError("decimal-over-scale") {
+      // the stored literal has 3 fraction digits; a (15,2) field must error,
+      // not silently round money
+      Seq("1.999").toDF("v")
+        .write.format("fixedwidth").option("fields", "v:string:0:10")
+        .mode("overwrite").save(s"$base/decscale")
+      spark.read.format("fixedwidth").option("fields", "v:decimal(15,2):0:10")
+        .load(s"$base/decscale").collect()
+    }
+    expectError("decimal-bad-literal") {
+      Seq("12x.45").toDF("v")
+        .write.format("fixedwidth").option("fields", "v:string:0:10")
+        .mode("overwrite").save(s"$base/decbad")
+      spark.read.format("fixedwidth").option("fields", "v:decimal(15,2):0:10")
+        .load(s"$base/decbad").collect()
+    }
+    expectError("decimal-bad-spec") {
+      spark.read.format("fixedwidth").option("fields", "v:decimal(40,2):0:10")
+        .load(s"$base/decbad").collect()
+    }
 
     // Long.MinValue must round-trip exactly (it is 20 ASCII bytes).
     Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("v")
