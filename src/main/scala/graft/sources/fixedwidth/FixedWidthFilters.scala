@@ -19,11 +19,13 @@ object FixedWidthFilters {
 
   /** Field types we can compare (timestamps/dates are stored as epoch
     * micros/days, so comparisons reduce to long/int compares once the
-    * literal is converted through Catalyst's own DateTimeUtils). */
+    * literal is converted through Catalyst's own DateTimeUtils; decimals
+    * compare as exact BigDecimal). */
   private def comparableField(name: String, opts: FixedWidthOptions): Boolean =
     name.equalsIgnoreCase(FixedWidthOptions.OffsetCol) ||
       opts.fields.exists(f => f.name.equalsIgnoreCase(name) &&
-        Set("int", "long", "double", "string", "timestamp", "date").contains(f.ftype))
+        (Set("int", "long", "double", "string", "timestamp", "date").contains(f.ftype) ||
+          FieldSpec.DecimalRe.matches(f.ftype)))
 
   def supported(f: Filter, opts: FixedWidthOptions): Boolean = f match {
     case EqualTo(a, _)            => comparableField(a, opts)
@@ -117,7 +119,20 @@ object FixedWidthFilters {
                         else UTF8String.fromString(new String(buf, s, e - s, cs))
               Integer.valueOf(got.compareTo(v))
             })
-          case _ => None // decimal etc. — not in `supported`, never pushed
+          case FieldSpec.DecimalRe(pp, ss) =>
+            val (prec, scale) = (pp.toInt, ss.toInt)
+            // Catalyst compares decimals by numeric VALUE (scale-agnostic):
+            // BigDecimal.compareTo has the same semantics.
+            val v: java.math.BigDecimal = value match {
+              case b: java.math.BigDecimal => b
+              case b: BigDecimal           => b.bigDecimal
+              case n: Number               => new java.math.BigDecimal(n.toString)
+              case _                       => return None
+            }
+            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
+              else Integer.valueOf(
+                AsciiParse.parseDecimal(buf, from, until, prec, scale).toJavaBigDecimal.compareTo(v)))
+          case _ => None
         }
       }
     }

@@ -196,6 +196,12 @@ class FixedWidthRoundTripSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy {
       bad.write.format("fixedwidth").option("fields", fields).mode("overwrite").save(tmp())
     }
+
+    // decimal comparisons push down fully (value-based compare, no FilterExec)
+    import org.apache.spark.sql.execution.FilterExec
+    val flt = back.filter($"m" > BigDecimal("0.00") && $"m" < BigDecimal("99999.99"))
+    flt.queryExecution.executedPlan.collect { case f: FilterExec => f } shouldBe empty
+    flt.collect().map(_.getInt(0)).sorted shouldBe Array(1)
   }
 
   test("string NULL is lossy by design: decodes back as empty string") {
