@@ -73,23 +73,67 @@ object MultimodalQueries {
       |  cast((1 + doc_id % 5 + 1) // 2 AS int) AS n_sampled
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
 
-  /** Batched mapPartitions feature extraction over the stub decoder —
-    * deterministic but not SQL-replicable (payload bytes exist only JVM-side)
-    * → ROWS_ONLY for the driver; invariants live in MultimodalSpec. */
+  /** Batched mapPartitions feature extraction over the stub decoder. The
+    * payload bytes are java.util.Random output — a SPECIFIED 48-bit LCG —
+    * so the DuckDB oracle regenerates the exact same bytes with a recursive
+    * CTE in hugeint arithmetic and recomputes every feature: even the
+    * codec-plumbing query is hash-checked cross-engine. The per-group mean
+    * goes through the decimal-sum pattern (order-insensitive) on both
+    * sides. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     val m = media(spark, dir)
     Multimodal.extractFeatures(m).toDF()
       .groupBy(col("n_frames"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        round(sum(col("mean_byte").cast("decimal(30,15)")).cast("double") / count(lit(1)), 4)
+          .as("avg_mean_byte"),
         max(col("max_byte")).as("max_byte"),
         sum(col("frame_bytes")).as("total_frame_bytes"))
       .orderBy(col("n_frames"))
   }
 
+  /** java.util.Random twin: seed scramble `(seed ^ 0x5DEECE66D) & (2^48-1)`,
+    * step `seed' = (seed * 0x5DEECE66D + 0xB) mod 2^48`, int k = bits 16..47,
+    * nextBytes takes the int's bytes low-to-high, last int truncated to the
+    * frame remainder — all in hugeint (48-bit seeds never overflow it). */
+  val featuresOracle: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT doc_id,
+      |    (8 + doc_id % 17) * (8 + doc_id % 13) * (1 + doc_id % 3) AS fs,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5 ELSE 1 END AS nf
+      |  FROM documents
+      |), frames AS (
+      |  SELECT doc_id, fs, unnest(generate_series(0, nf - 1)) AS f FROM ids
+      |), rec(doc_id, f, fs, k, seed) AS (
+      |  SELECT doc_id, f, fs, 0,
+      |    ((xor((doc_id * 1000003 + f)::HUGEINT, 25214903917::HUGEINT) % 281474976710656::HUGEINT)
+      |      * 25214903917::HUGEINT + 11) % 281474976710656::HUGEINT
+      |  FROM frames
+      |  UNION ALL
+      |  SELECT doc_id, f, fs, k + 1,
+      |    (seed * 25214903917::HUGEINT + 11) % 281474976710656::HUGEINT
+      |  FROM rec WHERE (k + 1) * 4 < fs
+      |), bytes AS (
+      |  SELECT r.doc_id, ((r.seed // 65536) // (1::HUGEINT << (8 * j.j))) % 256 AS b
+      |  FROM rec r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+      |  WHERE r.k * 4 + j.j < r.fs
+      |), perdoc AS (
+      |  SELECT i.doc_id, i.nf,
+      |    i.nf::BIGINT * i.fs AS frame_bytes,
+      |    cast(sum(b.b) AS DOUBLE) / (i.nf * i.fs) AS mean_byte,
+      |    cast(max(b.b) AS INT) AS max_byte
+      |  FROM bytes b JOIN ids i USING (doc_id)
+      |  GROUP BY i.doc_id, i.nf, i.fs
+      |)
+      |SELECT cast(nf AS INT) AS n_frames, count(*) AS n_docs,
+      |  round(cast(sum(cast(mean_byte AS DECIMAL(30,15))) AS DOUBLE) / count(*), 4) AS avg_mean_byte,
+      |  max(max_byte) AS max_byte,
+      |  cast(sum(frame_bytes) AS BIGINT) AS total_frame_bytes
+      |FROM perdoc GROUP BY nf ORDER BY n_frames""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q80_multimodal_meta", meta, Some(metaOracle)),
-    Q("q81_multimodal_features", features, None),
+    Q("q81_multimodal_features", features, Some(featuresOracle)),
     Q("q82_frame_sample", frameSample, Some(frameSampleOracle)))
 }
