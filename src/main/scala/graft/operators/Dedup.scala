@@ -51,6 +51,21 @@ object Dedup {
     round(inter / (size(a) + size(b) - inter), 6)
   }
 
+  /** Lineage truncation for iterative/multi-consumer plans. With no
+    * `checkpointDir` this is a LOCAL checkpoint: blocks live on executors and
+    * are released by the context cleaner with the result DataFrame — the
+    * right default for interactive use, but they die with executor loss. On
+    * a real cluster, long jobs should pass a reliable `checkpointDir`
+    * (HDFS/object store): blocks then survive executor churn at the cost of
+    * a write to distributed storage per truncation. */
+  private[graft] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Enforced bound for the quadratic verification kernels: the docs said
     * "feed candidates only", but nothing made that contract mechanical — one
     * misuse away from an O(N²) cartesian at cluster scale. The guard count
@@ -192,22 +207,22 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      bucketCap: Int = 2000): DataFrame = {
+      bucketCap: Int = 2000,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val spark = docs.sparkSession
     import spark.implicits._
 
     // (id, gh, bands) computed in primitive loops, materialized ONCE for the
-    // three consumers below via a lazy LOCAL checkpoint: unlike .persist(),
-    // whose CacheManager entry would outlive the caller with no clean
-    // unpersist point, local-checkpoint blocks are released by the context
-    // cleaner once the result DataFrame is garbage-collected. (Trade-off:
-    // local checkpoints don't survive executor loss — on a real cluster a
-    // long near-dup job should swap this for a reliable checkpoint dir.)
+    // three consumers below via truncateLineage: unlike .persist(), whose
+    // CacheManager entry would outlive the caller with no clean unpersist
+    // point, checkpoint blocks/files are released by the context cleaner
+    // once the result DataFrame is garbage-collected. Pass `checkpointDir`
+    // on a real cluster so the materialization survives executor loss.
     // NULL text never matches anything (SQL semantics) — drop before the
     // JVM sketch loop, which (unlike the old expression form) is not
     // null-propagating.
-    val sigs = docs
+    val sigs = truncateLineage(docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
@@ -215,8 +230,7 @@ object Dedup {
         val (gh, _, bh) = sketchOf(text, shingleLen, numHashes, bands)
         if (gh.isEmpty) None else Some((id, gh, bh))
       })
-      .toDF("id", "gh", "bands")
-      .localCheckpoint(false)
+      .toDF("id", "gh", "bands"), checkpointDir)
 
     val banded = sigs
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -341,15 +355,21 @@ object Dedup {
     *
     * Convergence is detected by an order-insensitive edge-set checksum
     * (count + sum of pair hashes) — one tiny driver-side tuple per round,
-    * never the edge data itself.
+    * never the edge data itself. Non-convergence within `maxRounds` THROWS:
+    * extracting components from a non-fixpoint edge set would return
+    * silently-wrong labels, and O(log n) rounds means the default 25 covers
+    * ~2^33 nodes — hitting the cap signals something structurally wrong, not
+    * a need for patience.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxRounds: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     // canonical undirected edges u < v
-    var edges = pairs
+    var edges = truncateLineage(pairs
       .select(least(col("id_a"), col("id_b")).as("u"), greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
 
     // large-star: for every node, link its LARGER neighbors to the minimum
     // of its neighborhood (incl. itself) — shrinks tall chains fast.
@@ -385,12 +405,16 @@ object Dedup {
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = truncateLineage(smallStar(largeStar(edges)), checkpointDir)
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur
       round += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in maxRounds=$maxRounds rounds " +
+        "(the star-forest extraction from a non-fixpoint edge set would label components " +
+        "wrongly; raise maxRounds — the round count is O(log n))")
     // Fixpoint is a star forest: u = component minimum for every edge.
     edges.select(col("v").as("id"), col("u").as("component"))
       .union(edges.select(col("u").as("id"), col("u").as("component")).distinct())
@@ -401,8 +425,8 @@ object Dedup {
     * transitive closure via [[connectedComponents]] — a doc that matches
     * only larger-id docs is still dropped when some chain links it to a
     * smaller one). */
-  def dropVerdicts(pairs: DataFrame): DataFrame =
-    connectedComponents(pairs)
+  def dropVerdicts(pairs: DataFrame, checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, checkpointDir = checkpointDir)
       .filter(col("component") =!= col("id"))
       .select(col("id").as("drop_id"))
       .distinct()

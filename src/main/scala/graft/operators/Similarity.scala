@@ -318,19 +318,22 @@ object Similarity {
       dim: Int,
       tables: Int = 16,
       planes: Int = 4,
-      bucketCap: Int = 2000): DataFrame = {
+      bucketCap: Int = 2000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val mat = hyperplaneMatrix(tables, planes, dim)
 
-    val sigs = corpus
+    // Materialized once for the three consumers below; pass `checkpointDir`
+    // on a real cluster so the sketches survive executor loss
+    // (Dedup.truncateLineage).
+    val sigs = Dedup.truncateLineage(corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, vec) =>
         (id, vec, srpBucketsOf(vec, tables, planes, dim, mat))
       })
-      .toDF("id", "vec", "buckets")
-      .localCheckpoint(false)
+      .toDF("id", "vec", "buckets"), checkpointDir)
 
     val candidates = sigs
       .select(col("id"), posexplode(col("buckets")).as(Seq("t", "bucket")))

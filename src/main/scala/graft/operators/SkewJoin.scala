@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * skew-join split handles moderate skew automatically at runtime; explicit
   * salting remains the tool when a single key exceeds what one task should
   * ever hold, or when AQE is unavailable (streaming state, non-AQE plans).
+  *
+  * Broadcast interplay: if Catalyst decides the REPLICATED build side still
+  * fits the broadcast threshold, it will broadcast it — and then the salt is
+  * pure overhead (a broadcast join has no shuffle to skew; every executor
+  * sees all build rows anyway). This operator is for the case where the
+  * build side does NOT broadcast; callers who want to be certain the salted
+  * shuffle shape is exercised should size the build side past
+  * `spark.sql.autoBroadcastJoinThreshold` or disable auto-broadcast.
   */
 object SkewJoin {
 
@@ -31,8 +39,14 @@ object SkewJoin {
       saltBy: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val saltedProbe = probe.withColumn("_salt", pmod(xxhash64(col(saltBy)), lit(salts)))
-    val replicatedBuild = build.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
-    saltedProbe.join(replicatedBuild, Seq(key, "_salt")).drop("_salt")
+    // The helper column's name must not capture an input column: a probe or
+    // build side that already has `_salt` would silently corrupt the join
+    // condition. Pick a suffixed name that appears in neither schema.
+    val salt = Iterator.from(0).map(i => s"_graft_salt$i")
+      .find(n => !probe.columns.exists(_.equalsIgnoreCase(n)) &&
+        !build.columns.exists(_.equalsIgnoreCase(n))).get
+    val saltedProbe = probe.withColumn(salt, pmod(xxhash64(col(saltBy)), lit(salts)))
+    val replicatedBuild = build.withColumn(salt, explode(array((0 until salts).map(lit): _*)))
+    saltedProbe.join(replicatedBuild, Seq(key, salt)).drop(salt)
   }
 }

@@ -153,8 +153,104 @@ object CoreQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Poisoned-feed fixture: lineitem encoded with the quantity as a STRING
+    * field so bad digits can be planted (`9X<qty>` wherever
+    * l_orderkey % 37 == 0), then read back with the field declared `long` —
+    * the mainframe one-poison-record-in-100TB scenario. The plant is
+    * value-deterministic (keyed on l_orderkey), so DuckDB reproduces it from
+    * the original parquet regardless of file/partition layout. */
+  val poisonWriteLayout: Seq[FieldSpec] = Seq(
+    FieldSpec("l_orderkey", "long", 0, 14),
+    FieldSpec("qty_str", "string", 14, 12),
+    FieldSpec("l_returnflag", "string", 26, 1))
+
+  val poisonReadFields = "l_orderkey:long:0:14,qty:long:14:12,l_returnflag:string:26:1"
+
+  def poisonFixture(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "lineitem_fw_poison")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      val qty = $"l_quantity".cast("long")
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(
+          $"l_orderkey",
+          when($"l_orderkey" % 37 === 0, concat(lit("9X"), qty.cast("string")))
+            .otherwise(qty.cast("string")).as("qty_str"),
+          $"l_returnflag")
+        .write.format("fixedwidth")
+        .option("fields", FixedWidthOptions.renderFields(poisonWriteLayout))
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** The DuckDB twin of the raw poisoned record: writer layout = each value
+    * left-aligned space-padded at its offset (FixedWidthEncoder.place). */
+  private val poisonRawSql: String =
+    "rpad(CAST(l_orderkey AS VARCHAR), 14, ' ') || " +
+      "rpad('9X' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 12, ' ') || l_returnflag"
+
+  /** mode=PERMISSIVE + columnNameOfCorruptRecord: every record survives, the
+    * malformed qty nulls out, and the corrupt column carries the exact raw
+    * record bytes (verified via max() over the payload strings). */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", poisonReadFields)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .load(poisonFixture(spark, dir))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"qty").as("n_good"),
+        sum($"qty").as("sum_qty"),
+        count($"_bad").as("n_bad"),
+        max($"_bad").as("max_bad"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q04Oracle: String =
+    s"""SELECT l_returnflag,
+       |  count(*) AS n_rows,
+       |  CAST(count(CASE WHEN l_orderkey % 37 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+       |  CAST(sum(CASE WHEN l_orderkey % 37 <> 0 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty,
+       |  CAST(count(CASE WHEN l_orderkey % 37 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+       |  max(CASE WHEN l_orderkey % 37 = 0 THEN $poisonRawSql END) AS max_bad
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** mode=DROPMALFORMED: poisoned records vanish entirely; aggregates over
+    * the survivors match the oracle computed with the planted keys excluded. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", poisonReadFields)
+      .option("mode", "DROPMALFORMED")
+      .load(poisonFixture(spark, dir))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"qty").as("sum_qty"),
+        min($"l_orderkey").as("min_key"),
+        max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q05Oracle: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  min(l_orderkey) AS min_key,
+      |  max(l_orderkey) AS max_key
+      |FROM lineitem WHERE l_orderkey % 37 <> 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
-    Q("q03_fw_decimal_money", q03, Some(q03Oracle)))
+    Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
+    Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),
+    Q("q05_fw_dropmalformed", q05, Some(q05Oracle)))
 }

@@ -36,8 +36,23 @@ class FixedWidthColumnarReader(
   // Pushed predicates evaluate straight off the record buffer (independent
   // of the pruned output schema — see FixedWidthFilters.compileOnBuffer).
   private val predicates: Array[() => Boolean] =
-    pushedFilters.flatMap(f => FixedWidthFilters.compileOnBuffer(f, opts, buf, () => recOffset))
+    pushedFilters.flatMap(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => recOffset))
   private var skipped = 0L
+  private var malformed = 0L
+
+  // Malformed-record policy — same probe sets as the row reader (see
+  // FixedWidthPartitionReader). DROPMALFORMED probes ALL declared fields
+  // BEFORE any vector write: a half-written slot can't be reused because
+  // WritableColumnVector.putNull is sticky (overwrites don't clear the null
+  // bit), so dropped records must never touch the vectors.
+  private val corruptIdx: Int = opts.corruptRecordCol
+    .map(c => requiredSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).getOrElse(-1)
+  private val probes: Array[() => Unit] =
+    if (opts.dropMalformed) FixedWidthMalformed.probes(opts.fields, buf)
+    else if (corruptIdx >= 0)
+      FixedWidthMalformed.probes(
+        opts.fields.filterNot(f => requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))), buf)
+    else Array.empty
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, requiredSchema)
@@ -56,6 +71,10 @@ class FixedWidthColumnarReader(
         (r: Int) => v.putByteArray(r, buf, opts.keyStartAt, opts.keyLen)
       case FixedWidthOptions.ValueCol if !opts.typed =>
         (r: Int) => v.putByteArray(r, buf, 0, recLen)
+      case name if opts.corruptRecordCol.exists(_.equalsIgnoreCase(name)) =>
+        // Filled by the PERMISSIVE branch of next() once the record's
+        // malformed verdict is known (putNull is sticky — write exactly once).
+        (_: Int) => ()
       case name =>
         val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
@@ -109,9 +128,48 @@ class FixedWidthColumnarReader(
       var p = 0
       while (pass && p < predicates.length) { pass = predicates(p)(); p += 1 }
       if (pass) {
-        var c = 0
-        while (c < decoders.length) { decoders(c)(n); c += 1 }
-        n += 1
+        if (!opts.tolerant) {
+          var c = 0
+          while (c < decoders.length) { decoders(c)(n); c += 1 }
+          n += 1
+        } else if (opts.dropMalformed) {
+          var ok = true
+          try {
+            var j = 0
+            while (j < probes.length) { probes(j)(); j += 1 }
+          } catch {
+            case _: NumberFormatException =>
+              ok = false; malformed += 1; skipped += 1
+          }
+          if (ok) {
+            var c = 0
+            while (c < decoders.length) { decoders(c)(n); c += 1 }
+            n += 1
+          }
+        } else { // PERMISSIVE: null bad fields; corrupt column written last
+          var bad = false
+          var c = 0
+          while (c < decoders.length) {
+            if (c != corruptIdx) {
+              try decoders(c)(n)
+              catch { case _: NumberFormatException => vectors(c).putNull(n); bad = true }
+            }
+            c += 1
+          }
+          if (corruptIdx >= 0) {
+            var j = 0
+            while (!bad && j < probes.length) {
+              try probes(j)() catch { case _: NumberFormatException => bad = true }
+              j += 1
+            }
+            if (bad) {
+              val raw = FixedWidthMalformed.rawRecord(buf, recLen, opts.charset)
+              vectors(corruptIdx).putByteArray(n, raw.getBytes)
+            } else vectors(corruptIdx).putNull(n)
+          }
+          if (bad) malformed += 1
+          n += 1
+        }
       } else skipped += 1
     }
     batch.setNumRows(n)
@@ -129,5 +187,6 @@ class FixedWidthColumnarReader(
     Array(
       FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
       FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
-      FixedWidthMetrics.task("fwRecordsSkipped", skipped))
+      FixedWidthMetrics.task("fwRecordsSkipped", skipped),
+      FixedWidthMetrics.task("fwRecordsMalformed", malformed))
 }

@@ -27,6 +27,12 @@ object FixedWidthFilters {
         (Set("int", "long", "double", "string", "timestamp", "date").contains(f.ftype) ||
           FieldSpec.DecimalRe.matches(f.ftype)))
 
+  /** String-typed declared field (prefix/suffix/contains push down only on
+    * these — they are the cheapest predicates this format can run: byte
+    * compares at a fixed offset). */
+  private def stringField(name: String, opts: FixedWidthOptions): Boolean =
+    opts.fields.exists(f => f.name.equalsIgnoreCase(name) && f.ftype == "string")
+
   def supported(f: Filter, opts: FixedWidthOptions): Boolean = f match {
     case EqualTo(a, _)            => comparableField(a, opts)
     case GreaterThan(a, _)        => comparableField(a, opts)
@@ -36,9 +42,33 @@ object FixedWidthFilters {
     case IsNotNull(a)             => comparableField(a, opts)
     case IsNull(a)                => comparableField(a, opts)
     case In(a, vs)                => vs.nonEmpty && vs.forall(_ != null) && comparableField(a, opts)
+    case StringStartsWith(a, v)   => v != null && stringField(a, opts)
+    case StringEndsWith(a, v)     => v != null && stringField(a, opts)
+    case StringContains(a, v)     => v != null && stringField(a, opts)
     case And(l, r)                => supported(l, opts) && supported(r, opts)
+    // `l_returnflag = 'A' OR l_returnflag = 'R'` arrives as Or (not In) when
+    // written with ||; composes exactly like And. Our compiled predicates
+    // encode NULL as false, which is sound under Or: null|true = true either
+    // way, null|false = null = filtered. (Not is NOT pushable under this
+    // encoding: not(null) = null must filter, but not(false) = true.)
+    case Or(l, r)                 => supported(l, opts) && supported(r, opts)
     case _                        => false
   }
+
+  /** compileOnBuffer + the reader-facing malformed policy: under tolerant
+    * modes a predicate field whose bytes fail the typed parse evaluates as
+    * SQL NULL (no match) instead of throwing — identical to what Spark would
+    * compute post-scan on the PERMISSIVE-nulled field, and an
+    * already-doomed record under DROPMALFORMED. */
+  def compileTolerant(
+      f: Filter,
+      opts: FixedWidthOptions,
+      buf: Array[Byte],
+      offset: () => Long): Option[() => Boolean] =
+    compileOnBuffer(f, opts, buf, offset).map { p =>
+      if (!opts.tolerant) p
+      else () => try p() catch { case _: NumberFormatException => false }
+    }
 
   /** Compile a pushed filter to a predicate over the reused record buffer.
     * `offset` supplies the current record's byte offset (the synthetic
@@ -137,6 +167,26 @@ object FixedWidthFilters {
       }
     }
 
+    /** The decoded (trimmed, charset-converted) value of a string field —
+      * exactly what the column decoder emits, so pushed prefix/suffix/
+      * contains predicates match Catalyst's post-scan semantics bit-exactly. */
+    def strGetter(name: String): Option[() => UTF8String] =
+      fieldOf(name).filter(_.ftype == "string").map { fs =>
+        val (from, until) = (fs.start, fs.end)
+        val cs = opts.charset
+        val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+        val trimRight = opts.trim == "right" || opts.trim == "both"
+        val trimLeft = opts.trim == "left" || opts.trim == "both"
+        () => {
+          var s = from
+          var e = until
+          if (trimRight) while (e > s && buf(e - 1) == ' ') e -= 1
+          if (trimLeft) while (s < e && buf(s) == ' ') s += 1
+          if (utf8) UTF8String.fromBytes(buf, s, e - s)
+          else UTF8String.fromString(new String(buf, s, e - s, cs))
+        }
+      }
+
     /** String fields decode to "" (never NULL); numeric fields are NULL iff
       * blank; offset is never NULL. */
     def isNullPred(name: String, expectNull: Boolean): Option[() => Boolean] = {
@@ -166,11 +216,25 @@ object FixedWidthFilters {
         val compiled = vs.toSeq.map(v => fromCmp(a, v)(_ == 0))
         if (compiled.exists(_.isEmpty)) None
         else Some(() => compiled.exists(_.get()))
+      case StringStartsWith(a, v) =>
+        val pre = UTF8String.fromString(v)
+        strGetter(a).map(g => () => g().startsWith(pre))
+      case StringEndsWith(a, v) =>
+        val suf = UTF8String.fromString(v)
+        strGetter(a).map(g => () => g().endsWith(suf))
+      case StringContains(a, v) =>
+        val sub = UTF8String.fromString(v)
+        strGetter(a).map(g => () => g().contains(sub))
       case And(l, r) =>
         for {
           lp <- compileOnBuffer(l, opts, buf, offset)
           rp <- compileOnBuffer(r, opts, buf, offset)
         } yield () => lp() && rp()
+      case Or(l, r) =>
+        for {
+          lp <- compileOnBuffer(l, opts, buf, offset)
+          rp <- compileOnBuffer(r, opts, buf, offset)
+        } yield () => lp() || rp()
       case _ => None
     }
   }

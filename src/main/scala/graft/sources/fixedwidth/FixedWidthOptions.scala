@@ -55,9 +55,21 @@ final case class FixedWidthOptions(
     charsetName: String,
     trim: String,
     mode: String = "FAILFAST",
-    allowCompressed: Boolean = false) {
+    allowCompressed: Boolean = false,
+    corruptRecordCol: Option[String] = None) {
 
   def permissive: Boolean = mode == "PERMISSIVE"
+  def dropMalformed: Boolean = mode == "DROPMALFORMED"
+
+  /** Non-FAILFAST modes tolerate structural damage: a trailing partial
+    * record is dropped instead of erroring, and a field whose bytes fail the
+    * typed parse nulls out (PERMISSIVE) or drops its record (DROPMALFORMED)
+    * instead of killing the job — at 100 TB one poison record in a mainframe
+    * feed is a certainty. (The reference has no typed decode: it hands raw
+    * bytes to user code, FixedLengthRecordReader.java:237-243, so user code
+    * was the malformed-record policy; these modes restore that escape hatch
+    * at the engine level with Spark CSV/JSON-source-parity semantics.) */
+  def tolerant: Boolean = mode != "FAILFAST"
 
   def typed: Boolean = fields.nonEmpty
   def hasKey: Boolean = keyStartAt >= 0
@@ -74,8 +86,11 @@ final case class FixedWidthOptions(
     */
   def schema: StructType =
     if (typed) {
-      StructType(StructField(FixedWidthOptions.OffsetCol, LongType, nullable = false) +:
-        fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+      val base = StructField(FixedWidthOptions.OffsetCol, LongType, nullable = false) +:
+        fields.map(f => StructField(f.name, f.dataType, nullable = true))
+      // The corrupt-record column is always LAST so readers can fill it after
+      // every typed field's malformed verdict is known.
+      StructType(base ++ corruptRecordCol.map(StructField(_, StringType, nullable = true)))
     } else {
       val base = Seq(StructField(FixedWidthOptions.OffsetCol, LongType, nullable = false))
       val key = if (hasKey) Seq(StructField(FixedWidthOptions.KeyCol, BinaryType, nullable = false)) else Nil
@@ -151,12 +166,29 @@ object FixedWidthOptions {
     }
 
     // FAILFAST = reference parity (truncated file ⇒ error,
-    // FixedLengthRecordReader.java:225-235); PERMISSIVE drops a trailing
-    // partial record instead.
+    // FixedLengthRecordReader.java:225-235). PERMISSIVE drops a trailing
+    // partial record and nulls malformed typed fields; DROPMALFORMED drops
+    // the trailing partial AND every record with a malformed typed field
+    // (CSV/JSON source parity).
     val mode = Option(map.get("mode")).getOrElse("FAILFAST").toUpperCase
-    if (!Set("FAILFAST", "PERMISSIVE").contains(mode))
+    if (!Set("FAILFAST", "PERMISSIVE", "DROPMALFORMED").contains(mode))
       throw new IllegalArgumentException(
-        s"fixedwidth: option 'mode' must be FAILFAST or PERMISSIVE, got '$mode'")
+        s"fixedwidth: option 'mode' must be FAILFAST, PERMISSIVE or DROPMALFORMED, got '$mode'")
+
+    val corruptCol = Option(map.get("columnNameOfCorruptRecord")).map(_.trim).filter(_.nonEmpty)
+    corruptCol.foreach { c =>
+      if (fields.isEmpty)
+        throw new IllegalArgumentException(
+          "fixedwidth: 'columnNameOfCorruptRecord' requires a 'fields' layout " +
+            "(raw mode has no typed decode, so nothing can be malformed)")
+      if (mode != "PERMISSIVE")
+        throw new IllegalArgumentException(
+          "fixedwidth: 'columnNameOfCorruptRecord' requires mode=PERMISSIVE " +
+            s"(got $mode; DROPMALFORMED discards the record, FAILFAST errors)")
+      if (c.equalsIgnoreCase(OffsetCol) || fields.exists(_.name.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"fixedwidth: 'columnNameOfCorruptRecord' ('$c') collides with a declared column")
+    }
 
     FixedWidthOptions(
       recordLength = recordLength,
@@ -166,7 +198,8 @@ object FixedWidthOptions {
       charsetName = charsetName,
       trim = trim,
       mode = mode,
-      allowCompressed = Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true")))
+      allowCompressed = Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true")),
+      corruptRecordCol = corruptCol)
   }
 
   /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.

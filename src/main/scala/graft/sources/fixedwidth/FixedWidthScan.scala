@@ -124,10 +124,15 @@ object FixedWidthMetrics {
   }
   class RecordsSkipped extends CustomSumMetric {
     override def name(): String = "fwRecordsSkipped"
-    override def description(): String = "records skipped by pushed filters"
+    override def description(): String = "records skipped by pushed filters or dropped as malformed"
+  }
+  class RecordsMalformed extends CustomSumMetric {
+    override def name(): String = "fwRecordsMalformed"
+    override def description(): String = "records with >=1 malformed typed field (nulled or dropped)"
   }
 
-  def all: Array[CustomMetric] = Array(new RecordsRead, new BytesRead, new RecordsSkipped)
+  def all: Array[CustomMetric] =
+    Array(new RecordsRead, new BytesRead, new RecordsSkipped, new RecordsMalformed)
 
   // NB: parameter must not be called `name` — inside the anonymous class the
   // member `name()` would shadow it and `def name() = name` becomes a
@@ -187,10 +192,10 @@ object FixedWidthScan {
             "(reference parity — set allowCompressed=true for a single-partition whole-file read)")
     }
     plain.foreach { case (p, len) =>
-      if (len % recLen != 0 && !opts.permissive)
+      if (len % recLen != 0 && !opts.tolerant)
         throw new IllegalArgumentException(
           s"fixedwidth: file length $len of $p is not a multiple of recordLength=$recLen " +
-            "(truncated or corrupt fixed-width file; mode=PERMISSIVE drops the trailing partial record)")
+            "(truncated or corrupt fixed-width file; mode=PERMISSIVE/DROPMALFORMED drops the trailing partial record)")
     }
 
     val session = SparkSession.active
@@ -341,7 +346,7 @@ final class ChunkedRecordStream(
         val r = compIn.read(buf, n, recLen - n)
         if (r < 0) {
           if (n == 0) return false
-          if (opts.permissive) return false // drop trailing partial record
+          if (opts.tolerant) return false // drop trailing partial record
           truncated()
         }
         n += r
@@ -407,7 +412,22 @@ class FixedWidthPartitionReader(
   // filters are NOT re-evaluated by Spark and their columns may not even be
   // projected. Non-matching records never run a single column decoder.
   private val predicates: Array[() => Boolean] =
-    pushedFilters.flatMap(f => FixedWidthFilters.compileOnBuffer(f, opts, buf, () => pos))
+    pushedFilters.flatMap(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => pos))
+
+  // Malformed-record policy (see FixedWidthMalformed). `probes` attempt-parse
+  // the typed fields whose malformation the projected decoders would not
+  // surface: ALL fields under DROPMALFORMED (the drop verdict must not depend
+  // on which columns a query projects), the non-projected ones under
+  // PERMISSIVE when the corrupt-record column is selected.
+  private val corruptIdx: Int = opts.corruptRecordCol
+    .map(c => requiredSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).getOrElse(-1)
+  private val probes: Array[() => Unit] =
+    if (opts.dropMalformed) FixedWidthMalformed.probes(opts.fields, buf)
+    else if (corruptIdx >= 0)
+      FixedWidthMalformed.probes(
+        opts.fields.filterNot(f => requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))), buf)
+    else Array.empty
+  private var recordsMalformed = 0L
 
   override def next(): Boolean = {
     var at = stream.fetch(buf)
@@ -417,15 +437,52 @@ class FixedWidthPartitionReader(
       var i = 0
       while (pass && i < predicates.length) { pass = predicates(i)(); i += 1 }
       if (pass) {
-        i = 0
-        while (i < decoders.length) { decoders(i)(); i += 1 }
-        return true
-      }
-      recordsSkipped += 1
+        if (decodeRecord()) return true // else: dropped as malformed
+      } else recordsSkipped += 1
       at = stream.fetch(buf)
     }
     false
   }
+
+  /** Decode the current record into `row`; false ⇒ drop it (DROPMALFORMED). */
+  private def decodeRecord(): Boolean =
+    if (!opts.tolerant) {
+      var i = 0
+      while (i < decoders.length) { decoders(i)(); i += 1 }
+      true
+    } else if (opts.dropMalformed) {
+      try {
+        var i = 0
+        while (i < probes.length) { probes(i)(); i += 1 }
+      } catch {
+        case _: NumberFormatException =>
+          recordsMalformed += 1
+          recordsSkipped += 1
+          return false
+      }
+      var i = 0
+      while (i < decoders.length) { decoders(i)(); i += 1 }
+      true
+    } else { // PERMISSIVE: null the bad field(s), optionally keep the raw record
+      var bad = false
+      var i = 0
+      while (i < decoders.length) {
+        try decoders(i)()
+        catch { case _: NumberFormatException => row.setNullAt(i); bad = true }
+        i += 1
+      }
+      if (corruptIdx >= 0) {
+        var j = 0
+        while (!bad && j < probes.length) {
+          try probes(j)() catch { case _: NumberFormatException => bad = true }
+          j += 1
+        }
+        // decoders already nulled the slot; overwrite only when malformed
+        if (bad) row.update(corruptIdx, FixedWidthMalformed.rawRecord(buf, recLen, opts.charset))
+      }
+      if (bad) recordsMalformed += 1
+      true
+    }
 
   override def get(): InternalRow = proj(row)
 
@@ -435,7 +492,8 @@ class FixedWidthPartitionReader(
     Array(
       FixedWidthMetrics.task("fwRecordsRead", stream.recordsRead),
       FixedWidthMetrics.task("fwBytesRead", stream.recordsRead * recLen),
-      FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped))
+      FixedWidthMetrics.task("fwRecordsSkipped", recordsSkipped),
+      FixedWidthMetrics.task("fwRecordsMalformed", recordsMalformed))
 }
 
 /** Precompiled per-column decoders from a reused record buffer into a
@@ -467,6 +525,10 @@ object FixedWidthRowDecoders {
           }
         case FixedWidthOptions.ValueCol if !opts.typed =>
           () => row.update(i, buf)
+        case name if opts.corruptRecordCol.exists(_.equalsIgnoreCase(name)) =>
+          // Default NULL; the PERMISSIVE reader overwrites it with the raw
+          // record after the record's malformed verdict is known.
+          () => row.setNullAt(i)
         case name =>
           val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
             throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
@@ -511,6 +573,39 @@ object FixedWidthRowDecoders {
         else row.update(i, AsciiParse.parseDecimal(buf, f.start, f.end, prec, scale))
       }
   }
+}
+
+/** Malformed-typed-field machinery shared by the row and columnar readers:
+  * attempt-parse probes (throw `NumberFormatException` iff the field's bytes
+  * would not decode) and the raw-record payload for the corrupt-record
+  * column. String fields can never malform (any bytes are a valid string),
+  * so they compile to no probe.
+  */
+object FixedWidthMalformed {
+
+  def probes(fields: Seq[FieldSpec], buf: Array[Byte]): Array[() => Unit] =
+    fields.flatMap { f =>
+      val (from, until) = (f.start, f.end)
+      f.ftype match {
+        case "string" => None
+        case "int" | "date" =>
+          Some(() => if (!AsciiParse.isBlank(buf, from, until)) { AsciiParse.parseInt(buf, from, until); () })
+        case "long" | "timestamp" =>
+          Some(() => if (!AsciiParse.isBlank(buf, from, until)) { AsciiParse.parseLong(buf, from, until); () })
+        case "double" =>
+          Some(() => { AsciiParse.parseDouble(buf, from, until); () })
+        case FieldSpec.DecimalRe(p, s) =>
+          val (prec, scale) = (p.toInt, s.toInt)
+          Some(() => if (!AsciiParse.isBlank(buf, from, until)) { AsciiParse.parseDecimal(buf, from, until, prec, scale); () })
+      }
+    }.toArray
+
+  /** The corrupt-record payload: the whole raw record, charset-decoded,
+    * UNtrimmed (the fixed-width analog of CSV's raw line). The returned
+    * UTF8String may share `buf` — callers copy before the next record. */
+  def rawRecord(buf: Array[Byte], recLen: Int, cs: java.nio.charset.Charset): UTF8String =
+    if (cs == java.nio.charset.StandardCharsets.UTF_8) UTF8String.fromBytes(buf, 0, recLen)
+    else UTF8String.fromString(new String(buf, 0, recLen, cs))
 }
 
 /** Allocation-free ASCII numeric parsing over a byte range (spaces trimmed on

@@ -129,6 +129,32 @@ class DedupSpec extends SparkSpec with Matchers {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxInput = 3)
   }
 
+  test("connected components FAIL LOUDLY when maxRounds is hit before the fixpoint") {
+    import spark.implicits._
+    // a 40-node chain cannot reach its star-forest fixpoint in one round —
+    // the old behavior silently returned wrong labels from the non-fixpoint
+    // edge set; now it must throw.
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxRounds = 1).collect())
+    e.getMessage should include("did not converge")
+    // and with enough rounds the same chain is one component rooted at 0
+    val comps = Dedup.connectedComponents(chain)
+      .select($"component").distinct().collect().map(_.getLong(0))
+    comps shouldBe Array(0L)
+  }
+
+  test("reliable checkpointDir variant produces identical components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    // the reliable checkpoint actually wrote to the requested dir
+    new java.io.File(dir).listFiles should not be empty
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))

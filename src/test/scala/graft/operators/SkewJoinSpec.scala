@@ -38,4 +38,23 @@ class SkewJoinSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       SkewJoin.saltedInnerJoin(probe, build, "k", "row_id", salts = 0)
   }
+
+  test("inputs that already contain salt-like columns are not corrupted") {
+    import spark.implicits._
+    // probe carries `_salt` AND the first-choice helper name `_graft_salt0`;
+    // the operator must pick a fresh name, join correctly, and preserve the
+    // caller's columns untouched.
+    val probe = Seq((1, 10L, 99L, 77L), (2, 20L, 98L, 76L))
+      .toDF("k", "row_id", "_salt", "_graft_salt0")
+    val build = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "name")
+    val out = SkewJoin.saltedInnerJoin(probe, build, "k", "row_id", salts = 4)
+    out.columns.toSeq should contain allOf ("_salt", "_graft_salt0")
+    val rows = out.select($"k", $"_salt", $"_graft_salt0", $"name").orderBy($"k").collect()
+    rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq shouldBe
+      Seq((1, 99L, 77L, "a"), (2, 98L, 76L, "b"))
+
+    // build side carrying the helper name too
+    val build2 = Seq((1, "a", 5L), (2, "b", 6L)).toDF("k", "name", "_graft_salt1")
+    SkewJoin.saltedInnerJoin(probe, build2, "k", "row_id", salts = 4).count() shouldBe 2L
+  }
 }
