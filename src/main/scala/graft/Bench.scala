@@ -10,9 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/filesystem first-touch costs otherwise land
-    // on whichever query runs first.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    warmup(spark, sfDir)
     // Deterministic name order: Map iteration order shuffles across builds,
     // which moved shared lazy-init costs between queries and made
     // round-over-round per-query timings non-comparable.
@@ -32,5 +30,42 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Untimed warmup: one-time JVM/codegen/machinery init costs otherwise
+    * land on whichever query happens to run first under sorted order (r3:
+    * q01 absorbed session+encode init, q70 absorbed streaming init — both
+    * looked 2-3 s slower than their steady-state cost), making per-query
+    * round-over-round deltas untrustworthy. Nothing here computes any timed
+    * query's ANSWER — it initializes shared machinery and materializes the
+    * per-scale-dir input fixtures (idempotent, marker-guarded). */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // parquet scan + whole-stage codegen + FS first-touch
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // fixed-width scratch fixtures (encode side) — the queries' input data
+    queries.CoreQueries.warmFixtures(spark, sfDir)
+    // fixedwidth DSv2 read machinery on a throwaway 3-record file
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+    java.nio.file.Files.write(java.nio.file.Path.of(tmp, "w.fwb"),
+      "aaaabbbbcccc".getBytes("US-ASCII"))
+    spark.read.format("fixedwidth").option("recordLength", 4).load(tmp).count()
+    // streaming micro-batch machinery (checkpoint log, memory sink, state
+    // store) via a throwaway 3-row file stream — NOT the events table
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warmstream").toString
+    spark.range(3).selectExpr("id", "id % 2 AS k").write.mode("overwrite").parquet(warmDir)
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(warmDir).schema)
+      .parquet(warmDir)
+      .groupBy(col("k")).count()
+    val q = streamed.writeStream
+      .format("memory").queryName("bench_warmup").outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bench-warmckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("bench_warmup").count()
+    spark.catalog.clearCache()
   }
 }

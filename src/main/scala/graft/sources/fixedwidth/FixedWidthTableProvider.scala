@@ -30,12 +30,19 @@ class FixedWidthTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FixedWidthOptions(options).schema
 
+  /** External metadata = the writer's `partitionBy(...)` transforms reach
+    * `getTable` (that is the only way DSv2 hands them to a path-based
+    * provider). The byte layout remains the single source of truth for the
+    * READ schema: the table always reports the option-derived schema; a
+    * user-passed read schema is ignored rather than trusted. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FixedWidthTable(FixedWidthOptions(opts), opts)
+    new FixedWidthTable(FixedWidthOptions(opts), opts, partitioning)
   }
 }
 
@@ -55,6 +62,16 @@ object FixedWidthTable {
   def isDataFile(s: FileStatus): Boolean = {
     val n = s.getPath.getName
     s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Recursive data-file listing under a directory: partitioned layouts
+    * (`col=value/` subdirectories) nest files arbitrarily deep; `_`/`.`
+    * prefixed names are skipped at every level. */
+  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] = {
+    val n = st.getPath.getName
+    if (n.startsWith("_") || n.startsWith(".")) Nil
+    else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
+    else Seq(st).filter(isDataFile)
   }
 
   /** Resolve the `path`/`paths` options to concrete data files. Runs on the
@@ -87,15 +104,36 @@ object FixedWidthTable {
       if (globbed.isEmpty)
         throw new IllegalArgumentException(s"fixedwidth: path does not exist: $p")
       globbed.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(isDataFile)
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
         else Seq(st).filter(isDataFile)
       }
     }
   }
 }
 
-class FixedWidthTable(val fwOptions: FixedWidthOptions, tableOptions: CaseInsensitiveStringMap)
+class FixedWidthTable(
+    val fwOptions: FixedWidthOptions,
+    tableOptions: CaseInsensitiveStringMap,
+    partitionTransforms: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite {
+
+  /** Column names of the writer's `partitionBy(...)` — identity transforms
+    * only (bucket/days/etc. have no meaning for a directory-indexed flat
+    * format), each naming a declared typed field. */
+  val partitionCols: Seq[String] = partitionTransforms.toSeq.map {
+    case id: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+      val name = id.ref.fieldNames.mkString(".")
+      if (!fwOptions.fields.exists(_.name.equalsIgnoreCase(name)))
+        throw new IllegalArgumentException(
+          s"fixedwidth: partition column '$name' is not a declared field " +
+            "(partitionBy requires a 'fields' layout naming each partition column)")
+      name
+    case other =>
+      throw new IllegalArgumentException(
+        s"fixedwidth: unsupported partition transform '$other' (only identity columns)")
+  }
+
+  override def partitioning(): Array[Transform] = partitionTransforms
 
   override def name(): String =
     s"fixedwidth(${Option(tableOptions.get("path")).getOrElse(Option(tableOptions.get("paths")).getOrElse("?"))})"
@@ -120,6 +158,6 @@ class FixedWidthTable(val fwOptions: FixedWidthOptions, tableOptions: CaseInsens
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    new FixedWidthWriteBuilder(fwOptions, tableOptions, info, conf)
+    new FixedWidthWriteBuilder(fwOptions, tableOptions, info, conf, partitionCols)
   }
 }

@@ -12,20 +12,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** Fixed-width sink: the inverse of the scan, the production analog of the
   * reference test harness's file writers (reference
   * TestFixedLengthInputFormat.java:92-134, :142-181 — which hand-write
-  * exact-multiple files to drive the reader). Each task writes one
-  * exact-multiple-of-recordLength binary file; records are space-padded.
+  * exact-multiple files to drive the reader). Each task writes
+  * exact-multiple-of-recordLength binary files; records are space-padded.
   *
   * Typed mode (`fields` layout): each named field is encoded at its byte
   * range — strings right-padded (truncated if over-width), numerics as ASCII
   * (doubles via `Double.toString`, the shortest form that round-trips
   * exactly; timestamps as epoch-micros; dates as epoch-day). Raw mode: the
   * incoming `value` binary/string column is padded to `recordLength`.
+  *
+  * `partitionBy(cols)` lays files out Hive-style (`col=value/` directories)
+  * so the scan can DIRECTORY-PRUNE — the only IO skip an indexless format
+  * can ever get (real fixed-width feeds are laid out by date). Divergence
+  * from parquet convention, on purpose: partition columns stay IN the record
+  * bytes (every record remains self-contained and exactly recordLength
+  * wide); the directory layout is purely an index, never the data.
   */
 class FixedWidthWriteBuilder(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
     info: LogicalWriteInfo,
-    conf: Configuration)
+    conf: Configuration,
+    partitionCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -36,26 +44,29 @@ class FixedWidthWriteBuilder(
     override def toBatch: BatchWrite = {
       val path = Option(tableOptions.get("path")).getOrElse(
         throw new IllegalArgumentException("fixedwidth: write requires a single 'path'"))
-      new FixedWidthBatchWrite(path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf))
+      new FixedWidthBatchWrite(
+        path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf), partitionCols)
     }
   }
 }
 
 /** Job-level commit protocol (the analog of Hadoop's FileOutputCommitter,
   * which the reference's MapReduce pipeline got for free): every task writes
-  * into a job-scoped `_temporary-<jobId>` directory; `commit()` renames the
-  * committed tasks' files into the final directory and drops a `_SUCCESS`
-  * marker; `abort()` (or a task lost without abort) leaves nothing visible
-  * because readers skip `_`-prefixed paths and the temp dir is deleted.
-  * Speculative/zombie task attempts are harmless: only files named in commit
-  * messages are renamed, the rest die with the temp dir.
+  * into a job-scoped `_temporary-<jobId>` directory (mirroring the final
+  * partition subdirectories); `commit()` renames the committed tasks' files
+  * into the final directory tree and drops a `_SUCCESS` marker; `abort()`
+  * (or a task lost without abort) leaves nothing visible because readers
+  * skip `_`-prefixed paths and the temp dir is deleted. Speculative/zombie
+  * task attempts are harmless: only files named in commit messages are
+  * renamed, the rest die with the temp dir.
   */
 class FixedWidthBatchWrite(
     path: String,
     opts: FixedWidthOptions,
     querySchema: StructType,
     truncate: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    partitionCols: Seq[String] = Nil)
     extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString
@@ -69,17 +80,21 @@ class FixedWidthBatchWrite(
     fs.mkdirs(tempDir)
     // Validate the incoming schema maps onto the layout once, up front.
     FixedWidthEncoder.plan(opts, querySchema)
-    new FixedWidthDataWriterFactory(tempDir.toString, opts, querySchema, conf)
+    FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
+    new FixedWidthDataWriterFactory(tempDir.toString, opts, querySchema, conf, partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     messages.collect { case m: FixedWidthCommitMessage => m }.foreach { m =>
-      val src = new Path(m.file)
-      val dst = new Path(dir, src.getName)
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"fixedwidth: commit failed to rename $src -> $dst")
+      m.relPaths.foreach { rel =>
+        val src = new Path(tempDir, rel)
+        val dst = new Path(dir, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"fixedwidth: commit failed to rename $src -> $dst")
+      }
     }
     fs.delete(tempDir, true)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
@@ -91,48 +106,76 @@ class FixedWidthBatchWrite(
   }
 }
 
-final case class FixedWidthCommitMessage(file: String, records: Long) extends WriterCommitMessage
+/** `relPaths` are partition-relative (`a=1/b=x/part-...fwb`) so commit can
+  * reproduce the directory tree under the final path. */
+final case class FixedWidthCommitMessage(relPaths: Seq[String], records: Long)
+    extends WriterCommitMessage
 
 class FixedWidthDataWriterFactory(
     tempDir: String,
     opts: FixedWidthOptions,
     querySchema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    partitionCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FixedWidthDataWriter(
-      f"$tempDir/part-$partitionId%05d-$taskId.fwb", opts, querySchema, conf.value)
+      tempDir, f"part-$partitionId%05d-$taskId.fwb", opts, querySchema, conf.value, partitionCols)
 }
 
 class FixedWidthDataWriter(
-    file: String,
+    tempDir: String,
+    fileName: String,
     opts: FixedWidthOptions,
     querySchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    partitionCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val p = new Path(file)
-  private val out = p.getFileSystem(conf).create(p, true)
+  private val fs = new Path(tempDir).getFileSystem(conf)
   private val encoders = FixedWidthEncoder.plan(opts, querySchema)
+  private val partRender = FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
   private val buf = new Array[Byte](opts.recordLength)
   private var records = 0L
 
+  // One open stream per partition directory seen by this task (a task's
+  // rows may span many partition values — same as Spark's dynamic
+  // partition file writers). Unpartitioned writes collapse to one entry
+  // under key "".
+  private val streams = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
+  private def streamFor(relDir: String): org.apache.hadoop.fs.FSDataOutputStream =
+    streams.getOrElseUpdate(relDir, {
+      val p = if (relDir.isEmpty) new Path(tempDir, fileName)
+              else new Path(new Path(tempDir, relDir), fileName)
+      fs.create(p, true)
+    })
+
   override def write(record: InternalRow): Unit = {
+    val relDir =
+      if (partRender.isEmpty) ""
+      else partRender.map { case (name, r) =>
+        s"$name=${FixedWidthEncoder.escapePartitionValue(r(record))}"
+      }.mkString("/")
     java.util.Arrays.fill(buf, ' '.toByte)
     var i = 0
     while (i < encoders.length) { encoders(i)(record, buf); i += 1 }
-    out.write(buf)
+    streamFor(relDir).write(buf)
     records += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    FixedWidthCommitMessage(file, records)
+    streams.values.foreach(_.close())
+    val rels = streams.keys.toSeq.map(d => if (d.isEmpty) fileName else s"$d/$fileName")
+    FixedWidthCommitMessage(rels, records)
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Throwable => }
-    p.getFileSystem(conf).delete(p, false)
+    streams.values.foreach(s => try s.close() catch { case _: Throwable => })
+    streams.keys.foreach { d =>
+      val p = if (d.isEmpty) new Path(tempDir, fileName)
+              else new Path(new Path(tempDir, d), fileName)
+      try fs.delete(p, false) catch { case _: Throwable => }
+    }
   }
 
   override def close(): Unit = ()
@@ -175,6 +218,84 @@ object FixedWidthEncoder {
       }
       Array(enc)
     }
+  }
+
+  /** Per-partition-column (name, row => directory value string) in the
+    * user-declared order. The rendered string is the SAME text the field
+    * encoder writes into the record (so directory pruning and record
+    * predicates see one value); NULL renders as "" — the blank-field NULL
+    * encoding this format already uses. */
+  def partitionRenderers(
+      opts: FixedWidthOptions,
+      querySchema: StructType,
+      partitionCols: Seq[String]): Array[(String, InternalRow => String)] = {
+    if (partitionCols.nonEmpty && !opts.typed)
+      throw new IllegalArgumentException(
+        "fixedwidth: partitionBy requires a 'fields' layout (raw mode has no named columns)")
+    partitionCols.map { c =>
+      val f = opts.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"fixedwidth: partition column '$c' is not a declared field"))
+      val ord = querySchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (ord < 0)
+        throw new IllegalArgumentException(
+          s"fixedwidth: write schema is missing partition column '$c' " +
+            s"(have: ${querySchema.fieldNames.mkString(", ")})")
+      val dt = querySchema.fields(ord).dataType
+      val render: InternalRow => String = (f.ftype, dt) match {
+        case (_, _) if false => null // exhaustivity anchor
+        case ("string", StringType)       => r => r.getUTF8String(ord).toString
+        case ("int", IntegerType)         => r => r.getInt(ord).toString
+        case ("long", LongType)           => r => r.getLong(ord).toString
+        case ("long", IntegerType)        => r => r.getInt(ord).toString
+        case ("double", DoubleType)       => r => r.getDouble(ord).toString
+        case ("date", DateType)           => r => r.getInt(ord).toString
+        case ("timestamp", TimestampType) => r => r.getLong(ord).toString
+        case ("timestamp", TimestampNTZType) => r => r.getLong(ord).toString
+        case (FieldSpec.DecimalRe(p, s), d: DecimalType)
+            if d.precision == p.toInt && d.scale == s.toInt =>
+          r => r.getDecimal(ord, d.precision, d.scale).toJavaBigDecimal.toPlainString
+        case (ft, other) =>
+          throw new IllegalArgumentException(
+            s"fixedwidth: cannot partition by column '$c' of Spark type $other as layout type '$ft'")
+      }
+      (f.name, (row: InternalRow) => if (row.isNullAt(ord)) "" else render(row))
+    }.toArray
+  }
+
+  /** Hive-style escaping for partition directory names: anything that could
+    * break a path or the `name=value` grammar becomes %XX of its UTF-8
+    * bytes. The inverse is [[unescapePartitionValue]]. */
+  def escapePartitionValue(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length)
+    v.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '-' || c == '_')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  def unescapePartitionValue(v: String): String = {
+    val out = new java.io.ByteArrayOutputStream(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length + 1 && i + 2 <= v.length - 1 + 1 && i + 2 < v.length + 1) {
+        // %XX — malformed escapes fall through as literals
+        if (i + 2 < v.length || i + 2 == v.length - 0 && false) ()
+        ()
+      }
+      if (c == '%' && i + 2 <= v.length - 1) {
+        try {
+          out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
+          i += 3
+        } catch {
+          case _: NumberFormatException => out.write(c.toInt); i += 1
+        }
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def place(bytes: Array[Byte], buf: Array[Byte], start: Int, width: Int, name: String): Unit = {
