@@ -52,18 +52,26 @@ object Dedup {
   }
 
   /** Lineage truncation for iterative/multi-consumer plans. With no
-    * `checkpointDir` this is a LOCAL checkpoint: blocks live on executors and
-    * are released by the context cleaner with the result DataFrame — the
-    * right default for interactive use, but they die with executor loss. On
-    * a real cluster, long jobs should pass a reliable `checkpointDir`
-    * (HDFS/object store): blocks then survive executor churn at the cost of
-    * a write to distributed storage per truncation. */
+    * `checkpointDir` this is a lazy LOCAL checkpoint: blocks live on
+    * executors and are released by the context cleaner with the result
+    * DataFrame — the right default for interactive use, but they die with
+    * executor loss. On a real cluster, long jobs should pass a reliable
+    * `checkpointDir` (HDFS/object store): blocks then survive executor churn
+    * at the cost of a write to distributed storage per truncation. NOTE:
+    * reliable checkpoint FILES are only auto-deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — otherwise they accumulate under `checkpointDir` until the
+    * caller cleans them up. */
   private[graft] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mutates global context state; skip the no-op call
+        // (and its eager mkdirs) when the dir is already current.
+        if (!sc.getCheckpointDir.contains(new org.apache.hadoop.fs.Path(dir).toString))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => df.localCheckpoint(false)
     }
 
   /** Enforced bound for the quadratic verification kernels: the docs said

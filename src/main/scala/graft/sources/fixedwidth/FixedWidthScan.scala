@@ -68,6 +68,15 @@ class FixedWidthScan(
 
   override def readSchema(): StructType = requiredSchema
 
+  /** Directory-pruned file listing, computed once per scan (plan time, on the
+    * driver): pushed filters fully covered by a file's `col=value` path
+    * segments skip the file's IO entirely — see FixedWidthTable.pruneFiles.
+    * Statistics and split planning both read the pruned list, so Catalyst's
+    * size estimates (broadcast decisions) shrink with the pruning too. */
+  private lazy val (prunedFiles, filesPruned): (Seq[org.apache.hadoop.fs.FileStatus], Long) =
+    FixedWidthTable.pruneFiles(
+      FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
+
   /** Size/row statistics from file lengths — exact for this format (every
     * record is recordLength bytes), so Catalyst's broadcast-join threshold
     * sees the true table size instead of defaulting to "huge". When any
@@ -77,7 +86,7 @@ class FixedWidthScan(
     * (a trailing fragment under PERMISSIVE yields no record). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private lazy val files = FixedWidthTable.listFiles(tableOptions, conf)
+      private lazy val files = prunedFiles
       private lazy val anyCompressed = files.exists(st => FixedWidthTable.isCompressed(st.getPath))
       override def sizeInBytes(): java.util.OptionalLong =
         if (anyCompressed) java.util.OptionalLong.empty()
@@ -93,10 +102,13 @@ class FixedWidthScan(
       s"PushedFilters=[${pushedFilters.mkString(", ")}])"
 
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = FixedWidthTable.listFiles(tableOptions, conf)
-    FixedWidthScan.alignedPartitions(files, opts, conf)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    FixedWidthScan.alignedPartitions(prunedFiles, opts, conf)
+
+  /** Plan-time metric: files skipped by partition-directory pruning (visible
+    * in the SQL UI next to the task-level records/bytes counters). */
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FixedWidthMetrics.task("fwFilesPruned", filesPruned))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
@@ -130,9 +142,13 @@ object FixedWidthMetrics {
     override def name(): String = "fwRecordsMalformed"
     override def description(): String = "records with >=1 malformed typed field (nulled or dropped)"
   }
+  class FilesPruned extends CustomSumMetric {
+    override def name(): String = "fwFilesPruned"
+    override def description(): String = "files skipped by partition-directory pruning"
+  }
 
   def all: Array[CustomMetric] =
-    Array(new RecordsRead, new BytesRead, new RecordsSkipped, new RecordsMalformed)
+    Array(new RecordsRead, new BytesRead, new RecordsSkipped, new RecordsMalformed, new FilesPruned)
 
   // NB: parameter must not be called `name` — inside the anonymous class the
   // member `name()` would shadow it and `def name() = name` becomes a

@@ -34,7 +34,8 @@ class FixedWidthTableProvider extends TableProvider with DataSourceRegister {
     * `getTable` (that is the only way DSv2 hands them to a path-based
     * provider). The byte layout remains the single source of truth for the
     * READ schema: the table always reports the option-derived schema; a
-    * user-passed read schema is ignored rather than trusted. */
+    * user-passed read schema that differs from it fails fast in
+    * `newScanBuilder` rather than being silently ignored. */
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(
@@ -42,7 +43,7 @@ class FixedWidthTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FixedWidthTable(FixedWidthOptions(opts), opts, partitioning)
+    new FixedWidthTable(FixedWidthOptions(opts), opts, partitioning, Option(schema))
   }
 }
 
@@ -64,21 +65,45 @@ object FixedWidthTable {
     s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
   }
 
+  /** A data file plus the Hive-style `col=value` assignments collected from
+    * its directory path (keys lowercased, values unescaped; files outside a
+    * partitioned layout carry an empty map). */
+  final case class PartitionedFile(status: FileStatus, partValues: Map[String, String])
+
+  /** Split a directory name into a `col=value` partition assignment, or None
+    * for plain directories. The first '=' splits (values may contain escaped
+    * '=' as %3D, but never a raw one — the writer escapes it). */
+  private def partSegment(dirName: String): Option[(String, String)] = {
+    val i = dirName.indexOf('=')
+    if (i <= 0) None
+    else Some(dirName.substring(0, i).toLowerCase ->
+      FixedWidthEncoder.unescapePartitionValue(dirName.substring(i + 1)))
+  }
+
   /** Recursive data-file listing under a directory: partitioned layouts
     * (`col=value/` subdirectories) nest files arbitrarily deep; `_`/`.`
-    * prefixed names are skipped at every level. */
-  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] = {
+    * prefixed names are skipped at every level. Accumulates the `col=value`
+    * assignments seen on the way down. */
+  private def listRecursive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      st: FileStatus,
+      parts: Map[String, String]): Seq[PartitionedFile] = {
     val n = st.getPath.getName
     if (n.startsWith("_") || n.startsWith(".")) Nil
-    else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
-    else Seq(st).filter(isDataFile)
+    else if (st.isDirectory) {
+      val nested = partSegment(n).fold(parts)(parts + _)
+      fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _, nested))
+    } else Seq(st).filter(isDataFile).map(PartitionedFile(_, parts))
   }
+
+  def listFiles(opts: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] =
+    listPartitionedFiles(opts, conf).map(_.status)
 
   /** Resolve the `path`/`paths` options to concrete data files. Runs on the
     * driver at plan time (analog of FileInputFormat listing inside
     * `getSplits`, reference FixedLengthInputFormat.java:364).
     */
-  def listFiles(opts: CaseInsensitiveStringMap, conf: Configuration): Seq[FileStatus] = {
+  def listPartitionedFiles(opts: CaseInsensitiveStringMap, conf: Configuration): Seq[PartitionedFile] = {
     val raw = Option(opts.get("paths")) match {
       case Some(js) =>
         // `load(p1, p2, ...)` passes a JSON-encoded string array. Parse it
@@ -104,33 +129,118 @@ object FixedWidthTable {
       if (globbed.isEmpty)
         throw new IllegalArgumentException(s"fixedwidth: path does not exist: $p")
       globbed.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
-        else Seq(st).filter(isDataFile)
+        // The root directory's own name never contributes a partition value
+        // (a user may point at `.../date=2024-01-01` directly — then that
+        // value is already fixed for every file and pruning it is moot).
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _, Map.empty))
+        else Seq(st).filter(isDataFile).map(PartitionedFile(_, Map.empty))
       }
     }
+  }
+
+  /** Directory pruning — the read half of `partitionBy` (the analog of the
+    * reference's split-enumeration hook, FixedLengthInputFormat.java:318-365:
+    * the only IO skip an indexless format has). A pushed filter whose
+    * referenced columns are ALL bound by a file's `col=value` path prunes
+    * that file when it cannot match.
+    *
+    * The verdict reuses the reader's own compiled predicates on a synthetic
+    * record buffer: the writer guarantees the directory value text is the
+    * SAME text the field encoder placed in the record bytes
+    * (FixedWidthEncoder.partitionRenderers), so encoding the unescaped value
+    * into a blank record and running the pushed predicate yields exactly the
+    * record-level verdict — NULL (blank) semantics, trim, charset, -0.0 and
+    * decimal scale handling all included, with zero duplicated compare logic.
+    *
+    * Conservative by construction: only filters fully covered by the path
+    * participate; any anomaly (undeclared column, over-width or unparseable
+    * directory value — possible only for directories our writer did not
+    * produce) keeps the file and lets the in-record predicates decide.
+    */
+  def pruneFiles(
+      files: Seq[PartitionedFile],
+      fwOpts: FixedWidthOptions,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): (Seq[FileStatus], Long) = {
+    if (pushed.isEmpty || !fwOpts.typed || files.forall(_.partValues.isEmpty))
+      return (files.map(_.status), 0L)
+
+    // Catalyst splits conjunctions before pushdown, but an And can still
+    // arrive atomically (e.g. pushed programmatically); its partition-only
+    // conjuncts prune independently of the record-level ones.
+    def conjuncts(f: org.apache.spark.sql.sources.Filter): Seq[org.apache.spark.sql.sources.Filter] =
+      f match {
+        case org.apache.spark.sql.sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    val flattened = pushed.flatMap(conjuncts)
+
+    // directory assignment -> keep verdict, memoized (a 10k-file layout has
+    // only as many distinct assignments as leaf directories)
+    val verdictCache = scala.collection.mutable.HashMap.empty[Map[String, String], Boolean]
+
+    def keeps(parts: Map[String, String]): Boolean = verdictCache.getOrElseUpdate(parts, {
+      val bound = parts.keySet.filter(k => fwOpts.fields.exists(_.name.equalsIgnoreCase(k)))
+      val prunable = flattened.filter { f =>
+        val refs = f.references
+        refs.nonEmpty && refs.forall(r => bound.contains(r.toLowerCase))
+      }
+      if (prunable.isEmpty) true
+      else {
+        val buf = new Array[Byte](fwOpts.recordLength)
+        java.util.Arrays.fill(buf, ' '.toByte)
+        val ok = parts.forall { case (k, v) =>
+          fwOpts.fields.find(_.name.equalsIgnoreCase(k)) match {
+            case None => true // undeclared col=value dir: not bound, ignore
+            case Some(f) =>
+              val bytes =
+                if (f.ftype == "string") v.getBytes(fwOpts.charset)
+                else v.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+              if (f.ftype != "string" && bytes.length > f.len) false // foreign dir
+              else {
+                // strings beyond the width were truncated in the record too
+                System.arraycopy(bytes, 0, buf, f.start, math.min(bytes.length, f.len))
+                true
+              }
+          }
+        }
+        if (!ok) true // not our writer's layout: keep, record filters decide
+        else
+          try prunable.forall(f =>
+            FixedWidthFilters.compileOnBuffer(f, fwOpts, buf, () => 0L).forall(_.apply()))
+          catch { case _: NumberFormatException => true } // unparseable value: keep
+      }
+    })
+
+    val kept = files.filter(pf => pf.partValues.isEmpty || keeps(pf.partValues))
+    (kept.map(_.status), (files.size - kept.size).toLong)
   }
 }
 
 class FixedWidthTable(
     val fwOptions: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
-    partitionTransforms: Array[Transform] = Array.empty)
+    partitionTransforms: Array[Transform] = Array.empty,
+    providedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Column names of the writer's `partitionBy(...)` — identity transforms
     * only (bucket/days/etc. have no meaning for a directory-indexed flat
     * format), each naming a declared typed field. */
-  val partitionCols: Seq[String] = partitionTransforms.toSeq.map {
-    case id: org.apache.spark.sql.connector.expressions.IdentityTransform =>
-      val name = id.ref.fieldNames.mkString(".")
+  val partitionCols: Seq[String] = partitionTransforms.toSeq.map { t =>
+    // Public-API identity detection: IdentityTransform itself is private[sql]
+    // in Spark 4, but Transform.name()/references() are stable connector API.
+    if (t.name() == "identity" && t.references().length == 1) {
+      val name = t.references()(0).fieldNames.mkString(".")
       if (!fwOptions.fields.exists(_.name.equalsIgnoreCase(name)))
         throw new IllegalArgumentException(
           s"fixedwidth: partition column '$name' is not a declared field " +
             "(partitionBy requires a 'fields' layout naming each partition column)")
       name
-    case other =>
+    } else {
       throw new IllegalArgumentException(
-        s"fixedwidth: unsupported partition transform '$other' (only identity columns)")
+        s"fixedwidth: unsupported partition transform '$t' (only identity columns)")
+    }
   }
 
   override def partitioning(): Array[Transform] = partitionTransforms
@@ -152,6 +262,24 @@ class FixedWidthTable(
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // ACCEPT_ANY_SCHEMA + external metadata means a `.schema(...)` the user
+    // passes on the READ path reaches getTable but cannot change the decode
+    // (the byte layout fixes it). Silently ignoring a differing schema would
+    // hand back columns the user did not ask for — fail fast instead. The
+    // write path never comes through here; the writer validates the query
+    // schema against the layout itself. Names + types must match (nullability
+    // and metadata are not load-bearing for the decode).
+    providedSchema.foreach { s =>
+      val expect = fwOptions.schema
+      val same = s.length == expect.length &&
+        s.fields.zip(expect.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+      if (!same)
+        throw new IllegalArgumentException(
+          s"fixedwidth: user-specified read schema ${s.simpleString} does not match the " +
+            s"layout-derived schema ${expect.simpleString}; the 'fields'/'recordLength' " +
+            "options are the source of truth — drop .schema(...) or make it identical")
+    }
     val conf = SparkSession.active.sessionState.newHadoopConf()
     new FixedWidthScanBuilder(fwOptions, tableOptions, conf)
   }

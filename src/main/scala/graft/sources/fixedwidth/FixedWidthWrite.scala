@@ -242,7 +242,6 @@ object FixedWidthEncoder {
             s"(have: ${querySchema.fieldNames.mkString(", ")})")
       val dt = querySchema.fields(ord).dataType
       val render: InternalRow => String = (f.ftype, dt) match {
-        case (_, _) if false => null // exhaustivity anchor
         case ("string", StringType)       => r => r.getUTF8String(ord).toString
         case ("int", IntegerType)         => r => r.getInt(ord).toString
         case ("long", LongType)           => r => r.getLong(ord).toString
@@ -276,23 +275,21 @@ object FixedWidthEncoder {
     sb.toString
   }
 
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  /** Inverse of [[escapePartitionValue]]: `%XX` → the byte; malformed
+    * escapes (short, or non-hex digits — explicit check because
+    * `Integer.parseInt` would also accept signed forms like `+1`) pass
+    * through as literal characters. */
   def unescapePartitionValue(v: String): String = {
     val out = new java.io.ByteArrayOutputStream(v.length)
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
-      if (c == '%' && i + 2 < v.length + 1 && i + 2 <= v.length - 1 + 1 && i + 2 < v.length + 1) {
-        // %XX — malformed escapes fall through as literals
-        if (i + 2 < v.length || i + 2 == v.length - 0 && false) ()
-        ()
-      }
-      if (c == '%' && i + 2 <= v.length - 1) {
-        try {
-          out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
-          i += 3
-        } catch {
-          case _: NumberFormatException => out.write(c.toInt); i += 1
-        }
+      if (c == '%' && i + 2 < v.length && isHex(v.charAt(i + 1)) && isHex(v.charAt(i + 2))) {
+        out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
+        i += 3
       } else { out.write(c.toInt); i += 1 }
     }
     new String(out.toByteArray, StandardCharsets.UTF_8)
