@@ -142,6 +142,7 @@ object CoreQueries {
     lineitemViaFixedWidth(spark, dir)
     moneyFixture(spark, dir)
     poisonFixture(spark, dir)
+    partitionedFixture(spark, dir)
   }
 
   /** Decimal round-trip: encode TPC-H money columns as decimal(15,2) through
@@ -264,10 +265,66 @@ object CoreQueries {
       |FROM lineitem WHERE l_orderkey % 37 <> 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Partitioned layout: the date-partitioned-feed shape `partitionBy`
+    * exists for. The partition column stays IN the record bytes (this
+    * format's documented divergence from parquet convention), so read-back
+    * needs no directory parsing for the DATA — the directories are purely
+    * the pruning index. */
+  val partLayout: Seq[FieldSpec] = Seq(
+    FieldSpec("l_orderkey", "long", 0, 14),
+    FieldSpec("l_quantity", "double", 14, 25),
+    FieldSpec("l_returnflag", "string", 39, 1),
+    FieldSpec("l_linestatus", "string", 40, 1))
+
+  def partitionedFixture(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "lineitem_fw_part")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(partLayout.map(f => col(f.name)): _*)
+        .write.format("fixedwidth")
+        .option("fields", FixedWidthOptions.renderFields(partLayout))
+        .partitionBy("l_returnflag")
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** Partitioned write + pruned read, under the oracle: the fixture goes
+    * through the dynamic-partition writer (Hive-style l_returnflag=X/
+    * directories), and the equality predicate reaches the scan as a pushed
+    * filter whose directories are pruned at plan time — only the matching
+    * partition's bytes are ever read (asserted mechanically in
+    * FixedWidthPartitionSpec; here the oracle proves the lane's results). */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+      .filter($"l_returnflag" === "R")
+      .groupBy($"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        min($"l_orderkey").as("min_key"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q06Oracle: String =
+    s"""SELECT l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  min(l_orderkey) AS min_key,
+       |  count(*) AS n
+       |FROM lineitem WHERE l_returnflag = 'R'
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),
-    Q("q05_fw_dropmalformed", q05, Some(q05Oracle)))
+    Q("q05_fw_dropmalformed", q05, Some(q05Oracle)),
+    Q("q06_fw_partition_pruned", q06, Some(q06Oracle)))
 }
