@@ -320,11 +320,51 @@ object CoreQueries {
        |FROM lineitem WHERE l_returnflag = 'R'
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** COUNT(*) pushdown: both counts are answered from the driver-side file
+    * listing (the filtered one over the directory-pruned listing) with ZERO
+    * data IO — the plan contains FixedWidthCountScan, no aggregate, no scan
+    * (asserted mechanically in FixedWidthPushdownSpec; the oracle proves the
+    * values). On a 100 TB feed this is the difference between a listing call
+    * and a full pass. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fw = spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+    fw.filter($"l_returnflag" === "R").agg(count(lit(1)).as("n_r"))
+      .crossJoin(fw.agg(count(lit(1)).as("n_all")))
+  }
+
+  val q07Oracle: String =
+    """SELECT (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R') AS n_r,
+      |  count(*) AS n_all
+      |FROM lineitem""".stripMargin
+
+  /** LIMIT/OFFSET pushdown: split planning is truncated to the record range
+    * [offset, offset+limit) — the result SET is listing-order-dependent, so
+    * the oracle checks the deterministic part (cardinality), while
+    * FixedWidthPushdownSpec pins the plan truncation and exact range
+    * semantics. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+      .offset(1000).limit(5000)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q08Oracle: String =
+    """SELECT CAST(least(greatest(count(*) - 1000, 0), 5000) AS BIGINT) AS n
+      |FROM lineitem""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),
     Q("q05_fw_dropmalformed", q05, Some(q05Oracle)),
-    Q("q06_fw_partition_pruned", q06, Some(q06Oracle)))
+    Q("q06_fw_partition_pruned", q06, Some(q06Oracle)),
+    Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
+    Q("q08_fw_limit_offset", q08, Some(q08Oracle)))
 }

@@ -30,10 +30,17 @@ class FixedWidthScanBuilder(
     tableOptions: CaseInsensitiveStringMap,
     conf: Configuration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var requiredSchema: StructType = opts.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStars: Int = -1 // #COUNT(*) columns when the agg is fully pushed
+  private var countValue: Long = -1L
+  private var limitN: Long = -1L  // cap on raw record index (includes any offset)
+  private var offsetN: Long = 0L  // records skipped from the front
 
   override def pruneColumns(required: StructType): Unit = {
     // Preserve OUR field order/decoders; keep only requested names.
@@ -54,15 +61,119 @@ class FixedWidthScanBuilder(
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed)
+  // ---- COUNT(*) pushdown: the one aggregate an indexless fixed-width
+  // format can answer with ZERO data IO — every record is recordLength
+  // bytes, so the count is file lengths over the (partition-pruned) listing.
+  // On a 100 TB feed, `SELECT count(*) ... WHERE date = X` becomes a driver-
+  // side directory listing. Preconditions (else fall back to a normal scan):
+  //  - global aggregation, COUNT(*) columns only (no group-by, no count(col)
+  //    — typed fields can be NULL via blank bytes, which lengths can't see);
+  //  - pushed filters, if any, are EXACTLY answered by directory pruning
+  //    (PruneResult.exact) — a record-level residual would need real IO;
+  //  - no DROPMALFORMED (dropped records aren't visible in lengths; the
+  //    PERMISSIVE trailing-fragment floor IS visible — floor(len/recLen));
+  //  - no compressed files (on-disk length ≠ record count) and, under
+  //    FAILFAST, no truncated tail (the scan must throw, not undercount).
+  private lazy val listedFiles = FixedWidthTable.listPartitionedFiles(tableOptions, conf)
+  private lazy val countable: Option[Long] = {
+    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    val recLen = opts.recordLength.toLong
+    if (!res.exact || opts.dropMalformed) None
+    else if (res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath))) None
+    else if (!opts.tolerant && res.kept.exists(_.getLen % recLen != 0)) None
+    else Some(res.kept.map(_.getLen / recLen).sum)
+  }
+
+  private def countOf(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Long] =
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])) None
+    else countable
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countOf(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countOf(agg) match {
+      case Some(n) =>
+        countValue = n
+        countStars = agg.aggregateExpressions.length
+        true
+      // Never accept a PARTIAL pushdown (complete-unsupported cases): our
+      // one-row answer is the FINAL aggregate, not a per-partition partial.
+      case None => false
+    }
+
+  // ---- LIMIT/OFFSET pushdown: truncate SPLIT PLANNING to the record index
+  // range [offset, limit) — `df.limit(n)` on a 100 TB feed plans one tiny
+  // partition instead of ~100k splits. Spark pushes `limit+offset` as the
+  // limit when both are present, so the range math composes directly. Only
+  // when the raw record stream maps 1:1 to output rows: no pushed filters
+  // (they drop records AFTER the cap) and no DROPMALFORMED; compressed files
+  // have unknown record counts, so their presence disables the push.
+  private def canTruncate: Boolean =
+    pushed.isEmpty && !opts.dropMalformed &&
+      !listedFiles.exists(pf => FixedWidthTable.isCompressed(pf.status.getPath))
+
+  override def pushLimit(limit: Int): Boolean =
+    if (canTruncate) { limitN = limit.toLong; true } else false
+
+  // The planned range is exact, so Spark can drop its own Limit operator.
+  override def isPartiallyPushed(): Boolean = false
+
+  override def pushOffset(offset: Int): Boolean =
+    if (canTruncate) { offsetN = offset.toLong; true } else false
+
+  override def build(): Scan =
+    if (countStars >= 0) new FixedWidthCountScan(countValue, countStars)
+    else new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed,
+      recordRange = if (limitN >= 0 || offsetN > 0)
+        Some((offsetN, if (limitN >= 0) limitN else Long.MaxValue)) else None)
 }
+
+/** The whole scan when a global COUNT(*) is fully pushed down: one
+  * partition, one row, zero data IO — the count came from the driver-side
+  * (pruned) file listing. */
+class FixedWidthCountScan(count: Long, countCols: Int) extends Scan with Batch {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def readSchema(): StructType =
+    StructType((0 until countCols).map(i => StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+  override def description(): String = s"FixedWidthCountScan(count=$count) [PushedAggregates: COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FixedWidthCountPartition(count, countCols))
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val cp = p.asInstanceOf[FixedWidthCountPartition]
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = {
+          val row = new GenericInternalRow(cp.cols)
+          var i = 0
+          while (i < cp.cols) { row.setLong(i, cp.count); i += 1 }
+          row
+        }
+        override def close(): Unit = ()
+      }
+  }
+}
+
+final case class FixedWidthCountPartition(count: Long, cols: Int) extends InputPartition
 
 class FixedWidthScan(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
     requiredSchema: StructType,
     conf: Configuration,
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    recordRange: Option[(Long, Long)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -73,9 +184,11 @@ class FixedWidthScan(
     * segments skip the file's IO entirely — see FixedWidthTable.pruneFiles.
     * Statistics and split planning both read the pruned list, so Catalyst's
     * size estimates (broadcast decisions) shrink with the pruning too. */
-  private lazy val (prunedFiles, filesPruned): (Seq[org.apache.hadoop.fs.FileStatus], Long) =
+  private lazy val pruneResult: FixedWidthTable.PruneResult =
     FixedWidthTable.pruneFiles(
       FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
+  private def prunedFiles = pruneResult.kept
+  private def filesPruned = pruneResult.pruned
 
   /** Size/row statistics from file lengths — exact for this format (every
     * record is recordLength bytes), so Catalyst's broadcast-join threshold
@@ -99,11 +212,12 @@ class FixedWidthScan(
   override def description(): String =
     s"FixedWidthScan(recordLength=${opts.recordLength}, " +
       s"columns=[${requiredSchema.fieldNames.mkString(",")}], " +
-      s"PushedFilters=[${pushedFilters.mkString(", ")}])"
+      s"PushedFilters=[${pushedFilters.mkString(", ")}]" +
+      recordRange.map { case (o, l) => s", PushedOffset=$o, PushedLimit=$l" }.getOrElse("") + ")"
 
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
   override def planInputPartitions(): Array[InputPartition] =
-    FixedWidthScan.alignedPartitions(prunedFiles, opts, conf)
+    FixedWidthScan.alignedPartitions(prunedFiles, opts, conf, recordRange)
 
   /** Plan-time metric: files skipped by partition-directory pruning (visible
     * in the SQL UI next to the task-level records/bytes counters). */
@@ -172,8 +286,9 @@ object FixedWidthScan {
   def alignedPartitions(
       files: Seq[org.apache.hadoop.fs.FileStatus],
       opts: FixedWidthOptions,
-      conf: Configuration = null): Array[InputPartition] = {
-    val parts = alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts)
+      conf: Configuration = null,
+      recordRange: Option[(Long, Long)] = None): Array[InputPartition] = {
+    val parts = alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts, recordRange)
     if (conf == null) return parts
     // Attach HDFS block hosts per chunk for executor data locality (same
     // driver-side NN lookups Spark's own file sources do at plan time).
@@ -194,8 +309,17 @@ object FixedWidthScan {
   }
 
   /** Plan from bare (path, length) pairs — used by the streaming source to
-    * plan strictly from offset-recorded state rather than a live listing. */
-  def alignedPartitionsOf(files: Seq[(String, Long)], opts: FixedWidthOptions): Array[InputPartition] = {
+    * plan strictly from offset-recorded state rather than a live listing.
+    *
+    * `recordRange = Some((start, end))` restricts planning to the half-open
+    * GLOBAL record index range [start, end) in listing order — the pushed
+    * LIMIT/OFFSET truncation (the builder guarantees callers only pass it
+    * when raw records map 1:1 to output rows and no compressed files exist).
+    */
+  def alignedPartitionsOf(
+      files: Seq[(String, Long)],
+      opts: FixedWidthOptions,
+      recordRange: Option[(Long, Long)] = None): Array[InputPartition] = {
     val recLen = opts.recordLength.toLong
     val (compressed, plain) = files.partition { case (p, _) =>
       FixedWidthTable.isCompressed(new org.apache.hadoop.fs.Path(p))
@@ -225,11 +349,19 @@ object FixedWidthScan {
     val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
     val aligned = math.max(recLen, (target / recLen) * recLen)
 
+    val (rangeStart, rangeEnd) = recordRange.getOrElse((0L, Long.MaxValue))
+    var recordsBefore = 0L // global record index of the current file's first record
     val plainChunks = plain.flatMap { case (path, len) =>
       // PERMISSIVE: chunks cover only whole records; the trailing fragment
       // is never read.
-      val usable = (len / recLen) * recLen
-      (0L until usable by aligned).map { start =>
+      val fileRecords = len / recLen
+      // clip to the pushed [offset, limit) record range (whole files drop
+      // out entirely when the range doesn't touch them)
+      val firstRec = math.max(0L, rangeStart - recordsBefore)
+      val lastRec = math.min(fileRecords, rangeEnd - recordsBefore)
+      recordsBefore += fileRecords
+      val usable = lastRec * recLen
+      (firstRec * recLen until usable by aligned).map { start =>
         FileChunk(path, start, math.min(aligned, usable - start), compressed = false)
       }
     }

@@ -139,6 +139,12 @@ object FixedWidthTable {
     }
   }
 
+  /** `exact = true` ⇔ the kept files contain EXACTLY the records satisfying
+    * the pushed filters (every filter was fully covered by every kept file's
+    * partition path and every directory value evaluated cleanly) — the
+    * precondition for answering COUNT(*) from file lengths alone. */
+  final case class PruneResult(kept: Seq[FileStatus], pruned: Long, exact: Boolean)
+
   /** Directory pruning — the read half of `partitionBy` (the analog of the
     * reference's split-enumeration hook, FixedLengthInputFormat.java:318-365:
     * the only IO skip an indexless format has). A pushed filter whose
@@ -161,9 +167,11 @@ object FixedWidthTable {
   def pruneFiles(
       files: Seq[PartitionedFile],
       fwOpts: FixedWidthOptions,
-      pushed: Array[org.apache.spark.sql.sources.Filter]): (Seq[FileStatus], Long) = {
-    if (pushed.isEmpty || !fwOpts.typed || files.forall(_.partValues.isEmpty))
-      return (files.map(_.status), 0L)
+      pushed: Array[org.apache.spark.sql.sources.Filter]): PruneResult = {
+    if (pushed.isEmpty)
+      return PruneResult(files.map(_.status), 0L, exact = true)
+    if (!fwOpts.typed || files.forall(_.partValues.isEmpty))
+      return PruneResult(files.map(_.status), 0L, exact = false)
 
     // Catalyst splits conjunctions before pushdown, but an And can still
     // arrive atomically (e.g. pushed programmatically); its partition-only
@@ -174,18 +182,22 @@ object FixedWidthTable {
         case other => Seq(other)
       }
     val flattened = pushed.flatMap(conjuncts)
+    val allRefs = flattened.flatMap(_.references.map(_.toLowerCase)).distinct
 
-    // directory assignment -> keep verdict, memoized (a 10k-file layout has
-    // only as many distinct assignments as leaf directories)
-    val verdictCache = scala.collection.mutable.HashMap.empty[Map[String, String], Boolean]
+    // directory assignment -> (keep, clean) verdict, memoized (a 10k-file
+    // layout has only as many distinct assignments as leaf directories).
+    // `clean` = every filter was covered and evaluated without anomaly, so a
+    // KEPT file holds only matching records.
+    val verdictCache = scala.collection.mutable.HashMap.empty[Map[String, String], (Boolean, Boolean)]
 
-    def keeps(parts: Map[String, String]): Boolean = verdictCache.getOrElseUpdate(parts, {
+    def verdict(parts: Map[String, String]): (Boolean, Boolean) = verdictCache.getOrElseUpdate(parts, {
       val bound = parts.keySet.filter(k => fwOpts.fields.exists(_.name.equalsIgnoreCase(k)))
+      val coversAll = allRefs.forall(bound.contains)
       val prunable = flattened.filter { f =>
         val refs = f.references
         refs.nonEmpty && refs.forall(r => bound.contains(r.toLowerCase))
       }
-      if (prunable.isEmpty) true
+      if (prunable.isEmpty) (true, false)
       else {
         val buf = new Array[Byte](fwOpts.recordLength)
         java.util.Arrays.fill(buf, ' '.toByte)
@@ -204,16 +216,29 @@ object FixedWidthTable {
               }
           }
         }
-        if (!ok) true // not our writer's layout: keep, record filters decide
+        if (!ok) (true, false) // not our writer's layout: keep, record filters decide
         else
-          try prunable.forall(f =>
-            FixedWidthFilters.compileOnBuffer(f, fwOpts, buf, () => 0L).forall(_.apply()))
-          catch { case _: NumberFormatException => true } // unparseable value: keep
+          try {
+            val keep = prunable.forall(f =>
+              FixedWidthFilters.compileOnBuffer(f, fwOpts, buf, () => 0L).forall(_.apply()))
+            (keep, coversAll)
+          } catch { case _: NumberFormatException => (true, false) } // unparseable value: keep
       }
     })
 
-    val kept = files.filter(pf => pf.partValues.isEmpty || keeps(pf.partValues))
-    (kept.map(_.status), (files.size - kept.size).toLong)
+    var exact = true
+    val kept = files.filter { pf =>
+      if (pf.partValues.isEmpty) { exact = false; true }
+      else {
+        val (keep, clean) = verdict(pf.partValues)
+        // a file PRUNED by a clean partial verdict is exact regardless of
+        // uncovered conjuncts (one false conjunct ⇒ no record matches); only
+        // a KEPT-but-unclean file can leak non-matching records into a count
+        if (keep && !clean) exact = false
+        keep
+      }
+    }
+    PruneResult(kept.map(_.status), (files.size - kept.size).toLong, exact)
   }
 }
 

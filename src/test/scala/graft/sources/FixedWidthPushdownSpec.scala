@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** COUNT(*), LIMIT and OFFSET pushdown: the three plan-time shortcuts this
+  * indexless format can take because every record is exactly recordLength
+  * bytes — a global count is file lengths over the (pruned) listing, and a
+  * limit/offset is a truncation of split planning, both zero-data-IO.
+  */
+class FixedWidthPushdownSpec extends SparkSpec with Matchers {
+
+  private def tmp(): String = Files.createTempDirectory("graft-push").toString
+
+  private val layout = "id:long:0:8,p:string:8:6,v:long:14:6"
+
+  private def writeData(dir: String, partitioned: Boolean): Unit = {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"p${i % 4}", (i % 10).toLong)).toDF("id", "p", "v")
+      .repartition(3)
+    val w = df.write.format("fixedwidth").option("fields", layout).mode("overwrite")
+    (if (partitioned) w.partitionBy("p") else w).save(dir)
+  }
+
+  private def read(dir: String): DataFrame =
+    spark.read.format("fixedwidth").option("fields", layout).load(dir)
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("global count(*) is answered from the listing with no data scan") {
+    val dir = tmp()
+    writeData(dir, partitioned = false)
+    val df = read(dir).agg(count(lit(1)).as("n"))
+    df.collect().map(_.getLong(0)) shouldBe Array(500L)
+    val p = plan(df)
+    p should include("FixedWidthCountScan")
+    p should not include "HashAggregate"
+  }
+
+  test("count(*) with a partition-exact filter uses the pruned listing") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val df = read(dir).filter($"p" === "p1").agg(count(lit(1)).as("n"))
+    df.collect().map(_.getLong(0)) shouldBe Array((1 to 500).count(_ % 4 == 1).toLong)
+    plan(df) should include("FixedWidthCountScan")
+  }
+
+  test("count(*) with a record-level filter falls back to a real scan") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    // v is not a partition column: directory pruning cannot answer this
+    val df = read(dir).filter($"v" === 3L).agg(count(lit(1)).as("n"))
+    df.collect().map(_.getLong(0)) shouldBe Array((1 to 500).count(_ % 10 == 3).toLong)
+    val p = plan(df)
+    p should not include "FixedWidthCountScan"
+    p should include("FixedWidthScan")
+  }
+
+  test("count(col), group-by and DROPMALFORMED never push the aggregate") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = false)
+    // count(col): typed fields can be NULL via blank bytes
+    plan(read(dir).agg(count($"v").as("n"))) should not include "FixedWidthCountScan"
+    // group-by
+    plan(read(dir).groupBy($"p").agg(count(lit(1)).as("n"))) should not include "FixedWidthCountScan"
+    // DROPMALFORMED: dropped records are invisible to file lengths
+    val dropped = spark.read.format("fixedwidth").option("fields", layout)
+      .option("mode", "DROPMALFORMED").load(dir).agg(count(lit(1)).as("n"))
+    plan(dropped) should not include "FixedWidthCountScan"
+    dropped.collect().map(_.getLong(0)) shouldBe Array(500L)
+  }
+
+  test("limit truncates split planning to the requested records") {
+    val dir = tmp()
+    writeData(dir, partitioned = false)
+    val df = read(dir).limit(37)
+    df.count() shouldBe 37L
+    // the physical scan plans only ceil(37 records) worth of bytes
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    scanned should include("PushedLimit=37")
+    // all ids distinct and from the dataset (listing order, not value order)
+    val ids = df.select("id").collect().map(_.getLong(0))
+    ids.distinct.length shouldBe 37
+    all(ids) should (be >= 1L and be <= 500L)
+  }
+
+  test("offset + limit compose to the record range [offset, limit)") {
+    val dir = tmp()
+    writeData(dir, partitioned = false)
+    val base = read(dir)
+    val all = base.select("id").collect().map(_.getLong(0))
+    val window = base.offset(100).limit(25).select("id").collect().map(_.getLong(0))
+    window shouldBe all.slice(100, 125)
+    val tail = base.offset(490).select("id").collect().map(_.getLong(0))
+    tail shouldBe all.drop(490)
+    base.offset(600).count() shouldBe 0L
+  }
+
+  test("limit with a pushed filter is NOT truncated (filters drop records after the cap)") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = false)
+    val df = read(dir).filter($"v" === 3L).limit(30)
+    df.count() shouldBe 30L
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString should not include "PushedLimit"
+  }
+}
