@@ -358,6 +358,23 @@ object CoreQueries {
     """SELECT CAST(least(greatest(count(*) - 1000, 0), 5000) AS BIGINT) AS n
       |FROM lineitem""".stripMargin
 
+  /** Grouped COUNT(*) pushdown: one row per partition directory, counts
+    * from file lengths — `GROUP BY l_returnflag` never opens a data file
+    * (FixedWidthPushdownSpec pins the plan; the oracle proves the values). */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q09Oracle: String =
+    """SELECT l_returnflag, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
@@ -366,5 +383,6 @@ object CoreQueries {
     Q("q05_fw_dropmalformed", q05, Some(q05Oracle)),
     Q("q06_fw_partition_pruned", q06, Some(q06Oracle)),
     Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
-    Q("q08_fw_limit_offset", q08, Some(q08Oracle)))
+    Q("q08_fw_limit_offset", q08, Some(q08Oracle)),
+    Q("q09_fw_grouped_count", q09, Some(q09Oracle)))
 }

@@ -84,6 +84,85 @@ class FixedWidthScanBuilder(
     else Some(res.kept.map(_.getLen / recLen).sum)
   }
 
+  // GROUP BY over partition columns composes with the same trick: one group
+  // per distinct directory assignment, its count from that directory's file
+  // lengths. `SELECT date, count(*) ... GROUP BY date` on a date-partitioned
+  // feed never opens a file. Group keys are merged by DECODED value (a
+  // foreign `k=01` directory merges with `k=1`), validated driver-side;
+  // doubles are refused (Catalyst normalizes -0.0/NaN in group keys — not
+  // worth replicating for a pathological partition type).
+  private var groupedRows: Seq[(Seq[String], Long)] = Nil // raw dir strings per group col
+  private var groupFields: Seq[FieldSpec] = Nil
+
+  private def groupColsOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[FieldSpec]] = {
+    val cols = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return None
+    }
+    if (cols.distinct.length != cols.length) return None
+    val fields = cols.map { c =>
+      opts.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None)
+    }
+    if (fields.exists(_.ftype == "double")) return None
+    Some(fields)
+  }
+
+  /** Decode a directory value string to its Catalyst value through the same
+    * synthetic-record path pruning uses (so "1"/"01" merge, trim applies,
+    * blank = NULL). Throws NumberFormatException on foreign garbage. */
+  private def decodeDirValue(f: FieldSpec, raw: String): Any = {
+    val buf = new Array[Byte](opts.recordLength)
+    java.util.Arrays.fill(buf, ' '.toByte)
+    val bytes =
+      if (f.ftype == "string") raw.getBytes(opts.charset)
+      else raw.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (f.ftype != "string" && bytes.length > f.len)
+      throw new NumberFormatException(s"over-width directory value '$raw'")
+    System.arraycopy(bytes, 0, buf, f.start, math.min(bytes.length, f.len))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    FixedWidthRowDecoders.plan(
+      opts, StructType(Seq(StructField(f.name, f.dataType))), buf, row, () => 0L)(0)()
+    row.get(0, f.dataType) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone() // buf-backed
+      case other => other
+    }
+  }
+
+  private def groupedCountOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Seq[FieldSpec], Seq[(Seq[String], Long)])] = {
+    if (agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])) return None
+    val fields = groupColsOf(agg).getOrElse(return None)
+    if (opts.dropMalformed) return None
+    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    if (!res.exact) return None
+    // need the partition assignment per kept file, not just the status
+    val keptPaths = res.kept.map(_.getPath.toString).toSet
+    val kept = listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString))
+    val recLen = opts.recordLength.toLong
+    if (kept.exists(pf => FixedWidthTable.isCompressed(pf.status.getPath))) return None
+    if (!opts.tolerant && kept.exists(_.status.getLen % recLen != 0)) return None
+    val lowerNames = fields.map(_.name.toLowerCase)
+    if (kept.exists(pf => !lowerNames.forall(pf.partValues.contains))) return None
+    try {
+      // merge by decoded key; keep the first raw representative per group
+      val merged = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Seq[String], Long)]
+      kept.foreach { pf =>
+        val raws = lowerNames.map(pf.partValues)
+        val key = fields.zip(raws).map { case (f, r) => decodeDirValue(f, r) }
+        val n = pf.status.getLen / recLen
+        merged.updateWith(key) {
+          case Some((rep, c)) => Some((rep, c + n))
+          case None => Some((raws, n))
+        }
+      }
+      Some((fields, merged.values.toSeq))
+    } catch { case _: NumberFormatException => None }
+  }
+
   private def countOf(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Long] =
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
         !agg.aggregateExpressions.forall(
@@ -92,19 +171,30 @@ class FixedWidthScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countOf(agg).isDefined
+    if (agg.groupByExpressions.isEmpty) countOf(agg).isDefined
+    else groupedCountOf(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countOf(agg) match {
-      case Some(n) =>
-        countValue = n
-        countStars = agg.aggregateExpressions.length
-        true
-      // Never accept a PARTIAL pushdown (complete-unsupported cases): our
-      // one-row answer is the FINAL aggregate, not a per-partition partial.
-      case None => false
-    }
+    if (agg.groupByExpressions.isEmpty)
+      countOf(agg) match {
+        case Some(n) =>
+          countValue = n
+          countStars = agg.aggregateExpressions.length
+          true
+        // Never accept a PARTIAL pushdown (complete-unsupported cases): our
+        // one-row answer is the FINAL aggregate, not a per-partition partial.
+        case None => false
+      }
+    else
+      groupedCountOf(agg) match {
+        case Some((fields, rows)) =>
+          groupFields = fields
+          groupedRows = rows
+          countStars = agg.aggregateExpressions.length
+          true
+        case None => false
+      }
 
   // ---- LIMIT/OFFSET pushdown: truncate SPLIT PLANNING to the record index
   // range [offset, limit) — `df.limit(n)` on a 100 TB feed plans one tiny
@@ -127,45 +217,87 @@ class FixedWidthScanBuilder(
     if (canTruncate) { offsetN = offset.toLong; true } else false
 
   override def build(): Scan =
-    if (countStars >= 0) new FixedWidthCountScan(countValue, countStars)
+    if (countStars >= 0 && groupFields.isEmpty)
+      new FixedWidthCountScan(opts, Nil, Seq((Nil, countValue)), countStars)
+    else if (countStars >= 0)
+      new FixedWidthCountScan(opts, groupFields, groupedRows, countStars)
     else new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed,
       recordRange = if (limitN >= 0 || offsetN > 0)
         Some((offsetN, if (limitN >= 0) limitN else Long.MaxValue)) else None)
 }
 
-/** The whole scan when a global COUNT(*) is fully pushed down: one
-  * partition, one row, zero data IO — the count came from the driver-side
-  * (pruned) file listing. */
-class FixedWidthCountScan(count: Long, countCols: Int) extends Scan with Batch {
-  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+/** The whole scan when a COUNT(*) aggregate is fully pushed down: zero data
+  * IO — counts came from the driver-side (pruned) file listing, one row per
+  * group (a single all-records group when `groupFields` is empty). Group
+  * values travel as the raw directory strings and decode on the executor
+  * through the same decoders a record read uses. */
+class FixedWidthCountScan(
+    opts: FixedWidthOptions,
+    groupFields: Seq[FieldSpec],
+    groups: Seq[(Seq[String], Long)],
+    countCols: Int) extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    StructType((0 until countCols).map(i => StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)))
+  override def readSchema(): StructType = StructType(
+    groupFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+      (0 until countCols).map(i =>
+        StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)))
 
   override def toBatch: Batch = this
-  override def description(): String = s"FixedWidthCountScan(count=$count) [PushedAggregates: COUNT(*)]"
+  override def description(): String =
+    s"FixedWidthCountScan(groups=${groups.length}) [PushedAggregates: COUNT(*)" +
+      (if (groupFields.nonEmpty) s", GroupBy: ${groupFields.map(_.name).mkString(",")}" else "") + "]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(FixedWidthCountPartition(count, countCols))
+    Array(FixedWidthCountPartition(opts, groupFields, groups, countCols))
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new PartitionReader[InternalRow] {
-        private val cp = p.asInstanceOf[FixedWidthCountPartition]
-        private var emitted = false
-        override def next(): Boolean = if (emitted) false else { emitted = true; true }
-        override def get(): InternalRow = {
-          val row = new GenericInternalRow(cp.cols)
-          var i = 0
-          while (i < cp.cols) { row.setLong(i, cp.count); i += 1 }
-          row
-        }
-        override def close(): Unit = ()
-      }
+      new FixedWidthCountReader(p.asInstanceOf[FixedWidthCountPartition])
   }
 }
 
-final case class FixedWidthCountPartition(count: Long, cols: Int) extends InputPartition
+final case class FixedWidthCountPartition(
+    opts: FixedWidthOptions,
+    groupFields: Seq[FieldSpec],
+    groups: Seq[(Seq[String], Long)],
+    countCols: Int) extends InputPartition
+
+class FixedWidthCountReader(p: FixedWidthCountPartition) extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val nGroup = p.groupFields.length
+  private val buf = new Array[Byte](p.opts.recordLength)
+  private val row = new GenericInternalRow(nGroup + p.countCols)
+  private val decoders: Array[() => Unit] =
+    FixedWidthRowDecoders.plan(
+      p.opts,
+      StructType(p.groupFields.map(f => StructField(f.name, f.dataType))),
+      buf, row, () => 0L)
+  private val proj = UnsafeProjection.create(
+    StructType(p.groupFields.map(f => StructField(f.name, f.dataType)) ++
+      (0 until p.countCols).map(i => StructField(s"c$i", LongType))))
+  private var idx = -1
+
+  override def next(): Boolean = { idx += 1; idx < p.groups.length }
+
+  override def get(): InternalRow = {
+    val (raws, count) = p.groups(idx)
+    java.util.Arrays.fill(buf, ' '.toByte)
+    p.groupFields.zip(raws).foreach { case (f, raw) =>
+      val bytes =
+        if (f.ftype == "string") raw.getBytes(p.opts.charset)
+        else raw.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(bytes, 0, buf, f.start, math.min(bytes.length, f.len))
+    }
+    var i = 0
+    while (i < decoders.length) { decoders(i)(); i += 1 }
+    i = 0
+    while (i < p.countCols) { row.setLong(nGroup + i, count); i += 1 }
+    proj(row)
+  }
+
+  override def close(): Unit = ()
+}
 
 class FixedWidthScan(
     opts: FixedWidthOptions,

@@ -78,6 +78,62 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     dropped.collect().map(_.getLong(0)) shouldBe Array(500L)
   }
 
+  test("count(*) grouped by a partition column is answered from the listing") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val df = read(dir).groupBy($"p").agg(count(lit(1)).as("n")).orderBy($"p")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1))
+    got shouldBe (0 to 3).map(g => s"p$g" -> (1 to 500).count(_ % 4 == g).toLong).toArray
+    val pl = plan(df)
+    pl should include("FixedWidthCountScan")
+    pl should include("GroupBy: p")
+    pl should not include "FixedWidthScan(" // no data scan at all
+  }
+
+  test("grouped count with a partition filter composes with pruning") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val df = read(dir).filter($"p".isin("p1", "p2")).groupBy($"p").agg(count(lit(1)).as("n")).orderBy($"p")
+    df.collect().map(r => r.getString(0) -> r.getLong(1)) shouldBe
+      Seq(1, 2).map(g => s"p$g" -> (1 to 500).count(_ % 4 == g).toLong).toArray
+    plan(df) should include("FixedWidthCountScan")
+  }
+
+  test("grouping by a non-partition column falls back to a real scan") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val df = read(dir).groupBy($"v").agg(count(lit(1)).as("n"))
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (1 to 500).groupBy(_ % 10).map { case (k, xs) => k.toLong -> xs.size.toLong }
+    plan(df) should not include "FixedWidthCountScan"
+  }
+
+  test("foreign directories with equivalent encodings merge by decoded value") {
+    import spark.implicits._
+    val dir = tmp()
+    val lay = "id:long:0:8,k:long:8:6"
+    (1 to 10).map(i => (i.toLong, 1L)).toDF("id", "k")
+      .write.format("fixedwidth").option("fields", lay).partitionBy("k")
+      .mode("overwrite").save(dir)
+    // a foreign writer's zero-padded twin of k=1 with 5 records of k=01
+    val foreign = new java.io.File(dir, "k=01"); foreign.mkdirs()
+    val rec = new Array[Byte](14); java.util.Arrays.fill(rec, ' '.toByte)
+    val out = new java.io.FileOutputStream(new java.io.File(foreign, "part-x.fwb"))
+    (11 to 15).foreach { i =>
+      val bytes = (i.toString + " " * (8 - i.toString.length) + "01    ").getBytes("US-ASCII")
+      out.write(bytes)
+    }
+    out.close()
+    val df = spark.read.format("fixedwidth").option("fields", lay).load(dir)
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 15L)
+    plan(df) should include("FixedWidthCountScan")
+  }
+
   test("limit truncates split planning to the requested records") {
     val dir = tmp()
     writeData(dir, partitioned = false)
