@@ -107,7 +107,8 @@ class FixedWidthMicroBatchStream(
     tableOptions: CaseInsensitiveStringMap,
     requiredSchema: StructType,
     conf: Configuration,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream {
 
   private val log = new FixedWidthFileLog(new Path(checkpointLocation, "graft-file-log"), conf)
@@ -117,9 +118,15 @@ class FixedWidthMicroBatchStream(
   private val seen: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set.empty ++ log.allSeenUpTo(curSeq).keySet
 
+  /** Directory-pruned listing: files whose `col=value` path can never match
+    * the pushed filters are not even admitted to the file log — on a
+    * date-partitioned streaming feed the checkpoint state stays proportional
+    * to the matching partitions. (Pruned-away files also never age into the
+    * seen-set; that is fine because they could never produce rows.) */
   private def snapshot(): Map[String, Long] =
-    FixedWidthTable.listFiles(tableOptions, conf)
-      .map(st => st.getPath.toString -> st.getLen).toMap
+    FixedWidthTable.pruneFiles(
+      FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
+      .kept.map(st => st.getPath.toString -> st.getLen).toMap
 
   override def initialOffset(): Offset = FixedWidthStreamOffset(0L)
 
@@ -147,8 +154,10 @@ class FixedWidthMicroBatchStream(
     FixedWidthScan.alignedPartitionsOf(files, opts)
   }
 
+  // Pushed filters were fully accepted by the ScanBuilder (no residual), so
+  // the streaming reader MUST evaluate them just like the batch reader does.
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf))
+    new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
 
   override def commit(end: Offset): Unit = ()
 

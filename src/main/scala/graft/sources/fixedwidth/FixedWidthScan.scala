@@ -360,7 +360,7 @@ class FixedWidthScan(
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf, checkpointLocation)
+    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf, checkpointLocation, pushedFilters)
 
   /** Task-level metrics surfaced in the Spark UI / listener (the analog of
     * the reference's byte counter + progress, FixedLengthRecordReader.java:

@@ -88,4 +88,40 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     val entries = logDir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
     entries.length should be >= 20 // one entry per ingesting trigger
   }
+
+  test("streaming over a partitioned layout: filter semantics hold, all partitions logged") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-stream-part").toString
+    val ckpt = Files.createTempDirectory("graft-stream-part-ckpt").toString
+    val out = Files.createTempDirectory("graft-stream-part-out").toString
+    val layout = "id:long:0:8,p:string:8:4"
+
+    (1 to 40).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p")
+      .write.format("fixedwidth").option("fields", layout)
+      .partitionBy("p").mode("overwrite").save(data)
+
+    val q = spark.readStream.format("fixedwidth").option("fields", layout).load(data)
+      .filter($"p" === "p1")
+      .select($"id", $"p")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.map(_._1).sorted shouldBe (1 to 40).filter(_ % 2 == 1).map(_.toLong).toArray
+    all(rows.map(_._2)) shouldBe "p1"
+
+    // Spark does not run filter pushdown for streaming relations (the
+    // filter stays post-scan), so the file log records EVERY partition; the
+    // stream's pruning path (FixedWidthMicroBatchStream.snapshot) is wired
+    // for the day streaming pushdown lands, and the reader factory applies
+    // pushed filters if any are ever handed down — asserted here as "both
+    // partitions logged, results still exactly filtered".
+    val logDir = new java.io.File(ckpt, "sources/0/graft-file-log")
+    val logText = logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .map(f => { val s = scala.io.Source.fromFile(f); try s.mkString finally s.close() }).mkString
+    logText should include("p=p1")
+    logText should include("p=p0")
+  }
 }
