@@ -307,7 +307,28 @@ class FixedWidthScan(
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     recordRange: Option[(Long, Long)] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // ---- Runtime filtering (the DSv2 face of dynamic partition pruning):
+  // Spark hands the scan join-key filters (typically In over the broadcast
+  // side's keys) at EXECUTION time; we apply them to directory pruning only
+  // — a star-join on a date-partitioned 100 TB feed then reads just the
+  // dimension-selected directories. Spark re-evaluates the join itself, so
+  // pruning-only application is always sound (and records inside kept
+  // directories are untouched).
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  // Attributes must resolve against the scan's (column-pruned) OUTPUT —
+  // Spark resolves them by name over readSchema, so advertise only declared
+  // fields that survived pruning.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    opts.fields
+      .filter(f => requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters.filter(f => FixedWidthFilters.supported(f, opts))
 
   override def readSchema(): StructType = requiredSchema
 
@@ -316,11 +337,13 @@ class FixedWidthScan(
     * segments skip the file's IO entirely — see FixedWidthTable.pruneFiles.
     * Statistics and split planning both read the pruned list, so Catalyst's
     * size estimates (broadcast decisions) shrink with the pruning too. */
+  private lazy val listedFiles = FixedWidthTable.listPartitionedFiles(tableOptions, conf)
   private lazy val pruneResult: FixedWidthTable.PruneResult =
-    FixedWidthTable.pruneFiles(
-      FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
+    FixedWidthTable.pruneFiles(listedFiles, opts, pushedFilters)
   private def prunedFiles = pruneResult.kept
-  private def filesPruned = pruneResult.pruned
+  // set by planInputPartitions (which sees runtime filters); statistics and
+  // the metric fall back to the static pruning before that
+  @volatile private var filesPruned: Long = -1L
 
   /** Size/row statistics from file lengths — exact for this format (every
     * record is recordLength bytes), so Catalyst's broadcast-join threshold
@@ -347,14 +370,22 @@ class FixedWidthScan(
       s"PushedFilters=[${pushedFilters.mkString(", ")}]" +
       recordRange.map { case (o, l) => s", PushedOffset=$o, PushedLimit=$l" }.getOrElse("") + ")"
 
-  /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]]. */
-  override def planInputPartitions(): Array[InputPartition] =
-    FixedWidthScan.alignedPartitions(prunedFiles, opts, conf, recordRange)
+  /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]].
+    * Runtime (join-derived) filters, when present, are merged into the
+    * pruning pass here — planInputPartitions runs after `filter()`. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val res =
+      if (runtimeFilters.isEmpty) pruneResult
+      else FixedWidthTable.pruneFiles(listedFiles, opts, pushedFilters ++ runtimeFilters)
+    filesPruned = res.pruned
+    FixedWidthScan.alignedPartitions(res.kept, opts, conf, recordRange)
+  }
 
   /** Plan-time metric: files skipped by partition-directory pruning (visible
     * in the SQL UI next to the task-level records/bytes counters). */
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(FixedWidthMetrics.task("fwFilesPruned", filesPruned))
+    Array(FixedWidthMetrics.task("fwFilesPruned",
+      if (filesPruned >= 0) filesPruned else pruneResult.pruned))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)

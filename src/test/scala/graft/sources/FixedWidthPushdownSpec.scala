@@ -134,6 +134,39 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     plan(df) should include("FixedWidthCountScan")
   }
 
+  test("runtime filters prune directories at execution time (DSv2 dynamic partition pruning)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.fixedwidth._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir, "fields" -> layout).asJava)
+    val sb = new FixedWidthScanBuilder(FixedWidthOptions(opts), opts, spark.sessionState.newHadoopConf())
+    val scan = sb.build().asInstanceOf[FixedWidthScan]
+    // the join column is advertised as filterable
+    scan.filterAttributes().map(_.fieldNames()(0)) should contain("p")
+    // Spark delivers the broadcast side's keys as an In filter at runtime
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("p", Array("p2"))))
+    val files = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[FixedWidthInputPartition].chunks.map(_.filePath)).distinct
+    files should not be empty
+    all(files) should include("/p=p2")
+    scan.reportDriverMetrics().find(_.name == "fwFilesPruned").get.value should be > 0L
+  }
+
+  test("broadcast join on the partition column returns exact results with runtime filtering on") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val dim = Seq(("p1", "one"), ("p3", "three")).toDF("p", "label")
+    val joined = read(dir).join(broadcast(dim), "p")
+      .groupBy($"p", $"label").agg(count(lit(1)).as("n")).orderBy($"p")
+    joined.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+      Array(("p1", "one", (1 to 500).count(_ % 4 == 1).toLong),
+            ("p3", "three", (1 to 500).count(_ % 4 == 3).toLong))
+  }
+
   test("limit truncates split planning to the requested records") {
     val dir = tmp()
     writeData(dir, partitioned = false)
