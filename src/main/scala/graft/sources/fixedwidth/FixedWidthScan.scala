@@ -109,26 +109,8 @@ class FixedWidthScanBuilder(
     Some(fields)
   }
 
-  /** Decode a directory value string to its Catalyst value through the same
-    * synthetic-record path pruning uses (so "1"/"01" merge, trim applies,
-    * blank = NULL). Throws NumberFormatException on foreign garbage. */
-  private def decodeDirValue(f: FieldSpec, raw: String): Any = {
-    val buf = new Array[Byte](opts.recordLength)
-    java.util.Arrays.fill(buf, ' '.toByte)
-    val bytes =
-      if (f.ftype == "string") raw.getBytes(opts.charset)
-      else raw.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    if (f.ftype != "string" && bytes.length > f.len)
-      throw new NumberFormatException(s"over-width directory value '$raw'")
-    System.arraycopy(bytes, 0, buf, f.start, math.min(bytes.length, f.len))
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-    FixedWidthRowDecoders.plan(
-      opts, StructType(Seq(StructField(f.name, f.dataType))), buf, row, () => 0L)(0)()
-    row.get(0, f.dataType) match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.clone() // buf-backed
-      case other => other
-    }
-  }
+  private def decodeDirValue(f: FieldSpec, raw: String): Any =
+    FixedWidthTable.decodeDirValue(opts, f, raw)
 
   private def groupedCountOf(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Seq[FieldSpec], Seq[(Seq[String], Long)])] = {
@@ -308,7 +290,8 @@ class FixedWidthScan(
     recordRange: Option[(Long, Long)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // ---- Runtime filtering (the DSv2 face of dynamic partition pruning):
   // Spark hands the scan join-key filters (typically In over the broadcast
@@ -370,15 +353,91 @@ class FixedWidthScan(
       s"PushedFilters=[${pushedFilters.mkString(", ")}]" +
       recordRange.map { case (o, l) => s", PushedOffset=$o, PushedLimit=$l" }.getOrElse("") + ")"
 
+  // ---- Storage-partitioned execution (the DSv2 analog of bucketed joins):
+  // when every (statically pruned) file sits under directories binding the
+  // same partition columns, report KeyGroupedPartitioning over those columns
+  // — joins and aggregations clustered on them then skip the shuffle
+  // entirely. Opt-in via spark.sql.sources.v2.bucketing.enabled (Spark
+  // ignores the report otherwise), matching the conf that gates Spark's own
+  // split-grouping machinery. Key values decode through the same path the
+  // scan uses, so "k=1" and a foreign "k=01" directory land in ONE group.
+  private lazy val keyedGroups: Option[(Seq[FieldSpec], Seq[(org.apache.spark.sql.catalyst.expressions.UnsafeRow, Seq[FixedWidthTable.PartitionedFile])])] = {
+    // NB: the registered DEFAULT of spark.sql.sources.v2.bucketing.enabled
+    // is true in Spark 4 — read the effective value (getConfString with a
+    // fallback would ignore the registered default and misreport).
+    val bucketing =
+      try SparkSession.active.sessionState.conf.v2BucketingEnabled
+      catch { case _: Exception => false }
+    if (!bucketing || !opts.typed || recordRange.nonEmpty) None
+    else {
+      val keptPaths = prunedFiles.map(_.getPath.toString).toSet
+      val kept = listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString))
+      if (kept.isEmpty) None
+      else {
+        // partition columns bound in EVERY file's path, in layout order,
+        // restricted to the projected output (Spark resolves the reported
+        // key expressions against the scan output schema)
+        val common = opts.fields.filter { f =>
+          val lower = f.name.toLowerCase
+          requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+            kept.forall(_.partValues.contains(lower))
+        }
+        if (common.isEmpty) None
+        else try {
+          val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+            StructType(common.map(f => StructField(f.name, f.dataType))))
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(common.length)
+          val groups = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], (org.apache.spark.sql.catalyst.expressions.UnsafeRow, scala.collection.mutable.ArrayBuffer[FixedWidthTable.PartitionedFile])]
+          kept.foreach { pf =>
+            val key = common.map(f => FixedWidthTable.decodeDirValue(opts, f, pf.partValues(f.name.toLowerCase)))
+            val entry = groups.getOrElseUpdate(key, {
+              var i = 0
+              while (i < common.length) { row.update(i, key(i)); i += 1 }
+              (proj(row).copy(), scala.collection.mutable.ArrayBuffer.empty[FixedWidthTable.PartitionedFile])
+            })
+            entry._2 += pf
+          }
+          Some((common, groups.values.toSeq.map { case (k, fs) => (k, fs.toSeq) }))
+        } catch { case _: NumberFormatException => None } // foreign garbage value
+      }
+    }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some((fields, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          fields.map(f => org.apache.spark.sql.connector.expressions.Expressions.identity(f.name)).toArray,
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]].
     * Runtime (join-derived) filters, when present, are merged into the
-    * pruning pass here — planInputPartitions runs after `filter()`. */
+    * pruning pass here — planInputPartitions runs after `filter()`. Under
+    * key-grouped reporting, chunks never pack across partition values and
+    * every split carries its key (Spark groups same-key splits itself;
+    * runtime filtering may drop whole groups — reporting a SUBSET of the
+    * original partition values is explicitly allowed). */
   override def planInputPartitions(): Array[InputPartition] = {
     val res =
       if (runtimeFilters.isEmpty) pruneResult
       else FixedWidthTable.pruneFiles(listedFiles, opts, pushedFilters ++ runtimeFilters)
     filesPruned = res.pruned
-    FixedWidthScan.alignedPartitions(res.kept, opts, conf, recordRange)
+    keyedGroups match {
+      case Some((_, groups)) =>
+        val keptNow = res.kept.map(_.getPath.toString).toSet
+        groups.toArray.flatMap { case (key, pfs) =>
+          val files = pfs.collect { case pf if keptNow.contains(pf.status.getPath.toString) => pf.status }
+          FixedWidthScan.alignedPartitions(files, opts, conf, None).map { p =>
+            FixedWidthKeyedInputPartition(p.asInstanceOf[FixedWidthInputPartition], key)
+          }
+        }
+      case None =>
+        FixedWidthScan.alignedPartitions(res.kept, opts, conf, recordRange)
+    }
   }
 
   /** Plan-time metric: files skipped by partition-directory pruning (visible
@@ -571,15 +630,33 @@ final case class FixedWidthInputPartition(chunks: Seq[FileChunk]) extends InputP
       .toSeq.sortBy(-_._2).take(3).map(_._1).toArray
 }
 
+/** A split whose rows all share one partition-column value tuple — the
+  * storage-partitioned-join unit. Spark groups same-key splits itself
+  * (`spark.sql.sources.v2.bucketing.enabled`), so large directories keep
+  * their intra-value split parallelism. */
+final case class FixedWidthKeyedInputPartition(
+    inner: FixedWidthInputPartition,
+    key: org.apache.spark.sql.catalyst.expressions.UnsafeRow)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
 class FixedWidthReaderFactory(
     opts: FixedWidthOptions,
     requiredSchema: StructType,
     conf: SerializableHadoopConf,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
+
+  private def unwrap(partition: InputPartition): FixedWidthInputPartition = partition match {
+    case k: FixedWidthKeyedInputPartition => k.inner
+    case p: FixedWidthInputPartition => p
+    case other => throw new IllegalStateException(s"fixedwidth: unexpected partition $other")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FixedWidthPartitionReader(
-      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
+    new FixedWidthPartitionReader(unwrap(partition), opts, requiredSchema, conf.value, pushedFilters)
 
   /** Always columnar: with pushed filters the columnar reader now evaluates
     * predicates on a scratch row per record (same skip-decode property as
@@ -589,8 +666,7 @@ class FixedWidthReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new FixedWidthColumnarReader(
-      partition.asInstanceOf[FixedWidthInputPartition], opts, requiredSchema, conf.value, pushedFilters)
+    new FixedWidthColumnarReader(unwrap(partition), opts, requiredSchema, conf.value, pushedFilters)
 }
 
 /** Chunk-walking record cursor shared by the row and columnar readers: opens

@@ -139,6 +139,30 @@ object FixedWidthTable {
     }
   }
 
+  /** Decode a directory value string to its Catalyst value through the same
+    * synthetic-record path pruning uses (so "1"/"01" merge, trim applies,
+    * blank = NULL). Throws NumberFormatException on foreign garbage. */
+  def decodeDirValue(opts: FixedWidthOptions, f: FieldSpec, raw: String): Any = {
+    val buf = new Array[Byte](opts.recordLength)
+    java.util.Arrays.fill(buf, ' '.toByte)
+    val bytes =
+      if (f.ftype == "string") raw.getBytes(opts.charset)
+      else raw.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (f.ftype != "string" && bytes.length > f.len)
+      throw new NumberFormatException(s"over-width directory value '$raw'")
+    System.arraycopy(bytes, 0, buf, f.start, math.min(bytes.length, f.len))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    FixedWidthRowDecoders.plan(
+      opts,
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(f.name, f.dataType))),
+      buf, row, () => 0L)(0)()
+    row.get(0, f.dataType) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone() // buf-backed
+      case other => other
+    }
+  }
+
   /** `exact = true` ⇔ the kept files contain EXACTLY the records satisfying
     * the pushed filters (every filter was fully covered by every kept file's
     * partition path and every directory value evaluated cleanly) — the

@@ -148,8 +148,11 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     // Spark delivers the broadcast side's keys as an In filter at runtime
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("p", Array("p2"))))
-    val files = scan.planInputPartitions()
-      .flatMap(_.asInstanceOf[FixedWidthInputPartition].chunks.map(_.filePath)).distinct
+    // v2 bucketing defaults ON in Spark 4, so partitions may arrive keyed
+    val files = scan.planInputPartitions().flatMap {
+      case k: FixedWidthKeyedInputPartition => k.inner.chunks.map(_.filePath)
+      case p: FixedWidthInputPartition => p.chunks.map(_.filePath)
+    }.distinct
     files should not be empty
     all(files) should include("/p=p2")
     scan.reportDriverMetrics().find(_.name == "fwFilesPruned").get.value should be > 0L
