@@ -375,6 +375,33 @@ object CoreQueries {
     """SELECT l_returnflag, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Storage-partitioned join lane under the oracle: both sides read the
+    * SAME partitioned fixture, aggregate clustered on the partition column,
+    * and join on it — with Spark 4's v2 bucketing (default on) the whole
+    * plan runs shuffle-free on the directory-derived KeyGroupedPartitioning
+    * (plan shape pinned in FixedWidthStoragePartitionSpec; values proven
+    * here). The even-keys side carries a record-level filter so it exercises
+    * the REAL scan path (count pushdown correctly declines it). */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fw = spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+    val qty = fw.groupBy($"l_returnflag").agg(dsum($"l_quantity").as("qty"))
+    val even = fw.filter($"l_orderkey" % 2 === 0)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_even"))
+    qty.join(even, "l_returnflag").orderBy($"l_returnflag")
+  }
+
+  val q36Oracle: String =
+    s"""SELECT a.l_returnflag, a.qty, b.n_even
+       |FROM (SELECT l_returnflag, ${dsumSql("l_quantity")} AS qty
+       |      FROM lineitem GROUP BY l_returnflag) a
+       |JOIN (SELECT l_returnflag, count(*) AS n_even
+       |      FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag) b
+       |  ON a.l_returnflag = b.l_returnflag
+       |ORDER BY a.l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
@@ -384,5 +411,6 @@ object CoreQueries {
     Q("q06_fw_partition_pruned", q06, Some(q06Oracle)),
     Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
     Q("q08_fw_limit_offset", q08, Some(q08Oracle)),
-    Q("q09_fw_grouped_count", q09, Some(q09Oracle)))
+    Q("q09_fw_grouped_count", q09, Some(q09Oracle)),
+    Q("q36_fw_spj_join", q36, Some(q36Oracle)))
 }
