@@ -44,8 +44,19 @@ class FixedWidthWriteBuilder(
     override def toBatch: BatchWrite = {
       val path = Option(tableOptions.get("path")).getOrElse(
         throw new IllegalArgumentException("fixedwidth: write requires a single 'path'"))
+      val maxRecords = Option(tableOptions.get("maxRecordsPerFile")).map { v =>
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"fixedwidth: option 'maxRecordsPerFile' must be a positive integer, got '$v'")
+        }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"fixedwidth: option 'maxRecordsPerFile' must be > 0, got $n")
+        n
+      }.getOrElse(0L)
       new FixedWidthBatchWrite(
-        path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf), partitionCols)
+        path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf), partitionCols,
+        maxRecords)
     }
   }
 }
@@ -66,7 +77,8 @@ class FixedWidthBatchWrite(
     querySchema: StructType,
     truncate: Boolean,
     conf: SerializableHadoopConf,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 0L)
     extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString
@@ -81,7 +93,9 @@ class FixedWidthBatchWrite(
     // Validate the incoming schema maps onto the layout once, up front.
     FixedWidthEncoder.plan(opts, querySchema)
     FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
-    new FixedWidthDataWriterFactory(tempDir.toString, opts, querySchema, conf, partitionCols)
+    new FixedWidthDataWriterFactory(
+      tempDir.toString, opts, querySchema, conf, partitionCols,
+      maxRecordsPerFile, jobId.replace("-", "").take(8))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -116,20 +130,27 @@ class FixedWidthDataWriterFactory(
     opts: FixedWidthOptions,
     querySchema: StructType,
     conf: SerializableHadoopConf,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 0L,
+    jobTag: String = "")
     extends DataWriterFactory {
+  // jobTag (first 8 hex of the job UUID) keeps file names unique across
+  // APPEND jobs from different sessions: Spark task ids restart from 0 in a
+  // new session, and a colliding name would make commit's rename fail.
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FixedWidthDataWriter(
-      tempDir, f"part-$partitionId%05d-$taskId.fwb", opts, querySchema, conf.value, partitionCols)
+      tempDir, f"part-$partitionId%05d-$taskId${if (jobTag.isEmpty) "" else s"-$jobTag"}",
+      opts, querySchema, conf.value, partitionCols, maxRecordsPerFile)
 }
 
 class FixedWidthDataWriter(
     tempDir: String,
-    fileName: String,
+    fileStem: String,
     opts: FixedWidthOptions,
     querySchema: StructType,
     conf: Configuration,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 0L)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(tempDir).getFileSystem(conf)
@@ -141,14 +162,39 @@ class FixedWidthDataWriter(
   // One open stream per partition directory seen by this task (a task's
   // rows may span many partition values — same as Spark's dynamic
   // partition file writers). Unpartitioned writes collapse to one entry
-  // under key "".
-  private val streams = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
-  private def streamFor(relDir: String): org.apache.hadoop.fs.FSDataOutputStream =
-    streams.getOrElseUpdate(relDir, {
-      val p = if (relDir.isEmpty) new Path(tempDir, fileName)
-              else new Path(new Path(tempDir, relDir), fileName)
-      fs.create(p, true)
-    })
+  // under key "". With maxRecordsPerFile > 0 a directory's stream ROLLS to
+  // a new sequence-numbered file when full (the v1 writer's option of the
+  // same name) — unbounded single files are how 100 TB feeds become
+  // unmanageable.
+  private final class DirState {
+    var seq = 0
+    var inFile = 0L
+    var stream: org.apache.hadoop.fs.FSDataOutputStream = null
+    val relPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+  }
+  private val dirs = scala.collection.mutable.LinkedHashMap.empty[String, DirState]
+
+  private def relPathOf(relDir: String, seq: Int): String = {
+    val name = if (seq == 0) s"$fileStem.fwb" else f"$fileStem-r$seq%04d.fwb"
+    if (relDir.isEmpty) name else s"$relDir/$name"
+  }
+
+  private def streamFor(relDir: String): org.apache.hadoop.fs.FSDataOutputStream = {
+    val st = dirs.getOrElseUpdate(relDir, new DirState)
+    if (st.stream != null && maxRecordsPerFile > 0 && st.inFile >= maxRecordsPerFile) {
+      st.stream.close()
+      st.stream = null
+      st.seq += 1
+      st.inFile = 0L
+    }
+    if (st.stream == null) {
+      val rel = relPathOf(relDir, st.seq)
+      st.relPaths += rel
+      st.stream = fs.create(new Path(tempDir, rel), true)
+    }
+    st.inFile += 1
+    st.stream
+  }
 
   override def write(record: InternalRow): Unit = {
     val relDir =
@@ -164,17 +210,16 @@ class FixedWidthDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    streams.values.foreach(_.close())
-    val rels = streams.keys.toSeq.map(d => if (d.isEmpty) fileName else s"$d/$fileName")
-    FixedWidthCommitMessage(rels, records)
+    dirs.values.foreach(st => if (st.stream != null) st.stream.close())
+    FixedWidthCommitMessage(dirs.values.flatMap(_.relPaths).toSeq, records)
   }
 
   override def abort(): Unit = {
-    streams.values.foreach(s => try s.close() catch { case _: Throwable => })
-    streams.keys.foreach { d =>
-      val p = if (d.isEmpty) new Path(tempDir, fileName)
-              else new Path(new Path(tempDir, d), fileName)
-      try fs.delete(p, false) catch { case _: Throwable => }
+    dirs.values.foreach { st =>
+      if (st.stream != null) try st.stream.close() catch { case _: Throwable => }
+      st.relPaths.foreach { rel =>
+        try fs.delete(new Path(tempDir, rel), false) catch { case _: Throwable => }
+      }
     }
   }
 
