@@ -194,6 +194,10 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     val tail = base.offset(490).select("id").collect().map(_.getLong(0))
     tail shouldBe all.drop(490)
     base.offset(600).count() shouldBe 0L
+    // reverse composition: limit first, then offset → rows [o, l)
+    val lo = base.limit(50).offset(10).select("id").collect().map(_.getLong(0))
+    lo shouldBe all.slice(10, 50)
+    base.limit(20).offset(30).count() shouldBe 0L
   }
 
   test("limit with a pushed filter is NOT truncated (filters drop records after the cap)") {
