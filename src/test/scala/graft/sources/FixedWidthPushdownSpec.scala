@@ -111,6 +111,24 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     plan(df) should not include "FixedWidthCountScan"
   }
 
+  test("grouped count over NULL partition values yields a NULL group from the listing") {
+    import spark.implicits._
+    val dir = tmp()
+    val lay = "id:long:0:8,k:long:8:6"
+    (1 to 30).map(i => (i.toLong, if (i % 5 == 0) None else Some((i % 2).toLong)))
+      .toDF("id", "k")
+      .write.format("fixedwidth").option("fields", lay).partitionBy("k")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("fixedwidth").option("fields", lay)
+      .load(dir).groupBy($"k").agg(count(lit(1)).as("n"))
+    val got = df.collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0)) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      null.asInstanceOf[Any] -> (1 to 30).count(_ % 5 == 0).toLong,
+      0L -> (1 to 30).count(i => i % 5 != 0 && i % 2 == 0).toLong,
+      1L -> (1 to 30).count(i => i % 5 != 0 && i % 2 == 1).toLong)
+    plan(df) should include("FixedWidthCountScan")
+  }
+
   test("foreign directories with equivalent encodings merge by decoded value") {
     import spark.implicits._
     val dir = tmp()
