@@ -402,6 +402,25 @@ object CoreQueries {
        |  ON a.l_returnflag = b.l_returnflag
        |ORDER BY a.l_returnflag""".stripMargin
 
+  /** MIN/MAX over a partition column pushed to the listing: "what range does
+    * this feed cover?" answered from directory names with zero data IO
+    * (plan shape pinned in FixedWidthPushdownSpec; values proven here). */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+      .agg(
+        min($"l_returnflag").as("rf_min"),
+        max($"l_returnflag").as("rf_max"),
+        count(lit(1)).as("n"))
+  }
+
+  val q37Oracle: String =
+    """SELECT min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+      |  count(*) AS n
+      |FROM lineitem""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
@@ -412,5 +431,6 @@ object CoreQueries {
     Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
     Q("q08_fw_limit_offset", q08, Some(q08Oracle)),
     Q("q09_fw_grouped_count", q09, Some(q09Oracle)),
-    Q("q36_fw_spj_join", q36, Some(q36Oracle)))
+    Q("q36_fw_spj_join", q36, Some(q36Oracle)),
+    Q("q37_fw_minmax_listing", q37, Some(q37Oracle)))
 }

@@ -37,8 +37,7 @@ class FixedWidthScanBuilder(
 
   private var requiredSchema: StructType = opts.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStars: Int = -1 // #COUNT(*) columns when the agg is fully pushed
-  private var countValue: Long = -1L
+  private var countStars: Int = -1 // #COUNT(*) columns when a GROUPED agg is fully pushed
   private var limitN: Long = -1L  // cap on raw record index (includes any offset)
   private var offsetN: Long = 0L  // records skipped from the front
 
@@ -145,24 +144,88 @@ class FixedWidthScanBuilder(
     } catch { case _: NumberFormatException => None }
   }
 
-  private def countOf(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Long] =
-    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(
-          _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])) None
-    else countable
+  // Global MIN/MAX over a partition column composes too: the distinct
+  // directory values ARE the distinct column values (writer contract), so
+  // "what date range does this feed cover?" is a listing walk. Values
+  // compare through their DECODED Catalyst forms (all supported types are
+  // Comparable with Catalyst-identical order: UTF8String binary, numeric,
+  // Decimal; doubles refused — -0.0/NaN ordering not worth replicating).
+  private var listingCols: Seq[FixedWidthListingCol] = Nil
+
+  private def minMaxPreconditionsOk: Boolean = {
+    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    val recLen = opts.recordLength.toLong
+    res.exact && !opts.dropMalformed &&
+      !res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath)) &&
+      (opts.tolerant || !res.kept.exists(_.getLen % recLen != 0))
+  }
+
+  private def globalListingAggOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[FixedWidthListingCol]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[FieldSpec] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference if nr.fieldNames.length == 1 =>
+        opts.fields.find(f => f.name.equalsIgnoreCase(nr.fieldNames()(0))).filter(_.ftype != "double")
+      case _ => None
+    }
+
+    lazy val keptWithParts: Option[Seq[FixedWidthTable.PartitionedFile]] =
+      if (!minMaxPreconditionsOk) None
+      else {
+        val keptPaths = FixedWidthTable.pruneFiles(listedFiles, opts, pushed).kept
+          .map(_.getPath.toString).toSet
+        Some(listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString)))
+      }
+
+    /** Extreme of a partition column over the kept listing: None = not
+      * answerable; Some(None) = no non-null value (SQL NULL result). */
+    def extremeOf(f: FieldSpec, wantMax: Boolean): Option[Option[String]] =
+      keptWithParts.flatMap { kept =>
+        val lower = f.name.toLowerCase
+        if (!kept.forall(_.partValues.contains(lower))) None
+        else try {
+          val candidates = kept.map(_.partValues(lower)).distinct
+            .map(raw => raw -> FixedWidthTable.decodeDirValue(opts, f, raw))
+            .filter(_._2 != null) // blank = SQL NULL: min/max ignore it
+          if (candidates.isEmpty) Some(None)
+          else Some(Some(candidates.reduceLeft { (a, b) =>
+            val c = a._2.asInstanceOf[Comparable[Any]].compareTo(b._2)
+            if ((c >= 0) == wantMax) a else b
+          }._1))
+        } catch { case _: NumberFormatException => None }
+      }
+
+    val cols = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        countable.map(n => FixedWidthCountCol(n): FixedWidthListingCol).getOrElse(return None)
+      case m: Min =>
+        val f = fieldOf(m.column()).getOrElse(return None)
+        extremeOf(f, wantMax = false)
+          .map(raw => FixedWidthValueCol(s"min(${f.name})", f, raw): FixedWidthListingCol)
+          .getOrElse(return None)
+      case m: Max =>
+        val f = fieldOf(m.column()).getOrElse(return None)
+        extremeOf(f, wantMax = true)
+          .map(raw => FixedWidthValueCol(s"max(${f.name})", f, raw): FixedWidthListingCol)
+          .getOrElse(return None)
+      case _ => return None
+    }
+    Some(cols)
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (agg.groupByExpressions.isEmpty) countOf(agg).isDefined
+    if (agg.groupByExpressions.isEmpty) globalListingAggOf(agg).isDefined
     else groupedCountOf(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     if (agg.groupByExpressions.isEmpty)
-      countOf(agg) match {
-        case Some(n) =>
-          countValue = n
-          countStars = agg.aggregateExpressions.length
+      globalListingAggOf(agg) match {
+        case Some(cols) =>
+          listingCols = cols
           true
         // Never accept a PARTIAL pushdown (complete-unsupported cases): our
         // one-row answer is the FINAL aggregate, not a per-partition partial.
@@ -199,14 +262,66 @@ class FixedWidthScanBuilder(
     if (canTruncate) { offsetN = offset.toLong; true } else false
 
   override def build(): Scan =
-    if (countStars >= 0 && groupFields.isEmpty)
-      new FixedWidthCountScan(opts, Nil, Seq((Nil, countValue)), countStars)
+    if (listingCols.nonEmpty)
+      new FixedWidthListingAggScan(opts, listingCols)
     else if (countStars >= 0)
       new FixedWidthCountScan(opts, groupFields, groupedRows, countStars)
     else new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed,
       recordRange = if (limitN >= 0 || offsetN > 0)
         Some((offsetN, if (limitN >= 0) limitN else Long.MaxValue)) else None)
 }
+
+/** One result column of a fully-listing-answered GLOBAL aggregate. */
+sealed trait FixedWidthListingCol extends Serializable
+final case class FixedWidthCountCol(n: Long) extends FixedWidthListingCol
+/** min/max of a partition column: the winning directory value travels raw
+  * and decodes on the executor (None = SQL NULL — no non-null value). */
+final case class FixedWidthValueCol(alias: String, field: FieldSpec, raw: Option[String])
+    extends FixedWidthListingCol
+
+/** The whole scan when a global COUNT(*)/MIN/MAX-over-partition-columns
+  * aggregate is fully pushed: one partition, ONE row, zero data IO. */
+class FixedWidthListingAggScan(opts: FixedWidthOptions, cols: Seq[FixedWidthListingCol])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(cols.zipWithIndex.map {
+    case (FixedWidthCountCol(_), i) => StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)
+    case (FixedWidthValueCol(alias, f, _), _) => StructField(alias, f.dataType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthListingAggScan [PushedAggregates: ${cols.map {
+      case FixedWidthCountCol(_) => "COUNT(*)"
+      case FixedWidthValueCol(alias, _, _) => alias.toUpperCase
+    }.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FixedWidthListingAggPartition(opts, cols))
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val lp = p.asInstanceOf[FixedWidthListingAggPartition]
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(lp.cols.length)
+          lp.cols.zipWithIndex.foreach {
+            case (FixedWidthCountCol(n), i) => row.setLong(i, n)
+            case (FixedWidthValueCol(_, _, None), i) => row.setNullAt(i)
+            case (FixedWidthValueCol(_, f, Some(raw)), i) =>
+              row.update(i, FixedWidthTable.decodeDirValue(lp.opts, f, raw))
+          }
+          row
+        }
+        override def close(): Unit = ()
+      }
+  }
+}
+
+final case class FixedWidthListingAggPartition(
+    opts: FixedWidthOptions, cols: Seq[FixedWidthListingCol]) extends InputPartition
 
 /** The whole scan when a COUNT(*) aggregate is fully pushed down: zero data
   * IO — counts came from the driver-side (pruned) file listing, one row per

@@ -38,7 +38,7 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     val df = read(dir).agg(count(lit(1)).as("n"))
     df.collect().map(_.getLong(0)) shouldBe Array(500L)
     val p = plan(df)
-    p should include("FixedWidthCountScan")
+    p should include("FixedWidthListingAggScan")
     p should not include "HashAggregate"
   }
 
@@ -48,7 +48,7 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     writeData(dir, partitioned = true)
     val df = read(dir).filter($"p" === "p1").agg(count(lit(1)).as("n"))
     df.collect().map(_.getLong(0)) shouldBe Array((1 to 500).count(_ % 4 == 1).toLong)
-    plan(df) should include("FixedWidthCountScan")
+    plan(df) should include("FixedWidthListingAggScan")
   }
 
   test("count(*) with a record-level filter falls back to a real scan") {
@@ -59,7 +59,7 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     val df = read(dir).filter($"v" === 3L).agg(count(lit(1)).as("n"))
     df.collect().map(_.getLong(0)) shouldBe Array((1 to 500).count(_ % 10 == 3).toLong)
     val p = plan(df)
-    p should not include "FixedWidthCountScan"
+    p should not include "PushedAggregates"
     p should include("FixedWidthScan")
   }
 
@@ -68,14 +68,44 @@ class FixedWidthPushdownSpec extends SparkSpec with Matchers {
     val dir = tmp()
     writeData(dir, partitioned = false)
     // count(col): typed fields can be NULL via blank bytes
-    plan(read(dir).agg(count($"v").as("n"))) should not include "FixedWidthCountScan"
+    plan(read(dir).agg(count($"v").as("n"))) should not include "PushedAggregates"
     // group-by
-    plan(read(dir).groupBy($"p").agg(count(lit(1)).as("n"))) should not include "FixedWidthCountScan"
+    plan(read(dir).groupBy($"p").agg(count(lit(1)).as("n"))) should not include "PushedAggregates"
     // DROPMALFORMED: dropped records are invisible to file lengths
     val dropped = spark.read.format("fixedwidth").option("fields", layout)
       .option("mode", "DROPMALFORMED").load(dir).agg(count(lit(1)).as("n"))
-    plan(dropped) should not include "FixedWidthCountScan"
+    plan(dropped) should not include "PushedAggregates"
     dropped.collect().map(_.getLong(0)) shouldBe Array(500L)
+  }
+
+  test("global min/max over partition columns come from the listing (with count in the mix)") {
+    import spark.implicits._
+    val dir = tmp()
+    writeData(dir, partitioned = true)
+    val df = read(dir).agg(
+      min($"p").as("pmin"), max($"p").as("pmax"), count(lit(1)).as("n"))
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+      Array(("p0", "p3", 500L))
+    val p = plan(df)
+    p should include("FixedWidthListingAggScan")
+    p should include("MAX(P)")
+    p should not include "HashAggregate"
+    // min/max of a NON-partition column falls back to a real scan
+    plan(read(dir).agg(max($"v").as("vm"))) should not include "PushedAggregates"
+  }
+
+  test("min/max over a NULL-bearing numeric partition column ignores the NULL directory") {
+    import spark.implicits._
+    val dir = tmp()
+    val lay = "id:long:0:8,k:long:8:6"
+    (1 to 30).map(i => (i.toLong, if (i % 5 == 0) None else Some((i % 3).toLong)))
+      .toDF("id", "k")
+      .write.format("fixedwidth").option("fields", lay).partitionBy("k")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("fixedwidth").option("fields", lay).load(dir)
+      .agg(min($"k").as("kmin"), max($"k").as("kmax"))
+    df.collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 2L))
+    plan(df) should include("FixedWidthListingAggScan")
   }
 
   test("count(*) grouped by a partition column is answered from the listing") {
