@@ -92,6 +92,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
+  /** PII-scrub patterns. The syntax is the COMMON SUBSET of Java regex
+    * (Spark) and RE2 (DuckDB) — char classes, `+`, bounded repeats — so both
+    * engines match byte-identically and the redaction query gets a true
+    * cross-engine oracle. Both engines replace non-overlapping matches
+    * left-to-right with greedy (leftmost-longest-via-backtracking-semantics)
+    * matching, so the redacted TEXT is identical, not just the counts. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** Replace every match of `pattern` with `token` (e.g. "<EMAIL>"). Pure
+    * codegen'd expression — scrubbing streams map-side at full scan width. */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** Number of matches of `pattern` — the redaction audit counter. */
+  def patternCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
   /** 64-bit rolling-hash content fingerprint — order-sensitive unlike the
     * md5 of the sorted token set. Folds acc' = mix64(acc ^ hash64(token))
     * via the codegen'd [[graft.functions.RollingHash64]] expression (one

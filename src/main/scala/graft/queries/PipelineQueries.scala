@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Pipeline}
+import QueryRegistry.table
+
+/** Corpus-shaping pipeline queries over `documents`: PII redaction,
+  * vocabulary building, benchmark decontamination, deterministic sampling
+  * (Bernoulli / exact stratified / weighted source mixture), and sequence
+  * packing. Every query has a full DuckDB hash-match oracle — the sampling
+  * hash is [[graft.functions.Hashing.mix64]], replayed bit-for-bit in
+  * hugeint SQL by [[DuckHashSql.mix64Sql]].
+  */
+object PipelineQueries {
+
+  /** mix64(doc_id) low bits — the DuckDB twin of [[Pipeline.hashBucket]].
+    * Power-of-two modulus: the unsigned hugeint and Java signed views of the
+    * hash share their low bits, so no signed detour is needed. */
+  private def bucketSql(bits: Int): String =
+    s"(${DuckHashSql.mix64Sql("doc_id::HUGEINT", "0")} % ${1L << bits})"
+
+  // ---------------------------------------------------------------- q45
+  /** PII scrubbing. The synthetic corpus carries no PII, so the query first
+    * INJECTS deterministic emails/phones (a pure function of doc_id, built
+    * identically in both engines), then scrubs them with the shared
+    * Java-regex/RE2-portable patterns. md5 of the scrubbed text proves the
+    * redaction is byte-identical cross-engine, not merely count-identical. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPii = table(spark, dir, "documents").select(
+      $"doc_id", $"lang",
+      concat(
+        $"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or admin-"), $"doc_id".cast("string"),
+        lit("@mail.test call 555-"),
+        lpad(pmod($"doc_id", lit(10000L)).cast("string"), 4, "0")).as("text"))
+    val scrubbed = TextFunctions.redact(
+      TextFunctions.redact($"text", TextFunctions.EmailPattern, "<EMAIL>"),
+      TextFunctions.PhonePattern, "<PHONE>")
+    withPii
+      .select(
+        $"doc_id", $"lang",
+        TextFunctions.patternCount($"text", TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.patternCount($"text", TextFunctions.PhonePattern).as("n_phones"),
+        scrubbed.as("redacted"))
+      .select(
+        $"doc_id", $"lang", $"n_emails", $"n_phones",
+        length($"redacted").as("redacted_len"),
+        md5($"redacted".cast("binary")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val redactPiiOracle: String = {
+    val pii = "text || ' contact user' || cast(doc_id AS VARCHAR) || " +
+      "'@example.com or admin-' || cast(doc_id AS VARCHAR) || " +
+      "'@mail.test call 555-' || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')"
+    // DuckDB standard strings don't escape-process backslashes, so the Java
+    // pattern text interpolates verbatim ('\.' stays '\.').
+    val email = TextFunctions.EmailPattern
+    val phone = TextFunctions.PhonePattern
+    s"""WITH w AS (SELECT doc_id, lang, $pii AS text FROM documents),
+       |r AS (SELECT doc_id, lang, text,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+       |FROM w)
+       |SELECT doc_id, lang,
+       |  cast(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+       |  cast(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+       |  cast(length(redacted) AS INT) AS redacted_len,
+       |  md5(redacted) AS redacted_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Vocabulary construction: lowercase whitespace tokens → global counts →
+    * contiguous ids by (count desc, token). The expensive part (explode +
+    * count) is a standard partial-agg shuffle; ranking runs AFTER the
+    * distributed top-k (`orderBy.limit` = TakeOrderedAndProject), so the
+    * single-partition row_number window only ever sees `maxVocab` rows. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxVocab = 500
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    toks.groupBy($"token").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"token").limit(maxVocab)
+      .withColumn("vocab_id", row_number().over(Window.orderBy($"n_occ".desc, $"token")))
+      .orderBy($"vocab_id")
+  }
+
+  val vocabularyOracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS n_occ FROM t WHERE length(token) > 0 GROUP BY token
+       |), top AS (
+       |  SELECT token, n_occ FROM c ORDER BY n_occ DESC, token LIMIT 500
+       |)
+       |SELECT token, n_occ,
+       |  cast(row_number() OVER (ORDER BY n_occ DESC, token) AS INT) AS vocab_id
+       |FROM top ORDER BY vocab_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Benchmark decontamination: flag corpus documents sharing any 8-gram
+    * with the benchmark split (doc_id % 10 == 0 stands in for a held-out
+    * eval set). Shape: explode shingles on both sides, distinct the (small)
+    * benchmark gram set, LEFT SEMI join — Spark broadcasts the benchmark
+    * side off its stats. Grams join as STRINGS here so the oracle is exact;
+    * at 100 TB you would join on xxhash64(gram) instead (collision odds
+    * ~2^-64) to shrink shuffle width — same plan shape. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = table(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(Dedup.shingles($"text", 8)).as("gram"))
+    val benchGrams = grams.filter($"doc_id" % 10 === 0).select($"gram").distinct()
+    grams.filter($"doc_id" % 10 =!= 0)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select($"doc_id", $"lang").distinct()
+      .groupBy($"lang").agg(count(lit(1)).as("n_contaminated"))
+      .orderBy($"lang")
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, lang, unnest(${DuckHashSql.gramsSql(8)}) AS gram
+       |  FROM toks WHERE len(t) >= 8
+       |), bg AS (
+       |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+       |), f AS (
+       |  SELECT DISTINCT doc_id, lang FROM g
+       |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bg)
+       |)
+       |SELECT lang, count(*) AS n_contaminated FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Deterministic ~10% Bernoulli sample (102/1024): map-side only, no
+    * shuffle — the scan plan at 100 TB is scan → filter, nothing else. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Pipeline.hashSample(table(spark, dir, "documents"), "doc_id", keep = 102, bits = 10)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val hashSampleOracle: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${bucketSql(10)} < 102 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Exact 20% stratified sample per language — ceil(n/5) rows per stratum,
+    * chosen by the mix64 permutation. The oracle re-ranks with the SIGNED
+    * view of the hash (Java long order), hence the signedSql detour. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Pipeline.stratifiedExact(table(spark, dir, "documents"), "doc_id", Seq("lang"), 1, 5)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val stratifiedSampleOracle: String = {
+    val sortKey = DuckHashSql.signedSql(DuckHashSql.mix64Sql("doc_id::HUGEINT", "0"))
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $sortKey, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents
+       |)
+       |SELECT lang, doc_id FROM r WHERE rk <= (n * 1 + 4) // 5
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q58
+  /** Weighted source mixture: per-source keep rates out of 1024 (75% / 25% /
+    * 6.25% cycling by source index; src19 deliberately ABSENT from the map —
+    * the rates table is also the whitelist, so it must vanish). */
+  val MixtureRates: Map[String, Int] =
+    (0 until 19).map { i =>
+      s"src$i" -> (i % 3 match { case 0 => 768; case 1 => 256; case _ => 64 })
+    }.toMap
+
+  def weightedMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Pipeline.weightedMixture(table(spark, dir, "documents"), "doc_id", "source", MixtureRates)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"source")
+  }
+
+  val weightedMixtureOracle: String = {
+    val cases = MixtureRates.toSeq.sorted
+      .map { case (s, k) => s"WHEN '$s' THEN $k" }.mkString(" ")
+    s"""WITH k AS (
+       |  SELECT source, doc_id FROM documents
+       |  WHERE ${bucketSql(10)} < (CASE source $cases ELSE NULL END)
+       |)
+       |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** Sequence packing to a 512-token budget, sharded 4 ways by hash bucket
+    * (each (lang, shard) is an independent token stream, as multi-worker
+    * pretraining shards are). Output: per-language pack statistics. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = table(spark, dir, "documents").select(
+      $"doc_id", $"lang",
+      TextFunctions.tokenCount($"text").as("n_tok"),
+      Pipeline.hashBucket($"doc_id", 2).as("shard"))
+    Pipeline.packSequences(d, "doc_id", $"n_tok", budget = 512, shardCols = Seq($"lang", $"shard"))
+      .groupBy($"lang", $"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("pack_tokens"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum($"n_docs").as("n_docs"),
+        max($"n_docs").as("max_docs_per_pack"),
+        max($"pack_tokens").as("max_pack_tokens"))
+      .orderBy($"lang")
+  }
+
+  val sequencePackingOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    cast(${bucketSql(2)} AS BIGINT) AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, shard, n_tok,
+       |    coalesce(sum(n_tok) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d
+       |), p AS (
+       |  SELECT lang, shard,
+       |    cast(floor(cast(cum_before AS DOUBLE) / 512) AS BIGINT) AS pack_id, n_tok
+       |  FROM c
+       |), pk AS (
+       |  SELECT lang, shard, pack_id, count(*) AS n_docs,
+       |    cast(sum(n_tok) AS BIGINT) AS pack_tokens
+       |  FROM p GROUP BY 1, 2, 3
+       |)
+       |SELECT lang, count(*) AS n_packs, cast(sum(n_docs) AS BIGINT) AS n_docs,
+       |  cast(max(n_docs) AS BIGINT) AS max_docs_per_pack,
+       |  max(pack_tokens) AS max_pack_tokens
+       |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
+    Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
+    Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
+    Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
+    Q("q59_sequence_packing", sequencePacking, Some(sequencePackingOracle)))
+}

@@ -15,8 +15,8 @@ object QueryRegistry {
   /** All registered query groups, in presentation order. */
   def all: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all
+      PipelineQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      StreamingQueries.all ++ MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
