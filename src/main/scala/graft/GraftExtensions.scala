@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, Mix64Of, RollingHash64, SimHash64}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{FloatDot, Mix64Of, RollingHash64, ShinglesOf, SimHash64}
 
 /** SQL-surface registration of graft's native expressions via the public
   * `SparkSessionExtensions` hook — the blessed way for a library to extend
@@ -52,5 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("float_dot",
       "float_dot(a, b) - double-precision left-to-right dot product of two float/double arrays",
       FloatDot.apply))
+    ext.injectFunction(binary("shingles",
+      "shingles(text, n) - distinct word n-grams in first-occurrence order (n: int literal)",
+      (t, ne) => {
+        require(ne.foldable && ne.dataType == IntegerType,
+          "shingles: n must be an int literal")
+        ShinglesOf(t, ne.eval().asInstanceOf[Int])
+      }))
   }
 }

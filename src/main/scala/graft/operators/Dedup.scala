@@ -22,18 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram (shingle) set of a text column — distinct, order-free. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    // Guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); short docs must
-    // yield an empty shingle set, not garbage grams.
-    val grams = when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array())
-    array_distinct(grams)
-  }
+  /** Word n-gram (shingle) set of a text column — distinct, first-occurrence
+    * order. Codegen'd primitive loop ([[graft.functions.ShinglesOf]]): the
+    * declarative `array_distinct(transform(...))` form ran interpreted per
+    * element and dominated the decontamination scan (16 s of 16.5 s at
+    * sf0.1); `ShinglingSpec` pins the two forms equal. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingling.shingles(text, n)
 
   /** Exact duplicate groups: representative (min id) + group size per
     * distinct key. Equivalent semantics to `dropDuplicates(keyCols)` but

@@ -236,11 +236,53 @@ object StreamingQueries {
       |FROM sessioned GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming exact dedup: `dropDuplicates` on (user_id, event_type) with
+    * cross-micro-batch state — the streaming twin of the batch exact-dedup
+    * operator (q50). Only the KEYS are emitted: which physical row wins per
+    * key is stream-order-dependent, the surviving key set is not — so the
+    * query asserts exactly the deterministic part. Unwatermarked by intent
+    * (the key domain is bounded); production feeds with unbounded keys
+    * should use `dropDuplicatesWithinWatermark` to cap the state store. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, dedup, "stream_dedup", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Stream-static join: the event stream enriched against the static
+    * `customer` dimension (micro-batch side of the join re-plans per batch;
+    * the static side broadcasts off its size stats — no shuffle touches the
+    * stream). Proves the third join lane (batch-batch q10-q15, SPJ q36,
+    * stream-static here). */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = eventsStream(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"), CoreQueries.dsum(col("value")).as("sum_value"))
+    runToMemory(spark, joined, "stream_static_join", "complete")
+      .orderBy(col("c_nationkey"))
+  }
+
+  val streamStaticJoinOracle: String =
+    s"""SELECT c_nationkey, count(*) AS n_events, ${CoreQueries.dsumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
     Q("q72_stream_sessions", sessions, Some(sessionsOracle)),
     Q("q73_stream_fixedwidth", fwStream, Some(fwStreamOracle)),
     Q("q74_stream_stateful", statefulTotals, Some(statefulTotalsOracle)),
-    Q("q75_stream_session_emit", sessionEmit, Some(sessionEmitOracle)))
+    Q("q75_stream_session_emit", sessionEmit, Some(sessionEmitOracle)),
+    Q("q76_stream_dedup", streamDedup, Some(streamDedupOracle)),
+    Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)))
 }
