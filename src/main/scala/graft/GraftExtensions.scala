@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FloatDot, Mix64Of, RollingHash64, ShinglesOf, SimHash64}
+import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64}
 
 /** SQL-surface registration of graft's native expressions via the public
   * `SparkSessionExtensions` hook — the blessed way for a library to extend
@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("float_dot",
       "float_dot(a, b) - double-precision left-to-right dot product of two float/double arrays",
       FloatDot.apply))
+    ext.injectFunction(unary("hash64",
+      "hash64(text) - 64-bit string hash (rotate-multiply + murmur finalizer)",
+      Hash64Of.apply))
+    ext.injectFunction(unary("nlz64",
+      "nlz64(x) - number of leading zeros of a bigint's 64-bit pattern",
+      Nlz64.apply))
     ext.injectFunction(binary("shingles",
       "shingles(text, n) - distinct word n-grams in first-occurrence order (n: int literal)",
       (t, ne) => {

@@ -95,6 +95,33 @@ object Hashing {
   def rollingHash(text: Column): Column = ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
   def simhash(text: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
   def mix64Col(id: Column): Column = ColumnBridge.column(Mix64Of(ColumnBridge.expression(id)))
+  def hash64Col(text: Column): Column = ColumnBridge.column(Hash64Of(ColumnBridge.expression(text)))
+  def nlz64Col(x: Column): Column = ColumnBridge.column(Nlz64(ColumnBridge.expression(x)))
+}
+
+/** [[Hashing.hash64]] of a string column — the shared item hash of the
+  * sketch operators; DuckDB twin: [[graft.queries.DuckHashSql.hash64Sql]]. */
+case class Hash64Of(child: Expression) extends HashStringToLong {
+  override protected def jvmFunction: String = "graft.functions.Hashing.hash64"
+  override protected def compute(s: String): Long = Hashing.hash64(s)
+  override protected def withNewChildInternal(newChild: Expression): Hash64Of = copy(child = newChild)
+}
+
+/** Number of leading zeros of a long's 64-bit pattern (0..64) — the rho
+  * primitive of the HyperLogLog sketch. Exact integer bit math; the DuckDB
+  * twin is `64 - length(bin(w))` with a zero guard (log2-based floats can
+  * be off by one at exact powers of two, so neither engine uses them). */
+case class Nlz64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nlz64 requires a bigint argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long]).toLong
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(long) java.lang.Long.numberOfLeadingZeros($c)")
+  override protected def withNewChildInternal(newChild: Expression): Nlz64 = copy(child = newChild)
 }
 
 /** mix64(x, 0) over a long column — the deterministic sampling hash used by

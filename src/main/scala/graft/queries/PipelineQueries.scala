@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Cardinality, Dedup, Pipeline}
 import QueryRegistry.table
 
 /** Corpus-shaping pipeline queries over `documents`: PII redaction,
@@ -139,6 +139,58 @@ object PipelineQueries {
        |)
        |SELECT lang, count(*) AS n_contaminated FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** HyperLogLog distinct 3-grams per language (p=8, 256 registers) next to
+    * the exact count. The Spark side sketches WITHOUT any distinct shuffle
+    * (map-side hash → 256-row-per-group partial agg — the 100 TB shape);
+    * the oracle distincts (lang, gram) first purely as a DuckDB-side
+    * optimization — sketch insertion is idempotent, so the registers and
+    * therefore the estimate are IDENTICAL, bit for bit, down to the ordered
+    * double fold of the harmonic mean. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = table(spark, dir, "documents")
+      .select($"lang", explode(Dedup.shingles($"text", 3)).as("gram"))
+    val sketch = Cardinality.hllDistinct(grams, Seq("lang"), $"gram", p = 8)
+    val exact = grams.groupBy($"lang").agg(count_distinct($"gram").as("n_exact"))
+    sketch.join(exact, "lang")
+      .select($"lang", $"n_exact", $"n_used", $"hll_est")
+      .orderBy($"lang")
+  }
+
+  val hllDistinctOracle: String = {
+    val p = 8
+    val m = 1 << p
+    // unsigned-hugeint twins of the codegen'd bucket/rho expressions
+    val bucket = s"(h // ${1L << (64 - p)})"
+    val w = s"((h * $m) % 18446744073709551616::HUGEINT)"
+    val rho = s"least(CASE WHEN $w = 0 THEN 64 ELSE 64 - length(bin($w)) END, ${64 - p}) + 1"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), g AS (
+       |  SELECT DISTINCT lang, unnest(${DuckHashSql.gramsSql(3)}) AS gram
+       |  FROM toks WHERE len(t) >= 3
+       |), gh AS (
+       |  SELECT gram, ${DuckHashSql.hash64Sql("gram")} AS h
+       |  FROM (SELECT DISTINCT gram FROM g)
+       |), rows_ AS (
+       |  SELECT g.lang, cast($bucket AS BIGINT) AS bucket, cast($rho AS BIGINT) AS rho
+       |  FROM g JOIN gh USING (gram)
+       |), regs AS (
+       |  SELECT lang, bucket, max(rho) AS rho FROM rows_ GROUP BY lang, bucket
+       |), sk AS (
+       |  SELECT lang, count(*) AS n_used,
+       |    list_reduce(
+       |      list_prepend(($m - count(*))::DOUBLE, list(pow(2.0, -rho) ORDER BY bucket)),
+       |      (a, b) -> a + b) AS denom
+       |  FROM regs GROUP BY lang
+       |), ex AS (
+       |  SELECT lang, cast(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g GROUP BY lang
+       |)
+       |SELECT lang, n_exact, n_used, round(${Cardinality.alphaM2(p)} / denom, 4) AS hll_est
+       |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q56
   /** Deterministic ~10% Bernoulli sample (102/1024): map-side only, no
     * shuffle — the scan plan at 100 TB is scan → filter, nothing else. */
@@ -256,6 +308,7 @@ object PipelineQueries {
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),

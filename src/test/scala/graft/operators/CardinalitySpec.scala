@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** HLL sketch invariants: estimator accuracy in its design regime,
+  * insertion idempotence (duplicates change nothing), and register-count
+  * bounds. Cross-engine bit-equality of the estimate is covered by q48's
+  * DuckDB oracle. */
+class CardinalitySpec extends SparkSpec with Matchers {
+
+  test("estimate lands within the standard error envelope for 10k distinct items") {
+    import spark.implicits._
+    val n = 10000
+    val items = (0 until n).map(i => ("g", s"item-$i")).toDF("g", "item")
+    val out = Cardinality.hllDistinct(items, Seq("g"), col("item"), p = 8).collect()(0)
+    val est = out.getAs[Double]("hll_est")
+    // p=8 -> ~1.04/16 = 6.5% relative error; allow 4 sigma
+    est shouldBe n.toDouble +- (n * 0.26)
+    out.getAs[Long]("n_used") should be <= 256L
+  }
+
+  test("duplicated input yields the identical sketch (insertion idempotence)") {
+    import spark.implicits._
+    val base = (0 until 2000).map(i => ("g", s"item-$i"))
+    val once = base.toDF("g", "item")
+    val thrice = (base ++ base ++ base).toDF("g", "item")
+    val a = Cardinality.hllDistinct(once, Seq("g"), col("item"), p = 8).collect()(0)
+    val b = Cardinality.hllDistinct(thrice, Seq("g"), col("item"), p = 8).collect()(0)
+    a.getAs[Double]("hll_est") shouldBe b.getAs[Double]("hll_est")
+    a.getAs[Long]("n_used") shouldBe b.getAs[Long]("n_used")
+  }
+
+  test("groups sketch independently") {
+    import spark.implicits._
+    val df = ((0 until 5000).map(i => ("big", s"x-$i")) ++
+      (0 until 50).map(i => ("small", s"y-$i"))).toDF("g", "item")
+    val rows = Cardinality.hllDistinct(df, Seq("g"), col("item"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_est")).toMap
+    rows("big") shouldBe 5000.0 +- 1300.0
+    // 50 items in the small-range regime: raw HLL overestimates by design
+    // (documented: no linear-counting correction); just check monotone sanity
+    rows("small") should be < rows("big")
+  }
+}
