@@ -406,7 +406,8 @@ class FixedWidthScan(
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // ---- Runtime filtering (the DSv2 face of dynamic partition pruning):
   // Spark hands the scan join-key filters (typically In over the broadcast
@@ -527,6 +528,27 @@ class FixedWidthScan(
           groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Under key-grouped reporting every split holds exactly one partition-key
+    * value, so rows within any Spark partition are trivially sorted (all
+    * equal) by the key columns — reporting that ordering lets a sort-merge
+    * join or sort-based aggregation on partition columns skip its SortExec
+    * on top of the shuffle KeyGroupedPartitioning already skips: the plan
+    * becomes a bare merge over the directory groups. Without key grouping,
+    * chunk packing mixes partition values inside a split, so no ordering is
+    * claimed. NB Spark applies the report only to key groups holding at most
+    * ONE split (DataSourceV2ScanExecBase.outputOrdering is conservative
+    * about split concatenation, even for constant-key orderings): one
+    * file+split per directory gets the sortless merge join; multi-split
+    * groups keep the shuffle-free join but re-sort locally. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyedGroups match {
+      case Some((fields, _)) =>
+        fields.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.name),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case None => Array.empty
     }
 
   /** Record-aligned split planning — see [[FixedWidthScan.alignedPartitions]].

@@ -84,6 +84,42 @@ class FixedWidthStoragePartitionSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("sort-merge join on the partition column needs neither shuffle nor sort") {
+    import spark.implicits._
+    val a = tmp(); val b = tmp()
+    // ONE file (hence one split) per partition value: Spark honors a scan's
+    // reported ordering only when every key group holds at most one split
+    // (DataSourceV2ScanExecBase.outputOrdering drops it otherwise — it is
+    // conservative about concatenating splits, even for constant-key
+    // orderings). Multi-split groups keep the shuffle-free join but re-sort.
+    (1 to 90).map(i => (i.toLong, s"p${i % 3}", (i % 10).toLong)).toDF("id", "p", "v")
+      .repartition(1)
+      .write.format("fixedwidth").option("fields", layout)
+      .partitionBy("p").mode("overwrite").save(a)
+    (1 to 60).map(i => (i.toLong, s"p${i % 3}", (i % 10).toLong)).toDF("id", "p", "v")
+      .repartition(1)
+      .write.format("fixedwidth").option("fields", layout)
+      .partitionBy("p").mode("overwrite").save(b)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = read(a).select($"p", $"id".as("ida"))
+        .join(read(b).select($"p", $"id".as("idb")), "p")
+      joined.count() shouldBe (0 until 3).map(g =>
+        (1 to 90).count(_ % 3 == g).toLong * (1 to 60).count(_ % 3 == g)).sum
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange hashpartitioning"
+        // SupportsReportOrdering: rows in each key-grouped partition are
+        // trivially ordered by the (constant) key, so no SortExec is planned
+        plan should not include "Sort ["
+      }
+    }
+  }
+
   test("with v2 bucketing disabled the report is inert and results are identical") {
     val dir = tmp()
     write(dir, 400, 4)
