@@ -40,7 +40,47 @@ class FixedWidthWriteBuilder(
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // ---- Clustered partitioned writes (opt-in `clusteredWrite=true`): ask
+    // Spark to shuffle rows so each partition value lands in ONE task and to
+    // sort within tasks by the partition columns — the DSv2
+    // RequiresDistributionAndOrdering contract. Without it, every input
+    // task holding a value writes its own file into the value's directory:
+    // a 1000-task job over 10k dirs can mint 10M small files, the classic
+    // way a 100 TB feed becomes unmanageable. With it, a directory gets
+    // exactly one file (plus maxRecordsPerFile rolls) at the cost of one
+    // clustering shuffle. Default OFF: unclustered dynamic writes need no
+    // shuffle and are fine for few-directories layouts.
+    private val clustered = Option(tableOptions.get("clusteredWrite")).exists { v =>
+      v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"fixedwidth: option 'clusteredWrite' must be true or false, got '$other'")
+      }
+    }
+    if (clustered && partitionCols.isEmpty)
+      throw new IllegalArgumentException(
+        "fixedwidth: 'clusteredWrite' requires partitionBy columns to cluster on")
+
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      if (clustered)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          partitionCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+      else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+    // Sorting within tasks by the partition columns makes each directory's
+    // rows contiguous, so the dynamic writer holds ONE open stream at a
+    // time instead of one per directory seen — open handles are the scarce
+    // resource against object stores.
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (clustered)
+        partitionCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      else Array.empty
+
     override def toBatch: BatchWrite = {
       val path = Option(tableOptions.get("path")).getOrElse(
         throw new IllegalArgumentException("fixedwidth: write requires a single 'path'"))
