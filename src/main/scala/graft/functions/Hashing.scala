@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Splitmix-style 64-bit hashing primitives shared by every sketch operator
@@ -97,6 +97,29 @@ object Hashing {
   def mix64Col(id: Column): Column = ColumnBridge.column(Mix64Of(ColumnBridge.expression(id)))
   def hash64Col(text: Column): Column = ColumnBridge.column(Hash64Of(ColumnBridge.expression(text)))
   def nlz64Col(x: Column): Column = ColumnBridge.column(Nlz64(ColumnBridge.expression(x)))
+  def mix64At(h: Column, i: Column): Column =
+    ColumnBridge.column(Mix64At(ColumnBridge.expression(h), ColumnBridge.expression(i)))
+}
+
+/** mix64(h, i) with a COLUMN permutation index — the per-hash-function
+  * rehash of the Count-Min sketch (and of any operator needing a family of
+  * independent hash functions from one base hash). The wrap-around long
+  * arithmetic lives in the JVM call: inlining it as Catalyst `+`/`*` would
+  * overflow-error under ANSI mode (on by default in Spark 4). DuckDB twin:
+  * [[graft.queries.DuckHashSql.mix64Sql]] with an index expression. */
+case class Mix64At(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64_at requires (bigint, int) arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(h: Any, i: Any): Any =
+    Hashing.mix64(h.asInstanceOf[Long], i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, i) => s"graft.functions.Hashing.mix64($h, $i)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Mix64At =
+    copy(left = newLeft, right = newRight)
 }
 
 /** [[Hashing.hash64]] of a string column — the shared item hash of the

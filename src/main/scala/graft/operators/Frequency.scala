@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Count-Min sketch frequency estimation as pure relational algebra — the
+  * streaming-classic heavy-hitters structure, built with one groupBy:
+  *
+  *   1. map side: item → d (bucket_j = low wBits bits of
+  *      mix64(hash64(item), j)) cells, all codegen'd expressions;
+  *   2. one shuffle of at most d·2^wBits cells per group (map-side partial
+  *      counts): `groupBy(d, bucket).count()` — the sketch for a 100 TB
+  *      corpus is d·2^wBits longs, while the exact answer's groupBy carries
+  *      every distinct item through the exchange;
+  *   3. point estimate of an item = min over the d cells it hashes to —
+  *      an overestimate by construction (collisions only ever add), with
+  *      error ≤ 2N/2^wBits at confidence 1−(1/2)^d.
+  *
+  * Like [[Cardinality]], every step is deterministic integer math on the
+  * shared splitmix hashes, so the DuckDB oracle reproduces cell counts AND
+  * estimates exactly — the sketch itself is cross-engine verifiable, not
+  * just spot-sane. */
+object Frequency {
+
+  /** The d×2^wBits cell counts of the items' multiset: (d, bucket, n). */
+  def cmsCells(items: DataFrame, itemCol: Column, depth: Int, wBits: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(wBits >= 4 && wBits <= 24, s"wBits must be in [4,24], got $wBits")
+    val h = Hashing.hash64Col(itemCol)
+    val cells = array((0 until depth).map { j =>
+      struct(lit(j).as("d"),
+        pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
+    }: _*)
+    items.select(explode(cells).as("_c"))
+      .groupBy(col("_c.d").as("d"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CMS point estimates for `probes` (any DataFrame with `itemCol`):
+    * appends `cms_est` = min over the d cells. `cells` is tiny (≤ d·2^wBits
+    * rows) and broadcast; probing shuffles nothing. */
+  def cmsEstimate(
+      probes: DataFrame, itemCol: String, cells: DataFrame,
+      depth: Int, wBits: Int): DataFrame = {
+    val h = Hashing.hash64Col(col(itemCol))
+    val keyed = probes.withColumn("_pc", explode(array((0 until depth).map { j =>
+      struct(lit(j).as("d"),
+        pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
+    }: _*)))
+    keyed
+      .join(broadcast(cells), keyed("_pc.d") === cells("d") && keyed("_pc.bucket") === cells("bucket"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("n")).as("cms_est"))
+  }
+}

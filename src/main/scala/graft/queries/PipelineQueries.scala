@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Cardinality, Dedup, Pipeline}
+import graft.operators.{Cardinality, Dedup, Frequency, Pipeline}
 import QueryRegistry.table
 
 /** Corpus-shaping pipeline queries over `documents`: PII redaction,
@@ -191,6 +191,55 @@ object PipelineQueries {
        |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q49
+  /** Count-Min frequency estimates for the 20 most frequent tokens, next to
+    * their exact counts (CMS ≥ exact always; equality when no collision).
+    * Sketch build carries ≤ 4·256 cells through the shuffle regardless of
+    * corpus size; the oracle rebuilds cells AND estimates from the hugeint
+    * hash twins, so the whole sketch is value-checked cross-engine. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val wBits = 8
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val cells = Frequency.cmsCells(toks, $"token", depth, wBits)
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"token").limit(20)
+    Frequency.cmsEstimate(top, "token", cells, depth, wBits)
+      .orderBy($"n_exact".desc, $"token")
+  }
+
+  val cmsFrequencyOracle: String = {
+    val m = DuckHashSql.mix64Sql("h", "d")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+       |), tok AS (
+       |  SELECT token FROM t WHERE length(token) > 0
+       |), th AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM tok)
+       |), keyed AS (
+       |  SELECT tok.token, d.d, cast(($m % 256) AS BIGINT) AS bucket
+       |  FROM tok JOIN th USING (token)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |), cells AS (
+       |  SELECT d, bucket, count(*) AS n FROM keyed GROUP BY d, bucket
+       |), top AS (
+       |  SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+       |  ORDER BY n_exact DESC, token LIMIT 20
+       |), probe AS (
+       |  SELECT top.token, top.n_exact, d.d, cast(($m % 256) AS BIGINT) AS bucket
+       |  FROM top JOIN th USING (token)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |)
+       |SELECT p.token, p.n_exact, min(c.n) AS cms_est
+       |FROM probe p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |GROUP BY p.token, p.n_exact
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q56
   /** Deterministic ~10% Bernoulli sample (102/1024): map-side only, no
     * shuffle — the scan plan at 100 TB is scan → filter, nothing else. */
@@ -309,6 +358,7 @@ object PipelineQueries {
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
+    Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
