@@ -276,6 +276,39 @@ object StreamingQueries {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Stream-stream inner join: each event joined to the SAME user's events
+    * of another type within the following 30 minutes — two watermarked
+    * streams, equi-key + event-time range condition (the state-bounding
+    * shape Spark requires of stream-stream joins). Under AvailableNow the
+    * drained result equals the batch join, which is exactly what the oracle
+    * asserts. Aggregated per user afterwards to keep the checked output
+    * compact. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    runToMemory(spark, joined, "stream_stream_join", "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamStreamJoinOracle: String =
+    """SELECT c.user_id AS user_id, count(*) AS n_pairs
+      |FROM events c JOIN events b
+      |  ON c.user_id = b.user_id AND c.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
@@ -284,5 +317,6 @@ object StreamingQueries {
     Q("q74_stream_stateful", statefulTotals, Some(statefulTotalsOracle)),
     Q("q75_stream_session_emit", sessionEmit, Some(sessionEmitOracle)),
     Q("q76_stream_dedup", streamDedup, Some(streamDedupOracle)),
-    Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)))
+    Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
+    Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)))
 }
