@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Quantize, Similarity}
 import QueryRegistry.table
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64):
@@ -182,10 +182,52 @@ object SimilarityQueries {
        |SELECT id_a, id_b, round(cos, 6) AS cosine
        |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
+  /** kNN over the int8-quantized corpus (float queries, reconstructed
+    * corpus vectors) — measures what 4× storage compression does to
+    * neighbor ranking, under the hash gate: the oracle rebuilds codes and
+    * reconstructions from the same closed-form math. */
+  def quantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val corpus = Quantize.quantizeInt8(embs, "embedding")
+      .select(col("vec_id"),
+        Quantize.dequantize(col("q8_min"), col("q8_scale"), col("q8")).as("embedding"))
+    Similarity.knnBruteForce(corpus, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val quantizedKnnOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings
+       |), st AS (
+       |  SELECT vec_id, e, list_min(e) AS mn,
+       |    (list_max(e) - list_min(e)) / cast(255 AS DOUBLE) AS scale
+       |  FROM v
+       |), qz AS (
+       |  SELECT vec_id, mn, scale,
+       |    list_transform(e, x ->
+       |      CASE WHEN scale = 0 THEN 0 ELSE cast(round((x - mn) / scale) AS BIGINT) END) AS q
+       |  FROM st
+       |), dq AS (
+       |  SELECT vec_id, list_transform(q, qe -> mn + cast(qe AS DOUBLE) * scale) AS d FROM qz
+       |), sims AS (
+       |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("qr.embedding", "c.d")} /
+       |      (sqrt(${dotSql("qr.embedding", "qr.embedding")}) * sqrt(${dotSql("c.d", "c.d")})) AS cos
+       |  FROM embeddings qr, dq c
+       |  WHERE qr.vec_id < 5 AND c.vec_id != qr.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)),
     Q("q63_knn_ivf", knnIvf, Some(knnIvfOracle)),
-    Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)))
+    Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)),
+    Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
 }
