@@ -20,15 +20,31 @@ import QueryRegistry.table
 object StreamingQueries {
 
   /** Run a streaming DataFrame to a memory sink until AvailableNow drains,
-    * return the result table. */
+    * return the result table.
+    *
+    * State partitioning: a stateful stream creates state-store instances per
+    * shuffle partition PER stateful operator side — at the session default of
+    * 32 that is up to 128 store inits/commits for a stream-stream join,
+    * pure fixed overhead when the key domain is small (150 users here). The
+    * stream starts under `statePartitions` (pinned into the query's
+    * checkpoint at first start, as Spark does for any stateful query); the
+    * session conf is restored afterwards so batch queries keep theirs. On a
+    * real cluster this knob is sized to key cardinality × executor count. */
   private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: String, statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
     spark.table(name)
   }
 

@@ -25,11 +25,12 @@ object RunQ {
     names.foreach { raw =>
       val (doExplain, name) =
         if (raw.startsWith("explain:")) (true, raw.stripPrefix("explain:")) else (false, raw)
-      val df = all(name)(spark, sfDir)
-      if (doExplain) { println(s"=== $name ==="); df.explain("formatted") }
+      if (doExplain) { println(s"=== $name ==="); all(name)(spark, sfDir).explain("formatted") }
       else {
+        // time CONSTRUCTION + count: streaming queries execute their stream
+        // eagerly inside the builder, so timing only count() undercounts them
         val t0 = System.nanoTime()
-        val n = df.count()
+        val n = all(name)(spark, sfDir).count()
         println(f"RUNQ $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
