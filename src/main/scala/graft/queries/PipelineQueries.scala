@@ -353,6 +353,73 @@ object PipelineQueries {
        |  max(pack_tokens) AS max_pack_tokens
        |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** The toolkit end-to-end — one curation pipeline a training-data job
+    * would actually run: quality filter (stopword ratio + token-count band)
+    * → exact dedup on the normalized-text fingerprint (min-id
+    * representative) → 50% stratified sample per language → sequence
+    * packing at a 512-token budget. Every stage is an operator verified
+    * standalone elsewhere (q41/q43/q50/q57/q59); this query verifies their
+    * COMPOSITION under one oracle, per-language corpus stats out. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = table(spark, dir, "documents").select(
+      $"doc_id", $"lang", $"text",
+      TextFunctions.tokenCount($"text").as("n_tok"),
+      TextFunctions.stopwordRatio($"text").as("swr"))
+    val filtered = scored.filter($"swr" <= 0.25 && $"n_tok".between(20, 90))
+    val fp = filtered.withColumn("fpr", TextFunctions.fingerprint($"text"))
+    val reps = Dedup.exact(fp, "doc_id", Seq("fpr")).select($"rep_id".as("doc_id"))
+    val deduped = fp.join(reps, "doc_id")
+    val sampled = Pipeline.stratifiedExact(deduped, "doc_id", Seq("lang"), 1, 2)
+      .withColumn("shard", Pipeline.hashBucket($"doc_id", 2))
+    Pipeline.packSequences(sampled, "doc_id", $"n_tok", budget = 512, shardCols = Seq($"lang", $"shard"))
+      .groupBy($"lang", $"shard", $"pack_id")
+      .agg(count(lit(1)).as("nd"), sum($"n_tok").as("tk"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_packs"), sum($"nd").as("n_docs"), sum($"tk").as("total_tokens"))
+      .orderBy($"lang")
+  }
+
+  val curationPipelineOracle: String = {
+    val sw = TextFunctions.QualityStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val sortKey = DuckHashSql.signedSql(DuckHashSql.mix64Sql("doc_id::HUGEINT", "0"))
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    round(cast(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains($sw, x))) AS double)
+       |      / len(string_split_regex(trim(text), '\\s+')), 6) AS swr
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, lang, text, n_tok FROM s WHERE swr <= 0.25 AND n_tok BETWEEN 20 AND 90
+       |), fp AS (
+       |  SELECT doc_id, lang, n_tok, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fpr FROM f
+       |), dd AS (
+       |  SELECT doc_id, lang, n_tok FROM fp
+       |  QUALIFY row_number() OVER (PARTITION BY fpr ORDER BY doc_id) = 1
+       |), st AS (
+       |  SELECT doc_id, lang, n_tok FROM dd
+       |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY $sortKey, doc_id)
+       |    <= (count(*) OVER (PARTITION BY lang) * 1 + 1) // 2
+       |), sh AS (
+       |  SELECT doc_id, lang, n_tok, cast(${bucketSql(2)} AS BIGINT) AS shard FROM st
+       |), c AS (
+       |  SELECT lang, shard, n_tok,
+       |    coalesce(sum(n_tok) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM sh
+       |), p AS (
+       |  SELECT lang, shard, cast(floor(cast(cb AS DOUBLE) / 512) AS BIGINT) AS pack_id, n_tok FROM c
+       |), pk AS (
+       |  SELECT lang, shard, pack_id, count(*) AS nd, cast(sum(n_tok) AS BIGINT) AS tk
+       |  FROM p GROUP BY 1, 2, 3
+       |)
+       |SELECT lang, count(*) AS n_packs, cast(sum(nd) AS BIGINT) AS n_docs,
+       |  cast(sum(tk) AS BIGINT) AS total_tokens
+       |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
@@ -362,5 +429,6 @@ object PipelineQueries {
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
-    Q("q59_sequence_packing", sequencePacking, Some(sequencePackingOracle)))
+    Q("q59_sequence_packing", sequencePacking, Some(sequencePackingOracle)),
+    Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)))
 }
