@@ -39,19 +39,31 @@ object Frequency {
   }
 
   /** CMS point estimates for `probes` (any DataFrame with `itemCol`):
-    * appends `cms_est` = min over the d cells. `cells` is tiny (≤ d·2^wBits
-    * rows) and broadcast; probing shuffles nothing. */
+    * appends `cms_est` = min over the d cells. Cells are LEFT-joined with an
+    * absent cell counting as 0, per the CMS point-query contract: an item the
+    * sketch never saw estimates 0, and every probe row survives. The cell
+    * columns are prefixed `_cms_` before the join so probe columns named
+    * `d`/`bucket`/`n` can't resolve ambiguously (`_pc` and `_cms_*` are the
+    * only reserved probe names). The cell side is broadcast only while
+    * d·2^wBits stays driver-safe (≤ 4M cells); at the allowed extremes
+    * (depth 8 × wBits 24 → ~134M cells) it falls back to a shuffle join. */
   def cmsEstimate(
       probes: DataFrame, itemCol: String, cells: DataFrame,
       depth: Int, wBits: Int): DataFrame = {
+    require(!probes.columns.exists(c => c == "_pc" || c.startsWith("_cms_")),
+      "probe column names _pc and _cms_* are reserved by cmsEstimate")
     val h = Hashing.hash64Col(col(itemCol))
     val keyed = probes.withColumn("_pc", explode(array((0 until depth).map { j =>
       struct(lit(j).as("d"),
         pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
     }: _*)))
+    val c = cells.select(
+      col("d").as("_cms_d"), col("bucket").as("_cms_bucket"), col("n").as("_cms_n"))
+    val cellSide = if ((depth.toLong << wBits) <= (1L << 22)) broadcast(c) else c
     keyed
-      .join(broadcast(cells), keyed("_pc.d") === cells("d") && keyed("_pc.bucket") === cells("bucket"))
-      .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("n")).as("cms_est"))
+      .join(cellSide,
+        col("_pc.d") === col("_cms_d") && col("_pc.bucket") === col("_cms_bucket"), "left")
+      .groupBy(probes.columns.map(keyed(_)): _*)
+      .agg(min(coalesce(col("_cms_n"), lit(0L))).as("cms_est"))
   }
 }

@@ -194,22 +194,29 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q49
   /** Count-Min frequency estimates for the 20 most frequent tokens, next to
     * their exact counts (CMS ≥ exact always; equality when no collision).
-    * Sketch build carries ≤ 4·256 cells through the shuffle regardless of
+    * Sketch build carries ≤ 4·2^16 cells through the shuffle regardless of
     * corpus size; the oracle rebuilds cells AND estimates from the hugeint
-    * hash twins, so the whole sketch is value-checked cross-engine. */
+    * hash twins, so the whole sketch is value-checked cross-engine. A
+    * never-seen probe token is unioned in so the absent-cell path (left join,
+    * missing cell counts 0) is oracle-checked too, not just unit-tested. */
   def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val depth = 4
-    val wBits = 8
+    val wBits = 16
     val toks = table(spark, dir, "documents")
       .select(explode(TextFunctions.tokens($"text")).as("token"))
       .filter(length($"token") > 0)
     val cells = Frequency.cmsCells(toks, $"token", depth, wBits)
     val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"token").limit(20)
-    Frequency.cmsEstimate(top, "token", cells, depth, wBits)
+    val probes = top.unionByName(
+      Seq((UnseenProbe, 0L)).toDF("token", "n_exact"))
+    Frequency.cmsEstimate(probes, "token", cells, depth, wBits)
       .orderBy($"n_exact".desc, $"token")
   }
+
+  /** Whitespace tokenization can never produce this (contains a space). */
+  private val UnseenProbe = "zz unseen probe"
 
   val cmsFrequencyOracle: String = {
     val m = DuckHashSql.mix64Sql("h", "d")
@@ -221,21 +228,28 @@ object PipelineQueries {
        |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
        |  FROM (SELECT DISTINCT token FROM tok)
        |), keyed AS (
-       |  SELECT tok.token, d.d, cast(($m % 256) AS BIGINT) AS bucket
+       |  SELECT tok.token, d.d, cast(($m % 65536) AS BIGINT) AS bucket
        |  FROM tok JOIN th USING (token)
        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
        |), cells AS (
        |  SELECT d, bucket, count(*) AS n FROM keyed GROUP BY d, bucket
        |), top AS (
-       |  SELECT token, count(*) AS n_exact FROM tok GROUP BY token
-       |  ORDER BY n_exact DESC, token LIMIT 20
+       |  SELECT * FROM (
+       |    SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+       |    ORDER BY n_exact DESC, token LIMIT 20
+       |  )
+       |  UNION ALL
+       |  SELECT '$UnseenProbe' AS token, 0 AS n_exact
+       |), toph AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM top)
        |), probe AS (
-       |  SELECT top.token, top.n_exact, d.d, cast(($m % 256) AS BIGINT) AS bucket
-       |  FROM top JOIN th USING (token)
+       |  SELECT top.token, top.n_exact, d.d, cast(($m % 65536) AS BIGINT) AS bucket
+       |  FROM top JOIN toph USING (token)
        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
        |)
-       |SELECT p.token, p.n_exact, min(c.n) AS cms_est
-       |FROM probe p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |SELECT p.token, p.n_exact, min(coalesce(c.n, 0)) AS cms_est
+       |FROM probe p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
        |GROUP BY p.token, p.n_exact
        |ORDER BY n_exact DESC, token""".stripMargin
   }

@@ -19,33 +19,41 @@ import QueryRegistry.table
   */
 object StreamingQueries {
 
-  /** Run a streaming DataFrame to a memory sink until AvailableNow drains,
-    * return the result table.
+  /** Build a stream under an ISOLATED child session, run it to a memory sink
+    * until AvailableNow drains, return the result table.
     *
     * State partitioning: a stateful stream creates state-store instances per
     * shuffle partition PER stateful operator side — at the session default of
     * 32 that is up to 128 store inits/commits for a stream-stream join,
     * pure fixed overhead when the key domain is small (150 users here). The
     * stream starts under `statePartitions` (pinned into the query's
-    * checkpoint at first start, as Spark does for any stateful query); the
-    * session conf is restored afterwards so batch queries keep theirs. On a
+    * checkpoint at first start, as Spark does for any stateful query). The
+    * knob is scoped via `spark.newSession()` — own SQLConf, shared
+    * SparkContext — so a concurrent query on the shared session can never
+    * observe it (the previous set/restore on the shared conf raced). On a
     * real cluster this knob is sized to key cardinality × executor count. */
-  private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: String, statePartitions: Int = 8): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, statePartitions.toString)
-    try {
-      val q = streamed.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  private def runToMemory(spark: SparkSession, name: String, mode: String,
+      statePartitions: Int = 8, requireSingleBatch: Boolean = false)(
+      build: SparkSession => DataFrame): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = build(ss).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (requireSingleBatch) {
+      // The drained-stream == batch-oracle claim for watermarked append-mode
+      // queries relies on all input landing in ONE micro-batch: if the file
+      // source ever split the files such that event time regresses past the
+      // watermark across batches, state eviction would drop matches and the
+      // oracle would diverge silently. Fail loudly instead.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$name: expected one data micro-batch under AvailableNow, saw $dataBatches")
     }
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Stream the events parquet as a file stream — same TIMESTAMP(NANOS)
@@ -64,12 +72,13 @@ object StreamingQueries {
     * (window, event_type). Complete output mode → every window emitted once
     * the stream drains, which is exactly the batch answer. */
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        CoreQueries.dsum(col("value")).as("sum_value"))
-    runToMemory(spark, agg, "stream_tumbling", "complete")
+    runToMemory(spark, "stream_tumbling", "complete") { ss =>
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          CoreQueries.dsum(col("value")).as("sum_value"))
+    }
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -83,11 +92,12 @@ object StreamingQueries {
     * two windows. The oracle replicates the window assignment by unioning
     * the two half-hour-aligned window starts per event. */
   def sliding(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "stream_sliding", "complete")
+    runToMemory(spark, "stream_sliding", "complete") { ss =>
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -106,11 +116,12 @@ object StreamingQueries {
     * session_window in a streaming agg; the oracle reconstructs identical
     * sessions with the classic lag/cumsum gap-split. */
   def sessions(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "stream_sessions", "complete")
+    runToMemory(spark, "stream_sessions", "complete") { ss =>
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
@@ -143,13 +154,13 @@ object StreamingQueries {
     import org.apache.spark.sql.types._
     CoreQueries.lineitemViaFixedWidth(spark, dir) // ensure encoded files exist
     val fieldsOpt = graft.sources.fixedwidth.FixedWidthOptions.renderFields(CoreQueries.lineitemLayout)
-    val stream = spark.readStream.format("fixedwidth")
-      .option("fields", fieldsOpt)
-      .load(QueryRegistry.scratch(dir, "lineitem_fw"))
-    val agg = stream
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_lines"), CoreQueries.dsum(col("l_quantity")).as("sum_qty"))
-    runToMemory(spark, agg, "stream_fw", "complete")
+    runToMemory(spark, "stream_fw", "complete") { ss =>
+      ss.readStream.format("fixedwidth")
+        .option("fields", fieldsOpt)
+        .load(QueryRegistry.scratch(dir, "lineitem_fw"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), CoreQueries.dsum(col("l_quantity")).as("sum_qty"))
+    }
       .orderBy(col("l_returnflag"))
   }
 
@@ -165,22 +176,22 @@ object StreamingQueries {
   def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val ev = eventsStream(spark, dir)
-      .select(col("user_id"), col("value")).as[(Long, Double)]
-    val counted = ev
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, java.math.BigDecimal)]) =>
-          var (c, s) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
-          rows.foreach { case (_, v) =>
-            c += 1
-            s = s.add(java.math.BigDecimal.valueOf(v).setScale(10, java.math.RoundingMode.HALF_UP))
-          }
-          state.update((c, s))
-          (user, c, s)
-      }
-      .toDF("user_id", "n_events", "dec_sum")
-    runToMemory(spark, counted, "stream_stateful", "update")
+    runToMemory(spark, "stream_stateful", "update") { ss =>
+      eventsStream(ss, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, java.math.BigDecimal)]) =>
+            var (c, s) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+            rows.foreach { case (_, v) =>
+              c += 1
+              s = s.add(java.math.BigDecimal.valueOf(v).setScale(10, java.math.RoundingMode.HALF_UP))
+            }
+            state.update((c, s))
+            (user, c, s)
+        }
+        .toDF("user_id", "n_events", "dec_sum")
+    }
       // several micro-batches re-emit a user's row; the running count is
       // monotone, so max/max_by select each user's final state.
       .groupBy(col("user_id"))
@@ -208,11 +219,11 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMicros = 30L * 60 * 1000 * 1000
-    val ev = eventsStream(spark, dir)
-      .select(col("user_id"), col("ts")).as[(Long, java.time.Instant)]
-    val emitted = ev
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+    runToMemory(spark, "stream_session_emit", "update") { ss =>
+      eventsStream(ss, dir)
+        .select(col("user_id"), col("ts")).as[(Long, java.time.Instant)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
           OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.time.Instant)],
             state: GroupState[(Long, Long, Long)]) =>
@@ -229,9 +240,9 @@ object StreamingQueries {
           }
           if (sessions.nonEmpty) state.update(sessions.last)
           sessions.iterator.map { case (s0, c, _) => (user, s0, c) }
-      }
-      .toDF("user_id", "start_micros", "n_events")
-    runToMemory(spark, emitted, "stream_session_emit", "update")
+        }
+        .toDF("user_id", "start_micros", "n_events")
+    }
       .groupBy(col("user_id"), timestamp_micros(col("start_micros")).as("session_start"))
       .agg(max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"), col("session_start"))
@@ -260,10 +271,11 @@ object StreamingQueries {
     * (the key domain is bounded); production feeds with unbounded keys
     * should use `dropDuplicatesWithinWatermark` to cap the state store. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val dedup = eventsStream(spark, dir)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-    runToMemory(spark, dedup, "stream_dedup", "append")
+    runToMemory(spark, "stream_dedup", "append") { ss =>
+      eventsStream(ss, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+    }
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -277,13 +289,14 @@ object StreamingQueries {
     * stream). Proves the third join lane (batch-batch q10-q15, SPJ q36,
     * stream-static here). */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val cust = table(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    val joined = eventsStream(spark, dir)
-      .join(cust, col("user_id") === col("c_custkey"))
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_events"), CoreQueries.dsum(col("value")).as("sum_value"))
-    runToMemory(spark, joined, "stream_static_join", "complete")
+    runToMemory(spark, "stream_static_join", "complete") { ss =>
+      val cust = table(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      eventsStream(ss, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), CoreQueries.dsum(col("value")).as("sum_value"))
+    }
       .orderBy(col("c_nationkey"))
   }
 
@@ -300,19 +313,20 @@ object StreamingQueries {
     * asserts. Aggregated per user afterwards to keep the checked output
     * compact. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val buys = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
-      .withWatermark("b_ts", "1 hour")
-    val joined = clicks.join(buys,
-      col("c_user") === col("b_user") &&
-        col("b_ts") >= col("c_ts") &&
-        col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    runToMemory(spark, joined, "stream_stream_join", "append")
+    runToMemory(spark, "stream_stream_join", "append", requireSingleBatch = true) { ss =>
+      val clicks = eventsStream(ss, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = eventsStream(ss, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      clicks.join(buys,
+        col("c_user") === col("b_user") &&
+          col("b_ts") >= col("c_ts") &&
+          col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    }
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))

@@ -44,4 +44,30 @@ class FrequencySpec extends SparkSpec with Matchers {
         r.getLong(2) should be >= r.getLong(1)
       }
   }
+
+  test("an unseen probe survives with estimate 0 (absent cells count as 0)") {
+    import spark.implicits._
+    val items = Seq("a", "b", "a").toDF("item")
+    val cells = Frequency.cmsCells(items, col("item"), depth, wBits = 16)
+    // 2 items in 4x65536 cells: a fresh probe's cells are (almost surely, and
+    // for this fixed hash: verifiably) all absent -> the CMS point-query
+    // contract says estimate 0, with the probe row PRESENT in the output.
+    val est = Frequency.cmsEstimate(Seq("never-seen").toDF("item"), "item", cells, depth, wBits = 16)
+      .collect()
+    est.length shouldBe 1
+    est.head.getLong(1) shouldBe 0L
+  }
+
+  test("probe columns named d/bucket/n do not collide with the cell side") {
+    import spark.implicits._
+    val items = Seq("a", "b", "a", "a").toDF("item")
+    val cells = Frequency.cmsCells(items, col("item"), depth, wBits = 16)
+    val probes = Seq(("a", 1, 2L, 3L)).toDF("item", "d", "bucket", "n")
+    val out = Frequency.cmsEstimate(probes, "item", cells, depth, wBits = 16).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("cms_est") shouldBe 3L // "a" occurs 3x, collision-free
+    out.head.getAs[Int]("d") shouldBe 1         // caller's columns pass through
+    an[IllegalArgumentException] should be thrownBy
+      Frequency.cmsEstimate(Seq(("a", 1)).toDF("item", "_cms_n"), "item", cells, depth, wBits = 16)
+  }
 }
