@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64}
+import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64, WordGramsOf, WordSpansOf}
 
 /** SQL-surface registration of graft's native expressions via the public
   * `SparkSessionExtensions` hook — the blessed way for a library to extend
@@ -66,6 +66,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(ne.foldable && ne.dataType == IntegerType,
           "shingles: n must be an int literal")
         ShinglesOf(t, ne.eval().asInstanceOf[Int])
+      }))
+    ext.injectFunction(binary("word_spans",
+      "word_spans(text, n) - consecutive non-overlapping n-token spans in order, partial tail included (n: int literal)",
+      (t, ne) => {
+        require(ne.foldable && ne.dataType == IntegerType,
+          "word_spans: n must be an int literal")
+        WordSpansOf(t, ne.eval().asInstanceOf[Int])
+      }))
+    ext.injectFunction(binary("word_grams",
+      "word_grams(text, n) - all overlapping word n-grams in order, duplicates kept (n: int literal)",
+      (t, ne) => {
+        require(ne.foldable && ne.dataType == IntegerType,
+          "word_grams: n must be an int literal")
+        WordGramsOf(t, ne.eval().asInstanceOf[Int])
       }))
   }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-import graft.operators.{Cardinality, Dedup, Frequency, Pipeline}
+import graft.functions.{Spans, TextFunctions}
+import graft.operators.{BloomJoin, Cardinality, Dedup, Frequency, Pipeline, SpanDedup}
 import QueryRegistry.table
 
 /** Corpus-shaping pipeline queries over `documents`: PII redaction,
@@ -434,6 +434,121 @@ object PipelineQueries {
        |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Runtime Bloom-filter join reduction: orders of EUROPE-region customers.
+    * The filter is built relationally on the dim side (~1/5 of customers),
+    * collected as a bounded word array (2^17 bits = 16 KiB), and probed by a
+    * codegen'd bit-test INSIDE the orders scan — rows that cannot join never
+    * reach the shuffle. No false negatives by construction, so the oracle is
+    * the PLAIN three-way join: result equality proves the reduction is
+    * semantically free, which is the whole point of the operator. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mBits = 1 << 17
+    val k = 5
+    val eur = table(spark, dir, "customer")
+      .join(table(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .join(table(spark, dir, "region").filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name")
+    val words = BloomJoin.buildFilter(eur.select($"c_custkey"), $"c_custkey", mBits, k)
+    val probed = BloomJoin.prefilter(
+      table(spark, dir, "orders").select($"o_custkey", $"o_totalprice"),
+      $"o_custkey", words, mBits, k)
+    probed.join(eur, $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), CoreQueries.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"n_name")
+  }
+
+  val bloomJoinOracle: String =
+    s"""SELECT n_name, count(*) AS n_orders,
+       |  ${CoreQueries.dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** C4-style span-level exact dedup: 10-token spans, first occurrence
+    * corpus-wide survives, documents reassembled from surviving spans. The
+    * oracle rebuilds identical spans (generate_subscripts ordinality) and the
+    * full cleaned TEXT is hash-compared — reassembly order included. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    SpanDedup.dedupSpans(
+      table(spark, dir, "documents").select($"doc_id", $"text"), "doc_id", "text", n = 10)
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.tok, u.ord
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
+      |), spans AS (
+      |  SELECT doc_id, (ord - 1) // 10 AS span_no, string_agg(tok, ' ' ORDER BY ord) AS span
+      |  FROM toks GROUP BY doc_id, span_no
+      |), kept AS (
+      |  SELECT doc_id, span_no, span,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
+      |  FROM spans
+      |)
+      |SELECT doc_id, string_agg(span, ' ' ORDER BY span_no) AS clean_text,
+      |  count(*) AS n_spans
+      |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Gopher-style repetition-quality metrics per document: duplicate-token
+    * fraction and the fraction of bigrams claimed by the most common bigram,
+    * plus the keep/drop verdict at (0.65, 0.06) — thresholds that actually
+    * split this corpus (74/500 docs fail the bigram rule at sf0.01). All
+    * ratios are integer-count divisions, so the doubles are bit-identical
+    * cross-engine. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select($"doc_id", $"text")
+    val uni = docs.select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        (sum($"c" - 1).cast("double") / sum($"c").cast("double")).as("dup_token_frac"))
+    val bi = docs.select($"doc_id", explode(Spans.wordGrams($"text", 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((max($"c").cast("double") / sum($"c").cast("double")).as("top_bigram_frac"))
+    uni.join(bi, "doc_id")
+      .withColumn("keep",
+        ($"dup_token_frac" <= 0.65 && $"top_bigram_frac" <= 0.06).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionFilterOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.tok, u.ord
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
+      |), uni AS (
+      |  SELECT doc_id, sum(c) AS n_tokens,
+      |    sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS dup_token_frac
+      |  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1
+      |), bi AS (
+      |  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
+      |  FROM (
+      |    SELECT a.doc_id, a.tok || ' ' || b.tok AS g, count(*) AS c
+      |    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      |    GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+      |  CASE WHEN dup_token_frac <= 0.65::DOUBLE AND top_bigram_frac <= 0.06::DOUBLE
+      |    THEN 1 ELSE 0 END AS keep
+      |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
@@ -444,5 +559,8 @@ object PipelineQueries {
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
     Q("q59_sequence_packing", sequencePacking, Some(sequencePackingOracle)),
-    Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)))
+    Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
+    Q("q67_bloom_join", bloomJoin, Some(bloomJoinOracle)),
+    Q("q68_span_dedup", spanDedup, Some(spanDedupOracle)),
+    Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)))
 }
