@@ -491,6 +491,35 @@ object RelationalQueries {
     """SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n_lines
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact grouped multi-quantiles: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (1-f)·a + f·b interpolation on the sorted
+    * group, so the doubles hash-match bit-for-bit (verified on the price
+    * column, where interpolation actually kicks in). A single pass computes
+    * all four quantiles per group — the plan is one partial+final agg pair,
+    * no per-quantile re-sort. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = "array(0.25D, 0.5D, 0.75D, 0.9D)"
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr(s"percentile(l_extendedprice, $ps)").as("qs"),
+        count(lit(1)).as("n_lines"))
+      .select($"l_returnflag",
+        element_at($"qs", 1).as("p25"), element_at($"qs", 2).as("p50"),
+        element_at($"qs", 3).as("p75"), element_at($"qs", 4).as("p90"),
+        $"n_lines")
+      .orderBy($"l_returnflag")
+  }
+
+  val quantilesOracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5)  AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.9)  AS p90,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -517,5 +546,6 @@ object RelationalQueries {
     Q("q32_asof_join", asofJoin, Some(asofJoinOracle)),
     Q("q33_range_join", rangeJoin, Some(rangeJoinOracle)),
     Q("q34_median_agg", medianAgg, Some(medianAggOracle)),
-    Q("q35_salted_skew_join", saltedJoin, Some(saltedJoinOracle)))
+    Q("q35_salted_skew_join", saltedJoin, Some(saltedJoinOracle)),
+    Q("q38_quantiles", quantiles, Some(quantilesOracle)))
 }

@@ -283,6 +283,29 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** State-CAPPED streaming dedup: `dropDuplicatesWithinWatermark` — the
+    * production twin of q76 for unbounded key domains. The watermark lets
+    * Spark expire each key's dedup state once event time passes it, so state
+    * is O(keys per watermark window), not O(all keys ever); q76's plain
+    * `dropDuplicates` state grows forever. Under AvailableNow (single
+    * batch, asserted) nothing expires mid-run, so the emitted key set equals
+    * the batch DISTINCT — which is exactly what the oracle checks; the
+    * operator's value is the state bound, the oracle pins its correctness. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    runToMemory(spark, "stream_dedup_wm", "append", requireSingleBatch = true) { ss =>
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+    }
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupWatermarkOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Stream-static join: the event stream enriched against the static
     * `customer` dimension (micro-batch side of the join re-plans per batch;
     * the static side broadcasts off its size stats — no shuffle touches the
@@ -348,5 +371,6 @@ object StreamingQueries {
     Q("q75_stream_session_emit", sessionEmit, Some(sessionEmitOracle)),
     Q("q76_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
-    Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)))
+    Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
+    Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)))
 }

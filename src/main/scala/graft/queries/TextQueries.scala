@@ -103,7 +103,48 @@ object TextQueries {
        |SELECT rh, count(*) AS n_docs, min(doc_id) AS rep_id
        |FROM rh GROUP BY rh ORDER BY rep_id""".stripMargin
 
+  /** Distinguishing terms per language, ranked by the tf/df ratio — the
+    * log-free core of tf-idf (idf is monotone in 1/df, so the RANKING is
+    * identical while the score stays an exact integer-ratio double that
+    * hash-matches cross-engine; `ln()` would differ in the last ulp between
+    * libm implementations). tf = term count within the language, df =
+    * corpus-wide document frequency. One narrow shuffle per aggregation;
+    * the window ranks within tiny per-language term lists. */
+  def distinguishingTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(TextFunctions.tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val ranked = tf.join(df, "tok")
+      .withColumn("score", $"tf".cast("double") / $"df".cast("double"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"score".desc, $"tok")))
+    ranked.filter($"rk" <= 3)
+      .select($"lang", $"rk", $"tok", $"tf", $"df", $"score")
+      .orderBy($"lang", $"rk")
+  }
+
+  val distinguishingTermsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1
+      |), ranked AS (
+      |  SELECT lang, tok, tf, df, tf::DOUBLE / df::DOUBLE AS score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY tf::DOUBLE / df::DOUBLE DESC, tok) AS rk
+      |  FROM tf JOIN df USING (tok)
+      |)
+      |SELECT lang, rk, tok, tf, df, score
+      |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
