@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64, WordGramsOf, WordSpansOf}
+import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64, WordGramsOf, WordSpansOf, ZValue2}
 
 /** SQL-surface registration of graft's native expressions via the public
   * `SparkSessionExtensions` hook — the blessed way for a library to extend
@@ -81,5 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_grams: n must be an int literal")
         WordGramsOf(t, ne.eval().asInstanceOf[Int])
       }))
+    ext.injectFunction(binary("zvalue2",
+      "zvalue2(x, y) - Morton (Z-order) interleave of two bigints in [0, 65536) for multi-dimensional clustering",
+      ZValue2.apply))
   }
 }

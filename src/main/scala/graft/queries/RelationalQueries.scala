@@ -520,6 +520,44 @@ object RelationalQueries {
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order (Morton-curve) clustering statistics: events keyed by the
+    * interleaved (user_id, minute-of-day) bits, grouped into equal 2^12-wide
+    * Z-ranges (69 occupied on the sf0.01 grid). Each Z-range covers a bounded RECTANGLE in (user, time) —
+    * min/max on both dimensions stay tight simultaneously, which is why
+    * sorting a 100 TB table by `zvalue2` before writing
+    * (`repartitionByRange(zvalue2).sortWithinPartitions`) lets min-max
+    * file statistics skip IO for predicates on either dimension. The
+    * oracle re-derives the interleave bit-by-bit in SQL, so the curve
+    * value itself is hash-checked cross-engine. */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    QueryRegistry.events(spark, dir)
+      .select($"user_id",
+        (hour($"ts") * 60 + minute($"ts")).cast("long").as("moday"))
+      .select($"user_id", $"moday",
+        graft.functions.ZOrder.zvalue2($"user_id", $"moday").as("z"))
+      .groupBy(shiftright($"z", 12).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"moday").as("min_moday"), max($"moday").as("max_moday"))
+      .orderBy($"z_bucket")
+  }
+
+  val zorderClusterOracle: String =
+    """WITH z AS (
+      |  SELECT user_id,
+      |    (extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT AS moday,
+      |    list_sum(list_transform(range(0, 16), b ->
+      |      ((user_id >> b) & 1) * (1::BIGINT << (2 * b)) +
+      |      (((extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT >> b) & 1)
+      |        * (1::BIGINT << (2 * b + 1))))::BIGINT AS zv
+      |  FROM events
+      |)
+      |SELECT zv // 4096 AS z_bucket, count(*) AS n,
+      |  min(user_id) AS min_user, max(user_id) AS max_user,
+      |  min(moday) AS min_moday, max(moday) AS max_moday
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -547,5 +585,6 @@ object RelationalQueries {
     Q("q33_range_join", rangeJoin, Some(rangeJoinOracle)),
     Q("q34_median_agg", medianAgg, Some(medianAggOracle)),
     Q("q35_salted_skew_join", saltedJoin, Some(saltedJoinOracle)),
-    Q("q38_quantiles", quantiles, Some(quantilesOracle)))
+    Q("q38_quantiles", quantiles, Some(quantilesOracle)),
+    Q("q83_zorder_cluster", zorderCluster, Some(zorderClusterOracle)))
 }
