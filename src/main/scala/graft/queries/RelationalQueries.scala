@@ -520,6 +520,51 @@ object RelationalQueries {
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot (wide aggregation): order totals per priority, one column per
+    * order status. The pivot VALUES are declared explicitly — on a 100 TB
+    * table an implicit pivot first runs a distinct scan to discover them;
+    * declaring them keeps the plan a single partial+final agg with no
+    * discovery pass. The oracle is the portable CASE-WHEN encoding. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val pivotAggOracle: String =
+    s"""SELECT o_orderpriority,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_f,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_o,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Unpivot (melt): the inverse reshape — per-returnflag (sum_qty,
+    * sum_disc) pairs melted into (metric, value) rows. Spark's native
+    * `unpivot` is a zero-shuffle Expand over the aggregated rows. */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(dsum($"l_quantity").as("sum_qty"), dsum($"l_discount").as("sum_disc"))
+      .unpivot(Array($"l_returnflag"), Array($"sum_qty", $"sum_disc"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val unpivotAggOracle: String =
+    s"""WITH agg AS (
+       |  SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+       |    ${dsumSql("l_discount")} AS sum_disc
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM agg
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Z-order (Morton-curve) clustering statistics: events keyed by the
     * interleaved (user_id, minute-of-day) bits, grouped into equal 2^12-wide
     * Z-ranges (69 occupied on the sf0.01 grid). Each Z-range covers a bounded RECTANGLE in (user, time) —
@@ -586,5 +631,7 @@ object RelationalQueries {
     Q("q34_median_agg", medianAgg, Some(medianAggOracle)),
     Q("q35_salted_skew_join", saltedJoin, Some(saltedJoinOracle)),
     Q("q38_quantiles", quantiles, Some(quantilesOracle)),
-    Q("q83_zorder_cluster", zorderCluster, Some(zorderClusterOracle)))
+    Q("q83_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
+    Q("q84_pivot", pivotAgg, Some(pivotAggOracle)),
+    Q("q85_unpivot", unpivotAgg, Some(unpivotAggOracle)))
 }
