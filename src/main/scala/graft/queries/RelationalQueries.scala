@@ -603,6 +603,85 @@ object RelationalQueries {
       |  min(moday) AS min_moday, max(moday) AS max_moday
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time-RANGE window frame: each event's trailing-1-hour count and exact
+    * value sum per user — the range frame (peers by VALUE distance, not row
+    * count) that q17's rows-frame running sum doesn't cover. Ordered on
+    * epoch seconds so the [-3600, 0] frame is the same closed interval as
+    * SQL's RANGE INTERVAL 1 HOUR PRECEDING. Restricted to user_id < 20 to
+    * keep the dumped result compact. */
+  def timeRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_timestamp($"ts"))
+      .rangeBetween(-3600L, Window.currentRow)
+    QueryRegistry.events(spark, dir)
+      .filter($"user_id" < 20)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum($"value".cast("decimal(30,10)")).over(w).cast("double"), 4))
+      .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
+  val timeRangeWindowOracle: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h,
+      |  round(cast(sum(cast(value AS decimal(30,10))) OVER w AS double), 4) AS sum_1h
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Rank-family window functions (ntile / percent_rank / cume_dist) over a
+    * TOTAL order (acctbal, custkey) — unique tie-break makes all three
+    * deterministic, and the two fractional ranks are exact integer-ratio
+    * doubles that hash-match cross-engine. Folded to quartile stats per
+    * market segment so the checked output stays compact. */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    table(spark, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy($"c_mktsegment", $"quartile")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"),
+        max($"pr").as("max_pr"), max($"cd").as("max_cd"))
+      .orderBy($"c_mktsegment", $"quartile")
+  }
+
+  val rankFamilyOracle: String =
+    s"""SELECT c_mktsegment, quartile, count(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal,
+       |  max(pr) AS max_pr, max(cd) AS max_cd
+       |FROM (
+       |  SELECT c_mktsegment, c_acctbal,
+       |    ntile(4) OVER w AS quartile,
+       |    percent_rank() OVER w AS pr,
+       |    cume_dist() OVER w AS cd
+       |  FROM customer
+       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       |)
+       |GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""".stripMargin
+
+  /** Semi-structured extraction: the events `props` JSON column parsed with
+    * a declared schema (`from_json` — schema'd parse, no per-row schema
+    * inference) and aggregated. §2.8 breadth: JSON is the one scalar domain
+    * the TPC-H columns don't exercise. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    QueryRegistry.events(spark, dir)
+      .withColumn("k", from_json($"props", org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"k".cast("long")).as("sum_k"),
+        count(when($"k" > 50, 1)).as("n_high"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum((props->>'k')::INT::BIGINT) AS sum_k,
+      |  count(CASE WHEN (props->>'k')::INT > 50 THEN 1 END) AS n_high
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -633,5 +712,8 @@ object RelationalQueries {
     Q("q38_quantiles", quantiles, Some(quantilesOracle)),
     Q("q83_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
     Q("q84_pivot", pivotAgg, Some(pivotAggOracle)),
-    Q("q85_unpivot", unpivotAgg, Some(unpivotAggOracle)))
+    Q("q85_unpivot", unpivotAgg, Some(unpivotAggOracle)),
+    Q("q86_time_range_window", timeRangeWindow, Some(timeRangeWindowOracle)),
+    Q("q87_rank_family", rankFamily, Some(rankFamilyOracle)),
+    Q("q88_json_extract", jsonExtract, Some(jsonExtractOracle)))
 }
