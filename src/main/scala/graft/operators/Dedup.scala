@@ -37,6 +37,17 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** Priority dedup: ONE representative per key, the row maximizing
+    * (priority desc, tie asc) — "keep the BEST duplicate" (longest, highest
+    * quality score, freshest crawl...), not the first one seen, which is what
+    * a curation pipeline usually wants. One shuffle on the key; `tie` must be
+    * unique within a key group for a deterministic pick. */
+  def keepBest(df: DataFrame, key: Column, priority: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(priority.desc, tie)
+    df.withColumn("_kb_rn", row_number().over(w))
+      .filter(col("_kb_rn") === 1).drop("_kb_rn")
+  }
+
   /** Jaccard similarity of two DISTINCT-element array columns. Computes only
     * the intersection and derives |A ∪ B| = |A| + |B| − |A ∩ B| — half the
     * hash-set work of an explicit array_union, identical value for

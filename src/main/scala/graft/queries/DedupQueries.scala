@@ -130,5 +130,39 @@ object DedupQueries {
     Q("q52_minhash_lsh_neardup", minhashNearDups, Some(minhashNearDupsOracle)),
     Q("q53_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q54_simhash_banded", simhashBanded, Some(simhashBandedOracle)),
-    Q("q55_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)))
+    Q("q55_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
+    Q("q90_priority_dedup", priorityDedup, Some(priorityDedupOracle)))
+
+  /** Priority dedup over SimHash groups: within each signature-identical
+    * group keep the LONGEST document (ties to the lowest id) — representative
+    * selection by QUALITY rather than q50's first-occurrence rule; the
+    * summarized output lists every multi-member group with its winner. One
+    * shuffle on the signature; signatures are map-side codegen. */
+  def priorityDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", $"n_chars", graft.functions.Hashing.simhash($"text").as("sig"))
+    val kept = Dedup.keepBest(docs, key = $"sig", priority = $"n_chars", tie = $"doc_id")
+    docs.groupBy($"sig").agg(count(lit(1)).as("n_members"))
+      .filter($"n_members" > 1)
+      .join(kept, "sig")
+      .select($"sig", $"n_members", $"doc_id".as("kept_id"), $"n_chars".as("kept_chars"))
+      .orderBy($"sig")
+  }
+
+  val priorityDedupOracle: String =
+    s"""${DuckHashSql.simhashSigsCte("")},
+       |dd AS (
+       |  SELECT sigs.doc_id, ${DuckHashSql.signedSql("sigs.sig")} AS sig, d.n_chars
+       |  FROM sigs JOIN documents d USING (doc_id)
+       |), grp AS (
+       |  SELECT sig, count(*) AS n_members FROM dd GROUP BY sig HAVING count(*) > 1
+       |), ranked AS (
+       |  SELECT sig, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY sig ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM dd
+       |)
+       |SELECT g.sig, g.n_members, r.doc_id AS kept_id, r.n_chars AS kept_chars
+       |FROM grp g JOIN ranked r ON g.sig = r.sig AND r.rn = 1
+       |ORDER BY g.sig""".stripMargin
 }

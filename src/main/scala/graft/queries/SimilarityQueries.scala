@@ -223,11 +223,40 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search: top-5 among label=3 vectors only — the
+    * predicate+ANN composition every vector store needs (metadata filter
+    * first, similarity second). The label filter composes BEFORE the corpus
+    * pass, so it pushes to the parquet scan (`PushedFilters: [EqualTo(label,
+    * 3)]`) and the vector math touches only matching rows — pre-filtering,
+    * not the post-filter-k-til-full workaround; at 100 TB this is the
+    * difference between scanning a label partition and scanning the world. */
+  def filteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    Similarity.knnBruteForce(embs.filter(col("label") === 3),
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val filteredKnnOracle: String =
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.label = 3 AND e.vec_id != q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)),
     Q("q63_knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)),
-    Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
+    Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)),
+    Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)))
 }
