@@ -682,6 +682,44 @@ object RelationalQueries {
       |  count(CASE WHEN (props->>'k')::INT > 50 THEN 1 END) AS n_high
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-series gap-fill (resample): hourly event counts per user with
+    * MISSING hours materialized as zero rows — the dense-grid reshape every
+    * downstream time-series model needs. The hour spine is generated from
+    * the corpus min/max (one tiny agg), cross-joined with the user dim; the
+    * sparse counts LEFT-join onto the grid. Spine and dim are broadcast —
+    * the only shuffle is the sparse per-(user, hour) aggregation. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+    val hours = ev
+      .agg(date_trunc("hour", min($"ts")).as("h0"), date_trunc("hour", max($"ts")).as("h1"))
+      .select(explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+    val users = ev.filter($"user_id" < 5).select($"user_id").distinct()
+    val sparse = ev.filter($"user_id" < 5)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    users.crossJoin(broadcast(hours))
+      .join(sparse, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h", coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"user_id", $"h")
+  }
+
+  val gapFillOracle: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+      |), hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+      |), u AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id < 5
+      |), sparse AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events WHERE user_id < 5 GROUP BY 1, 2
+      |)
+      |SELECT u.user_id, hours.h, coalesce(sparse.n, 0) AS n_events
+      |FROM u CROSS JOIN hours
+      |LEFT JOIN sparse ON sparse.user_id = u.user_id AND sparse.h = hours.h
+      |ORDER BY u.user_id, hours.h""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -715,5 +753,6 @@ object RelationalQueries {
     Q("q85_unpivot", unpivotAgg, Some(unpivotAggOracle)),
     Q("q86_time_range_window", timeRangeWindow, Some(timeRangeWindowOracle)),
     Q("q87_rank_family", rankFamily, Some(rankFamilyOracle)),
-    Q("q88_json_extract", jsonExtract, Some(jsonExtractOracle)))
+    Q("q88_json_extract", jsonExtract, Some(jsonExtractOracle)),
+    Q("q91_gap_fill", gapFill, Some(gapFillOracle)))
 }
