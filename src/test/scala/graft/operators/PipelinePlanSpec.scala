@@ -67,6 +67,23 @@ class PipelinePlanSpec extends SparkSpec with Matchers {
     withClue(hll) { hll should include("partial_max") }
   }
 
+  test("bloom prefilter sits in the scan stage before any exchange") {
+    // range scan, not a local relation (whose filters evaluate eagerly at
+    // plan time and prove nothing about the distributed shape)
+    val fact = spark.range(1000).select(col("id"))
+    val dim = fact.filter(col("id") % 5 === 0)
+    val words = BloomJoin.buildFilter(dim, col("id"), mBits = 1 << 14, k = 5)
+    val p = plan(BloomJoin.prefilter(fact, col("id"), words, 1 << 14, 5))
+    withClue(p) {
+      // a pure row filter: the bit-test adds no shuffle, no agg, no sort —
+      // at scale it runs inside the fact scan's stage, shedding rows
+      // before the join's exchange
+      p should include("bloommightcontain")
+      p should not include "Exchange"
+      p should not include "HashAggregate"
+    }
+  }
+
   test("hash bucketing stays inside whole-stage codegen") {
     // a range scan (LocalTableScan would evaluate eagerly with no codegen
     // stage at all, proving nothing)
