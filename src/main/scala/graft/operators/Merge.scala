@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL-MERGE-shaped upsert as pure relational algebra (no table format
+  * required): rows of `updates` REPLACE same-key rows of `base`, unmatched
+  * update rows INSERT, unmatched base rows survive — the snapshot-refresh
+  * primitive of any feed ingestion pipeline.
+  *
+  * One shuffle on the key for both sides (or none for the big side when the
+  * update batch is small enough to broadcast — Catalyst decides from size
+  * stats, the usual case for incremental loads against a 100 TB base). The
+  * winner is decided by KEY PRESENCE on the update side — row-wise MERGE
+  * semantics — not per-column coalesce, so NULL values inside an update row
+  * overwrite like SQL MERGE does. */
+object Merge {
+
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"upsert requires identical schemas, got ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    base.join(u, col(key) === col(s"_u_$key"), "full_outer")
+      .select(base.columns.map { c =>
+        when(col(s"_u_$key").isNotNull, col(s"_u_$c")).otherwise(col(c)).as(c)
+      }: _*)
+  }
+}

@@ -720,6 +720,69 @@ object RelationalQueries {
       |LEFT JOIN sparse ON sparse.user_id = u.user_id AND sparse.h = hours.h
       |ORDER BY u.user_id, hours.h""".stripMargin
 
+  /** MERGE/upsert: a deterministic "update batch" (even order keys, price
+    * bumped 10%, status 'U') merged into a base snapshot (keys not divisible
+    * by 3) — update rows replace, new keys insert, unmatched base survives.
+    * Row-wise MERGE semantics via [[graft.operators.Merge.upsert]]; the
+    * oracle re-derives the same merge with a FULL JOIN + key-presence CASE. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val base = orders.filter($"o_orderkey" % 3 =!= 0)
+    val updates = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" * 1.1).as("o_totalprice"))
+    graft.operators.Merge.upsert(base, updates, "o_orderkey")
+      .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 4).as("price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+      |), upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |)
+      |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+      |  round(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END, 4) AS price
+      |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sequence/funnel detection: users whose purchase directly follows three
+    * consecutive clicks (ordered by event time, event_id tie-break) — the
+    * lag-window pattern-match shape of behavioral analytics; one shuffle on
+    * the user, the pattern test is map-side over the sorted partition. */
+  def funnelDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    QueryRegistry.events(spark, dir)
+      .withColumn("p1", lag($"event_type", 1).over(w))
+      .withColumn("p2", lag($"event_type", 2).over(w))
+      .withColumn("p3", lag($"event_type", 3).over(w))
+      .filter($"event_type" === "purchase" &&
+        $"p1" === "click" && $"p2" === "click" && $"p3" === "click")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_conversions"), min($"ts").as("first_conversion"))
+      .orderBy($"user_id")
+  }
+
+  val funnelDetectOracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type, 1) OVER w AS p1,
+      |    lag(event_type, 2) OVER w AS p2,
+      |    lag(event_type, 3) OVER w AS p3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, count(*) AS n_conversions, min(ts) AS first_conversion
+      |FROM lagged
+      |WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'click' AND p3 = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -754,5 +817,7 @@ object RelationalQueries {
     Q("q86_time_range_window", timeRangeWindow, Some(timeRangeWindowOracle)),
     Q("q87_rank_family", rankFamily, Some(rankFamilyOracle)),
     Q("q88_json_extract", jsonExtract, Some(jsonExtractOracle)),
-    Q("q91_gap_fill", gapFill, Some(gapFillOracle)))
+    Q("q91_gap_fill", gapFill, Some(gapFillOracle)),
+    Q("q92_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)))
 }
