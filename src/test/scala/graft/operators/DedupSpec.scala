@@ -184,4 +184,17 @@ class DedupSpec extends SparkSpec with Matchers {
     out(1) shouldBe Seq("a b c", "b c d")
     out(2) shouldBe Seq("x x x") // distinct
   }
+
+  test("keepBest selects the highest-priority row per key, tie to lowest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 30L), // 30-char tie -> id 2
+      (4L, "g2", 5L)                                     // singleton survives
+    ).toDF("id", "grp", "quality")
+    val out = Dedup.keepBest(docs, col("grp"), col("quality"), col("id"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).sortBy(_._1)
+    out shouldBe Array(("g1", 2L), ("g2", 4L))
+    Dedup.keepBest(docs, col("grp"), col("quality"), col("id")).columns should
+      not contain "_kb_rn"
+  }
 }
