@@ -33,7 +33,9 @@ object BloomJoin {
       pmod(Hashing.mix64At(baseHash, lit(j)), lit(mBits.toLong))
     }: _*)
     val words = new Array[Long](mBits / 64)
-    keys.select(explode(positions).as("pos"))
+    // NULL keys set no bits (a NULL never equi-joins, so nothing to admit);
+    // without the filter the null bucket row would NPE the collect below.
+    keys.filter(baseHash.isNotNull).select(explode(positions).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("w"),
         expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
@@ -42,7 +44,11 @@ object BloomJoin {
     words
   }
 
-  /** The scan-side prefilter: keep rows whose base hash might be a member. */
+  /** The scan-side prefilter: keep rows whose base hash might be a member.
+    * NULL-hash rows are dropped (the probe evaluates to NULL), which is
+    * result-identical for the equi-join this guards — a NULL key never
+    * matches — but makes the helper inner/semi-join specific: do not use it
+    * in front of an outer join that must keep the null-keyed rows. */
   def prefilter(df: DataFrame, baseHash: Column, words: Array[Long], mBits: Int, k: Int): DataFrame =
     df.filter(Bloom.mightContainCol(baseHash, words, mBits, k))
 }

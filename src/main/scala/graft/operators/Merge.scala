@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * stats, the usual case for incremental loads against a 100 TB base). The
   * winner is decided by KEY PRESENCE on the update side — row-wise MERGE
   * semantics — not per-column coalesce, so NULL values inside an update row
-  * overwrite like SQL MERGE does. */
+  * overwrite like SQL MERGE does.
+  *
+  * CONTRACT: `key` must be unique within EACH side (the usual snapshot +
+  * update-batch shape). A duplicated update key would fan out matching base
+  * rows through the full-outer join — the same "multiple rows matched"
+  * condition SQL MERGE rejects at runtime; dedupe the batch first (e.g.
+  * [[Dedup.keepBest]] on an update-version column). */
 object Merge {
 
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {

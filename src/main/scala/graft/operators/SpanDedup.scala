@@ -24,7 +24,9 @@ object SpanDedup {
 
   /** Returns (idCol, clean_text, n_spans): documents rebuilt from their
     * surviving spans; documents whose every span was claimed earlier
-    * disappear (their text would be empty). */
+    * disappear (their text would be empty), and so do NULL-text documents
+    * (posexplode of a NULL span array yields no rows — SQL semantics: NULL
+    * text has no spans to keep). */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spans = docs.select(col(idCol),
       posexplode(Spans.wordSpans(col(textCol), n)).as(Seq("span_no", "span")))

@@ -605,10 +605,12 @@ object RelationalQueries {
 
   /** Time-RANGE window frame: each event's trailing-1-hour count and exact
     * value sum per user — the range frame (peers by VALUE distance, not row
-    * count) that q17's rows-frame running sum doesn't cover. Ordered on
-    * epoch seconds so the [-3600, 0] frame is the same closed interval as
-    * SQL's RANGE INTERVAL 1 HOUR PRECEDING. Restricted to user_id < 20 to
-    * keep the dumped result compact. */
+    * count) that q17's rows-frame running sum doesn't cover. The frame is
+    * defined on WHOLE epoch seconds in BOTH engines (events carry
+    * microsecond timestamps — an INTERVAL-precision oracle frame would
+    * disagree with the second-truncated Spark ordering on any pair
+    * straddling the 3600 s edge, and on same-second peers). Restricted to
+    * user_id < 20 to keep the dumped result compact. */
   def timeRangeWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy(unix_timestamp($"ts"))
@@ -626,8 +628,8 @@ object RelationalQueries {
       |  count(*) OVER w AS n_1h,
       |  round(cast(sum(cast(value AS decimal(30,10))) OVER w AS double), 4) AS sum_1h
       |FROM events WHERE user_id < 20
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
   /** Rank-family window functions (ntile / percent_rank / cume_dist) over a

@@ -42,6 +42,15 @@ class BloomJoinSpec extends SparkSpec with Matchers {
     pre shouldBe bare
   }
 
+  test("NULL keys set no bits on build and drop on probe") {
+    import spark.implicits._
+    val keys = Seq(Some(1L), None, Some(2L)).toDF("key")
+    val words = BloomJoin.buildFilter(keys, col("key"), mBits, k) // no NPE
+    val kept = BloomJoin.prefilter(keys, col("key"), words, mBits, k)
+      .collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 2L)
+  }
+
   test("probe expression agrees with the JVM helper and rejects bad sizing") {
     val words = new Array[Long](mBits / 64)
     // set the bits of key 42 by hand via the shared hash family
