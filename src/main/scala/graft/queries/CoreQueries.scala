@@ -143,7 +143,70 @@ object CoreQueries {
     moneyFixture(spark, dir)
     poisonFixture(spark, dir)
     partitionedFixture(spark, dir)
+    supplierViaCsv(spark, dir)
+    supplierViaJsonl(spark, dir)
   }
+
+  /** Supplier through a quoted-header CSV round trip (marker-guarded scratch
+    * fixture, same pattern as the fixed-width encodes). An explicit read
+    * schema — never inference, which costs an extra full scan of a 100 TB
+    * feed and can mistype empty partitions. */
+  def supplierViaCsv(spark: SparkSession, dir: String): DataFrame = {
+    val pq = QueryRegistry.table(spark, dir, "supplier")
+    val out = QueryRegistry.scratch(dir, "supplier_csv")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      pq.write.option("header", "true").mode("overwrite").csv(out)
+      marker.createNewFile()
+    }
+    spark.read.schema(pq.schema).option("header", "true").csv(out)
+  }
+
+  /** Supplier through a JSON-lines round trip — doubles survive because
+    * Spark writes shortest-round-trip literals and the declared read schema
+    * parses them straight back to the identical bit pattern. */
+  def supplierViaJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val pq = QueryRegistry.table(spark, dir, "supplier")
+    val out = QueryRegistry.scratch(dir, "supplier_jsonl")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      pq.write.mode("overwrite").json(out)
+      marker.createNewFile()
+    }
+    spark.read.schema(pq.schema).json(out)
+  }
+
+  /** CSV as a SOURCE lane (SURVEY §2.1 S10): aggregate over the CSV round
+    * trip, oracle over the original parquet — equality proves the text
+    * encode/decode is value-faithful, typed doubles included. */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplierViaCsv(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("sum_bal"),
+        max(length($"s_name")).as("max_name_len"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q94Oracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
+       |  max(length(s_name)) AS max_name_len
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** JSON-lines as a SOURCE lane — same oracle contract as q94. */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplierViaJsonl(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("sum_bal"),
+        min($"s_suppkey").as("min_suppkey"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q95Oracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
+       |  min(s_suppkey) AS min_suppkey
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Decimal round-trip: encode TPC-H money columns as decimal(15,2) through
     * the fixed-width format, read them back, and aggregate with EXACT decimal
@@ -432,5 +495,7 @@ object CoreQueries {
     Q("q08_fw_limit_offset", q08, Some(q08Oracle)),
     Q("q09_fw_grouped_count", q09, Some(q09Oracle)),
     Q("q36_fw_spj_join", q36, Some(q36Oracle)),
-    Q("q37_fw_minmax_listing", q37, Some(q37Oracle)))
+    Q("q37_fw_minmax_listing", q37, Some(q37Oracle)),
+    Q("q94_csv_source", q94, Some(q94Oracle)),
+    Q("q95_jsonl_source", q95, Some(q95Oracle)))
 }
