@@ -208,6 +208,80 @@ object CoreQueries {
        |  min(s_suppkey) AS min_suppkey
        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Events as a Hive-partitioned PARQUET layout (partitionBy(event_type)),
+    * marker-guarded. The standard-format twin of the fixedwidth partitioned
+    * lane (q06): directory layout as a queryable index. */
+  def eventsPartitionedParquet(spark: SparkSession, dir: String): DataFrame = {
+    val out = QueryRegistry.scratch(dir, "events_part_pq")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.events(spark, dir)
+        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+      marker.createNewFile()
+    }
+    spark.read.parquet(out)
+  }
+
+  /** Partition-pruned read over the partitioned parquet layout: the
+    * `event_type` predicate prunes DIRECTORIES at plan time (`.explain`
+    * shows it under PartitionFilters, not PushedFilters — no data IO for
+    * non-matching types), which at 100 TB is the difference between reading
+    * one event type and all of them. Oracle over the original flat table. */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventsPartitionedParquet(spark, dir)
+      .filter($"event_type" === "click" || $"event_type" === "purchase")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val q96Oracle: String =
+    s"""SELECT event_type, count(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events WHERE event_type IN ('click', 'purchase')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Bucketed co-located join: both sides pre-bucketed (and sorted) on the
+    * join key into external bucketed tables — the SMJ reads bucket i against
+    * bucket i with ZERO exchanges on either side, the layout investment that
+    * removes the join shuffle from every downstream run against a 100 TB
+    * fact. `hint("merge")` pins SMJ so the tiny sf customer side can't
+    * broadcast away the demonstration; result is plan-independent. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bucketedTables(spark, dir)
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_customer_b"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** External bucketed tables under the scratch dir (option("path") keeps
+    * the warehouse out of the repo tree); catalog entries are per-session,
+    * so a fresh JVM re-registers (and rewrites) them on first use. */
+  def bucketedTables(spark: SparkSession, dir: String): Unit = {
+    if (!spark.catalog.tableExists("graft_orders_b")) {
+      QueryRegistry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", QueryRegistry.scratch(dir, "orders_bucketed"))
+        .mode("overwrite").saveAsTable("graft_orders_b")
+    }
+    if (!spark.catalog.tableExists("graft_customer_b")) {
+      QueryRegistry.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", QueryRegistry.scratch(dir, "customer_bucketed"))
+        .mode("overwrite").saveAsTable("graft_customer_b")
+    }
+  }
+
+  val q97Oracle: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Decimal round-trip: encode TPC-H money columns as decimal(15,2) through
     * the fixed-width format, read them back, and aggregate with EXACT decimal
     * sums (no double-drift dsum workaround needed — fixed-point addition is
@@ -497,5 +571,7 @@ object CoreQueries {
     Q("q36_fw_spj_join", q36, Some(q36Oracle)),
     Q("q37_fw_minmax_listing", q37, Some(q37Oracle)),
     Q("q94_csv_source", q94, Some(q94Oracle)),
-    Q("q95_jsonl_source", q95, Some(q95Oracle)))
+    Q("q95_jsonl_source", q95, Some(q95Oracle)),
+    Q("q96_parquet_partition_pruned", q96, Some(q96Oracle)),
+    Q("q97_bucketed_join", q97, Some(q97Oracle)))
 }
