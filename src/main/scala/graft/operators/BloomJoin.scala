@@ -23,22 +23,30 @@ import graft.functions.{Bloom, Hashing}
   * cost wasted shuffle rows; size mBits ≈ 10–16 bits/key for ~1% fp. */
 object BloomJoin {
 
-  /** Word array of an mBits-bit, k-hash Bloom filter over `baseHash`
-    * (the raw long key, or hash64 of a string key — the probe side must use
-    * the same base). */
-  def buildFilter(keys: DataFrame, baseHash: Column, mBits: Int, k: Int): Array[Long] = {
+  /** The NON-EMPTY (w, word) rows of the filter as a DataFrame — the
+    * relational build, exposed so the construction itself is
+    * oracle-checkable (q98) and reusable for a distributed (join-based)
+    * probe should the word array ever outgrow the driver. */
+  def wordRows(keys: DataFrame, baseHash: Column, mBits: Int, k: Int): DataFrame = {
     require(mBits >= 64 && (mBits & 63) == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val positions = array((0 until k).map { j =>
       pmod(Hashing.mix64At(baseHash, lit(j)), lit(mBits.toLong))
     }: _*)
-    val words = new Array[Long](mBits / 64)
     // NULL keys set no bits (a NULL never equi-joins, so nothing to admit);
     // without the filter the null bucket row would NPE the collect below.
     keys.filter(baseHash.isNotNull).select(explode(positions).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("w"),
         expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+  }
+
+  /** Word array of an mBits-bit, k-hash Bloom filter over `baseHash`
+    * (the raw long key, or hash64 of a string key — the probe side must use
+    * the same base). */
+  def buildFilter(keys: DataFrame, baseHash: Column, mBits: Int, k: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    wordRows(keys, baseHash, mBits, k)
       .collect()
       .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words

@@ -471,6 +471,41 @@ object PipelineQueries {
        |WHERE r_name = 'EUROPE'
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** The Bloom BUILD itself, value-checked: the non-empty (w, word) rows of
+    * a 2^12-bit filter over the EUROPE customer keys, against a DuckDB
+    * replay of the same mix64 bit positions folded with sum(DISTINCT bit)
+    * (== bit_or for distinct powers of two). q67 proves the filter is
+    * semantically transparent; this proves the word array is BIT-EXACT —
+    * so a filter built by one engine can be probed by the other. */
+  def bloomWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eur = table(spark, dir, "customer")
+      .join(table(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .join(table(spark, dir, "region").filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    BloomJoin.wordRows(eur, $"c_custkey", mBits = 4096, k = 5)
+      .orderBy($"w")
+  }
+
+  val bloomWordsOracle: String = {
+    val m = DuckHashSql.mix64Sql("c_custkey::HUGEINT", "j.j")
+    s"""WITH eur AS (
+       |  SELECT c_custkey FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'
+       |), pos AS (
+       |  SELECT cast(($m % 4096) AS BIGINT) AS pos
+       |  FROM eur CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j) j
+       |), bits AS (
+       |  SELECT (pos // 64)::INT AS w, (1::HUGEINT << (pos % 64)::INT) AS bit FROM pos
+       |)
+       |SELECT w, ${DuckHashSql.signedSql("sum(DISTINCT bit)")} AS word
+       |FROM bits GROUP BY w ORDER BY w""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q68
   /** C4-style span-level exact dedup: 10-token spans, first occurrence
     * corpus-wide survives, documents reassembled from surviving spans. The
@@ -562,5 +597,6 @@ object PipelineQueries {
     Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
     Q("q67_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     Q("q68_span_dedup", spanDedup, Some(spanDedupOracle)),
-    Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)))
+    Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)),
+    Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)))
 }
