@@ -145,6 +145,8 @@ object CoreQueries {
     partitionedFixture(spark, dir)
     supplierViaCsv(spark, dir)
     supplierViaJsonl(spark, dir)
+    eventsPartitionedParquet(spark, dir)
+    bucketedTables(spark, dir)
   }
 
   /** Supplier through a quoted-header CSV round trip (marker-guarded scratch
