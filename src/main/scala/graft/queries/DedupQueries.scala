@@ -131,7 +131,71 @@ object DedupQueries {
     Q("q53_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     Q("q54_simhash_banded", simhashBanded, Some(simhashBandedOracle)),
     Q("q55_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
-    Q("q90_priority_dedup", priorityDedup, Some(priorityDedupOracle)))
+    Q("q90_priority_dedup", priorityDedup, Some(priorityDedupOracle)),
+    Q("q99_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
+    Q("q100_source_overlap", sourceOverlap, Some(sourceOverlapOracle)))
+
+  /** Incremental dedup — the production shape of corpus REFRESH: a new
+    * batch (doc_id >= 250) admitted only where its rolling fingerprint is
+    * (a) unseen in the existing corpus (anti-join against the known
+    * fingerprint set — at 100 TB that set is the small side and broadcasts)
+    * and (b) first within the batch itself. Fingerprints are the codegen'd
+    * RollingHash64, replayed in hugeint SQL by the oracle. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = table(spark, dir, "documents")
+      .select($"doc_id", $"lang", graft.functions.Hashing.rollingHash($"text").as("fp"))
+    val known = fp.filter($"doc_id" < 250).select($"fp").distinct()
+    val batch = fp.filter($"doc_id" >= 250)
+    val firsts = batch.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    batch.join(firsts, Seq("fp", "doc_id")) // first occurrence within the batch
+      .join(known, Seq("fp"), "left_anti")  // unseen in the existing corpus
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupOracle: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, lang, ${DuckHashSql.signedSql(DuckHashSql.rollingHashSql("text"))} AS fp
+       |  FROM documents
+       |), known AS (
+       |  SELECT DISTINCT fp FROM fp WHERE doc_id < 250
+       |), batch AS (
+       |  SELECT * FROM fp WHERE doc_id >= 250
+       |), firsts AS (
+       |  SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp
+       |)
+       |SELECT b.doc_id, b.lang FROM batch b
+       |JOIN firsts f ON b.fp = f.fp AND b.doc_id = f.doc_id
+       |WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = b.fp)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** Cross-source contamination matrix: for every source pair, the number
+    * of distinct word 3-grams they SHARE — the overlap audit run before
+    * mixing corpora. One shuffle on the gram (distinct), one gram-keyed
+    * self-join whose fan-out is bounded by sources-per-gram (≤ 20 here,
+    * ≤ |sources| always), one pair aggregation. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = table(spark, dir, "documents")
+      .select($"source", explode(graft.functions.Shingling.shingles($"text", 3)).as("gram"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH d AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), g AS (
+       |  SELECT DISTINCT source, unnest(${DuckHashSql.gramsSql(3)}) AS gram FROM d
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Priority dedup over SimHash groups: within each signature-identical
     * group keep the LONGEST document (ties to the lowest id) — representative
