@@ -785,6 +785,70 @@ object RelationalQueries {
       |WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'click' AND p3 = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Iterative graph analytics: 5 rounds of weighted PageRank (damping
+    * 0.85) over the nation trade graph (edge c_nation → s_nation weighted by
+    * lineitem count). Each round is join → per-edge contribution →
+    * aggregation — the same one-shuffle-per-iteration shape as the dedup
+    * pipeline's connected components, unrolled declaratively. Cross-engine
+    * exactness: per-edge contributions are identical IEEE expressions
+    * ((pr·w)/outw), the per-node fold goes through the order-free
+    * decimal(38,18) sum, and each round's result is pinned at 10 decimals —
+    * so five compounding iterations still hash-match. Dangling nodes
+    * (no out-edges) leak mass, the standard simplification; deterministic
+    * either way. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val e = edges.join(outw, "src")
+    val nodes = table(spark, dir, "nation").select($"n_nationkey".as("node"))
+    var pr = nodes.withColumn("pr", lit(1.0 / 25))
+    for (_ <- 1 to 5) {
+      val mass = e.join(pr, $"src" === $"node")
+        .select($"dst",
+          (($"pr" * $"w".cast("double")) / $"outw".cast("double")).as("contrib"))
+        .groupBy($"dst")
+        .agg(sum($"contrib".cast("decimal(38,18)")).cast("double").as("mass"))
+      pr = nodes.join(mass, $"node" === $"dst", "left")
+        .select($"node",
+          round(lit(0.006) + lit(0.85) * coalesce($"mass", lit(0.0)), 10).as("pr"))
+    }
+    pr.orderBy($"node")
+  }
+
+  val pageRankOracle: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, round(0.006::DOUBLE + 0.85::DOUBLE * coalesce(m.mass, 0.0::DOUBLE), 10) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst, cast(sum(cast((p.pr * w::DOUBLE) / outw::DOUBLE AS decimal(38,18))) AS DOUBLE) AS mass
+         |    FROM e JOIN $prev p ON e.src = p.node GROUP BY dst
+         |  ) m ON n.node = m.dst
+         |)""".stripMargin
+    val iters = (1 to 5).map(i => step(if (i == 1) "pr0" else s"pr${i - 1}", s"pr$i"))
+    s"""WITH edges AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2
+       |), outw AS (
+       |  SELECT src, sum(w) AS outw FROM edges GROUP BY 1
+       |), e AS (
+       |  SELECT edges.src, dst, w, outw FROM edges JOIN outw USING (src)
+       |), nodes AS (
+       |  SELECT n_nationkey AS node FROM nation
+       |), pr0 AS (
+       |  SELECT node, (1.0::DOUBLE / 25) AS pr FROM nodes
+       |), ${iters.mkString(", ")}
+       |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -821,5 +885,6 @@ object RelationalQueries {
     Q("q88_json_extract", jsonExtract, Some(jsonExtractOracle)),
     Q("q91_gap_fill", gapFill, Some(gapFillOracle)),
     Q("q92_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
-    Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)))
+    Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
+    Q("q101_pagerank", pageRank, Some(pageRankOracle)))
 }
