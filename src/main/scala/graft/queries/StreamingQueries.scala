@@ -362,6 +362,66 @@ object StreamingQueries {
       | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** Streaming sketch composition: HLL distinct users per hour window. The
+    * streaming state is the REGISTER table — groupBy(window, bucket).max(rho)
+    * keeps at most 2^p rows per window however many events arrive, the
+    * bounded-state answer to "distinct per window over an unbounded stream"
+    * (exact streaming distinct state grows with the key count). The register
+    * maxes drain to the memory sink; the harmonic fold runs batch-side on
+    * the drained registers. Same deterministic hash family as batch q48, so
+    * the ESTIMATES hash-match the DuckDB replay bit-for-bit. */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cardinality
+    val p = 10
+    val m = 1 << p
+    val drained = runToMemory(spark, "stream_hll", "complete") { ss =>
+      val (bucket, rho) = Cardinality.bucketAndRho(col("user_id").cast("string"), p)
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .select(window(col("ts"), "1 hour").as("w"), bucket.as("_bucket"), rho.as("_rho"))
+        .groupBy(col("w"), col("_bucket"))
+        .agg(max(col("_rho")).as("_rho"))
+    }
+    drained
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_used"),
+        sort_array(collect_list(struct(col("_bucket"), col("_rho")))).as("_regs"))
+      .withColumn("hll_est",
+        round(lit(Cardinality.alphaM2(p)) /
+          aggregate(col("_regs"), (lit(m) - col("n_used")).cast("double"),
+            (acc, r) => acc + pow(lit(2.0), -r.getField("_rho"))), 4))
+      .select(col("w.start").as("window_start"), col("n_used"), col("hll_est"))
+      .orderBy(col("window_start"))
+  }
+
+  val streamHllOracle: String = {
+    val p = 10
+    val m = 1 << p
+    val bucket = s"(h // ${1L << (64 - p)})"
+    val w = s"((h * $m) % 18446744073709551616::HUGEINT)"
+    val rho = s"least(CASE WHEN $w = 0 THEN 64 ELSE 64 - length(bin($w)) END, ${64 - p}) + 1"
+    s"""WITH uh AS (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS window_start, user_id FROM events
+       |), hh AS (
+       |  SELECT user_id, ${DuckHashSql.hash64Sql("user_id::VARCHAR")} AS h
+       |  FROM (SELECT DISTINCT user_id FROM events)
+       |), rows_ AS (
+       |  SELECT window_start, cast($bucket AS BIGINT) AS bucket, cast($rho AS BIGINT) AS rho
+       |  FROM uh JOIN hh USING (user_id)
+       |), regs AS (
+       |  SELECT window_start, bucket, max(rho) AS rho FROM rows_ GROUP BY 1, 2
+       |), sk AS (
+       |  SELECT window_start, count(*) AS n_used,
+       |    list_reduce(
+       |      list_prepend(($m - count(*))::DOUBLE, list(pow(2.0, -rho) ORDER BY bucket)),
+       |      (a, b) -> a + b) AS denom
+       |  FROM regs GROUP BY 1
+       |)
+       |SELECT window_start, n_used,
+       |  round(${graft.operators.Cardinality.alphaM2(p)} / denom, 4) AS hll_est
+       |FROM sk ORDER BY window_start""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
@@ -372,5 +432,6 @@ object StreamingQueries {
     Q("q76_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
-    Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)))
+    Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)),
+    Q("q102_stream_hll", streamHll, Some(streamHllOracle)))
 }
