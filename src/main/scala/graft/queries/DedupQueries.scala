@@ -177,9 +177,13 @@ object DedupQueries {
     * ≤ |sources| always), one pair aggregation. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = table(spark, dir, "documents")
+    // materialized ONCE (local checkpoint): both self-join sides read the
+    // same computed (source, gram) table instead of re-scanning and
+    // re-shingling the corpus twice — the same two-consumer pattern as the
+    // MinHash sketch table.
+    val g = Dedup.truncateLineage(table(spark, dir, "documents")
       .select($"source", explode(graft.functions.Shingling.shingles($"text", 3)).as("gram"))
-      .distinct()
+      .distinct(), None)
     g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
