@@ -411,7 +411,7 @@ object Dedup {
 
     // decimal accumulator: a long sum of 64-bit hashes overflows (ANSI throws)
     def checksum(e: DataFrame): (Long, BigDecimal) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 

@@ -67,7 +67,7 @@ final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: I
     val in = fs.open(entryPath(seq))
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
     val node = mapper.readTree(bytes)
-    node.get("files").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    node.get("files").properties().iterator().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
   /** Files first seen in entries (startExclusive, endInclusive]: union of the

@@ -122,7 +122,7 @@ object Probe {
       .write.format("fixedwidth").option("fields", "v:long:0:20")
       .mode("overwrite").save(s"$base/minmax")
     val mm = spark.read.format("fixedwidth").option("fields", "v:long:0:20")
-      .load(s"$base/minmax").select(min($"v"), max($"v")).head
+      .load(s"$base/minmax").select(min($"v"), max($"v")).head()
     println(s"PROBE long-roundtrip: min=${mm.getLong(0)} max=${mm.getLong(1)}")
 
     // Non-UTF-8 charset round trip (ISO-8859-1 'é' is byte 0xE9).
@@ -131,7 +131,7 @@ object Probe {
       .mode("overwrite").save(s"$base/latin1")
     val latin = spark.read.format("fixedwidth")
       .option("fields", "s:string:0:8").option("charset", "ISO-8859-1")
-      .load(s"$base/latin1").select($"s").head.getString(0)
+      .load(s"$base/latin1").select($"s").head().getString(0)
     val latinBytes = Files.readAllBytes(
       Files.list(Paths.get(s"$base/latin1")).filter(p => p.getFileName.toString.startsWith("part-")).findFirst.get)
     println(s"PROBE charset-latin1: back='$latin' ok=${latin == "café"} " +
@@ -151,7 +151,7 @@ object Probe {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "3")
     val tiny = spark.read.format("fixedwidth").option("recordLength", 10).load(s"$base/raw")
     println(s"PROBE tiny-splits: n=${tiny.count()} parts=${tiny.rdd.getNumPartitions} " +
-      s"allLen10=${tiny.select(min(length($"value")) === 10 && max(length($"value")) === 10).head.getBoolean(0)}")
+      s"allLen10=${tiny.select(min(length($"value")) === 10 && max(length($"value")) === 10).head().getBoolean(0)}")
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     spark.stop()
