@@ -251,6 +251,40 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label embedding centroids: explode to (label, dim, x) and fold each
+    * dimension LEFT-TO-RIGHT in vec_id order (sorted collect + ordered
+    * double fold — the HLL-denominator pattern). The usual decimal-sum trick
+    * does NOT work here: DuckDB's double→decimal cast rounds through double
+    * multiplication and lands one decimal-ulp off Spark's exact BigDecimal
+    * HALF_UP for arbitrary float inputs (2-dp money values never hit the
+    * edge, embeddings do) — an ordered IEEE fold is exact in both engines by
+    * construction. One shuffle of labels × 64 groups; at corpus scale, where
+    * per-group collect is unbounded, swap the fold for a plain double sum
+    * and accept last-ulp partial-agg drift. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(sort_array(collect_list(struct($"vec_id", $"x".cast("double").as("x")))).as("xs"),
+        count(lit(1)).as("n"))
+      .withColumn("mean",
+        aggregate($"xs", lit(0.0), (a, s) => a + s.getField("x")) / $"n")
+      .select($"label", $"dim", $"mean", $"n")
+      .orderBy($"label", $"dim")
+  }
+
+  val labelCentroidsOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS x
+      |  FROM embeddings
+      |)
+      |SELECT label, dim,
+      |  list_reduce(list_prepend(0.0::DOUBLE, list(cast(x AS DOUBLE) ORDER BY vec_id)),
+      |    (a, b) -> a + b) / count(*) AS mean,
+      |  count(*) AS n
+      |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -258,5 +292,6 @@ object SimilarityQueries {
     Q("q63_knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)),
     Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)),
-    Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)))
+    Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)),
+    Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)))
 }
