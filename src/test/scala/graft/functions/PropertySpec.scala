@@ -74,6 +74,27 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fixedwidth layout grammar: render/parse round-trips any layout") {
+    import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
+    val types = Vector("string", "int", "long", "double", "date", "timestamp")
+    def randType(): String =
+      if (rnd.nextInt(4) == 0) { val p = 1 + rnd.nextInt(38); s"decimal($p,${rnd.nextInt(p + 1)})" }
+      else types(rnd.nextInt(types.length))
+    for (_ <- 1 to 200) {
+      var off = 0
+      val layout = (0 until rnd.nextInt(12)).map { i =>
+        val len = 1 + rnd.nextInt(30)
+        val f = FieldSpec(s"f${i}_${randToken()}", randType(), off, len)
+        off += len
+        f
+      }
+      val rendered = FixedWidthOptions.renderFields(layout)
+      withClue(s"'$rendered': ") {
+        FixedWidthOptions.parseFields(if (layout.isEmpty) None else Some(rendered)) shouldBe layout
+      }
+    }
+  }
+
   test("rolling hash is order-sensitive but whitespace-normalization-invariant") {
     for (_ <- 1 to 300) {
       val toks = randTokens()
