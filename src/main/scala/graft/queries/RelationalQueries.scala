@@ -849,6 +849,47 @@ object RelationalQueries {
        |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Pearson correlation from EXACT moment sums: built-in `corr` uses
+    * Welford-style updates whose float error depends on partial-agg order
+    * (and differs from DuckDB's implementation), so instead the five moments
+    * (Σx, Σy, Σx², Σy², Σxy) go through the order-free decimal fold — exact,
+    * the inputs being int-valued quantities × 2-dp prices — and the closed
+    * form runs on exact sums in identical IEEE expressions. Single pass,
+    * map-side partials, one tiny shuffle: the scale shape of every
+    * two-moment statistic. */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ds(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        ds($"l_quantity").as("sx"), ds($"l_extendedprice").as("sy"),
+        ds($"l_quantity" * $"l_quantity").as("sxx"),
+        ds($"l_extendedprice" * $"l_extendedprice").as("syy"),
+        ds($"l_quantity" * $"l_extendedprice").as("sxy"))
+      .select($"l_returnflag", $"n".cast("long").as("n_lines"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val corrMomentsOracle: String = {
+    def ds(e: String) = s"cast(sum(cast($e AS decimal(38,10))) AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+       |    ${ds("l_quantity")} AS sx, ${ds("l_extendedprice")} AS sy,
+       |    ${ds("l_quantity * l_quantity")} AS sxx,
+       |    ${ds("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${ds("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n::BIGINT AS n_lines,
+       |  round((n * sxy - sx * sy) /
+       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -886,5 +927,6 @@ object RelationalQueries {
     Q("q91_gap_fill", gapFill, Some(gapFillOracle)),
     Q("q92_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
-    Q("q101_pagerank", pageRank, Some(pageRankOracle)))
+    Q("q101_pagerank", pageRank, Some(pageRankOracle)),
+    Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)))
 }

@@ -143,11 +143,37 @@ object TextQueries {
       |SELECT lang, rk, tok, tf, df, score
       |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
 
+  /** Token-count histogram: documents binned into fixed-width buckets by
+    * whitespace token count (integer bucket math — identical in any engine),
+    * with per-bucket extremes. Map-side bucket assignment, one tiny
+    * aggregation shuffle — the corpus-profiling pass run before choosing
+    * packing budgets and length filters. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("bucket", expr("(n_tokens - 10) div 9")) // integer div — `/` on longs is double in Spark
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"))
+      .orderBy($"bucket")
+  }
+
+  val lengthHistogramOracle: String =
+    """WITH t AS (
+      |  SELECT cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT (n_tokens - 10) // 9 AS bucket, count(*) AS n_docs,
+      |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
     Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)),
-    Q("q44_rolling_fingerprint", rollingFingerprints, Some(rollingFingerprintsOracle)))
+    Q("q44_rolling_fingerprint", rollingFingerprints, Some(rollingFingerprintsOracle)),
+    Q("q104_length_histogram", lengthHistogram, Some(lengthHistogramOracle)))
 }
