@@ -152,7 +152,11 @@ object TextQueries {
     import spark.implicits._
     table(spark, dir, "documents")
       .select(TextFunctions.tokenCount($"text").as("n_tokens"))
-      .withColumn("bucket", expr("(n_tokens - 10) div 9")) // integer div — `/` on longs is double in Spark
+      // integer div (`/` on longs is double in Spark); clamped at the range
+      // floor because Spark's `div` TRUNCATES while DuckDB's `//` FLOORS —
+      // they diverge on negative numerators, so below-range docs must never
+      // produce one
+      .withColumn("bucket", expr("(greatest(n_tokens, 10) - 10) div 9"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_docs"),
         min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"))
@@ -164,7 +168,7 @@ object TextQueries {
       |  SELECT cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |)
-      |SELECT (n_tokens - 10) // 9 AS bucket, count(*) AS n_docs,
+      |SELECT (greatest(n_tokens, 10) - 10) // 9 AS bucket, count(*) AS n_docs,
       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
