@@ -890,6 +890,53 @@ object RelationalQueries {
        |FROM m ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Typed cogroup (`KeyValueGroupedDataset.cogroup`): per user, both
+    * sides' sorted iterators in ONE function call — the per-key merge shape
+    * (reconcile two feeds, interval alignment, custom sessionized joins)
+    * that plain joins can't express without exploding intermediate rows.
+    * Here: order count, event count, and whether the user's first order
+    * predates their first event — exact decimal/ordinal logic so the DuckDB
+    * oracle can state the same thing as two aggregates + a full outer join.
+    * One co-partitioned shuffle of both sides on the key. */
+  def cogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = table(spark, dir, "orders")
+      .select($"o_custkey".as("k"),
+        // TIMESTAMP_NTZ has no direct long cast under ANSI — epoch seconds
+        // via the UTC-pinned session's unix_timestamp on a TIMESTAMP view
+        unix_timestamp($"o_orderdate".cast("timestamp")).as("t")).as[(Long, Long)]
+    val events = QueryRegistry.events(spark, dir)
+      .select($"user_id".as("k"), unix_timestamp($"ts").as("t")).as[(Long, Long)]
+    orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+      var nOrders = 0L; var minO = Long.MaxValue
+      os.foreach { o => nOrders += 1; if (o._2 < minO) minO = o._2 }
+      var nEvents = 0L; var minE = Long.MaxValue
+      es.foreach { e => nEvents += 1; if (e._2 < minE) minE = e._2 }
+      val flag =
+        if (nOrders == 0 || nEvents == 0) 0
+        else if (minO < minE) 1 else 0
+      Iterator((k, nOrders, nEvents, flag))
+    }.toDF("k", "n_orders", "n_events", "first_order_first")
+      .orderBy($"k")
+  }
+
+  val cogroupReconcileOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS k, count(*) AS n_orders,
+      |    min(epoch(o_orderdate))::BIGINT AS min_o
+      |  FROM orders GROUP BY 1
+      |), e AS (
+      |  SELECT user_id AS k, count(*) AS n_events,
+      |    min(epoch(date_trunc('second', ts)))::BIGINT AS min_e
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT coalesce(o.k, e.k) AS k,
+      |  coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events,
+      |  CASE WHEN n_orders > 0 AND n_events > 0 AND min_o < min_e THEN 1 ELSE 0 END
+      |    AS first_order_first
+      |FROM o FULL JOIN e ON o.k = e.k
+      |ORDER BY k""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -928,5 +975,6 @@ object RelationalQueries {
     Q("q92_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
     Q("q101_pagerank", pageRank, Some(pageRankOracle)),
-    Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)))
+    Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)),
+    Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)))
 }
