@@ -44,18 +44,27 @@ object Cardinality {
     (bucket, rho)
   }
 
-  /** Per-group HLL distinct estimate of `itemCol`. Output: groupCols +
-    * `n_used` (touched registers) + `hll_est` (raw estimate, rounded to 4
-    * decimals). Input rows need NOT be distinct — sketch insertion is
-    * idempotent, which is the whole point (no pre-shuffle dedup). */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int): DataFrame = {
+  /** Per-group register table: one `(_bucket, _rho)` row per TOUCHED
+    * register (≤ 2^p rows per group). This is the sketch's mergeable state:
+    * registers of any groups union by `groupBy(_bucket).max(_rho)` — the
+    * property [[hllSetOps]]-style queries exploit to estimate unions of
+    * pre-sketched sources without rescanning the data. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val (bucket, rho) = bucketAndRho(itemCol, p)
     df.select(groupCols.map(col) :+ bucket.as("_bucket") :+ rho.as("_rho"): _*)
       .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
       .agg(max(col("_rho")).as("_rho"))
-      .groupBy(groupCols.map(col): _*)
+  }
+
+  /** Fold a register table (output shape of [[hllRegisters]], possibly
+    * merged) into the estimate: groupCols + `n_used` + `hll_est`. The fold
+    * runs over registers sorted by bucket, so the double-addition order is
+    * deterministic and replayable in SQL. */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    regs.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_used"),
         sort_array(collect_list(struct(col("_bucket"), col("_rho")))).as("_regs"))
@@ -65,4 +74,11 @@ object Cardinality {
             (acc, r) => acc + pow(lit(2.0), -r.getField("_rho"))), 4))
       .drop("_regs")
   }
+
+  /** Per-group HLL distinct estimate of `itemCol`. Output: groupCols +
+    * `n_used` (touched registers) + `hll_est` (raw estimate, rounded to 4
+    * decimals). Input rows need NOT be distinct — sketch insertion is
+    * idempotent, which is the whole point (no pre-shuffle dedup). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int): DataFrame =
+    estimateFromRegisters(hllRegisters(df, groupCols, itemCol, p), groupCols, p)
 }

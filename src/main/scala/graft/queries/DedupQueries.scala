@@ -124,6 +124,33 @@ object DedupQueries {
   val dedupPipelineOracle: String =
     DuckHashSql.dedupPipelineSql(shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.5)
 
+  /** Blocked Levenshtein near-dup pairs over 64-char document prefixes
+    * (title-style short strings): candidates share an exact 16-char prefix
+    * block, verification is the banded `levenshtein(a, b, threshold)` DP —
+    * O(len·maxDist) per pair, distances exact for every kept pair, so the
+    * emitted (pair, distance) rows hash-match DuckDB's unbanded
+    * levenshtein(). Block sizes bound the fan-out (≤ 10 docs/block at
+    * sf0.1 → ≤ 45 pairs/block); a raw all-pairs form would be 12.5M pairs
+    * at the same SF. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 64).as("s"))
+    Dedup.editDistancePairs(docs, "doc_id", "s",
+        blockCol = substring($"s", 1, 16), maxDist = 8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val editDistanceOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, left(text, 16) AS blk, left(text, 64) AS s FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  cast(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.s, b.s) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
@@ -133,7 +160,8 @@ object DedupQueries {
     Q("q55_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     Q("q90_priority_dedup", priorityDedup, Some(priorityDedupOracle)),
     Q("q99_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
-    Q("q100_source_overlap", sourceOverlap, Some(sourceOverlapOracle)))
+    Q("q100_source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
+    Q("q108_editdistance_neardup", editDistance, Some(editDistanceOracle)))
 
   /** Incremental dedup — the production shape of corpus REFRESH: a new
     * batch (doc_id >= 250) admitted only where its rolling fingerprint is

@@ -584,6 +584,90 @@ object PipelineQueries {
       |    THEN 1 ELSE 0 END AS keep
       |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** HLL set operations — the MERGEABILITY of the register state, which is
+    * the whole reason sketches matter at 100 TB: per-source register tables
+    * (≤ 2^p rows each) built in ONE corpus pass are re-combined per source
+    * pair by `max(rho)` to estimate |A ∪ B| — no second scan, no pairwise
+    * re-sketch — and |A ∩ B| follows by inclusion–exclusion on the
+    * estimates. Pair membership is EXPLODED to (pair, source) rows so the
+    * merge is an equi-join on source (never an OR-condition nested loop).
+    * The oracle replays registers, merge, fold, and arithmetic exactly, so
+    * all four estimate columns hash-match cross-engine. */
+  def hllSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 8
+    val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+    val grams = table(spark, dir, "documents")
+      .filter($"source".isin(srcs: _*))
+      .select($"source", explode(Dedup.shingles($"text", 3)).as("gram"))
+    val regs = Cardinality.hllRegisters(grams, Seq("source"), $"gram", p)
+    val singles = Cardinality.estimateFromRegisters(regs, Seq("source"), p)
+      .select($"source", $"hll_est")
+    val pairs = singles.select($"source".as("src_a"))
+      .crossJoin(singles.select($"source".as("src_b")))
+      .where($"src_a" < $"src_b")
+    val membership = pairs.select($"src_a", $"src_b",
+      explode(array($"src_a", $"src_b")).as("source"))
+    val merged = membership.join(regs, "source")
+      .groupBy($"src_a", $"src_b", $"_bucket")
+      .agg(max($"_rho").as("_rho"))
+    val union = Cardinality.estimateFromRegisters(merged, Seq("src_a", "src_b"), p)
+    union
+      .join(singles.select($"source".as("src_a"), $"hll_est".as("est_a")), "src_a")
+      .join(singles.select($"source".as("src_b"), $"hll_est".as("est_b")), "src_b")
+      .select($"src_a", $"src_b", $"est_a", $"est_b",
+        $"hll_est".as("est_union"),
+        round($"est_a" + $"est_b" - $"hll_est", 4).as("est_intersect"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val hllSetOpsOracle: String = {
+    val p = 8
+    val m = 1 << p
+    val bucket = s"(h // ${1L << (64 - p)})"
+    val w = s"((h * $m) % 18446744073709551616::HUGEINT)"
+    val rho = s"least(CASE WHEN $w = 0 THEN 64 ELSE 64 - length(bin($w)) END, ${64 - p}) + 1"
+    def fold(est: String) =
+      s"""round(${Cardinality.alphaM2(p)} / list_reduce(
+         |    list_prepend(($m - count(*))::DOUBLE, list(pow(2.0, -rho) ORDER BY bucket)),
+         |    (a, b) -> a + b), 4) AS $est""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+       |), g AS (
+       |  SELECT DISTINCT source, unnest(${DuckHashSql.gramsSql(3)}) AS gram
+       |  FROM toks WHERE len(t) >= 3
+       |), gh AS (
+       |  SELECT gram, ${DuckHashSql.hash64Sql("gram")} AS h
+       |  FROM (SELECT DISTINCT gram FROM g)
+       |), rows_ AS (
+       |  SELECT g.source, cast($bucket AS BIGINT) AS bucket, cast($rho AS BIGINT) AS rho
+       |  FROM g JOIN gh USING (gram)
+       |), regs AS (
+       |  SELECT source, bucket, max(rho) AS rho FROM rows_ GROUP BY 1, 2
+       |), est AS (
+       |  SELECT source, ${fold("hll_est")}
+       |  FROM regs GROUP BY source
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM est a JOIN est b ON a.source < b.source
+       |), mregs AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, max(r.rho) AS rho
+       |  FROM pairs p JOIN regs r ON r.source = p.src_a OR r.source = p.src_b
+       |  GROUP BY 1, 2, 3
+       |), mest AS (
+       |  SELECT src_a, src_b, ${fold("est_union")}
+       |  FROM mregs GROUP BY 1, 2
+       |)
+       |SELECT m.src_a, m.src_b, ea.hll_est AS est_a, eb.hll_est AS est_b, m.est_union,
+       |  round(ea.hll_est + eb.hll_est - m.est_union, 4) AS est_intersect
+       |FROM mest m
+       |JOIN est ea ON ea.source = m.src_a
+       |JOIN est eb ON eb.source = m.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
@@ -598,5 +682,6 @@ object PipelineQueries {
     Q("q67_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     Q("q68_span_dedup", spanDedup, Some(spanDedupOracle)),
     Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)),
-    Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)))
+    Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)),
+    Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)))
 }

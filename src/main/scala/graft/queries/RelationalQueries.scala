@@ -458,6 +458,67 @@ object RelationalQueries {
        |FROM events JOIN ranges ON value >= lo AND value < hi
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Bucketed range join ([[graft.operators.RangeJoin]]) — the SCALE path
+    * for q33's shape: events matched to OVERLAPPING value windows via an
+    * integer-bucket equi-join (width 10) instead of a broadcast nested-loop.
+    * The oracle is the plain containment join, so the check proves bucketing
+    * neither loses nor duplicates a single (event, window) pair — including
+    * events matching several overlapping windows. At cluster scale the BNLJ
+    * form tests |events|·|windows| pairs; this form shuffles each event to
+    * one bucket and each window to span/width buckets. */
+  def bucketedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val windows = Seq(
+      ("w0_starter", 0.0, 15.0), ("w1_casual", 10.0, 40.0), ("w2_engaged", 25.0, 90.0),
+      ("w3_any", 0.0, 100.0), ("w4_big", 80.0, 200.0), ("w5_whale", 150.0, 500.0))
+      .toDF("win", "lo", "hi")
+    graft.operators.RangeJoin.bucketed(
+        QueryRegistry.events(spark, dir), windows, "value", "lo", "hi", width = 10.0)
+      .groupBy($"win")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"win")
+  }
+
+  val bucketedRangeJoinOracle: String =
+    s"""WITH windows(win, lo, hi) AS (VALUES
+       |  ('w0_starter', 0.0, 15.0), ('w1_casual', 10.0, 40.0), ('w2_engaged', 25.0, 90.0),
+       |  ('w3_any', 0.0, 100.0), ('w4_big', 80.0, 200.0), ('w5_whale', 150.0, 500.0))
+       |SELECT win, count(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events JOIN windows ON value >= lo AND value < hi
+       |GROUP BY win ORDER BY win""".stripMargin
+
+  /** Array construction + higher-order functions (§2.8 nested types): per
+    * customer, the SORTED distinct set of order priorities (collect_set's
+    * nondeterministic order pinned by array_sort), then pure array ops —
+    * serialize, size, a `transform`+`aggregate` fold (sum of leading
+    * digits) and a `filter` predicate count. Arrays dump as strings so the
+    * cross-engine compare stays on hashable scalars. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(array_sort(collect_set($"o_orderpriority")).as("prios"))
+      .select($"o_custkey",
+        concat_ws(",", $"prios").as("prio_list"),
+        size($"prios").cast("long").as("n_prio"),
+        aggregate(transform($"prios", p => substring(p, 1, 1).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("long").as("digit_sum"),
+        size(filter($"prios", p => p < "3")).cast("long").as("n_high"))
+      .orderBy($"o_custkey")
+  }
+
+  val arrayFuncsOracle: String =
+    """WITH a AS (
+      |  SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS prios
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey,
+      |  array_to_string(prios, ',') AS prio_list,
+      |  len(prios)::BIGINT AS n_prio,
+      |  list_sum(list_transform(prios, p -> substring(p, 1, 1)::INT))::BIGINT AS digit_sum,
+      |  len(list_filter(prios, p -> p < '3'))::BIGINT AS n_high
+      |FROM a ORDER BY o_custkey""".stripMargin
+
   /** Salted skew join: lineitem×part on partkey with the key salted by the
     * order key — row-identical to the plain join (which IS the oracle), but
     * a hot partkey's rows spread over 16 reducers instead of one. */
@@ -976,5 +1037,7 @@ object RelationalQueries {
     Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
     Q("q101_pagerank", pageRank, Some(pageRankOracle)),
     Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)),
-    Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)))
+    Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)),
+    Q("q107_bucketed_range_join", bucketedRangeJoin, Some(bucketedRangeJoinOracle)),
+    Q("q110_array_funcs", arrayFuncs, Some(arrayFuncsOracle)))
 }

@@ -33,6 +33,23 @@ class CardinalitySpec extends SparkSpec with Matchers {
     a.getAs[Long]("n_used") shouldBe b.getAs[Long]("n_used")
   }
 
+  test("register max-merge of two sources equals sketching their union directly") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => ("a", s"item-$i"))          // [0, 3000)
+    val b = (1500 until 5000).map(i => ("b", s"item-$i"))       // [1500, 5000) — true overlap 1500
+    val df = (a ++ b).toDF("src", "item")
+    val regs = Cardinality.hllRegisters(df, Seq("src"), col("item"), p = 8)
+    val merged = regs.groupBy(col("_bucket")).agg(max(col("_rho")).as("_rho"))
+      .withColumn("g", lit("u"))
+    val viaMerge = Cardinality.estimateFromRegisters(merged, Seq("g"), p = 8)
+      .collect()(0).getAs[Double]("hll_est")
+    val direct = Cardinality.hllDistinct(
+      df.select(lit("u").as("g"), col("item")), Seq("g"), col("item"), p = 8)
+      .collect()(0).getAs[Double]("hll_est")
+    viaMerge shouldBe direct // exact: merged registers ARE the union's registers
+    viaMerge shouldBe 4500.0 +- 1200.0
+  }
+
   test("groups sketch independently") {
     import spark.implicits._
     val df = ((0 until 5000).map(i => ("big", s"x-$i")) ++
