@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: threshold comparisons on unbanded levenshtein →
+    // banded O(len·k) form (see BandedLevenshteinRule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectFunction(unary("rolling_hash64",
       "rolling_hash64(text) - order-sensitive 64-bit fingerprint of the whitespace-token sequence",
       RollingHash64.apply))

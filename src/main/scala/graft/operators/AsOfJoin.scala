@@ -68,4 +68,29 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .drop("_side")
   }
+
+  /** As-of join with a STALENESS bound: matches older than `maxAge` are
+    * nulled — "the latest right row within the last hour", the freshness
+    * rule every feature-store lookup needs (an unbounded as-of happily
+    * serves a year-old feature). Same single-shuffle plan as [[asOf]]: the
+    * matched right row's timestamp rides along in the carried struct, and
+    * the age test masks stale matches per row after the window — map-side,
+    * no extra join. `maxAge` is typically an interval literal
+    * (`expr("INTERVAL 1 HOUR")`) for timestamp keys, or a number for
+    * numeric "timestamps". */
+  def asOfWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      maxAge: Column): DataFrame = {
+    val withTs = right.withColumn("_asof_rts", col(tsCol))
+    val joined = asOf(left, withTs, keyCol, tsCol, valueCols :+ "_asof_rts")
+    val fresh = col("asof__asof_rts").isNotNull &&
+      col(tsCol) <= col("asof__asof_rts") + maxAge
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop("asof__asof_rts")
+  }
 }

@@ -298,6 +298,118 @@ object Similarity {
     topKPerGroup(sims, k)
   }
 
+  /** Product-quantization ANN with asymmetric distance computation (ADC) —
+    * the memory-scale path beyond int8: the vector column is replaced by m
+    * sub-codes (m bytes/vector vs 4·dim), and query scoring never touches a
+    * float vector, only a per-query (m × ksub) distance table.
+    *
+    *  1. Codebook: the ksub corpus vectors with the smallest mix64(id) (the
+    *     same deterministic sample rule as the IVF coarse quantizer — a
+    *     bounded O(ksub·dim) collect, replayable in SQL), chunked into m
+    *     subspaces of dim/m elements; no Lloyd training, so the whole
+    *     codebook is closed-form.
+    *  2. Encode (map-side, one corpus pass): code_s = argmin_j
+    *     ‖chunk_s(x) − cent_{s,j}‖² with ties to the smallest j.
+    *  3. Score (map-side, one encoded pass): for each query, dt[s][j] =
+    *     ‖chunk_s(q) − cent_{s,j}‖² is precomputed once (m·ksub doubles);
+    *     a corpus row costs m table lookups: adist = Σ_s dt[s][code_s] —
+    *     no per-pair dot products at all.
+    *  4. Per-query bounded top-k by (adist asc, id asc) — the same
+    *     O(groups·k) shuffle as the exact kNN.
+    *
+    * All chunk distances accumulate left-to-right in doubles, so the DuckDB
+    * oracle replays codes, distance tables, and the final sums bit-exactly.
+    */
+  def knnProductQuantized(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+
+    val sample: Array[Array[Double]] = typed.toDF("id", "vec")
+      .withColumn("h", graft.functions.Hashing.mix64Col(col("id")))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .select(col("vec")).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    // cents(s)(j)(i): subspace s, centroid j, element i
+    val cents = Array.tabulate(m, sample.length, dsub)((s, j, i) => sample(j)(s * dsub + i))
+    val bCents = spark.sparkContext.broadcast(cents)
+
+    def chunkD2(c: Array[Array[Array[Double]]], vec: Array[Float], s: Int, j: Int): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val diff = vec(s * dsub + i).toDouble - c(s)(j)(i)
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+
+    val encoded = typed.mapPartitions { it =>
+      val c = bCents.value
+      it.map { case (id, vec) =>
+        val codes = Array.tabulate(m) { s =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < c(s).length) {
+            val d = chunkD2(c, vec, s, j)
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          best
+        }
+        (id, codes)
+      }
+    }
+
+    // per-query distance tables — m·ksub doubles each, built once driver-side
+    // from the (small, broadcastable by contract) query set
+    val dts: Array[(Long, Array[Array[Double]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (qid, qvec) =>
+        qid -> Array.tabulate(m, cents(0).length)((s, j) => chunkD2(cents, qvec, s, j))
+      }
+    val bDts = spark.sparkContext.broadcast(dts)
+
+    val sims = encoded.mapPartitions { it =>
+      val tables = bDts.value
+      it.flatMap { case (nid, codes) =>
+        tables.iterator.filter(_._1 != nid).map { case (qid, dt) =>
+          var acc = 0.0
+          var s = 0
+          while (s < m) { acc += dt(s)(codes(s)); s += 1 }
+          (qid, nid, acc)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    sims.groupBy(col("query_id"))
+      .agg(topk(-col("adist"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"),
+        round(-col("p._1"), 6).as("adist"))
+  }
+
   /** Embedding near-duplicates AT SCALE: SRP-bucket candidate generation +
     * exact cosine verification over candidates only — the scale path that
     * replaces [[cosineNearDupPairs]]'s all-pairs join for unbounded corpora.

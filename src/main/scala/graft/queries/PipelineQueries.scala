@@ -668,6 +668,42 @@ object PipelineQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q115
+  /** Histogram-sketch quantiles ([[graft.operators.HistQuantile]]) next to
+    * nothing but its own replay: per returnflag, p50/p90/p99 of the price
+    * from 64 equi-width bucket counts over the declared [900, 105000)
+    * domain. The sketch state is ≤ 64 rows per group through the shuffle
+    * (vs q38's exact percentile, which sorts whole groups) and merges by
+    * addition; the interpolation estimate hash-matches the SQL replay. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.HistQuantile.estimate(
+        table(spark, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, buckets = 64, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy($"l_returnflag", $"q")
+  }
+
+  val histQuantilesOracle: String = {
+    val w = (105000.0 - 900.0) / 64
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    least(greatest(floor((l_extendedprice - 900.0) / $w), 0), 63)::BIGINT AS b
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |), c AS (
+       |  SELECT l_returnflag, b, count(*) AS c FROM b GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT l_returnflag, b, c,
+       |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+       |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM c
+       |), qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+       |SELECT l_returnflag, q, n::BIGINT AS n_rows,
+       |  round(900.0 + $w * (b::DOUBLE + (q * n::DOUBLE - (cum - c)::DOUBLE) / c::DOUBLE), 6) AS est
+       |FROM cum CROSS JOIN qs
+       |WHERE (cum - c)::DOUBLE < q * n::DOUBLE AND cum::DOUBLE >= q * n::DOUBLE
+       |ORDER BY l_returnflag, q""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
@@ -683,5 +719,6 @@ object PipelineQueries {
     Q("q68_span_dedup", spanDedup, Some(spanDedupOracle)),
     Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)),
     Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)),
-    Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)))
+    Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)),
+    Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)))
 }

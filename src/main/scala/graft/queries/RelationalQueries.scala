@@ -436,6 +436,131 @@ object RelationalQueries {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** As-of join with a staleness bound (tolerance): each purchase gets the
+    * user's latest prior view ONLY if it is at most 1 hour old — the
+    * feature-store freshness rule. Views are pre-deduped to one row per
+    * (user, ts) (max value) so the match is tie-free in both engines; the
+    * oracle states the same thing as a LATERAL latest-within-window
+    * lookup. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+    graft.operators.AsOfJoin.asOfWithin(purchases, views, "user_id", "ts",
+        Seq("view_value"), expr("INTERVAL 1 HOUR"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"asof_view_value")
+      .orderBy($"event_id")
+  }
+
+  val asofToleranceOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(value) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, cast(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  l.view_value AS asof_view_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT view_value FROM v
+      |  WHERE v.user_id = p.user_id AND v.ts <= p.ts AND v.ts + INTERVAL 1 HOUR >= p.ts
+      |  ORDER BY v.ts DESC LIMIT 1
+      |) l ON TRUE
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Grouped z-score outlier detection (anomaly lane): per event type, how
+    * many values sit beyond 3σ, plus the extreme z-scores. Mean/σ come from
+    * EXACT decimal moment sums (same order-free pattern as q105) and the
+    * z expression is textually identical in both engines, so even the
+    * 3σ boundary test and the rounded extremes hash-match. Two passes:
+    * a tiny stats agg (broadcast back) + one map-side scored scan. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ds(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val ev = QueryRegistry.events(spark, dir)
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        ds($"value").as("sx"), ds($"value" * $"value").as("sxx"))
+    ev.join(broadcast(stats), "event_type")
+      .select($"event_type", $"n",
+        (($"value" - $"sx" / $"n") / sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n")).as("z"))
+      .groupBy($"event_type")
+      .agg(max($"n").cast("long").as("n_events"),
+        count(when(abs($"z") > 3.0, 1)).as("n_outliers"),
+        round(max($"z"), 6).as("max_z"), round(min($"z"), 6).as("min_z"))
+      .orderBy($"event_type")
+  }
+
+  val zscoreOutliersOracle: String =
+    """WITH st AS (
+      |  SELECT event_type, count(*)::DOUBLE AS n,
+      |    cast(sum(cast(value AS decimal(38,10))) AS DOUBLE) AS sx,
+      |    cast(sum(cast(value * value AS decimal(38,10))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1
+      |), z AS (
+      |  SELECT e.event_type, st.n,
+      |    (e.value - sx / n) / sqrt((sxx - sx * sx / n) / n) AS z
+      |  FROM events e JOIN st USING (event_type)
+      |)
+      |SELECT event_type, max(n)::BIGINT AS n_events,
+      |  count(CASE WHEN abs(z) > 3.0 THEN 1 END) AS n_outliers,
+      |  round(max(z), 6) AS max_z, round(min(z), 6) AS min_z
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Secondary-sort imperative scan ([[graft.operators.OrderedScan]]): per
+    * user, gap statistics between consecutive events computed by a single
+    * mapPartitions fold over repartition(key) + sortWithinPartitions(key,
+    * ts) — §2.10's "genuine per-partition imperative logic" escape hatch,
+    * done with the same one-shuffle cost as a window. The oracle restates
+    * the fold as a lag-window aggregate. */
+  def orderedGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+      .select($"user_id", unix_timestamp($"ts").as("t"))
+    graft.operators.OrderedScan.perKeyGapStats(ev, "user_id", "t")
+      .select($"key".as("user_id"), $"n_events", $"max_gap", $"sum_gap")
+      .orderBy($"user_id")
+  }
+
+  val orderedGapsOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS t,
+      |    lag(epoch(date_trunc('second', ts))::BIGINT)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      |  FROM events
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  coalesce(max(t - pt), 0) AS max_gap,
+      |  coalesce(sum(t - pt), 0) AS sum_gap
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Correlated scalar subquery (decorrelation): customers above their OWN
+    * nation's exact mean balance — Catalyst rewrites the per-row subquery
+    * into an aggregate + join (no per-row re-scan), the optimization that
+    * makes correlated SQL survive scale at all. Exact decimal mean, same
+    * text both engines. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("cs_customer")
+    spark.sql(
+      """SELECT c_nationkey, count(1) AS n_above
+        |FROM cs_customer c
+        |WHERE c_acctbal > (
+        |  SELECT cast(sum(cast(c2.c_acctbal AS decimal(30,10))) AS double) / count(1)
+        |  FROM cs_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val correlatedSubqueryOracle: String =
+    """SELECT c_nationkey, count(*) AS n_above
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT cast(sum(cast(c2.c_acctbal AS decimal(30,10))) AS double) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Range join against a literal bucket table (broadcast nested-loop). */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1039,5 +1164,9 @@ object RelationalQueries {
     Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)),
     Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)),
     Q("q107_bucketed_range_join", bucketedRangeJoin, Some(bucketedRangeJoinOracle)),
-    Q("q110_array_funcs", arrayFuncs, Some(arrayFuncsOracle)))
+    Q("q110_array_funcs", arrayFuncs, Some(arrayFuncsOracle)),
+    Q("q112_zscore_outliers", zscoreOutliers, Some(zscoreOutliersOracle)),
+    Q("q113_asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
+    Q("q114_ordered_gaps", orderedGaps, Some(orderedGapsOracle)),
+    Q("q116_correlated_subquery", correlatedSubquery, Some(correlatedSubqueryOracle)))
 }

@@ -285,6 +285,52 @@ object SimilarityQueries {
       |  count(*) AS n
       |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Product-quantization ANN (m=8 subspaces × ksub=16 centroids): corpus
+    * vectors become 8 codes, queries score via per-subspace distance
+    * tables — no per-pair dot products. The oracle rebuilds the codebook
+    * sample (mix64 order), every chunk-distance argmin, the query distance
+    * tables, and the ADC sums, so codes AND approximate distances are
+    * value-checked cross-engine. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    Similarity.knnProductQuantized(embs, embs.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, m = 8, ksub = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnPqOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
+    s"""WITH cents AS (
+       |  SELECT embedding AS c_emb, row_number() OVER (ORDER BY $h) - 1 AS j
+       |  FROM embeddings QUALIFY j < 16
+       |), sub AS (
+       |  SELECT unnest(range(0, 8)) AS s
+       |), cd AS (
+       |  SELECT e.vec_id, sub.s, c.j,
+       |    list_sum(list_transform(generate_series(1, 8), i ->
+       |      (e.embedding[sub.s * 8 + i]::DOUBLE - c.c_emb[sub.s * 8 + i]::DOUBLE) *
+       |      (e.embedding[sub.s * 8 + i]::DOUBLE - c.c_emb[sub.s * 8 + i]::DOUBLE))) AS d2
+       |  FROM embeddings e CROSS JOIN sub CROSS JOIN cents c
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, s, j AS code FROM cd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1
+       |), dt AS (
+       |  SELECT vec_id AS query_id, s, j, d2 FROM cd WHERE vec_id < 5
+       |), pair AS (
+       |  SELECT dt.query_id, codes.neighbor_id,
+       |    list_sum(list(dt.d2 ORDER BY dt.s)) AS adist
+       |  FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.j
+       |  WHERE codes.neighbor_id != dt.query_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM pair
+       |)
+       |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -293,5 +339,6 @@ object SimilarityQueries {
     Q("q64_neardup_bucketed", nearDupsBucketed, Some(nearDupsBucketedOracle)),
     Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)),
     Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)),
-    Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)))
+    Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
+    Q("q111_knn_pq", knnPq, Some(knnPqOracle)))
 }

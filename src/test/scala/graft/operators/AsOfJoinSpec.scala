@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
@@ -58,5 +59,30 @@ class AsOfJoinSpec extends SparkSpec with Matchers {
     val right = Seq((Option.empty[Long], 50L, "nullkey-right")).toDF("k", "ts", "rv")
     val r = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv")).select($"asof_rv").head
     r.isNullAt(0) shouldBe true
+  }
+
+  test("asOfWithin masks matches older than maxAge, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 100L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 95L, "fresh-for-a"), (2L, 10L, "stale-for-c"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asOfWithin(left, right, "k", "ts", Seq("rv"), lit(20L))
+      .select($"tag", $"asof_rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    out("a") shouldBe Some("fresh-for-a")   // age 5 <= 20
+    out("b") shouldBe None                  // same match, age 105 > 20
+    out("c") shouldBe None                  // age 90 > 20
+  }
+
+  test("asOfWithin equals asOf when every match is within tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 101L)).toDF("k", "ts")
+    val right = Seq((1L, 99L, "r")).toDF("k", "ts", "rv")
+    val bounded = AsOfJoin.asOfWithin(left, right, "k", "ts", Seq("rv"), lit(1000L))
+      .select($"ts", $"asof_rv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val unbounded = AsOfJoin.asOf(left, right, "k", "ts", Seq("rv"))
+      .select($"ts", $"asof_rv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    bounded shouldBe unbounded
   }
 }

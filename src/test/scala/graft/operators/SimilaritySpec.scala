@@ -129,4 +129,34 @@ class SimilaritySpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95, maxInput = 10)
   }
+
+  test("PQ-ADC kNN keeps high recall vs exact kNN on clustered data") {
+    val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(pairOf).toSet
+    val pq = Similarity.knnProductQuantized(corpus, queries, "vec_id", "embedding",
+        k = 9, m = 8, ksub = 16)
+      .collect().map(pairOf).toSet
+    // 8-byte codes vs 128-byte vectors: lossy by design, but planted
+    // clusters (in-cluster cos ≈ 0.99) must survive the quantization
+    val recall = (exact & pq).size.toDouble / exact.size
+    recall should be >= 0.7
+  }
+
+  test("PQ ranks are deterministic and distances non-negative ascending per query") {
+    val queries = corpus.filter(col("vec_id") === 0)
+    val rows = Similarity.knnProductQuantized(corpus, queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16)
+      .orderBy(col("rank")).collect()
+    rows.map(_.getAs[Int]("rank")).toSeq shouldBe (1 to 5)
+    val dists = rows.map(_.getAs[Double]("adist"))
+    all(dists) should be >= 0.0
+    dists.toSeq shouldBe dists.sorted.toSeq
+  }
+
+  test("PQ rejects a dim not divisible into m subspaces") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnProductQuantized(corpus, corpus.limit(1), "vec_id", "embedding",
+        k = 3, m = 7, ksub = 8).collect()
+  }
 }
