@@ -145,6 +145,7 @@ object CoreQueries {
     partitionedFixture(spark, dir)
     supplierViaCsv(spark, dir)
     supplierViaJsonl(spark, dir)
+    supplierViaOrc(spark, dir)
     eventsPartitionedParquet(spark, dir)
     bucketedTables(spark, dir)
   }
@@ -208,6 +209,36 @@ object CoreQueries {
   val q95Oracle: String =
     s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
        |  min(s_suppkey) AS min_suppkey
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Supplier through an ORC round trip — the third columnar-format lane
+    * next to parquet (native) and the text formats; binary column encoding,
+    * so doubles survive bit-exactly by construction. */
+  def supplierViaOrc(spark: SparkSession, dir: String): DataFrame = {
+    val pq = QueryRegistry.table(spark, dir, "supplier")
+    val out = QueryRegistry.scratch(dir, "supplier_orc")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      pq.write.mode("overwrite").orc(out)
+      marker.createNewFile()
+    }
+    spark.read.schema(pq.schema).orc(out)
+  }
+
+  /** ORC as a SOURCE lane — same oracle contract as q94/q95: aggregate over
+    * the ORC round trip, oracle over the original parquet. */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplierViaOrc(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("sum_bal"),
+        countDistinct($"s_suppkey").as("n_keys"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q117Oracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
+       |  count(DISTINCT s_suppkey) AS n_keys
        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Events as a Hive-partitioned PARQUET layout (partitionBy(event_type)),
@@ -574,6 +605,7 @@ object CoreQueries {
     Q("q37_fw_minmax_listing", q37, Some(q37Oracle)),
     Q("q94_csv_source", q94, Some(q94Oracle)),
     Q("q95_jsonl_source", q95, Some(q95Oracle)),
+    Q("q117_orc_source", q117, Some(q117Oracle)),
     Q("q96_parquet_partition_pruned", q96, Some(q96Oracle)),
     Q("q97_bucketed_join", q97, Some(q97Oracle)))
 }

@@ -220,6 +220,31 @@ object RelationalQueries {
     """SELECT c_nationkey AS nationkey FROM customer EXCEPT
       |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
 
+  /** Multiset set operations (ALL variants — q19–q21 cover the distinct
+    * forms): INTERSECT ALL keeps min(multiplicity) per value, EXCEPT ALL
+    * subtracts multiplicities. Spark plans both as aggregations over
+    * replicated counts (no row-by-row matching), summarized here per key so
+    * the multiplicities themselves are what the oracle checks. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, s) = nationSets(spark, dir)
+    val ia = c.intersectAll(s).groupBy($"nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(s).groupBy($"nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select($"op", $"nationkey", $"n").orderBy($"op", $"nationkey")
+  }
+
+  val setOpsAllOracle: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT s_nationkey AS nationkey FROM supplier),
+      |ia AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s),
+      |ea AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+      |SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM ia GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, nationkey, count(*) AS n FROM ea GROUP BY 2
+      |ORDER BY op, nationkey""".stripMargin
+
   /** count(DISTINCT) — expands to two-phase distinct aggregation. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1168,5 +1193,6 @@ object RelationalQueries {
     Q("q112_zscore_outliers", zscoreOutliers, Some(zscoreOutliersOracle)),
     Q("q113_asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
     Q("q114_ordered_gaps", orderedGaps, Some(orderedGapsOracle)),
-    Q("q116_correlated_subquery", correlatedSubquery, Some(correlatedSubqueryOracle)))
+    Q("q116_correlated_subquery", correlatedSubquery, Some(correlatedSubqueryOracle)),
+    Q("q118_set_ops_all", setOpsAll, Some(setOpsAllOracle)))
 }

@@ -422,6 +422,47 @@ object StreamingQueries {
        |FROM sk ORDER BY window_start""".stripMargin
   }
 
+  /** Streaming SINK into the fixedwidth format: the stream drains through
+    * `foreachBatch` into `df.write.format("fixedwidth")` in append mode —
+    * each micro-batch lands job-tagged files (the writer's append-safe
+    * naming), so the result is batching-independent by construction: the
+    * read-back aggregate equals the batch answer no matter how AvailableNow
+    * split the input. Completes the streaming story: q73 streams FROM the
+    * format, this streams INTO it. A fresh temp dir per invocation — append
+    * across reruns would double-count. */
+  def streamToFixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
+    val layout = Seq(
+      FieldSpec("event_id", "long", 0, 12),
+      FieldSpec("user_id", "long", 12, 8),
+      FieldSpec("value", "double", 20, 25))
+    val fieldsOpt = FixedWidthOptions.renderFields(layout)
+    val out = Files.createTempDirectory("graft-fw-sink").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.format("fixedwidth").option("fields", fieldsOpt)
+        .mode("append").save(out)
+    val q = eventsStream(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-fwsink").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), CoreQueries.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamToFixedWidthOracle: String =
+    s"""SELECT user_id, count(*) AS n_purchases, ${CoreQueries.dsumSql("value")} AS sum_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
@@ -433,5 +474,6 @@ object StreamingQueries {
     Q("q77_stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
     Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)),
-    Q("q102_stream_hll", streamHll, Some(streamHllOracle)))
+    Q("q102_stream_hll", streamHll, Some(streamHllOracle)),
+    Q("q119_stream_fw_sink", streamToFixedWidth, Some(streamToFixedWidthOracle)))
 }
