@@ -562,6 +562,152 @@ object RelationalQueries {
       |  coalesce(sum(t - pt), 0) AS sum_gap
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** SCD type-2 interval build (warehouse temporal modeling): each user's
+    * event stream becomes validity intervals [ts, next_ts) via a lead
+    * window — the reshape that turns an append-only change log into a
+    * point-in-time-joinable dimension (the as-of join q32/q113 is its query
+    * twin). Open intervals carry NULL valid_to. One shuffle on the key;
+    * summarized per user so the checked output stays compact. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    QueryRegistry.events(spark, dir)
+      .filter($"user_id" < 50 && $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("dur_s",
+        when($"valid_to".isNotNull,
+          unix_timestamp($"valid_to") - unix_timestamp($"ts")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        count($"valid_to").as("n_closed"),
+        sum($"dur_s").as("total_dur_s"),
+        max($"dur_s").as("max_dur_s"))
+      .orderBy($"user_id")
+  }
+
+  val scd2IntervalsOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, ts,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events WHERE user_id < 50 AND event_type = 'purchase'
+      |), d AS (
+      |  SELECT user_id, valid_to,
+      |    CASE WHEN valid_to IS NOT NULL THEN
+      |      epoch(date_trunc('second', valid_to))::BIGINT - epoch(date_trunc('second', ts))::BIGINT
+      |    END AS dur_s
+      |  FROM v
+      |)
+      |SELECT user_id, count(*) AS n_versions, count(valid_to) AS n_closed,
+      |  sum(dur_s) AS total_dur_s, max(dur_s) AS max_dur_s
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Triangle counting on the nation trade graph (customer-nation →
+    * supplier-nation edges, undirected, deduped): the canonical-ordering
+    * a < b < c double-join — each triangle counted exactly once, join
+    * fan-out bounded by node degree. PageRank (q101) is the iterative
+    * lane; this is the motif-counting one. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"c_nationkey".as("u"), $"s_nationkey".as("v"))
+      .filter($"u" =!= $"v")
+    // undirected canonical edges (lo < hi), deduped
+    val edges = raw.select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b")).distinct()
+    val e1 = edges.select($"a", $"b")
+    val e2 = edges.select($"a".as("b"), $"b".as("c"))
+    val e3 = edges.select($"a".as("a2"), $"b".as("c2"))
+    val tri = e1.join(e2, "b")
+      .join(e3, $"a" === $"a2" && $"c" === $"c2")
+      .select($"a", $"b", $"c")
+    tri.groupBy($"a").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"a")
+  }
+
+  val triangleCountOracle: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+      |    greatest(c_nationkey, s_nationkey) AS b
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey != s_nationkey
+      |)
+      |SELECT e1.a, count(*) AS n_triangles
+      |FROM raw e1
+      |JOIN raw e2 ON e1.b = e2.a
+      |JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+      |GROUP BY e1.a ORDER BY e1.a""".stripMargin
+
+  /** Percentile winsorization (outlier clipping) per group: values clipped
+    * to their group's [p01, p99] band — the data-cleaning twin of q112's
+    * outlier DETECTION. Bounds come from the exact `percentile` (bit-equal
+    * to quantile_cont, cf. q38) ROUNDED to 4 decimals so the clipped
+    * replacement values stay inside the decimal-exact dsum domain (raw
+    * interpolated doubles have arbitrary mantissas; 4-dp values round-trip
+    * the decimal(30,10) fold exactly, same argument as 2-dp money). Two
+    * passes: tiny bounds agg broadcast back over one clipping scan. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))").as("ps"))
+      .select($"l_returnflag",
+        round(element_at($"ps", 1), 4).as("p01"),
+        round(element_at($"ps", 2), 4).as("p99"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select($"l_returnflag", $"p01", $"p99", $"l_extendedprice",
+        least(greatest($"l_extendedprice", $"p01"), $"p99").as("w"))
+      .groupBy($"l_returnflag")
+      .agg(count(when($"l_extendedprice" < $"p01" || $"l_extendedprice" > $"p99", 1))
+          .as("n_clipped"),
+        dsum($"w").as("sum_winsorized"),
+        max($"p01").as("p01"), max($"p99").as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val winsorizeOracle: String =
+    s"""WITH st AS (
+       |  SELECT l_returnflag,
+       |    round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+       |    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT l.l_returnflag,
+       |  count(CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99 THEN 1 END) AS n_clipped,
+       |  ${dsumSql("least(greatest(l_extendedprice, p01), p99)")} AS sum_winsorized,
+       |  max(p01) AS p01, max(p99) AS p99
+       |FROM lineitem l JOIN st USING (l_returnflag)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Column-profile audit (data-quality sweep): null count and exact
+    * distinct cardinality for EVERY lineitem column in ONE scan — the
+    * single wide aggregation row is reshaped to per-column rows with a
+    * zero-shuffle stack/unpivot, never one scan per column. */
+  def profileAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val cols = li.columns.toSeq
+    val aggs = count(lit(1)).as("_n") +:
+      cols.flatMap(c => Seq(count(col(c)).as(s"_cnt_$c"), countDistinct(col(c)).as(s"_dst_$c")))
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', _n - _cnt_$c, _dst_$c").mkString(", ")
+    row.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .orderBy($"col_name")
+  }
+
+  val profileAuditOracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val branches = cols.map(c =>
+      s"SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct FROM lineitem")
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Correlated scalar subquery (decorrelation): customers above their OWN
     * nation's exact mean balance — Catalyst rewrites the per-row subquery
     * into an aggregate + join (no per-row re-scan), the optimization that
@@ -1194,5 +1340,9 @@ object RelationalQueries {
     Q("q113_asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
     Q("q114_ordered_gaps", orderedGaps, Some(orderedGapsOracle)),
     Q("q116_correlated_subquery", correlatedSubquery, Some(correlatedSubqueryOracle)),
-    Q("q118_set_ops_all", setOpsAll, Some(setOpsAllOracle)))
+    Q("q118_set_ops_all", setOpsAll, Some(setOpsAllOracle)),
+    Q("q120_scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
+    Q("q122_triangle_count", triangleCount, Some(triangleCountOracle)),
+    Q("q123_winsorize", winsorize, Some(winsorizeOracle)),
+    Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)))
 }

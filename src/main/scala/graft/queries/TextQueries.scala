@@ -172,6 +172,95 @@ object TextQueries {
       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Inverted-index build (token → sorted posting list): the IR-prep
+    * reshape behind every sparse retrieval system. One explode + one
+    * distinct + one groupBy(token) shuffle; posting lists are sorted
+    * doc-id arrays (serialized for the cross-engine compare) and fan-in
+    * per token is bounded by document frequency. The df band keeps the
+    * dumped output compact — at scale the same plan materializes the whole
+    * index, with hot (stopword) tokens handled by the df cutoff exactly as
+    * here. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .distinct()
+      .groupBy($"token")
+      .agg(sort_array(collect_set($"doc_id")).as("ids"))
+      .select($"token", size($"ids").cast("long").as("df"),
+        concat_ws(",", transform($"ids", _.cast("string"))).as("postings"))
+      .filter($"df".between(5, 60))
+      .orderBy($"token")
+  }
+
+  val invertedIndexOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), p AS (
+      |  SELECT token, count(DISTINCT doc_id) AS df,
+      |    array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+      |  FROM t WHERE length(token) > 0 GROUP BY token
+      |)
+      |SELECT token, df, postings FROM p WHERE df BETWEEN 5 AND 60
+      |ORDER BY token""".stripMargin
+
+  /** Collocation mining — log-free PMI ratio per adjacent token pair:
+    * score = p(ab) / (p(a)·p(b)) from exact corpus counts, the association
+    * measure behind phrase detection (log-PMI is monotone in it; `ln` would
+    * drift an ulp between libm builds, the q39 argument). Counts come from
+    * one unigram and one bigram aggregation (codegen'd `word_grams`); the
+    * score expression is textually identical cross-engine, so ranking AND
+    * values hash-match. Bounded output via the min-count cutoff + top-50. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select($"doc_id", $"text")
+    val toks = docs.select(explode(TextFunctions.tokens($"text")).as("tok"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+    val bi = docs.select(explode(graft.functions.Spans.wordGrams($"text", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_ab"))
+    val totals = broadcast(
+      uni.agg(sum($"n_tok").as("n_uni")).crossJoin(bi.agg(sum($"n_ab").as("n_bi"))))
+    bi.filter($"n_ab" >= 20)
+      .withColumn("a", split($"g", " ")(0))
+      .withColumn("b", split($"g", " ")(1))
+      .join(uni.select($"tok".as("a"), $"n_tok".as("n_a")), "a")
+      .join(uni.select($"tok".as("b"), $"n_tok".as("n_b")), "b")
+      .crossJoin(totals)
+      .select($"g", $"n_ab",
+        round(($"n_ab".cast("double") / $"n_bi".cast("double")) /
+          (($"n_a".cast("double") / $"n_uni".cast("double")) *
+            ($"n_b".cast("double") / $"n_uni".cast("double"))), 6).as("pmi_ratio"))
+      .orderBy($"pmi_ratio".desc, $"g")
+      .limit(50)
+  }
+
+  val collocationsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.tok, u.ord
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
+      |), uni AS (
+      |  SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1
+      |), bi AS (
+      |  SELECT a.tok || ' ' || b.tok AS g, a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      |  GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT (SELECT sum(n_tok) FROM uni) AS n_uni, (SELECT sum(n_ab) FROM bi) AS n_bi
+      |)
+      |SELECT g, n_ab,
+      |  round((n_ab::DOUBLE / n_bi::DOUBLE) /
+      |    ((ua.n_tok::DOUBLE / n_uni::DOUBLE) * (ub.n_tok::DOUBLE / n_uni::DOUBLE)), 6) AS pmi_ratio
+      |FROM bi
+      |JOIN uni ua ON ua.tok = bi.ta
+      |JOIN uni ub ON ub.tok = bi.tb
+      |CROSS JOIN tot
+      |WHERE n_ab >= 20
+      |ORDER BY pmi_ratio DESC, g LIMIT 50""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
@@ -179,5 +268,7 @@ object TextQueries {
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
     Q("q43_fingerprints", fingerprints, Some(fingerprintsOracle)),
     Q("q44_rolling_fingerprint", rollingFingerprints, Some(rollingFingerprintsOracle)),
-    Q("q104_length_histogram", lengthHistogram, Some(lengthHistogramOracle)))
+    Q("q104_length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
+    Q("q121_inverted_index", invertedIndex, Some(invertedIndexOracle)),
+    Q("q124_collocations", collocations, Some(collocationsOracle)))
 }

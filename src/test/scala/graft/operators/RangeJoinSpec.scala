@@ -34,6 +34,20 @@ class RangeJoinSpec extends SparkSpec with Matchers {
     got shouldBe Set(1L, 2L)
   }
 
+  test("bucketed form plans an equi (hash) join, never a nested loop") {
+    import spark.implicits._
+    val points = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "v")
+    val ranges = Seq(("r", 0.0, 50.0)).toDF("rid", "lo", "hi")
+    val bucketedPlan = RangeJoin.bucketed(points, ranges, "v", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    bucketedPlan should not include "BroadcastNestedLoopJoin"
+    bucketedPlan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+    // the declarative containment join is the nested loop we're avoiding
+    val plainPlan = points.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+      .queryExecution.executedPlan.toString
+    plainPlan should include("BroadcastNestedLoopJoin")
+  }
+
   test("non-positive width rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("pid", "v")
