@@ -410,6 +410,128 @@ object Similarity {
         round(-col("p._1"), 6).as("adist"))
   }
 
+  /** IVF-PQ ANN — the production FAISS composition of the two quantizers
+    * already built separately here: the coarse IVF quantizer restricts each
+    * query to `nprobe` cells, and PQ codes encode each vector's RESIDUAL
+    * (vector − its cell centroid) — residuals are tighter than raw vectors,
+    * so the same m bytes carry more precision. Scoring is pure ADC: a
+    * per-(query, probed-cell) distance table, m lookups per candidate, no
+    * float vectors touched after encode.
+    *
+    * Everything stays closed-form and SQL-replayable: coarse centroids =
+    * the `nlist` mix64-smallest corpus vectors, the PQ codebook = residuals
+    * of the `ksub` mix64-smallest vectors w.r.t. their OWN assigned cells
+    * (one shared ordered sample prefix, one bounded collect). Candidates =
+    * corpus rows whose cell is probed; rank by (adist asc, id asc).
+    */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+
+    val nSample = math.max(nlist, ksub)
+    val sample: Array[(Long, Array[Float])] = typed.toDF("id", "vec")
+      .withColumn("h", graft.functions.Hashing.mix64Col(col("id")))
+      .orderBy(col("h")).limit(nSample)
+      .select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .collect()
+    val dim = sample.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val cents: Array[Array[Double]] = sample.take(nlist).map(_._2.map(_.toDouble))
+    // PQ codebook: FULL-dim residual of each codebook vector vs its own cell
+    val cbRes: Array[Array[Double]] = sample.take(ksub).map { case (_, v) =>
+      val cell = nearestCellsIn(v, cents, 1)(0)
+      Array.tabulate(dim)(i => v(i).toDouble - cents(cell)(i))
+    }
+    val bCents = spark.sparkContext.broadcast(cents)
+    val bCb = spark.sparkContext.broadcast(cbRes)
+
+    // d2 of one subspace chunk between a residual-producing (vec, cell) pair
+    // and codebook entry j: Σ_i ((vec_i − cent_i) − cb_j,i)², i ascending
+    def chunkD2(vec: Array[Float], cent: Array[Double], cb: Array[Double], s: Int): Double = {
+      var d = 0.0
+      var i = s * dsub
+      val end = i + dsub
+      while (i < end) {
+        val diff = vec(i).toDouble - cent(i) - cb(i)
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+
+    val encoded = typed.mapPartitions { it =>
+      val cs = bCents.value
+      val cb = bCb.value
+      it.map { case (id, vec) =>
+        val cell = nearestCellsIn(vec, cs, 1)(0)
+        val codes = Array.tabulate(m) { s =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < cb.length) {
+            val d = chunkD2(vec, cs(cell), cb(j), s)
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          best
+        }
+        (id, cell, codes)
+      }
+    }
+
+    // per-(query, probed cell) ADC tables: m × ksub doubles each
+    val qTables: Array[(Long, Map[Int, Array[Array[Double]]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (qid, qvec) =>
+        val probed = nearestCellsIn(qvec, cents, nprobe)
+        qid -> probed.map { cell =>
+          cell -> Array.tabulate(m, cbRes.length)((s, j) => chunkD2(qvec, cents(cell), cbRes(j), s))
+        }.toMap
+      }
+    val bQt = spark.sparkContext.broadcast(qTables)
+
+    val sims = encoded.mapPartitions { it =>
+      val tables = bQt.value
+      it.flatMap { case (nid, cell, codes) =>
+        tables.iterator.flatMap { case (qid, byCell) =>
+          byCell.get(cell) match {
+            case Some(dt) if qid != nid =>
+              var acc = 0.0
+              var s = 0
+              while (s < m) { acc += dt(s)(codes(s)); s += 1 }
+              Iterator.single((qid, nid, acc))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    sims.groupBy(col("query_id"))
+      .agg(topk(-col("adist"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"),
+        round(-col("p._1"), 6).as("adist"))
+  }
+
   /** Embedding near-duplicates AT SCALE: SRP-bucket candidate generation +
     * exact cosine verification over candidates only — the scale path that
     * replaces [[cosineNearDupPairs]]'s all-pairs join for unbounded corpora.

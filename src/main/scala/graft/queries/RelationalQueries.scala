@@ -708,6 +708,44 @@ object RelationalQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Retention cohort analysis: users grouped by first-seen week, activity
+    * counted per (cohort, active week), retention = active/cohort-size as an
+    * exact integer-ratio double — the product-analytics reshape. Three
+    * aggregations, all shuffling skinny (user, week) rows; no window, no
+    * per-user state. ISO Monday weeks in both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+    val firstWeek = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val activity = ev.select($"user_id", date_trunc("week", $"ts").as("active_week")).distinct()
+    val size = firstWeek.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    activity.join(firstWeek, "user_id")
+      .join(size, "cohort_week")
+      .groupBy($"cohort_week", $"active_week")
+      .agg(count(lit(1)).as("n_active"), max($"cohort_size").as("cohort_size"))
+      .withColumn("retention",
+        round($"n_active".cast("double") / $"cohort_size".cast("double"), 6))
+      .orderBy($"cohort_week", $"active_week")
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH fw AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY 1
+      |), act AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+      |), sz AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY 1
+      |)
+      |SELECT f.cohort_week, a.active_week,
+      |  count(*) AS n_active, max(s.cohort_size) AS cohort_size,
+      |  round(count(*)::DOUBLE / max(s.cohort_size)::DOUBLE, 6) AS retention
+      |FROM act a
+      |JOIN fw f USING (user_id)
+      |JOIN sz s ON s.cohort_week = f.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Correlated scalar subquery (decorrelation): customers above their OWN
     * nation's exact mean balance — Catalyst rewrites the per-row subquery
     * into an aggregate + join (no per-row re-scan), the optimization that
@@ -1344,5 +1382,6 @@ object RelationalQueries {
     Q("q120_scd2_intervals", scd2Intervals, Some(scd2IntervalsOracle)),
     Q("q122_triangle_count", triangleCount, Some(triangleCountOracle)),
     Q("q123_winsorize", winsorize, Some(winsorizeOracle)),
-    Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)))
+    Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)),
+    Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)))
 }

@@ -331,6 +331,71 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ ANN — the FAISS-style composition: coarse cells bound the
+    * candidate set (nprobe=4 of 16), PQ codes over CELL RESIDUALS score it
+    * (m=8 × ksub=16). The oracle re-derives the shared mix64 sample prefix,
+    * cell assignments, codebook residuals, every chunk-distance argmin, the
+    * per-(query, cell) tables, and the ADC sums — the entire two-level
+    * quantizer is value-checked cross-engine. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    Similarity.knnIvfPq(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfPqOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
+    def resD2(emb: String, cemb: String): String =
+      s"""list_sum(list_transform(generate_series(1, 8), i ->
+         |      ($emb[sub.s * 8 + i]::DOUBLE - $cemb[sub.s * 8 + i]::DOUBLE - cb.res[sub.s * 8 + i]) *
+         |      ($emb[sub.s * 8 + i]::DOUBLE - $cemb[sub.s * 8 + i]::DOUBLE - cb.res[sub.s * 8 + i])))""".stripMargin
+    s"""WITH samp AS (
+       |  SELECT vec_id, embedding, row_number() OVER (ORDER BY $h) - 1 AS sj
+       |  FROM embeddings QUALIFY sj < 16
+       |), cents AS (
+       |  SELECT sj AS ci, embedding AS c_emb FROM samp WHERE sj < 16
+       |), assign AS (
+       |  SELECT e.vec_id, e.embedding, c.ci AS cell, c.c_emb
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.ci) = 1
+       |), cb AS (
+       |  SELECT s.sj AS j, list_transform(generate_series(1, 64), i ->
+       |    s.embedding[i]::DOUBLE - a.c_emb[i]::DOUBLE) AS res
+       |  FROM samp s JOIN assign a ON a.vec_id = s.vec_id
+       |  WHERE s.sj < 16
+       |), sub AS (
+       |  SELECT unnest(range(0, 8)) AS s
+       |), cd AS (
+       |  SELECT a.vec_id, a.cell, sub.s, cb.j, ${resD2("a.embedding", "a.c_emb")} AS d2
+       |  FROM assign a CROSS JOIN sub CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, cell, s, j AS code FROM cd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.ci AS cell, c.c_emb
+       |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.ci) <= 4
+       |), qdt AS (
+       |  SELECT p.query_id, p.cell, sub.s, cb.j, ${resD2("p.q_emb", "p.c_emb")} AS d2
+       |  FROM probes p CROSS JOIN sub CROSS JOIN cb
+       |), pair AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |    list_sum(list(q.d2 ORDER BY q.s)) AS adist
+       |  FROM codes c JOIN qdt q ON q.cell = c.cell AND q.s = c.s AND q.j = c.code
+       |  WHERE c.neighbor_id != q.query_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM pair
+       |)
+       |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -340,5 +405,6 @@ object SimilarityQueries {
     Q("q65_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)),
     Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)),
     Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
-    Q("q111_knn_pq", knnPq, Some(knnPqOracle)))
+    Q("q111_knn_pq", knnPq, Some(knnPqOracle)),
+    Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)))
 }

@@ -154,6 +154,19 @@ class SimilaritySpec extends SparkSpec with Matchers {
     dists.toSeq shouldBe dists.sorted.toSeq
   }
 
+  test("IVF-PQ kNN keeps high recall on clustered data (residual codes + probed cells)") {
+    val queries = corpus.filter(col("vec_id") < 30 && col("vec_id") % 10 === 0)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k = 9)
+      .collect().map(pairOf).toSet
+    val ivfpq = Similarity.knnIvfPq(corpus, queries, "vec_id", "embedding",
+        k = 9, nlist = 16, nprobe = 8, m = 8, ksub = 16)
+      .collect().map(pairOf).toSet
+    // two lossy stages compose (cell restriction × residual codes); the
+    // planted clusters (cos ≈ 0.99 in-cluster) must still dominate
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    recall should be >= 0.7
+  }
+
   test("PQ rejects a dim not divisible into m subspaces") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnProductQuantized(corpus, corpus.limit(1), "vec_id", "embedding",
