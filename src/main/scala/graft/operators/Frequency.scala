@@ -63,7 +63,7 @@ object Frequency {
     keyed
       .join(cellSide,
         col("_pc.d") === col("_cms_d") && col("_pc.bucket") === col("_cms_bucket"), "left")
-      .groupBy(probes.columns.map(keyed(_)): _*)
+      .groupBy(probes.columns.toIndexedSeq.map(keyed(_)): _*)
       .agg(min(coalesce(col("_cms_n"), lit(0L))).as("cms_est"))
   }
 }

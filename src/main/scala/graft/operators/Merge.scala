@@ -27,7 +27,7 @@ object Merge {
       s"upsert requires identical schemas, got ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
     base.join(u, col(key) === col(s"_u_$key"), "full_outer")
-      .select(base.columns.map { c =>
+      .select(base.columns.toIndexedSeq.map { c =>
         when(col(s"_u_$key").isNotNull, col(s"_u_$c")).otherwise(col(c)).as(c)
       }: _*)
   }
