@@ -746,6 +746,67 @@ object RelationalQueries {
       |JOIN sz s ON s.cohort_week = f.cohort_week
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Share-of-total (ratio_to_report): each nation's fraction of global
+    * revenue via an empty-frame window over the aggregated rows. The window
+    * sum goes through decimal (order-free) — a bare double window sum's
+    * value would depend on Spark's partial order and diverge from DuckDB's
+    * fold. The window input is already one row per nation, so the global
+    * window is 25 rows — the reshape costs nothing after the real agg. */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"s_acctbal").as("total_bal"))
+      .withColumn("share", round($"total_bal".cast("decimal(30,10)") /
+        sum($"total_bal".cast("decimal(30,10)")).over(w), 8).cast("double"))
+      .orderBy($"n_name")
+  }
+
+  val shareOfTotalOracle: String =
+    s"""WITH t AS (
+       |  SELECT n_name, ${dsumSql("s_acctbal")} AS total_bal
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |)
+       |SELECT n_name, total_bal,
+       |  cast(round(cast(total_bal AS decimal(30,10)) /
+       |    sum(cast(total_bal AS decimal(30,10))) OVER (), 8) AS DOUBLE) AS share
+       |FROM t ORDER BY n_name""".stripMargin
+
+  /** first/last/nth_value window functions over each user's event stream —
+    * the value-extraction window family q16/q17/q87 don't cover. last_value
+    * needs the FULL frame (the default frame ends at CURRENT ROW, silently
+    * returning the current row's value — the classic window gotcha). */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    QueryRegistry.events(spark, dir)
+      .withColumn("first_type", first($"event_type").over(full))
+      .withColumn("last_type", last($"event_type").over(full))
+      .withColumn("second_value", nth_value($"value", 2).over(full))
+      .groupBy($"user_id")
+      .agg(max($"first_type").as("first_type"), max($"last_type").as("last_type"),
+        max($"second_value").as("second_value"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val valueWindowsOracle: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    first_value(event_type) OVER w AS first_type,
+      |    last_value(event_type) OVER w AS last_type,
+      |    nth_value(value, 2) OVER w AS second_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, max(first_type) AS first_type, max(last_type) AS last_type,
+      |  max(second_value) AS second_value, count(*) AS n_events
+      |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Correlated scalar subquery (decorrelation): customers above their OWN
     * nation's exact mean balance — Catalyst rewrites the per-row subquery
     * into an aggregate + join (no per-row re-scan), the optimization that
@@ -1383,5 +1444,7 @@ object RelationalQueries {
     Q("q122_triangle_count", triangleCount, Some(triangleCountOracle)),
     Q("q123_winsorize", winsorize, Some(winsorizeOracle)),
     Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)),
-    Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)))
+    Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)),
+    Q("q128_share_of_total", shareOfTotal, Some(shareOfTotalOracle)),
+    Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)))
 }
