@@ -807,6 +807,33 @@ object RelationalQueries {
       |  max(second_value) AS second_value, count(*) AS n_events
       |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics corner plain
+    * equi-joins silently drop. Keys are deterministically NULLified on both
+    * sides; the NULL-key group is the interesting row of the output. Spark
+    * still plans this as a hash join (null-safe equality is an equi-key). */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer")
+      .select(when($"c_custkey" % 10 === 0, lit(null)).otherwise($"c_nationkey").as("ck"))
+    val s = table(spark, dir, "supplier")
+      .select(when($"s_suppkey" % 7 === 0, lit(null)).otherwise($"s_nationkey").as("sk"))
+    c.join(s, $"ck" <=> $"sk")
+      .groupBy(coalesce($"ck".cast("string"), lit("NULLKEY")).as("key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"key")
+  }
+
+  val nullSafeJoinOracle: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS ck FROM customer
+      |), s AS (
+      |  SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS sk FROM supplier
+      |)
+      |SELECT coalesce(ck::VARCHAR, 'NULLKEY') AS key, count(*) AS n_pairs
+      |FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Correlated scalar subquery (decorrelation): customers above their OWN
     * nation's exact mean balance — Catalyst rewrites the per-row subquery
     * into an aggregate + join (no per-row re-scan), the optimization that
@@ -1446,5 +1473,6 @@ object RelationalQueries {
     Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)),
     Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)),
     Q("q128_share_of_total", shareOfTotal, Some(shareOfTotalOracle)),
-    Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)))
+    Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)),
+    Q("q130_nullsafe_join", nullSafeJoin, Some(nullSafeJoinOracle)))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 import QueryRegistry.table
 
 /** Text-analysis over the `documents` table: token counting, quality
@@ -261,6 +262,64 @@ object TextQueries {
       |WHERE n_ab >= 20
       |ORDER BY pmi_ratio DESC, g LIMIT 50""".stripMargin
 
+  /** explode_outer semantics: 100-token shingles over ~60-token documents —
+    * MOST rows produce an EMPTY array, and explode_outer keeps them as one
+    * NULL row each (plain explode would silently drop those documents from
+    * any per-document accounting). The oracle states the row algebra
+    * directly: rows-per-doc = max(n_grams, 1). */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"lang", explode_outer(Dedup.shingles($"text", 100)).as("gram"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"), count($"gram").as("n_grams"),
+        count(when($"gram".isNull, 1)).as("n_gramless_docs"))
+      .orderBy($"lang")
+  }
+
+  // gram strings via list_slice + array_to_string, NOT the gramsSql
+  // concat chain: 100 nested `||` operators exceed DuckDB's binder
+  // recursion limit (128); the slice form is flat and value-identical
+  // (same tokens joined by single spaces).
+  val explodeOuterOracle: String =
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), g AS (
+       |  SELECT lang, len(list_distinct(list_transform(
+       |    generate_series(1, len(t) - 99),
+       |    gi -> array_to_string(t[gi:gi+99], ' ')))) AS n
+       |  FROM toks
+       |)
+       |SELECT lang,
+       |  sum(CASE WHEN n = 0 THEN 1 ELSE n END) AS n_rows,
+       |  sum(n) AS n_grams,
+       |  count(CASE WHEN n = 0 THEN 1 END) AS n_gramless_docs
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** regexp_extract_all + explode: every digit run in the events' JSON
+    * props, aggregated per event type — the multi-match regex surface q45's
+    * single-pattern scrub doesn't cover. Identical regex dialect subset
+    * (character classes + quantifiers) in both engines. */
+  def regexpExtractAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    QueryRegistry.events(spark, dir)
+      .select($"event_type",
+        explode(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("num"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_nums"),
+        countDistinct($"num").as("n_distinct"),
+        min($"num".cast("long")).as("min_num"), max($"num".cast("long")).as("max_num"))
+      .orderBy($"event_type")
+  }
+
+  val regexpExtractAllOracle: String =
+    """WITH n AS (
+      |  SELECT event_type, unnest(regexp_extract_all(props, '[0-9]+')) AS num FROM events
+      |)
+      |SELECT event_type, count(*) AS n_nums, count(DISTINCT num) AS n_distinct,
+      |  min(num::BIGINT) AS min_num, max(num::BIGINT) AS max_num
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
@@ -270,5 +329,7 @@ object TextQueries {
     Q("q44_rolling_fingerprint", rollingFingerprints, Some(rollingFingerprintsOracle)),
     Q("q104_length_histogram", lengthHistogram, Some(lengthHistogramOracle)),
     Q("q121_inverted_index", invertedIndex, Some(invertedIndexOracle)),
-    Q("q124_collocations", collocations, Some(collocationsOracle)))
+    Q("q124_collocations", collocations, Some(collocationsOracle)),
+    Q("q131_explode_outer", explodeOuter, Some(explodeOuterOracle)),
+    Q("q132_regexp_extract_all", regexpExtractAll, Some(regexpExtractAllOracle)))
 }
