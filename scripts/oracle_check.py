@@ -60,15 +60,42 @@ def main():
         if len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}"
             continue
+        # Dtype-FAMILY parity first: the driver hashes rendered values, so
+        # int32 123 == int64 123 and datetime64[ns] == datetime64[us] pass,
+        # but int64 123 vs float64 123.0 (the r7 class: DuckDB sum(BIGINT)
+        # -> HUGEINT -> pandas float64) renders differently and fails the
+        # driver's hash even though loose value comparison succeeds. Compare
+        # the dtype KIND (i/u fold together), then compare exact rendered
+        # values — no float tolerance — or this gate is weaker than the
+        # driver's (r7 shipped "132/132" locally; driver failed 5).
+        import decimal
+        def fam(col):
+            k = col.dtype.kind if hasattr(col.dtype, "kind") else "O"
+            f = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                 "M": "datetime", "m": "timedelta"}.get(k, "object")
+            # Spark DECIMAL arrives as object-of-Decimal; DuckDB fetchdf
+            # renders DECIMAL as float64 — the driver passes those lanes
+            # (q03 r7), so fold exact decimals into the float family.
+            if f == "object" and col.dropna().map(
+                    lambda v: isinstance(v, decimal.Decimal)).all() and len(col.dropna()):
+                return "float"
+            return f
+        dtype_mis = [f"{c}(spark={g[c].dtype},duck={e[c].dtype})"
+                     for c in g.columns if fam(g[c]) != fam(e[c])]
+        if dtype_mis:
+            results[name] = f"DTYPE_MISMATCH cols={dtype_mis}"
+            continue
         mismatched = []
         for c in g.columns:
             gc, ec = g[c], e[c]
             try:
-                if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(ec):
+                if fam(gc) == "float":
+                    # exact float equality (post-coercion) — no tolerance;
+                    # the repo's doubles are bit-identical by design
                     ok = ((gc.isna() & ec.isna()) |
                           (gc.astype(float) == ec.astype(float))).all()
                 else:
-                    ok = (gc.astype(str).fillna("<NA>") == ec.astype(str).fillna("<NA>")).all()
+                    ok = (gc.astype(str) == ec.astype(str)).all()
             except Exception as ex:
                 ok = False
             if not ok:

@@ -25,10 +25,25 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map first (human/archive record)...
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"per_query_full","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // ...then the parseable line LAST and SHORT: the driver keeps only the
+    // final ~2000 chars of output, and the full 132-query map exceeds that
+    // (r7's BENCH json has parsed:null). Emit total + the slowest queries,
+    // adding entries by descending cost until the line nears the budget, so
+    // the headline number and the lanes that matter always survive the tail.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val byCost = results.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val budget = 1600
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var len = 0
+    for (e <- byCost if len + e.length + 1 < budget) { kept += e; len += e.length + 1 }
+    val note = if (kept.size < results.size)
+      s""","queries_shown":${kept.size},"queries_total":${results.size}""" else ""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$note,"sf":"$sfDir"}""")
     spark.stop()
   }
 

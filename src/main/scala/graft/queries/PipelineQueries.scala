@@ -568,7 +568,7 @@ object PipelineQueries {
       |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
       |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
       |), uni AS (
-      |  SELECT doc_id, sum(c) AS n_tokens,
+      |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
       |    sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS dup_token_frac
       |  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1
       |), bi AS (

@@ -559,7 +559,7 @@ object RelationalQueries {
       |)
       |SELECT user_id, count(*) AS n_events,
       |  coalesce(max(t - pt), 0) AS max_gap,
-      |  coalesce(sum(t - pt), 0) AS sum_gap
+      |  cast(coalesce(sum(t - pt), 0) AS BIGINT) AS sum_gap
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** SCD type-2 interval build (warehouse temporal modeling): each user's
@@ -599,7 +599,7 @@ object RelationalQueries {
       |  FROM v
       |)
       |SELECT user_id, count(*) AS n_versions, count(valid_to) AS n_closed,
-      |  sum(dur_s) AS total_dur_s, max(dur_s) AS max_dur_s
+      |  cast(sum(dur_s) AS BIGINT) AS total_dur_s, max(dur_s) AS max_dur_s
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Triangle counting on the nation trade graph (customer-nation →
@@ -1163,7 +1163,7 @@ object RelationalQueries {
 
   val jsonExtractOracle: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum((props->>'k')::INT::BIGINT) AS sum_k,
+      |  cast(sum((props->>'k')::INT) AS BIGINT) AS sum_k,
       |  count(CASE WHEN (props->>'k')::INT > 50 THEN 1 END) AS n_high
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -291,8 +291,8 @@ object TextQueries {
        |  FROM toks
        |)
        |SELECT lang,
-       |  sum(CASE WHEN n = 0 THEN 1 ELSE n END) AS n_rows,
-       |  sum(n) AS n_grams,
+       |  cast(sum(CASE WHEN n = 0 THEN 1 ELSE n END) AS BIGINT) AS n_rows,
+       |  cast(sum(n) AS BIGINT) AS n_grams,
        |  count(CASE WHEN n = 0 THEN 1 END) AS n_gramless_docs
        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
 
