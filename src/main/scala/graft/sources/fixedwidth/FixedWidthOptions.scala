@@ -103,9 +103,27 @@ object FixedWidthOptions {
   val KeyCol = "key"
   val ValueCol = "value"
 
+  /** Hadoop config-key aliases for drop-in migration: the reference's job-conf
+    * property names (reference FixedLengthInputFormat.java:97-149) are accepted
+    * as reader options alongside the native names. Setting both spellings to
+    * DIFFERENT values is ambiguous and fails fast. */
+  private val HadoopAliases: Map[String, String] = Map(
+    "recordLength" -> "mapreduce.input.fixedlengthinputformat.record.length",
+    "keyStartAt"   -> "mapreduce.input.fixedlengthinputformat.recordkey.startat",
+    "keyEndAt"     -> "mapreduce.input.fixedlengthinputformat.recordkey.endat")
+
   def apply(map: CaseInsensitiveStringMap): FixedWidthOptions = {
+    def rawOpt(k: String): String = {
+      val native = map.get(k)
+      val aliasKey = HadoopAliases.get(k).orNull
+      val alias = if (aliasKey == null) null else map.get(aliasKey)
+      if (native != null && alias != null && native.trim != alias.trim)
+        throw new IllegalArgumentException(
+          s"fixedwidth: option '$k' ($native) conflicts with its Hadoop alias '$aliasKey' ($alias)")
+      if (native != null) native else alias
+    }
     def intOpt(k: String, dflt: Int): Int = {
-      val v = map.get(k)
+      val v = rawOpt(k)
       if (v == null) dflt
       else
         try v.trim.toInt

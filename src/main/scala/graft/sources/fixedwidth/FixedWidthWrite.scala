@@ -38,6 +38,22 @@ class FixedWidthWriteBuilder(
 
   private var doTruncate = false
 
+  // Write-side compression stance, stated loudly instead of ignored: the
+  // reference REJECTS compressed input (reference
+  // FixedLengthRecordReader.java:147-152) because record-aligned splitting
+  // needs raw byte offsets; a compressed fixed-width file would also defeat
+  // this source's own reader. Accept 'none'/'uncompressed' (harmless parquet
+  // habit), error on anything else, pointing at the read-side escape hatch.
+  Seq("compression", "codec").foreach { k =>
+    val v = tableOptions.get(k)
+    if (v != null && !Set("none", "uncompressed").contains(v.trim.toLowerCase))
+      throw new IllegalArgumentException(
+        s"fixedwidth: write-side compression is not supported (got '$k'='${v.trim}'): " +
+          "record-aligned splits need uncompressed fixed-width bytes (reference parity, " +
+          "FixedLengthRecordReader.java:147-152). Compress whole files externally and " +
+          "read with allowCompressed=true if needed.")
+  }
+
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {

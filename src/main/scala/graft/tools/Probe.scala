@@ -154,6 +154,30 @@ object Probe {
       s"allLen10=${tiny.select(min(length($"value")) === 10 && max(length($"value")) === 10).head().getBoolean(0)}")
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
+    // Hadoop config-key aliases (reference FixedLengthInputFormat.java:97-149):
+    // the reference's job-conf property names work as reader options.
+    val viaAlias = spark.read.format("fixedwidth")
+      .option("mapreduce.input.fixedlengthinputformat.record.length", 10)
+      .option("mapreduce.input.fixedlengthinputformat.recordkey.startat", 3)
+      .option("mapreduce.input.fixedlengthinputformat.recordkey.endat", 8)
+      .load(s"$base/raw")
+    println(s"PROBE hadoop-alias: n=${viaAlias.count()} " +
+      s"hasKey=${viaAlias.columns.contains("key")}")
+    expectError("hadoop-alias-conflict") {
+      spark.read.format("fixedwidth")
+        .option("recordLength", 10)
+        .option("mapreduce.input.fixedlengthinputformat.record.length", 12)
+        .load(s"$base/raw").count()
+    }
+
+    // Writer compression stance: explicit rejection, not silent ignore
+    // (reference parity: FixedLengthRecordReader.java:147-152 rejects
+    // compressed INPUT; a compressed fixed-width file can't split).
+    expectError("write-compression") {
+      df.write.format("fixedwidth").option("recordLength", 10)
+        .option("compression", "gzip").mode("overwrite").save(s"$base/comp-out")
+    }
+
     spark.stop()
   }
 }
