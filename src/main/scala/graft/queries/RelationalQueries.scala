@@ -708,6 +708,31 @@ object RelationalQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** The 100 TB mode of [[profileAudit]]: identical output shape, but
+    * `n_distinct` is HLL++-approximate (`approx_count_distinct`, rsd 2%).
+    * The exact variant's multi-`countDistinct` plans through Catalyst's
+    * Expand — every input row is replicated once PER PROFILED COLUMN (×11
+    * here) and each distinct set is materialized in aggregation hash maps,
+    * which is the right exactness tool at test scale but the wrong default
+    * at 100 TB. This variant keeps ONE pass with NO row multiplication and
+    * carries only a fixed-size HLL++ buffer per column through the partial
+    * agg (chosen over reshaping to (col, value) rows + [[graft.operators.Cardinality.hllRegisters]],
+    * which would also avoid Expand's hash maps but still multiply rows
+    * ×ncols into the shuffle). Plan-pinned: `ProfileAuditPlanSpec` asserts
+    * no Expand node and agreement with the exact lane within HLL error. */
+  def profileAuditApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val cols = li.columns.toSeq
+    val aggs = count(lit(1)).as("_n") +:
+      cols.flatMap(c => Seq(count(col(c)).as(s"_cnt_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"_dst_$c")))
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', _n - _cnt_$c, _dst_$c").mkString(", ")
+    row.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .orderBy($"col_name")
+  }
+
   /** Retention cohort analysis: users grouped by first-seen week, activity
     * counted per (cohort, active week), retention = active/cohort-size as an
     * exact integer-ratio double — the product-analytics reshape. Three
