@@ -519,6 +519,48 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Robust z-score outliers (median/MAD) — the heavy-tail-safe sibling of
+    * [[zscoreOutliers]]: mean/stddev move with the outliers they are meant
+    * to find; median and MAD (median absolute deviation) don't. Two grouped
+    * exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, bit
+    * parity proven by q38) with the tiny per-group stats broadcast back —
+    * the corpus shuffles only for the two skinny aggregations, never for a
+    * sort. Outlier rule: |x − med| > 3.5 · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(¾)
+    * scales MAD to σ under normality). */
+  def robustZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", $"value", $"med", abs($"value" - $"med").as("adev"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(max($"med"), 6).as("med"), round(max($"mad"), 6).as("mad"),
+        count(when(abs($"value" - $"med") > lit(3.5) * lit(1.4826) * $"mad", 1))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val robustZscoreOracle: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN m USING (event_type)
+      |), md AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1
+      |)
+      |SELECT d.event_type, count(*) AS n_events,
+      |  round(max(d.med), 6) AS med, round(max(mad), 6) AS mad,
+      |  count(CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * mad THEN 1 END)
+      |    AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val zscoreOutliersOracle: String =
     """WITH st AS (
       |  SELECT event_type, count(*)::DOUBLE AS n,
@@ -1445,6 +1487,54 @@ object RelationalQueries {
       |FROM o FULL JOIN e ON o.k = e.k
       |ORDER BY k""".stripMargin
 
+  /** Interval-OVERLAP join (interval×interval — the sibling of q107's
+    * point-in-interval join): shipment transit windows [shipdate,
+    * shipdate + 2·linenumber days) against urgent-order attention windows
+    * [orderdate, orderdate + 7 days), both as epoch-day integers, joined by
+    * [[graft.operators.IntervalJoin.overlap]]'s chunk equi-join with the
+    * report-once rule (no nested loop, no post-join dedup — each
+    * overlapping pair meets in exactly one chunk). The transit span is
+    * derived from l_linenumber because this testdata has no second date
+    * column; the operator itself is span-agnostic. Oracle replays the plain
+    * theta join — value-identical by construction. */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01")
+    val li = table(spark, dir, "lineitem")
+      .filter($"l_quantity" === 50.0)
+      .select($"l_orderkey",
+        datediff($"l_shipdate", epoch).as("t_lo"),
+        (datediff($"l_shipdate", epoch) + lit(2) * $"l_linenumber").as("t_hi"))
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_custkey" < 500)
+      .select($"o_custkey",
+        datediff($"o_orderdate", epoch).as("w_lo"),
+        (datediff($"o_orderdate", epoch) + 7).as("w_hi"))
+    graft.operators.IntervalJoin.overlap(li, ord, "t_lo", "t_hi", "w_lo", "w_hi", width = 7.0)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least($"t_hi", $"w_hi") - greatest($"t_lo", $"w_lo")).cast("long")
+          .as("sum_overlap_days"))
+      .orderBy($"o_custkey")
+  }
+
+  val intervalOverlapJoinOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS t_lo,
+      |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' + 2 * l_linenumber AS t_hi
+      |  FROM lineitem WHERE l_quantity = 50
+      |), ord AS (
+      |  SELECT o_custkey,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS w_lo,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 7 AS w_hi
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey < 500
+      |)
+      |SELECT o_custkey, count(*) AS n_overlaps,
+      |  cast(sum(least(t_hi, w_hi) - greatest(t_lo, w_lo)) AS BIGINT) AS sum_overlap_days
+      |FROM li JOIN ord ON t_lo < w_hi AND w_lo < t_hi
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q10_multiway_join", multiwayJoin, Some(multiwayJoinOracle)),
     Q("q11_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
@@ -1499,5 +1589,7 @@ object RelationalQueries {
     Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)),
     Q("q128_share_of_total", shareOfTotal, Some(shareOfTotalOracle)),
     Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)),
-    Q("q130_nullsafe_join", nullSafeJoin, Some(nullSafeJoinOracle)))
+    Q("q130_nullsafe_join", nullSafeJoin, Some(nullSafeJoinOracle)),
+    Q("q133_interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinOracle)),
+    Q("q134_robust_zscore", robustZscore, Some(robustZscoreOracle)))
 }

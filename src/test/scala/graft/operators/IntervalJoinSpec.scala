@@ -1,0 +1,65 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** IntervalJoin.overlap must be ROW-IDENTICAL to the naive theta join —
+  * including duplicates (the report-once rule replaces a post-join distinct,
+  * so a double-counted pair is the failure mode to pin) — and must plan as
+  * an equi-join on the chunk id, never a nested loop. */
+class IntervalJoinSpec extends SparkSpec with Matchers {
+
+  private def intervals(seed: Int, n: Int, maxSpan: Int) = {
+    import spark.implicits._
+    val rng = new Random(seed)
+    (0 until n).map { i =>
+      val lo = rng.nextInt(1000)
+      (i.toLong, lo.toDouble, (lo + 1 + rng.nextInt(maxSpan)).toDouble)
+    }.toDF("id", "lo", "hi")
+  }
+
+  for (width <- Seq(1.0, 7.0, 50.0, 1000.0)) {
+    test(s"overlap == theta join, exactly once per pair (width=$width)") {
+      val a = intervals(1, 400, 40)
+      val b = intervals(2, 300, 25)
+        .toDF("rid", "rlo", "rhi")
+      val got = IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", width)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = a.join(b, col("lo") < col("rhi") && col("rlo") < col("hi"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.length shouldBe want.length // catches double-reports, not just set-misses
+      got.sorted shouldBe want.sorted
+      want.length should be > 0 // non-vacuous
+    }
+  }
+
+  test("zero-length and inverted intervals never match") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0, 10.0), (2L, 30.0, 20.0)).toDF("id", "lo", "hi")
+    val b = Seq((9L, 0.0, 100.0)).toDF("rid", "rlo", "rhi")
+    IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", 5.0).count() shouldBe 0
+  }
+
+  test("extraKeys confine matches to the key partition") {
+    import spark.implicits._
+    val a = Seq((1L, "u1", 0.0, 10.0), (2L, "u2", 0.0, 10.0)).toDF("id", "k", "lo", "hi")
+    val b = Seq((8L, "u1", 5.0, 15.0), (9L, "u3", 5.0, 15.0)).toDF("rid", "k", "lo2", "hi2")
+    val got = IntervalJoin.overlap(a, b, "lo", "hi", "lo2", "hi2", 5.0, extraKeys = Seq("k"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe Seq((1L, 8L))
+  }
+
+  test("plans as an equi-join on the chunk id — no nested loop") {
+    val a = intervals(3, 500, 30)
+    val b = intervals(4, 500, 30).toDF("rid", "rlo", "rhi")
+    val df = IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", 10.0)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val p = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    withClue(p) { p should not include "NestedLoop" }
+  }
+}
