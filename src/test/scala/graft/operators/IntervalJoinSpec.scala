@@ -37,6 +37,28 @@ class IntervalJoinSpec extends SparkSpec with Matchers {
     }
   }
 
+  // Randomized rounds in the reference's own property style (its suite runs
+  // 20 random (count, length, split) rounds with the seed logged): random
+  // width/sizes/spans, including spans far larger and far smaller than the
+  // chunk width, must stay pair-exact vs the theta join.
+  test("randomized rounds: overlap == theta join under random width/size/span (seed=8)") {
+    val rng = new Random(8)
+    for (round <- 1 to 10) {
+      val width = Seq(0.5, 3.0, 17.0, 128.0, 2048.0)(rng.nextInt(5))
+      val a = intervals(rng.nextInt(10000), 50 + rng.nextInt(300), 1 + rng.nextInt(120))
+      val b = intervals(rng.nextInt(10000), 50 + rng.nextInt(300), 1 + rng.nextInt(120))
+        .toDF("rid", "rlo", "rhi")
+      val got = IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", width)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = a.join(b, col("lo") < col("rhi") && col("rlo") < col("hi"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      withClue(s"round=$round width=$width") {
+        got.length shouldBe want.length
+        got.sorted shouldBe want.sorted
+      }
+    }
+  }
+
   test("zero-length and inverted intervals never match") {
     import spark.implicits._
     val a = Seq((1L, 10.0, 10.0), (2L, 30.0, 20.0)).toDF("id", "lo", "hi")
