@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: threshold comparisons on unbanded levenshtein →
     // banded O(len·k) form (see BandedLevenshteinRule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    // planner strategy: AsOfMergeJoinNode → the physical streaming merge
+    // (see AsOfMergeJoinExec's scaladoc)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoinStrategy)
     ext.injectFunction(unary("rolling_hash64",
       "rolling_hash64(text) - order-sensitive 64-bit fingerprint of the whitespace-token sequence",
       RollingHash64.apply))

@@ -69,6 +69,49 @@ object AsOfJoin {
       .drop("_side")
   }
 
+  /** Physical-operator form of [[asOf]]: same semantics, planned as
+    * [[graft.plans.AsOfMergeJoinExec]] — each side exchanged+sorted at its
+    * own width and streamed through a single merge pass, instead of the
+    * union+window reshape (see the exec's scaladoc for the cost
+    * comparison). Requires `GraftExtensions` on the session
+    * (`injectPlannerStrategy`); carried columns come back as `asof_<c>`,
+    * like [[asOf]]. Ties on right (key, ts) follow the right sort order —
+    * pre-dedup the right side to one row per (key, ts) for
+    * engine-independent results. */
+  def asOfMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    // Make the planner strategy available on ANY session, not only ones
+    // built with spark.sql.extensions=graft.GraftExtensions: the public
+    // experimental.extraStrategies hook, guarded for idempotence (a
+    // duplicate registration would be harmless anyway — first strategy to
+    // produce a plan wins).
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfMergeJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfMergeJoinStrategy
+    // Alias the whole right projection: fresh exprIds on every carried
+    // attribute, so a shared-lineage right side (self-as-of) can't collide
+    // with left output ids, and output names are collision-free by
+    // construction.
+    val rightSel = right.select(
+      col(keyCol).as("_asof_key") +: col(tsCol).as("_asof_ts") +:
+        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rightSel.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfMerge: column '$name' not found"))
+    val node = graft.plans.AsOfMergeJoinNode(
+      lp, rp,
+      attr(lp, keyCol), attr(rp, "_asof_key"),
+      attr(lp, tsCol), attr(rp, "_asof_ts"),
+      valueCols.map(c => attr(rp, s"asof_$c")))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
+  }
+
   /** As-of join with a STALENESS bound: matches older than `maxAge` are
     * nulled — "the latest right row within the last hour", the freshness
     * rule every feature-store lookup needs (an unbounded as-of happily

@@ -496,6 +496,37 @@ object RelationalQueries {
       |) l ON TRUE
       |ORDER BY p.event_id""".stripMargin
 
+  /** The PHYSICAL as-of join (q32's semantics through the custom operator
+    * ladder's last rung): [[graft.operators.AsOfJoin.asOfMerge]] plants
+    * `AsOfMergeJoinNode`, `GraftExtensions`' planner strategy turns it into
+    * the streaming-merge exec — each side exchanged and sorted at its own
+    * width, one buffered right row per partition, no union widening, no
+    * WindowExec state (plan shape pinned in `AsOfMergeJoinSpec`). The right
+    * side is (user, ts)-deduped like q113 so the match is tie-free in both
+    * engines; the oracle is DuckDB's native ASOF LEFT JOIN. */
+  def asofMergeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = QueryRegistry.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+    graft.operators.AsOfJoin.asOfMerge(purchases, views, "user_id", "ts", Seq("view_value"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"asof_view_value")
+      .orderBy($"event_id")
+  }
+
+  val asofMergeJoinOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, max(value) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |)
+      |SELECT p.event_id, p.user_id, cast(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  v.view_value AS asof_view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Grouped z-score outlier detection (anomaly lane): per event type, how
     * many values sit beyond 3σ, plus the extreme z-scores. Mean/σ come from
     * EXACT decimal moment sums (same order-free pattern as q105) and the
@@ -1591,5 +1622,6 @@ object RelationalQueries {
     Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)),
     Q("q130_nullsafe_join", nullSafeJoin, Some(nullSafeJoinOracle)),
     Q("q133_interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinOracle)),
-    Q("q134_robust_zscore", robustZscore, Some(robustZscoreOracle)))
+    Q("q134_robust_zscore", robustZscore, Some(robustZscoreOracle)),
+    Q("q135_asof_merge_join", asofMergeJoin, Some(asofMergeJoinOracle)))
 }

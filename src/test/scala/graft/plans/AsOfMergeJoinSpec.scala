@@ -1,0 +1,107 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** The physical as-of merge must be ROW-IDENTICAL to the union+window form
+  * (the repo's semantic reference for as-of, itself oracle-verified by
+  * q32/q113) across random data with NULL keys, NULL timestamps, keys
+  * absent on either side, and shared-lineage inputs — and must plan as the
+  * custom exec with no WindowExec and no union. */
+class AsOfMergeJoinSpec extends SparkSpec with Matchers {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def randomSides(seed: Int, nl: Int, nr: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rng = new Random(seed)
+    def key() = if (rng.nextInt(12) == 0) null
+      else java.lang.Long.valueOf(rng.nextInt(40).toLong)
+    def ts() = if (rng.nextInt(15) == 0) null
+      else java.lang.Long.valueOf(rng.nextInt(1000).toLong)
+    val left = (0 until nl).map(i => (i.toLong, key(), ts())).toDF("lid", "k", "t")
+    // tie-free right side: one row per (key, ts) — the determinism
+    // precondition every as-of formulation shares
+    val right = (0 until nr).map(i => (key(), ts(), i.toDouble))
+      .filter { case (k, t, _) => k != null && t != null }
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "t", "v")
+    (left, right)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  for (seed <- Seq(1, 2, 3)) {
+    test(s"merge == union+window on random data with nulls (seed=$seed)") {
+      val (left, right) = randomSides(seed, 300, 200)
+      val want = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+        .select("lid", "k", "t", "asof_v")
+      val got = AsOfJoin.asOfMerge(left, right, "k", "t", Seq("v"))
+        .select("lid", "k", "t", "asof_v")
+      got.schema.fieldNames shouldBe want.schema.fieldNames
+      canon(got) shouldBe canon(want)
+      got.count() shouldBe left.count() // left-outer: every left row survives
+    }
+  }
+
+  test("shared-lineage sides (self as-of) work and match the window form") {
+    import spark.implicits._
+    val ev = (0 until 400).map { i =>
+      (i.toLong, (i % 17).toLong, (i * 7 % 500).toLong, if (i % 3 == 0) "a" else "b")
+    }.toDF("id", "k", "t", "side")
+    val l = ev.filter($"side" === "a").select($"id", $"k", $"t")
+    val r = ev.filter($"side" === "b")
+      .groupBy($"k", $"t").agg(max($"id").as("rid")) // tie-free
+    val want = AsOfJoin.asOf(l, r, "k", "t", Seq("rid")).select("id", "asof_rid")
+    val got = AsOfJoin.asOfMerge(l, r, "k", "t", Seq("rid")).select("id", "asof_rid")
+    canon(got) shouldBe canon(want)
+  }
+
+  test("multiple carried columns, including one that is NULL on the matched row") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 10L, null.asInstanceOf[java.lang.Double], "x"),
+                (1L, 15L, java.lang.Double.valueOf(2.0), "y"))
+      .toDF("k", "t", "v", "tag")
+    val got = AsOfJoin.asOfMerge(l, r, "k", "t", Seq("v", "tag"))
+      .orderBy($"k", $"t").collect()
+    // (1,10) matches the ts=10 row: v stays NULL (the matched ROW wins,
+    // not the latest non-null value), tag = x
+    got(0).isNullAt(2) shouldBe true
+    got(0).getString(3) shouldBe "x"
+    // (1,20) matches ts=15
+    got(1).getDouble(2) shouldBe 2.0
+    got(1).getString(3) shouldBe "y"
+    // key 2 has no right rows
+    got(2).isNullAt(2) shouldBe true
+    got(2).isNullAt(3) shouldBe true
+  }
+
+  test("plans as AsOfMergeJoin: no WindowExec, no Union, two child sorts") {
+    val (left, right) = randomSides(9, 500, 300)
+    val df = AsOfJoin.asOfMerge(left, right, "k", "t", Seq("v"))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val p = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    withClue(p) {
+      p should include("AsOfMergeJoin")
+      p should not include "Window"
+      p should not include "Union"
+    }
+  }
+
+  test("empty right side: all matches NULL, all left rows kept") {
+    import spark.implicits._
+    val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "t")
+    val r = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val got = AsOfJoin.asOfMerge(l, r, "k", "t", Seq("v"))
+    got.count() shouldBe 2
+    got.filter(col("asof_v").isNull).count() shouldBe 2
+  }
+}
