@@ -96,6 +96,27 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("pre-partitioned + pre-sorted inputs: EnsureRequirements adds NO exchange and NO sort") {
+    val (left, right) = randomSides(21, 400, 300)
+    val lp = left.repartition(col("k")).sortWithinPartitions(col("k"), col("t"))
+    val rp = right.repartition(col("k")).sortWithinPartitions(col("k"), col("t"))
+    val df = AsOfJoin.asOfMerge(lp, rp, "k", "t", Seq("v"))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val p = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    withClue(p) {
+      // exactly the two explicit repartition exchanges and two explicit
+      // sorts — the operator's requirements are satisfied and elided
+      // (alias-aware: the right side is renamed inside asOfMerge)
+      "Exchange".r.findAllIn(p).size shouldBe 2
+      "Sort \\[".r.findAllIn(p).size shouldBe 2
+      p should include("AsOfMergeJoin")
+    }
+    // and the result still matches the window form
+    canon(df.select("lid", "asof_v")) shouldBe
+      canon(AsOfJoin.asOf(left, right, "k", "t", Seq("v")).select("lid", "asof_v"))
+  }
+
   test("empty right side: all matches NULL, all left rows kept") {
     import spark.implicits._
     val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "t")
