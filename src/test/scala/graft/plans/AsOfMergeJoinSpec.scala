@@ -117,6 +117,27 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
       canon(AsOfJoin.asOf(left, right, "k", "t", Seq("v")).select("lid", "asof_v"))
   }
 
+  test("AQE coalesces both children consistently (asymmetric side sizes, many shuffle partitions)") {
+    import spark.implicits._
+    // zipPartitions requires equal partition counts; this pins that AQE's
+    // CoalesceShufflePartitions treats the exec's two shuffles as ONE
+    // coalesce group even when the sides' data volumes differ by 100x.
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "37")
+      val left = spark.range(100000).select(
+        (col("id") % 500).as("k"), (col("id") % 1000).as("t"), col("id").as("lid"))
+      val right = spark.range(1000).select(
+        (col("id") % 500).as("k"), (col("id") % 97).as("t"), (col("id") * 2).as("rid"))
+        .groupBy("k", "t").agg(max("rid").as("rid"))
+      val got = AsOfJoin.asOfMerge(left, right, "k", "t", Seq("rid"))
+      got.count() shouldBe 100000
+      // spot-check against the window form
+      canon(got.select("lid", "asof_rid")) shouldBe
+        canon(AsOfJoin.asOf(left, right, "k", "t", Seq("rid")).select("lid", "asof_rid"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("empty right side: all matches NULL, all left rows kept") {
     import spark.implicits._
     val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "t")
