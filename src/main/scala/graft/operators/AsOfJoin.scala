@@ -112,6 +112,27 @@ object AsOfJoin {
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
   }
 
+  /** [[asOfWithin]] on the physical-merge path: the matched right
+    * timestamp rides along as one more carried column, and the staleness
+    * mask applies map-side on top of [[asOfMerge]]'s output — API symmetry
+    * so callers can pick the plan form independently of the freshness
+    * rule. */
+  def asOfMergeWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      maxAge: Column): DataFrame = {
+    val withTs = right.withColumn("_asof_rts", col(tsCol))
+    val joined = asOfMerge(left, withTs, keyCol, tsCol, valueCols :+ "_asof_rts")
+    val fresh = col("asof__asof_rts").isNotNull &&
+      col(tsCol) <= col("asof__asof_rts") + maxAge
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop("asof__asof_rts")
+  }
+
   /** As-of join with a STALENESS bound: matches older than `maxAge` are
     * nulled — "the latest right row within the last hour", the freshness
     * rule every feature-store lookup needs (an unbounded as-of happily

@@ -463,6 +463,57 @@ object StreamingQueries {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming AS-OF enrichment (feature-store lookup on a stream): each
+    * streamed purchase picks up the user's latest prior view — per
+    * micro-batch, a batch-mode as-of against the STATIC deduped view table
+    * inside `foreachBatch`. Because the right side is static and as-of is a
+    * per-left-row function, the result is batching-independent by
+    * construction (same argument as q119's sink); enriched batches land in
+    * a parquet spool and are aggregated after the drain. The oracle is the
+    * same DuckDB ASOF LEFT JOIN as q135 aggregated identically — stream
+    * drain == batch as-of, the q77 stream-static claim extended to the
+    * as-of operator. */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-asof-spool").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val views = QueryRegistry.events(ss, dir) // ts nanos→timestamp, like the stream side
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("view_value"))
+    val enrich: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.AsOfJoin.asOf(batch, views, "user_id", "ts", Seq("view_value"))
+        .write.mode("append").parquet(out)
+    val q = eventsStream(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch(enrich)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-asof").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("asof_view_value")).as("n_matched"),
+        CoreQueries.dsum(col("asof_view_value")).as("sum_matched_value"))
+      .orderBy(col("user_decile"))
+  }
+
+  val streamAsofEnrichOracle: String =
+    s"""WITH v AS (
+       |  SELECT user_id, ts, max(value) AS view_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+       |), e AS (
+       |  SELECT p.user_id, v.view_value AS asof_view_value
+       |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+       |)
+       |SELECT user_id % 10 AS user_decile, count(*) AS n_purchases,
+       |  count(asof_view_value) AS n_matched,
+       |  ${CoreQueries.dsumSql("asof_view_value")} AS sum_matched_value
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
@@ -475,5 +526,6 @@ object StreamingQueries {
     Q("q78_stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
     Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)),
     Q("q102_stream_hll", streamHll, Some(streamHllOracle)),
-    Q("q119_stream_fw_sink", streamToFixedWidth, Some(streamToFixedWidthOracle)))
+    Q("q119_stream_fw_sink", streamToFixedWidth, Some(streamToFixedWidthOracle)),
+    Q("q136_stream_asof_enrich", streamAsofEnrich, Some(streamAsofEnrichOracle)))
 }

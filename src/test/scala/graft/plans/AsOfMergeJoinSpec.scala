@@ -138,6 +138,16 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  test("asOfMergeWithin == asOfWithin (staleness masking on the physical path)") {
+    import spark.implicits._
+    val (left, right) = randomSides(31, 250, 150)
+    val want = AsOfJoin.asOfWithin(left, right, "k", "t", Seq("v"), lit(50L))
+      .select("lid", "asof_v")
+    val got = AsOfJoin.asOfMergeWithin(left, right, "k", "t", Seq("v"), lit(50L))
+      .select("lid", "asof_v")
+    canon(got) shouldBe canon(want)
+  }
+
   test("empty right side: all matches NULL, all left rows kept") {
     import spark.implicits._
     val l = Seq((1L, 1L), (2L, 2L)).toDF("k", "t")
