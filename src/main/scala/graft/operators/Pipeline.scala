@@ -91,6 +91,44 @@ object Pipeline {
       .drop("_keep")
   }
 
+  /** Temperature-flattened source mixture (the pretraining-mix standard:
+    * keep counts k_i ∝ n_i^alpha, alpha ∈ (0,1] — 1 keeps natural
+    * proportions, smaller alpha flattens toward uniform so low-resource
+    * sources punch above their byte count), scaled to `totalTarget` rows
+    * and capped at n_i. Selection within a source is the smallest-mix64
+    * rank (the same deterministic permutation as [[stratifiedExact]] —
+    * retry/repartition-proof). The per-source count table is collected and
+    * normalized ON THE DRIVER in source-sorted order: it is bounded by the
+    * source vocabulary (tiny by construction), and the ordered fold makes
+    * the double normalization deterministic and SQL-replayable. One tiny
+    * agg + one broadcast join + one rank window per source — the corpus
+    * never shuffles except for the per-source ranking, and monster sources
+    * can pre-shard exactly like stratifiedExact's scaladoc describes.
+    * `sourceCol` must be a string column. */
+  def temperatureMixture(
+      df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, totalTarget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // deterministic fold order (and the oracle's ORDER BY)
+    val ws = counts.map { case (s, n) => (s, n, math.pow(n.toDouble, alpha)) }
+    val totW = ws.foldLeft(0.0)(_ + _._3)
+    val ks = ws.map { case (s, n, w) =>
+      (s, math.min(n, math.floor(totalTarget.toDouble * w / totW).toLong))
+    }.toSeq
+    val kDf = ks.toDF(sourceCol, "_k")
+    val rank = Window.partitionBy(col(sourceCol))
+      .orderBy(Hashing.mix64Col(col(idCol)), col(idCol))
+    df.join(broadcast(kDf), sourceCol)
+      .withColumn("_rk", row_number().over(rank))
+      .filter(col("_rk") <= col("_k"))
+      .drop("_rk", "_k")
+  }
+
   /** Concat-and-chunk sequence packing (the standard pretraining layout):
     * within each shard, rows ordered by id form one virtual token stream,
     * and each row joins the pack its FIRST token lands in:

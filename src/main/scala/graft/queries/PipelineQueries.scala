@@ -319,6 +319,47 @@ object PipelineQueries {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Temperature-flattened mixture (alpha = 0.5, target 300 docs): keep
+    * counts ∝ √n_i — the low-resource-source upweighting every multilingual
+    * pretraining mix uses. The driver-side normalization folds weights in
+    * source order, so the oracle replays it EXACTLY: DuckDB's list_reduce
+    * over `list(w ORDER BY source)` is the same 0.0-seeded left fold, and
+    * pow/division/floor are IEEE-identical. Selection replays the mix64
+    * rank, as q57. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Pipeline.temperatureMixture(table(spark, dir, "documents"),
+        "doc_id", "source", alpha = 0.5, totalTarget = 300L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"doc_id").cast("long").as("sum_ids"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixtureOracle: String = {
+    val sortKey = DuckHashSql.signedSql(DuckHashSql.mix64Sql("doc_id::HUGEINT", "0"))
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n, pow(n::DOUBLE, 0.5) AS w FROM c
+       |), tot AS (
+       |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY source)),
+       |    (a, b) -> a + b) AS totw FROM w
+       |), k AS (
+       |  SELECT source, least(n, floor(300.0 * w / totw)::BIGINT) AS k
+       |  FROM w CROSS JOIN tot
+       |), r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY $sortKey, doc_id) AS rk
+       |  FROM documents
+       |), s AS (
+       |  SELECT r.source, doc_id FROM r JOIN k USING (source) WHERE rk <= k
+       |)
+       |SELECT source, count(*) AS n_kept, cast(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q59
   /** Sequence packing to a 512-token budget, sharded 4 ways by hash bucket
     * (each (lang, shard) is an independent token stream, as multi-worker
@@ -713,6 +754,7 @@ object PipelineQueries {
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
+    Q("q137_temperature_mixture", temperatureMixture, Some(temperatureMixtureOracle)),
     Q("q59_sequence_packing", sequencePacking, Some(sequencePackingOracle)),
     Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
     Q("q67_bloom_join", bloomJoin, Some(bloomJoinOracle)),

@@ -43,6 +43,41 @@ class PipelineSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("temperatureMixture: k_i ∝ n_i^alpha scaled to target, capped at n_i, deterministic") {
+    import spark.implicits._
+    // deliberately skewed sources: 700 / 200 / 60 / 40
+    val skewed = (0 until 1000).map { i =>
+      val s = if (i < 700) "web" else if (i < 900) "books" else if (i < 960) "code" else "law"
+      (i.toLong, s)
+    }.toDF("id", "source")
+    val out = Pipeline.temperatureMixture(skewed, "id", "source", alpha = 0.5, totalTarget = 300L)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Map("web" -> 700L, "books" -> 200L, "code" -> 60L, "law" -> 40L)
+    val totW = n.toSeq.sortBy(_._1).map(c => math.pow(c._2.toDouble, 0.5)).sum
+    n.foreach { case (s, ni) =>
+      val expect = math.min(ni, math.floor(300.0 * math.pow(ni.toDouble, 0.5) / totW).toLong)
+      kept(s) shouldBe expect
+    }
+    // flattening: keep RATE must rise as source size falls
+    val rates = n.map { case (s, ni) => s -> kept(s).toDouble / ni }
+    rates("law") should be > rates("code")
+    rates("code") should be > rates("books")
+    rates("books") should be > rates("web")
+    // determinism under repartition
+    Pipeline.temperatureMixture(skewed.repartition(13), "id", "source", 0.5, 300L)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      out.select("id").collect().map(_.getLong(0)).sorted
+  }
+
+  test("temperatureMixture alpha=1 recovers (floored) natural proportions") {
+    val out = Pipeline.temperatureMixture(corpus, "id", "source", alpha = 1.0, totalTarget = 500L)
+    // every source has ~143 of 1000 rows; alpha=1 keep ≈ 500/7 each
+    val kept = out.groupBy("source").count().collect().map(_.getLong(1))
+    kept.length shouldBe 7
+    all(kept) should (be >= 70L and be <= 72L)
+  }
+
   test("stratifiedExact keeps exactly ceil(n*num/den) rows per stratum") {
     import spark.implicits._
     // strata of deliberately awkward sizes: 7, 333, 660
