@@ -139,6 +139,84 @@ object PipelineQueries {
        |)
        |SELECT lang, count(*) AS n_contaminated FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** Count-based LM novelty scoring — the log-free stand-in for perplexity
+    * filtering (the classic LM-quality gate; real log-prob sums aren't
+    * bit-replayable cross-engine because ln() isn't, so the score is the
+    * MEAN bigram conditional probability instead of the geometric one):
+    * train add-one-smoothed bigram stats on the doc_id%10==0 slice, score
+    * every other doc as avg over its bigrams of
+    * (c(w1 w2)+1)/(c(w1)+V) — all integer-count ratios, summed through the
+    * decimal-cast pattern at 12 dp. Docs with <2 tokens have no bigrams
+    * and drop out of the scoring in BOTH engines (count over existing
+    * rows). Low avg probability = novel/unfamiliar vs the reference slice
+    * — the same split logic as perplexity-band corpus filtering. */
+  def lmNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def psum(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast("decimal(30,12)")).cast("double"), 8)
+    val docs = table(spark, dir, "documents").select($"doc_id", $"lang", $"text")
+    val train = docs.filter($"doc_id" % 10 === 0)
+    val eval = docs.filter($"doc_id" % 10 =!= 0)
+    val uni = train.select(explode(TextFunctions.tokens($"text")).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // V: driver scalar over the tiny vocab table
+    val bi = train.select(explode(Spans.wordGrams($"text", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c2"))
+    val pairs = eval
+      .select($"doc_id", $"lang", explode(Spans.wordGrams($"text", 2)).as("g"))
+      .withColumn("w1", substring_index($"g", " ", 1))
+    val perDoc = pairs
+      .join(bi, Seq("g"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select($"doc_id", $"lang",
+        ((coalesce($"c2", lit(0L)) + 1).cast("double") /
+          (coalesce($"c1", lit(0L)) + vocab).cast("double")).as("p"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_pairs"), psum($"p").as("sum_p"))
+      .withColumn("avg_p", round($"sum_p" / $"n_pairs".cast("double"), 9))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"avg_p" < 0.031, 1)).as("n_novel"),
+        round(max($"avg_p"), 9).as("max_avg_p"))
+      .orderBy($"lang")
+  }
+
+  val lmNoveltyOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, u.tok, u.ord FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
+      |), tr AS (
+      |  SELECT * FROM toks WHERE doc_id % 10 = 0
+      |), ev AS (
+      |  SELECT * FROM toks WHERE doc_id % 10 <> 0
+      |), uni AS (
+      |  SELECT tok AS w1, count(*) AS c1 FROM tr GROUP BY 1
+      |), v AS (
+      |  SELECT count(*) AS vocab FROM uni
+      |), bi AS (
+      |  SELECT a.tok || ' ' || b.tok AS g, count(*) AS c2
+      |  FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      |  GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id, a.lang, a.tok AS w1, a.tok || ' ' || b.tok AS g
+      |  FROM ev a JOIN ev b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      |), perdoc AS (
+      |  SELECT p.doc_id, p.lang, count(*) AS n_pairs,
+      |    round(cast(sum(cast(
+      |      (coalesce(c2, 0) + 1)::DOUBLE / (coalesce(c1, 0) + vocab)::DOUBLE
+      |    AS decimal(30,12))) AS double), 8) AS sum_p
+      |  FROM pairs p LEFT JOIN bi USING (g) LEFT JOIN uni USING (w1) CROSS JOIN v
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT lang, round(sum_p / n_pairs::DOUBLE, 9) AS avg_p FROM perdoc
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  count(CASE WHEN avg_p < 0.031 THEN 1 END) AS n_novel,
+      |  round(max(avg_p), 9) AS max_avg_p
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q48
   /** HyperLogLog distinct 3-grams per language (p=8, 256 registers) next to
     * the exact count. The Spark side sketches WITHOUT any distinct shuffle
@@ -749,6 +827,7 @@ object PipelineQueries {
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
