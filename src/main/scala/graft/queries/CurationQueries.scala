@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import QueryRegistry.table
+
+/** Corpus-curation lanes a training-data pipeline runs between raw ingest
+  * and batch assembly: sliding-window document chunking, event
+  * sessionization, character-distribution quality stats, asymmetric
+  * containment near-dup, deterministic per-group sampling, and a
+  * padding-waste audit for length-bucketed batching. Every lane keeps the
+  * repo's cross-engine conventions: log-free scores (exact integer ratios),
+  * `round(x, 6)` before any filter on a double, explicit BIGINT casts over
+  * DuckDB's HUGEINT `sum()`, and expressions textually identical in both
+  * engines so values hash-match, not just row-count-match.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q139
+  /** Sliding-window document chunking (retrieval / context-window prep):
+    * 40-token chunks at stride 30, trailing partial chunk kept. Purely
+    * map-side — `sequence` + `explode` + `slice` per row, no shuffle at all
+    * (the orderBy is presentation-only; at scale the chunks stream straight
+    * to the sink partitioned as the scan read them). The md5 over the
+    * joined chunk text proves chunk CONTENT is byte-identical cross-engine,
+    * not merely counted. Empty docs still yield one (empty) chunk — the
+    * explode_outer lesson (q131) applied at chunk granularity: a document
+    * must never vanish from per-doc accounting because it is short. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", $"t", explode(sequence(lit(1), size($"t"), lit(30))).as("s"))
+      .select(
+        $"doc_id",
+        expr("cast((s - 1) div 30 AS INT)").as("chunk_idx"),
+        size(slice($"t", $"s", lit(40))).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice($"t", $"s", lit(40)), " ").cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val docChunksOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), c AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t), 30)) AS s FROM toks
+      |)
+      |SELECT doc_id, cast((s - 1) // 30 AS INT) AS chunk_idx,
+      |  cast(len(t[s:s+39]) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(t[s:s+39], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  /** Batch sessionization: the classic gap-threshold reshape (new session
+    * when > 30 min since the user's previous event) via lag + running sum —
+    * the batch twin of the streaming session lanes (q72/q75), which use
+    * state timeouts for the same semantics. ONE shuffle on user_id serves
+    * both windows and the first aggregation (same partitioning); the
+    * per-user summary keeps the checked output compact. At 100 TB this is
+    * the shape that works: sessions never materialize as driver state, and
+    * the window only ever sorts within a user's slice. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val sess = QueryRegistry.events(spark, dir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("t"))
+      .withColumn("pt", lag($"t", 1).over(w))
+      .withColumn("new_s", when($"pt".isNull || $"t" - $"pt" > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(w))
+    sess.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), (max($"t") - min($"t")).as("dur_s"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").cast("long").as("n_events"),
+        max($"n_events").as("max_session_events"),
+        sum($"dur_s").cast("long").as("total_dur_s"),
+        max($"dur_s").as("max_dur_s"))
+      .orderBy($"user_id")
+  }
+
+  val sessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch(date_trunc('second', ts))::BIGINT AS t FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, t,
+      |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      |), s AS (
+      |  SELECT user_id, t,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id) AS session_id
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, session_id, count(*) AS n_events, max(t) - min(t) AS dur_s
+      |  FROM s GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  cast(sum(n_events) AS BIGINT) AS n_events,
+      |  max(n_events) AS max_session_events,
+      |  cast(sum(dur_s) AS BIGINT) AS total_dur_s,
+      |  max(dur_s) AS max_dur_s
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  /** Character-distribution quality stats: per-doc distinct character count
+    * and collision probability Σ(cᵢ/m)² over the lowercased,
+    * whitespace-stripped text — the log-free stand-in for character entropy
+    * (collision probability is the exponential of −Rényi-2 entropy, monotone
+    * against it, and an exact integer ratio, so it hash-matches where
+    * `ln`-based Shannon entropy would drift an ulp between libm builds —
+    * the q39/q124 argument). Gibberish and repeated-character spam score
+    * high; natural text sits low. The position explode fans out ×n_chars but
+    * stays map-side; the only shuffles are the two skinny doc-keyed
+    * aggregations. */
+  def charStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chars = table(spark, dir, "documents")
+      .select($"doc_id", regexp_replace(lower($"text"), "\\s", "").as("s"))
+      .filter(length($"s") > 0)
+      .select($"doc_id", $"s", explode(sequence(lit(1), length($"s"))).as("i"))
+      .select($"doc_id", expr("substr(s, i, 1)").as("ch"))
+    chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").cast("long").as("m"),
+        count(lit(1)).as("distinct_chars"),
+        round(
+          sum($"c" * $"c").cast("double") /
+            (sum($"c").cast("double") * sum($"c").cast("double")), 6).as("collision_p"))
+      .orderBy($"doc_id")
+  }
+
+  val charStatsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '\s', '', 'g') AS s FROM documents
+      |), pos AS (
+      |  SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+      |  FROM d WHERE length(s) > 0
+      |), ch AS (
+      |  SELECT doc_id, substr(s, i, 1) AS ch FROM pos
+      |), c AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
+      |)
+      |SELECT doc_id, cast(sum(c) AS BIGINT) AS m, count(*) AS distinct_chars,
+      |  round(cast(sum(c * c) AS DOUBLE) /
+      |    (cast(sum(c) AS DOUBLE) * cast(sum(c) AS DOUBLE)), 6) AS collision_p
+      |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Asymmetric shingle-containment near-dup: |A∩B| / |A| ≥ 0.3 — catches
+    * SUBSET duplication (a document quoted inside a larger one) that
+    * symmetric Jaccard (q51) dilutes below threshold. The Spark side is the
+    * SCALE shape: explode distinct 3-grams, equi-join on the gram, count
+    * per ordered pair — candidate generation is gram-bucketed, never
+    * all-pairs, and at 100 TB the gram would be `xxhash64(gram)` to shrink
+    * shuffle width (q47's note). The oracle restates it as pairwise
+    * `list_intersect` over the same bounded id range, proving the join-
+    * count form computes exactly the set intersection. */
+  def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = table(spark, dir, "documents")
+      .filter($"doc_id" < 200)
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("gram"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_a"))
+    val inter = grams.select($"doc_id".as("id_a"), $"gram")
+      .join(grams.select($"doc_id".as("id_b"), $"gram"), Seq("gram"))
+      .filter($"id_a" =!= $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select($"doc_id".as("id_a"), $"n_a")), "id_a")
+      .withColumn("containment", round($"n_inter".cast("double") / $"n_a", 6))
+      .filter($"containment" >= 0.3)
+      .select($"id_a", $"id_b", $"n_inter", $"n_a", $"containment")
+      .orderBy($"containment".desc, $"id_a", $"id_b")
+      .limit(100)
+  }
+
+  val shingleContainmentOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE doc_id < 200
+      |), grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.g, b.g)) AS n_inter, len(a.g) AS n_a
+      |  FROM grams a, grams b
+      |  WHERE a.doc_id != b.doc_id AND len(list_intersect(a.g, b.g)) > 0
+      |)
+      |SELECT id_a, id_b, cast(n_inter AS BIGINT) AS n_inter,
+      |  cast(n_a AS BIGINT) AS n_a,
+      |  round(cast(n_inter AS DOUBLE) / n_a, 6) AS containment
+      |FROM pairs
+      |WHERE round(cast(n_inter AS DOUBLE) / n_a, 6) >= 0.3
+      |ORDER BY containment DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Deterministic k-per-group sample: rank by md5 of the id within each
+    * source and keep the first 5 — a seeded reservoir sample that is (a)
+    * reproducible across runs and engines (md5 is the shared determinism
+    * primitive, q43), (b) uniform because md5 order is independent of
+    * id order, and (c) one window shuffle on a key with bounded groups.
+    * This is how an eval/holdout split gets carved from a 100 TB corpus
+    * without a global sort: the rank prunes to k·|groups| rows before
+    * anything wide happens. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+    table(spark, dir, "documents")
+      .select($"source", $"doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"source", $"rk")
+  }
+
+  val groupSampleOracle: String =
+    """SELECT source, doc_id, cast(rk AS INT) AS rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  /** Power-of-two length bucket, shared verbatim by both engines. */
+  private val BucketCase =
+    """CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      | WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      | WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+      | ELSE 1024 END""".stripMargin.replace("\n", "")
+
+  // ---------------------------------------------------------------- q144
+  /** Padding-waste audit for length-bucketed batching: assign each document
+    * to the smallest power-of-two token bucket and measure what fraction of
+    * every batch would be pad tokens — the number that decides bucket
+    * boundaries before a packing run (q59 is the packer; this is its
+    * planning query). Map-side bucket math + one tiny aggregation; the
+    * CASE ladder is a shared string constant so the bucket boundaries
+    * cannot drift between the Spark plan and the oracle. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("bucket", expr(BucketCase))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("sum_tokens"),
+        sum($"bucket" - $"n_tokens").cast("long").as("padding_waste"),
+        round(
+          sum($"bucket" - $"n_tokens").cast("double") /
+            sum($"bucket").cast("double"), 6).as("waste_frac"))
+      .orderBy($"bucket")
+  }
+
+  val paddingWasteOracle: String =
+    s"""WITH t AS (
+       |  SELECT cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT n_tokens, $BucketCase AS bucket FROM t
+       |)
+       |SELECT bucket, count(*) AS n_docs,
+       |  cast(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  cast(sum(bucket - n_tokens) AS BIGINT) AS padding_waste,
+       |  round(cast(sum(bucket - n_tokens) AS DOUBLE) /
+       |    cast(sum(bucket) AS DOUBLE), 6) AS waste_frac
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
+    Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
+    Q("q141_char_stats", charStats, Some(charStatsOracle)),
+    Q("q142_shingle_containment", shingleContainment, Some(shingleContainmentOracle)),
+    Q("q143_group_sample", groupSample, Some(groupSampleOracle)),
+    Q("q144_padding_waste", paddingWaste, Some(paddingWasteOracle)))
+}

@@ -16,7 +16,7 @@ object QueryRegistry {
   def all: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       PipelineQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      StreamingQueries.all ++ MultimodalQueries.all
+      StreamingQueries.all ++ MultimodalQueries.all ++ CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.queries.CurationQueries
+
+/** Contract tests for the curation lanes (q139–q144) on hand-built
+  * fixtures where every expected value is computable by eye — the
+  * cross-engine value checks live in the DuckDB oracle gate; these pin the
+  * SEMANTICS: chunk tiling, session splitting, collision-probability math,
+  * containment asymmetry, sample determinism, bucket boundaries. */
+class CurationQueriesSpec extends SparkSpec with Matchers {
+
+  /** Write tiny documents/events parquet fixtures once, shaped like the
+    * driver's testdata (events.ts is INT64 nanoseconds, the post-nanosAsLong
+    * representation QueryRegistry.events expects). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-curation-fixture").toString
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "web", 22L),
+      (1L, (1 to 70).map(i => s"t$i").mkString(" "), "en", "web", 0L),
+      (2L, "aa bb", "de", "books", 5L),
+      (3L, "x y z w", "en", "books", 7L),
+      (4L, "x y z w extra tokens here", "en", "web", 25L),
+      (5L, "solo", "fr", "code", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // one user, two sessions (gap 3900 s > 1800 s); ts in nanoseconds
+    Seq(
+      (1L, 0L, 7L, "view", 1.0, "{}"),
+      (2L, 100L * 1000000000L, 7L, "view", 1.0, "{}"),
+      (3L, 4000L * 1000000000L, 7L, "view", 1.0, "{}"),
+      (4L, 4100L * 1000000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("docChunks tiles every document: 70 tokens -> 40/40/10 at stride 30") {
+    val rows = CurationQueries.docChunks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.filter(_._1 == 1L) shouldBe Array((1L, 0, 40L), (1L, 1, 40L), (1L, 2, 10L))
+    // every doc yields at least one chunk, chunk 0 first
+    rows.groupBy(_._1).keySet shouldBe Set(0L, 1L, 2L, 3L, 4L, 5L)
+    rows.filter(_._2 == 0).map(_._1).sorted shouldBe Array(0L, 1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("sessionize splits on the 30-min gap and sums durations per user") {
+    val r = CurationQueries.sessionize(spark, dir).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(0) shouldBe 7L // user_id
+    row.getLong(1) shouldBe 2L // n_sessions
+    row.getLong(2) shouldBe 4L // n_events
+    row.getLong(3) shouldBe 2L // max_session_events
+    row.getLong(4) shouldBe 200L // total_dur_s = 100 + 100
+    row.getLong(5) shouldBe 100L // max_dur_s
+  }
+
+  test("charStats: 'aa bb' -> m=4, 2 distinct chars, collision 0.5") {
+    val r = CurationQueries.charStats(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    r(2L) shouldBe ((4L, 2L, 0.5))
+    // repeated-char doc scores higher than varied text
+    r(2L)._3 should be > r(1L)._3
+  }
+
+  test("shingleContainment is asymmetric: quoted doc hits 1.0 toward its superset") {
+    val rows = CurationQueries.shingleContainment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // doc 3 ("x y z w") fully contained in doc 4 -> containment 1.0
+    rows((3L, 4L)) shouldBe 1.0
+    // reverse direction is diluted: 2 shared grams of doc 4's 5 grams
+    rows((4L, 3L)) shouldBe 0.4
+  }
+
+  test("groupSample keeps at most 5 per source, ranks contiguous, deterministic") {
+    val out = CurationQueries.groupSample(spark, dir)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      g.length should be <= 5
+      g.map(_._3).sorted shouldBe (1 to g.length).toArray
+    }
+    CurationQueries.groupSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))) shouldBe rows
+  }
+
+  test("paddingWaste bucket boundaries: 4 tokens -> 16-bucket, waste 12") {
+    val byBucket = CurationQueries.paddingWaste(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 0 (4 tok), 2 (2), 3 (4), 5 (1), 4 (7) all fit the 16 bucket
+    val (nDocs16, sumTok16, waste16) = byBucket(16)
+    nDocs16 shouldBe 5L
+    sumTok16 shouldBe (4L + 2L + 4L + 1L + 7L)
+    waste16 shouldBe (5L * 16L - sumTok16)
+    // doc 1 (70 tokens) lands in the 128 bucket
+    byBucket(128) shouldBe ((1L, 70L, 58L))
+  }
+}
