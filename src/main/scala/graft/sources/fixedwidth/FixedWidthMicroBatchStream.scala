@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -101,6 +101,19 @@ final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: I
   * Per-trigger work: ONE directory listing diffed against the in-memory
   * seen-set (rebuilt from the compacting log on restart); the offset itself
   * is a sequence number.
+  *
+  * Admission control (`SupportsAdmissionControl`): `maxFilesPerTrigger`,
+  * `maxRecordsPerTrigger` and `maxBytesPerTrigger` bound each micro-batch —
+  * on a 100 TB backfill, admitting the whole backlog as ONE batch pins the
+  * full dataset into a single trigger's shuffle/state footprint; chunked
+  * admission keeps per-batch memory and checkpoint commit latency flat.
+  * Because records are fixed-length, `maxRecordsPerTrigger` is EXACT at
+  * file granularity (records-per-file = bytes / recordLength, no sampling
+  * or estimation), something a delimited format cannot promise without
+  * reading the data. Under `Trigger.AvailableNow`
+  * (`SupportsTriggerAvailableNow`) the backlog is SNAPSHOTTED at query
+  * start and drained in limit-sized batches; files arriving mid-drain wait
+  * for the next query run — Spark file-source parity.
   */
 class FixedWidthMicroBatchStream(
     opts: FixedWidthOptions,
@@ -109,7 +122,7 @@ class FixedWidthMicroBatchStream(
     conf: Configuration,
     checkpointLocation: String,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val log = new FixedWidthFileLog(new Path(checkpointLocation, "graft-file-log"), conf)
 
@@ -117,6 +130,33 @@ class FixedWidthMicroBatchStream(
   private var curSeq: Long = log.latestSeq()
   private val seen: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set.empty ++ log.allSeenUpTo(curSeq).keySet
+
+  private def posLongOpt(k: String): Option[Long] =
+    Option(tableOptions.get(k)).map { v =>
+      val n =
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"fixedwidth: option '$k' must be a positive integer, got '$v'")
+        }
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"fixedwidth: option '$k' must be a positive integer, got '$v'")
+      n
+    }
+
+  private val maxFilesPerTrigger: Option[Int] = posLongOpt("maxFilesPerTrigger").map { n =>
+    if (n > Int.MaxValue)
+      throw new IllegalArgumentException(s"fixedwidth: 'maxFilesPerTrigger' too large: $n")
+    n.toInt
+  }
+  private val maxRecordsPerTrigger: Option[Long] = posLongOpt("maxRecordsPerTrigger")
+  private val maxBytesPerTrigger: Option[Long] = posLongOpt("maxBytesPerTrigger")
+
+  /** Backlog snapshot for Trigger.AvailableNow: fixed at query start, so the
+    * drain has a definite end even while files keep landing. */
+  private var availableNowBacklog: Option[Vector[(String, Long)]] = None
 
   /** Directory-pruned listing: files whose `col=value` path can never match
     * the pushed filters are not even admitted to the file log — on a
@@ -130,17 +170,79 @@ class FixedWidthMicroBatchStream(
 
   override def initialOffset(): Offset = FixedWidthStreamOffset(0L)
 
-  override def latestOffset(): Offset = synchronized {
-    val fresh = snapshot().filterNot { case (p, _) => seen.contains(p) }
-    if (fresh.nonEmpty) {
+  /** Unseen files in deterministic (path) order — admission order must not
+    * depend on filesystem listing order or a batch boundary would move
+    * between runs of the same backlog. */
+  private def freshFiles(): Vector[(String, Long)] =
+    snapshot().filterNot { case (p, _) => seen.contains(p) }.toVector.sortBy(_._1)
+
+  /** Prefix of `files` admissible under `limit`; always at least one file
+    * when any are pending (a single file larger than the cap must still make
+    * progress — Spark file-source semantics). */
+  private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] = {
+    // a strict PREFIX under the cap (not best-fit): admission must cut at the
+    // first rejected file or batch boundaries would depend on later entries
+    def capped(cap: Long, weight: ((String, Long)) => Long): Vector[(String, Long)] = {
+      var out = Vector.empty[(String, Long)]
+      var sum = 0L
+      var done = false
+      files.foreach { f =>
+        val w = weight(f)
+        if (!done && (out.isEmpty || sum + w <= cap)) { out :+= f; sum += w }
+        else done = true
+      }
+      out
+    }
+    limit match {
+      case _: ReadAllAvailable => files
+      case l: ReadMaxFiles => files.take(l.maxFiles)
+      case l: ReadMaxRows => capped(l.maxRows, f => f._2 / opts.recordLength)
+      case l: ReadMaxBytes => capped(l.maxBytes, _._2)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(files)((acc, l) => admissible(l, acc))
+      case _ => files // ReadMinRows etc.: no deferral semantics for files — admit
+    }
+  }
+
+  private def admit(files: Vector[(String, Long)]): Unit = {
+    if (files.nonEmpty) {
+      val fresh = files.toMap
       curSeq += 1
       val compact = log.isCompact(curSeq)
       if (compact) log.write(curSeq, log.allSeenUpTo(curSeq - 1) ++ fresh, compact = true)
       else log.write(curSeq, fresh, compact = false)
       seen ++= fresh.keySet
     }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)),
+      maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)),
+      maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowBacklog = Some(freshFiles())
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val pending = availableNowBacklog match {
+      // AvailableNow: never look at the filesystem again — drain the snapshot
+      case Some(b) => b.filterNot { case (p, _) => seen.contains(p) }
+      case None => freshFiles()
+    }
+    admit(admissible(limit, pending))
     FixedWidthStreamOffset(curSeq)
   }
+
+  override def latestOffset(): Offset =
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
 
   override def deserializeOffset(json: String): Offset = FixedWidthStreamOffset.fromJson(json)
 

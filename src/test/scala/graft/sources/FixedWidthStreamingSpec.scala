@@ -124,4 +124,88 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     logText should include("p=p1")
     logText should include("p=p0")
   }
+
+  /** Write `n` single-file fixed-width batches of `recs` 10-byte records each. */
+  private def writeFiles(dir: String, n: Int, recs: Int): Unit = {
+    import spark.implicits._
+    (0 until n).foreach { f =>
+      (0 until recs).map(i => f"f$f%02dr$i%05d").toDF("value").coalesce(1)
+        .write.format("fixedwidth").option("recordLength", 10).mode("append").save(dir)
+    }
+  }
+
+  /** Drain under AvailableNow with the given reader options; return
+    * (rows delivered, number of data micro-batches). */
+  private def drainCounted(data: String, opts: Map[String, String]): (Long, Int) = {
+    val ckpt = Files.createTempDirectory("graft-admission-ckpt").toString
+    val out = Files.createTempDirectory("graft-admission-out").toString
+    var reader = spark.readStream.format("fixedwidth").option("recordLength", 10)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(data)
+      .select(col("value").cast("string").as("value"))
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.read.parquet(out).count(), batches)
+  }
+
+  test("maxFilesPerTrigger chunks the AvailableNow backlog into per-file batches") {
+    val data = Files.createTempDirectory("graft-admission-files").toString
+    writeFiles(data, n = 3, recs = 10)
+    val (rows, batches) = drainCounted(data, Map("maxFilesPerTrigger" -> "1"))
+    rows shouldBe 30L
+    batches shouldBe 3 // one data micro-batch per file
+    // without admission options the same backlog is ONE batch (default path)
+    val data2 = Files.createTempDirectory("graft-admission-files2").toString
+    writeFiles(data2, n = 3, recs = 10)
+    drainCounted(data2, Map.empty) shouldBe ((30L, 1))
+  }
+
+  test("maxRecordsPerTrigger admits a strict file prefix under the exact record count") {
+    val data = Files.createTempDirectory("graft-admission-recs").toString
+    writeFiles(data, n = 3, recs = 10)
+    // 25-record cap: files of 10 records each -> batch1 = 2 files, batch2 = 1
+    val (rows, batches) = drainCounted(data, Map("maxRecordsPerTrigger" -> "25"))
+    rows shouldBe 30L
+    batches shouldBe 2
+    // a cap smaller than one file still makes progress (one file per batch)
+    val data2 = Files.createTempDirectory("graft-admission-recs2").toString
+    writeFiles(data2, n = 2, recs = 10)
+    drainCounted(data2, Map("maxRecordsPerTrigger" -> "3")) shouldBe ((20L, 2))
+  }
+
+  test("maxBytesPerTrigger + composite with maxFilesPerTrigger: tightest limit wins") {
+    val data = Files.createTempDirectory("graft-admission-bytes").toString
+    writeFiles(data, n = 4, recs = 10) // 100 bytes per file
+    // 250-byte cap -> 2 files per batch; composite with maxFiles=1 -> 1 per batch
+    drainCounted(data, Map("maxBytesPerTrigger" -> "250")) shouldBe ((40L, 2))
+    val data2 = Files.createTempDirectory("graft-admission-bytes2").toString
+    writeFiles(data2, n = 4, recs = 10)
+    drainCounted(data2,
+      Map("maxBytesPerTrigger" -> "250", "maxFilesPerTrigger" -> "1")) shouldBe ((40L, 4))
+  }
+
+  test("admission options validate: non-positive or junk values fail fast") {
+    val data = Files.createTempDirectory("graft-admission-bad").toString
+    writeFiles(data, n = 1, recs = 1)
+    def startWith(k: String, v: String) = {
+      val ex = intercept[Exception] {
+        val q = spark.readStream.format("fixedwidth").option("recordLength", 10)
+          .option(k, v).load(data)
+          .writeStream.format("memory").queryName(s"bad_${k}_${v.hashCode.abs}")
+          .option("checkpointLocation", Files.createTempDirectory("graft-bad-ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // the root IllegalArgumentException may arrive wrapped by the stream runner
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+      msgs(ex).mkString(" ") should include(s"'$k' must be a positive integer")
+    }
+    startWith("maxFilesPerTrigger", "0")
+    startWith("maxRecordsPerTrigger", "-5")
+    startWith("maxBytesPerTrigger", "ten")
+  }
 }
