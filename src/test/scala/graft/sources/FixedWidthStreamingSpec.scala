@@ -125,20 +125,24 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     logText should include("p=p0")
   }
 
-  /** Write `n` single-file fixed-width batches of `recs` 10-byte records each. */
-  private def writeFiles(dir: String, n: Int, recs: Int): Unit = {
+  /** Write `n` single-file fixed-width batches of `recs` 10-byte records
+    * each, file ids starting at `from` so successive calls stay distinct. */
+  private def writeFiles(dir: String, n: Int, recs: Int, from: Int = 0): Unit = {
     import spark.implicits._
-    (0 until n).foreach { f =>
+    (from until from + n).foreach { f =>
       (0 until recs).map(i => f"f$f%02dr$i%05d").toDF("value").coalesce(1)
         .write.format("fixedwidth").option("recordLength", 10).mode("append").save(dir)
     }
   }
 
   /** Drain under AvailableNow with the given reader options; return
-    * (rows delivered, number of data micro-batches). */
-  private def drainCounted(data: String, opts: Map[String, String]): (Long, Int) = {
-    val ckpt = Files.createTempDirectory("graft-admission-ckpt").toString
-    val out = Files.createTempDirectory("graft-admission-out").toString
+    * (rows delivered, number of data micro-batches). Pass `into` to reuse a
+    * (checkpoint, output) pair across runs — i.e. a query RESTART. */
+  private def drainCounted(data: String, opts: Map[String, String],
+      into: Option[(String, String)] = None): (Long, Int) = {
+    val (ckpt, out) = into.getOrElse((
+      Files.createTempDirectory("graft-admission-ckpt").toString,
+      Files.createTempDirectory("graft-admission-out").toString))
     var reader = spark.readStream.format("fixedwidth").option("recordLength", 10)
     opts.foreach { case (k, v) => reader = reader.option(k, v) }
     val q = reader.load(data)
@@ -207,5 +211,26 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     startWith("maxFilesPerTrigger", "0")
     startWith("maxRecordsPerTrigger", "-5")
     startWith("maxBytesPerTrigger", "ten")
+  }
+
+  test("admission-controlled drain resumes across restarts without duplication") {
+    val data = Files.createTempDirectory("graft-admission-restart").toString
+    val ckpt = Files.createTempDirectory("graft-admission-restart-ckpt").toString
+    val out = Files.createTempDirectory("graft-admission-restart-out").toString
+    val target = Some((ckpt, out))
+    val limits = Map("maxFilesPerTrigger" -> "2")
+
+    writeFiles(data, n = 4, recs = 10)
+    drainCounted(data, limits, target) shouldBe ((40L, 2)) // 4 files, 2 per batch
+
+    // files landing AFTER the first drain: a restarted query on the same
+    // checkpoint must admit exactly the unseen files (seen-set rebuilt from
+    // the compacting log), never re-deliver, and still chunk under the cap
+    writeFiles(data, n = 3, recs = 10, from = 4)
+    val (rows, batches) = drainCounted(data, limits, target)
+    rows shouldBe 70L // cumulative output: 40 prior + 30 new, no duplicates
+    batches shouldBe 2 // the 3 NEW files as 2+1 under maxFilesPerTrigger=2
+    val vals = spark.read.parquet(out).select("value").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    vals.distinct.length shouldBe 70 // every record distinct => nothing replayed
   }
 }
