@@ -87,6 +87,34 @@ object Similarity {
         round(col("p._1"), 6).as("cosine"))
   }
 
+  /** Semantic decontamination score: for every corpus vector, the maximum
+    * cosine to ANY vector of a (small, broadcast) benchmark set. The n-gram
+    * decontamination semi-join catches verbatim leakage; this catches
+    * paraphrased leakage the lexical match misses.
+    *
+    * Scale shape: the benchmark side broadcasts (eval suites are thousands
+    * of rows, not millions), the corpus is streamed ONCE computing all
+    * |bench| cosines map-side inside the broadcast-join task, and the
+    * per-id max is a partial-then-final aggregate — the shuffle carries one
+    * (id, max_cos) row per corpus vector, never the |corpus|x|bench| pair
+    * rows. Downstream a threshold turns the score into a keep/drop
+    * decision; keeping the raw max lets one corpus pass serve any
+    * threshold sweep. */
+  def cosineContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val b = benchmark.select(col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_nrm"))
+      .crossJoin(broadcast(b))
+      .select(col("id"),
+        (dot(col("c_vec"), col("b_vec")) / (col("c_nrm") * col("b_nrm"))).as("cos"))
+      .groupBy(col("id"))
+      .agg(max(col("cos")).as("max_cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes, materialized DRIVER-SIDE as
     * literal coefficient arrays and folded into the plan as constants.
     * (Deriving each coefficient from xxhash64 per row — the first version —

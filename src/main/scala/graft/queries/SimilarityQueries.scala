@@ -396,6 +396,40 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Semantic (embedding-level) benchmark decontamination — the paraphrase
+    * complement to q47's verbatim shingle semi-join: docs whose embedding
+    * lands within cosine 0.3 of ANY benchmark vector are flagged, counted
+    * per source. Benchmark = vec_id < 20 (a fixed small eval set),
+    * corpus = the rest; doc_id aligns with vec_id 1:1. One corpus pass
+    * (bench broadcast), per-doc max-cos shuffled skinny, then a tiny
+    * per-source rollup. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val scored = Similarity.cosineContamination(
+      embs.filter(col("vec_id") >= 20), embs.filter(col("vec_id") < 20),
+      "vec_id", "embedding")
+    scored.join(table(spark, dir, "documents"), scored("id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("max_cos") >= 0.3, 1)).as("n_contaminated"),
+        round(max(col("max_cos")), 6).as("top_cos"))
+      .orderBy(col("source"))
+  }
+
+  val semanticDecontamOracle: String =
+    s"""WITH bench AS (
+       |  SELECT embedding FROM embeddings WHERE vec_id < 20
+       |), scored AS (
+       |  SELECT c.vec_id, max(${cosSql("c.embedding", "b.embedding")}) AS max_cos
+       |  FROM embeddings c CROSS JOIN bench b
+       |  WHERE c.vec_id >= 20 GROUP BY 1
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  count(CASE WHEN s.max_cos >= 0.3 THEN 1 END) AS n_contaminated,
+       |  round(max(s.max_cos), 6) AS top_cos
+       |FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -406,5 +440,6 @@ object SimilarityQueries {
     Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)),
     Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     Q("q111_knn_pq", knnPq, Some(knnPqOracle)),
-    Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)))
+    Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),
+    Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)))
 }
