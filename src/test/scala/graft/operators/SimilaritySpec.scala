@@ -167,6 +167,26 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be >= 0.7
   }
 
+  test("cosineContamination: planted-cluster members score ~1 vs their base, noise stays low") {
+    // benchmark = the first vector of each planted cluster; corpus = the rest
+    val bench = corpus.filter(col("vec_id") % 10 === 0 && col("cluster") >= 0)
+    val rest = corpus.filter(!(col("vec_id") % 10 === 0 && col("cluster") >= 0))
+    val scored = Similarity.cosineContamination(rest, bench, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Number]("id").longValue -> r.getAs[Double]("max_cos")).toMap
+    scored.size shouldBe rest.count()
+    // same-cluster variants sit within small noise of their benchmark base
+    (0 until 10).flatMap(c => (1 until 10).map(v => c * 10L + v)).foreach { id =>
+      scored(id) should be > 0.98
+    }
+    // random noise vectors never approach a benchmark direction
+    (200L until 300L).foreach { id => scored(id) should be < 0.9 }
+    // exact self-duplicate scores 1 up to the sqrt rounding of dot/(|v|·|v|)
+    val dup = corpus.filter(col("vec_id") === 0).withColumn("vec_id", lit(999L))
+    val one = Similarity.cosineContamination(dup, bench, "vec_id", "embedding")
+      .collect().head.getAs[Double]("max_cos")
+    one shouldBe 1.0 +- 1e-12
+  }
+
   test("PQ rejects a dim not divisible into m subspaces") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnProductQuantized(corpus, corpus.limit(1), "vec_id", "embedding",
