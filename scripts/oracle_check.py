@@ -70,6 +70,11 @@ def main():
         # driver's (r7 shipped "132/132" locally; driver failed 5).
         import decimal
         def fam(col):
+            # an all-NULL column has no observable family (a NULL Decimal
+            # arrives as object-of-None while DuckDB renders float64 NaN) —
+            # wildcard it; the value compare still demands null==null
+            if col.isna().all():
+                return "null"
             k = col.dtype.kind if hasattr(col.dtype, "kind") else "O"
             f = {"i": "int", "u": "int", "f": "float", "b": "bool",
                  "M": "datetime", "m": "timedelta"}.get(k, "object")
@@ -81,7 +86,9 @@ def main():
                 return "float"
             return f
         dtype_mis = [f"{c}(spark={g[c].dtype},duck={e[c].dtype})"
-                     for c in g.columns if fam(g[c]) != fam(e[c])]
+                     for c in g.columns
+                     if fam(g[c]) != fam(e[c])
+                     and "null" not in (fam(g[c]), fam(e[c]))]
         if dtype_mis:
             results[name] = f"DTYPE_MISMATCH cols={dtype_mis}"
             continue
@@ -89,7 +96,9 @@ def main():
         for c in g.columns:
             gc, ec = g[c], e[c]
             try:
-                if fam(gc) == "float":
+                if gc.isna().all() and ec.isna().all():
+                    ok = True  # all-NULL both sides: renderings differ (None vs NaN) but values agree
+                elif fam(gc) == "float" or fam(ec) == "float":
                     # exact float equality (post-coercion) — no tolerance;
                     # the repo's doubles are bit-identical by design
                     ok = ((gc.isna() & ec.isna()) |

@@ -40,7 +40,14 @@ object Bench {
     val budget = 1600
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var len = 0
-    for (e <- byCost if len + e.length + 1 < budget) { kept += e; len += e.length + 1 }
+    // strict PREFIX of the by-cost ranking: stop at the first entry over
+    // budget (a guard-only filter would drop an expensive long-named lane
+    // yet keep cheaper short-named ones after it)
+    var cut = false
+    for (e <- byCost if !cut) {
+      if (len + e.length + 1 < budget) { kept += e; len += e.length + 1 }
+      else cut = true
+    }
     val note = if (kept.size < results.size)
       s""","queries_shown":${kept.size},"queries_total":${results.size}""" else ""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$note,"sf":"$sfDir"}""")

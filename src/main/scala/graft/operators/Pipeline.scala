@@ -112,9 +112,13 @@ object Pipeline {
     require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val raw = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1) // deterministic fold order (and the oracle's ORDER BY)
+    // a NULL source would NPE the sort, skew totW, then silently drop out at
+    // the inner join below — fail loudly instead of mis-sharing the budget
+    require(raw.forall(_._1 != null),
+      s"temperatureMixture: NULL '$sourceCol' rows cannot take a mixture share; filter or impute upstream")
+    val counts = raw.sortBy(_._1) // deterministic fold order (and the oracle's ORDER BY)
     val ws = counts.map { case (s, n) => (s, n, math.pow(n.toDouble, alpha)) }
     val totW = ws.foldLeft(0.0)(_ + _._3)
     val ks = ws.map { case (s, n, w) =>

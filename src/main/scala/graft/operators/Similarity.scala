@@ -105,8 +105,10 @@ object Similarity {
       benchmark: DataFrame,
       idCol: String,
       vecCol: String): DataFrame = {
+    // the id is only a group key — keep its input type (a cast("long") here
+    // would NULL out string ids and silently collapse the corpus to one row)
     val b = benchmark.select(col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
-    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("c_vec"),
+    corpus.select(col(idCol).as("id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_nrm"))
       .crossJoin(broadcast(b))
       .select(col("id"),

@@ -143,7 +143,12 @@ case class AsOfMergeJoinExec(
               val kc = keyOrd.compare(rKeyRow, lKeyRow)
               if (kc < 0) {
                 advanceRight(); continue = rRow != null // right row's key already passed
-              } else if (kc == 0 && !rTsRow.isNullAt(0) && !lTsRow.isNullAt(0) &&
+              } else if (kc == 0 && rTsRow.isNullAt(0)) {
+                // NULL-ts right rows match NOTHING (r.ts <= l.ts is never
+                // true for NULL) and sort FIRST in the key group — skip, or
+                // they'd stall the scan and mask every later match
+                advanceRight(); continue = rRow != null
+              } else if (kc == 0 && !lTsRow.isNullAt(0) &&
                   tsOrd.compare(rTsRow, lTsRow) <= 0) {
                 matchKey = rKeyRow // already a private copy
                 matchVals = rValProj(rRow).copy()

@@ -27,8 +27,10 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
     val left = (0 until nl).map(i => (i.toLong, key(), ts())).toDF("lid", "k", "t")
     // tie-free right side: one row per (key, ts) — the determinism
     // precondition every as-of formulation shares
+    // NULL-ts right rows stay IN: the declarative form filters them before
+    // the union, and the physical merge must skip them identically
     val right = (0 until nr).map(i => (key(), ts(), i.toDouble))
-      .filter { case (k, t, _) => k != null && t != null }
+      .filter { case (k, _, _) => k != null }
       .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
       .toDF("k", "t", "v")
     (left, right)
@@ -81,6 +83,22 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
     // key 2 has no right rows
     got(2).isNullAt(2) shouldBe true
     got(2).isNullAt(3) shouldBe true
+  }
+
+  test("a NULL-ts right row never masks later matches for its key") {
+    import spark.implicits._
+    // NULL ts sorts FIRST within the key group (Ascending NullsFirst): the
+    // merge scan must skip it, not stall on it — r.ts <= l.ts is never true
+    // for NULL, so semantically the row does not exist (declarative parity)
+    val l = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, null.asInstanceOf[java.lang.Long], 9.0),
+                (1L, java.lang.Long.valueOf(5L), 1.0),
+                (2L, null.asInstanceOf[java.lang.Long], 7.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOfMerge(l, r, "k", "t", Seq("v"))
+      .orderBy($"k").collect()
+    got(0).getDouble(2) shouldBe 1.0 // (1,10) matches ts=5, not blocked
+    got(1).isNullAt(2) shouldBe true // key 2 has only the NULL-ts row
   }
 
   test("plans as AsOfMergeJoin: no WindowExec, no Union, two child sorts") {
