@@ -87,6 +87,35 @@ object Similarity {
         round(col("p._1"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training pairs: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the near-miss negatives that carry the gradient signal, vs the easy
+    * negatives uniform sampling returns. Same scale shape as
+    * [[knnBruteForce]]: queries broadcast, one corpus pass, label filter
+    * applied BEFORE the pair rows exist (inside the broadcast-join task),
+    * bounded per-query top-k so the shuffle carries O(Q·k) rows. Label
+    * comparison is null-safe: a NULL label counts as its own class, so
+    * NULL-labeled rows are negatives for every labeled query and vice
+    * versa. Self-pairs drop out via the label condition (a row shares its
+    * own label). */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("q_lbl"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
+    val e = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(labelCol).as("e_lbl"),
+      col(vecCol).as("e_vec"), norm(col(vecCol)).as("e_nrm"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(!(col("e_lbl") <=> col("q_lbl")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("e_vec")) / (col("q_nrm") * col("e_nrm"))).as("cos"))
+    topKPerGroup(sims, k)
+  }
+
   /** Semantic decontamination score: for every corpus vector, the maximum
     * cosine to ANY vector of a (small, broadcast) benchmark set. The n-gram
     * decontamination semi-join catches verbatim leakage; this catches

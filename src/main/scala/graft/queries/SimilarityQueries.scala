@@ -430,6 +430,31 @@ object SimilarityQueries {
        |FROM scored s JOIN documents d ON d.doc_id = s.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hard-negative mining (contrastive-pair prep): top-10 most-similar
+    * DIFFERENT-label vectors per query — the near-miss negatives that
+    * matter for embedding training. Labels make self-exclusion implicit
+    * and give the lane a semi-join flavor the plain kNN lanes lack. */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativeMiningOracle: String =
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.label IS DISTINCT FROM q.label
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -441,5 +466,6 @@ object SimilarityQueries {
     Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     Q("q111_knn_pq", knnPq, Some(knnPqOracle)),
     Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),
-    Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)))
+    Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)),
+    Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)))
 }

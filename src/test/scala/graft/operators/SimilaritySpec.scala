@@ -187,6 +187,33 @@ class SimilaritySpec extends SparkSpec with Matchers {
     one shouldBe 1.0 +- 1e-12
   }
 
+  test("hardNegatives: never returns a same-label neighbor, equals kNN over the filtered corpus") {
+    // corpus has cluster labels (-1 for noise); use cluster as the label
+    val queries = corpus.filter(col("vec_id").isin(0, 10, 20))
+    val got = Similarity.hardNegatives(corpus, queries, "vec_id", "embedding", "cluster", k = 5)
+      .collect()
+    got.length shouldBe 15
+    val labelOf = corpus.select(col("vec_id").cast("long"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val q = r.getAs[Number]("query_id").longValue
+      val n = r.getAs[Number]("neighbor_id").longValue
+      labelOf(n) should not be labelOf(q)
+    }
+    // equivalent formulation: brute-force kNN over a pre-filtered corpus
+    queries.collect().map(_.getAs[Number]("vec_id").longValue).foreach { qid =>
+      val want = Similarity.knnBruteForce(
+          corpus.filter(col("cluster") =!= labelOf(qid)),
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getAs[Number]("neighbor_id").longValue,
+          r.getAs[Double]("cosine"))).toSet
+      val have = got.filter(_.getAs[Number]("query_id").longValue == qid)
+        .map(r => (r.getAs[Number]("neighbor_id").longValue,
+          r.getAs[Double]("cosine"))).toSet
+      have shouldBe want
+    }
+  }
+
   test("PQ rejects a dim not divisible into m subspaces") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnProductQuantized(corpus, corpus.limit(1), "vec_id", "embedding",
