@@ -115,6 +115,40 @@ final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: I
   * start and drained in limit-sized batches; files arriving mid-drain wait
   * for the next query run — Spark file-source parity.
   */
+object FixedWidthMicroBatchStream {
+  /** Prefix of `files` admissible under `limit`; always at least one file
+    * when any are pending (a single file larger than the cap must still make
+    * progress — Spark file-source semantics). Pure so the invariants are
+    * property-testable without running a stream. */
+  private[sources] def admissiblePrefix(
+      limit: ReadLimit,
+      files: Vector[(String, Long)],
+      recordLength: Int): Vector[(String, Long)] = {
+    // a strict PREFIX under the cap (not best-fit): admission must cut at the
+    // first rejected file or batch boundaries would depend on later entries
+    def capped(cap: Long, weight: ((String, Long)) => Long): Vector[(String, Long)] = {
+      var out = Vector.empty[(String, Long)]
+      var sum = 0L
+      var done = false
+      files.foreach { f =>
+        val w = weight(f)
+        if (!done && (out.isEmpty || sum + w <= cap)) { out :+= f; sum += w }
+        else done = true
+      }
+      out
+    }
+    limit match {
+      case _: ReadAllAvailable => files
+      case l: ReadMaxFiles => files.take(l.maxFiles)
+      case l: ReadMaxRows => capped(l.maxRows, f => f._2 / recordLength)
+      case l: ReadMaxBytes => capped(l.maxBytes, _._2)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(files)((acc, l) => admissiblePrefix(l, acc, recordLength))
+      case _ => files // ReadMinRows etc.: no deferral semantics for files — admit
+    }
+  }
+}
+
 class FixedWidthMicroBatchStream(
     opts: FixedWidthOptions,
     tableOptions: CaseInsensitiveStringMap,
@@ -176,33 +210,8 @@ class FixedWidthMicroBatchStream(
   private def freshFiles(): Vector[(String, Long)] =
     snapshot().filterNot { case (p, _) => seen.contains(p) }.toVector.sortBy(_._1)
 
-  /** Prefix of `files` admissible under `limit`; always at least one file
-    * when any are pending (a single file larger than the cap must still make
-    * progress — Spark file-source semantics). */
-  private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] = {
-    // a strict PREFIX under the cap (not best-fit): admission must cut at the
-    // first rejected file or batch boundaries would depend on later entries
-    def capped(cap: Long, weight: ((String, Long)) => Long): Vector[(String, Long)] = {
-      var out = Vector.empty[(String, Long)]
-      var sum = 0L
-      var done = false
-      files.foreach { f =>
-        val w = weight(f)
-        if (!done && (out.isEmpty || sum + w <= cap)) { out :+= f; sum += w }
-        else done = true
-      }
-      out
-    }
-    limit match {
-      case _: ReadAllAvailable => files
-      case l: ReadMaxFiles => files.take(l.maxFiles)
-      case l: ReadMaxRows => capped(l.maxRows, f => f._2 / opts.recordLength)
-      case l: ReadMaxBytes => capped(l.maxBytes, _._2)
-      case c: CompositeReadLimit =>
-        c.getReadLimits.foldLeft(files)((acc, l) => admissible(l, acc))
-      case _ => files // ReadMinRows etc.: no deferral semantics for files — admit
-    }
-  }
+  private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] =
+    FixedWidthMicroBatchStream.admissiblePrefix(limit, files, opts.recordLength)
 
   private def admit(files: Vector[(String, Long)]): Unit = {
     if (files.nonEmpty) {

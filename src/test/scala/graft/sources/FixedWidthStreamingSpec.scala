@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
+import graft.sources.fixedwidth.FixedWidthMicroBatchStream
 
 /** The fixedwidth MicroBatchStream: new files = new data, offsets resume
   * from the checkpoint, batch and stream read identical bytes. */
@@ -211,6 +212,45 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     startWith("maxFilesPerTrigger", "0")
     startWith("maxRecordsPerTrigger", "-5")
     startWith("maxBytesPerTrigger", "ten")
+  }
+
+  test("admissiblePrefix invariants hold over randomized backlogs (property rounds)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val rng = new scala.util.Random(0xADA1)
+    def files(n: Int, recLen: Int): Vector[(String, Long)] =
+      (0 until n).map(i => (f"f$i%03d", (rng.nextInt(100) + 1).toLong * recLen)).toVector
+    (1 to 300).foreach { round =>
+      val recLen = rng.nextInt(64) + 1
+      val fs = files(rng.nextInt(30), recLen)
+      val rowCap = (rng.nextInt(400) + 1).toLong
+      val byteCap = (rng.nextInt(400) + 1).toLong * recLen
+      val byFiles = ReadLimit.maxFiles(rng.nextInt(10) + 1)
+      val byRows = ReadLimit.maxRows(rowCap)
+      val byBytes = ReadLimit.maxBytes(byteCap)
+      def run(l: ReadLimit) = FixedWidthMicroBatchStream.admissiblePrefix(l, fs, recLen)
+      withClue(s"round $round recLen=$recLen files=${fs.size}: ") {
+        Seq(byFiles, byRows, byBytes).foreach { l =>
+          val out = run(l)
+          out shouldBe fs.take(out.size) // strict PREFIX, never a re-ordering
+          if (fs.nonEmpty) out should not be empty // min-one-file progress
+        }
+        // caps hold except for the single-oversize-file progress case, and
+        // the prefix is MAXIMAL: the next file would break the cap
+        val rows = run(byRows)
+        val nRows = rows.map(_._2 / recLen).sum
+        if (rows.size > 1) nRows should be <= rowCap
+        if (rows.size < fs.size)
+          (nRows + fs(rows.size)._2 / recLen) should be > rowCap
+        val bytes = run(byBytes)
+        if (bytes.size > 1) bytes.map(_._2).sum should be <= byteCap
+        if (bytes.size < fs.size)
+          (bytes.map(_._2).sum + fs(bytes.size)._2) should be > byteCap
+        // composite == tightest: the fold admits exactly the shortest prefix
+        val comp = run(ReadLimit.compositeLimit(Array(byFiles, byRows, byBytes)))
+        comp.size shouldBe Seq(run(byFiles).size, run(byRows).size, run(byBytes).size).min
+        comp shouldBe fs.take(comp.size)
+      }
+    }
   }
 
   test("admission-controlled drain resumes across restarts without duplication") {
