@@ -52,7 +52,11 @@ object Cardinality {
   def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val (bucket, rho) = bucketAndRho(itemCol, p)
-    df.select(groupCols.map(col) :+ bucket.as("_bucket") :+ rho.as("_rho"): _*)
+    // NULL items are excluded like count_distinct excludes them. Without the
+    // filter a NULL hash yields bucket NULL but rho = 65-p (least() SKIPS
+    // its NULL argument) — a phantom maximal register inflating the estimate
+    df.filter(itemCol.isNotNull)
+      .select(groupCols.map(col) :+ bucket.as("_bucket") :+ rho.as("_rho"): _*)
       .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
       .agg(max(col("_rho")).as("_rho"))
   }

@@ -50,20 +50,27 @@ object Frequency {
   def cmsEstimate(
       probes: DataFrame, itemCol: String, cells: DataFrame,
       depth: Int, wBits: Int): DataFrame = {
-    require(!probes.columns.exists(c => c == "_pc" || c.startsWith("_cms_")),
-      "probe column names _pc and _cms_* are reserved by cmsEstimate")
+    require(!probes.columns.exists(c => c.startsWith("_pc") || c.startsWith("_cms_")),
+      "probe column names _pc* and _cms_* are reserved by cmsEstimate")
     val h = Hashing.hash64Col(col(itemCol))
-    val keyed = probes.withColumn("_pc", explode(array((0 until depth).map { j =>
-      struct(lit(j).as("d"),
-        pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
-    }: _*)))
+    // re-group on a per-ROW tag, not the probe columns: grouping by value
+    // would collapse duplicate probe rows (breaking the every-probe-row-
+    // survives contract) and cannot group map-typed probe columns at all
+    val keyed = probes.withColumn("_pc_row", monotonically_increasing_id())
+      .withColumn("_pc", explode(array((0 until depth).map { j =>
+        struct(lit(j).as("d"),
+          pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
+      }: _*)))
     val c = cells.select(
       col("d").as("_cms_d"), col("bucket").as("_cms_bucket"), col("n").as("_cms_n"))
     val cellSide = if ((depth.toLong << wBits) <= (1L << 22)) broadcast(c) else c
+    val aggs = probes.columns.toIndexedSeq.map(cn => first(col(cn)).as(cn)) :+
+      min(coalesce(col("_cms_n"), lit(0L))).as("cms_est")
     keyed
       .join(cellSide,
         col("_pc.d") === col("_cms_d") && col("_pc.bucket") === col("_cms_bucket"), "left")
-      .groupBy(probes.columns.toIndexedSeq.map(keyed(_)): _*)
-      .agg(min(coalesce(col("_cms_n"), lit(0L))).as("cms_est"))
+      .groupBy(col("_pc_row"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("_pc_row")
   }
 }

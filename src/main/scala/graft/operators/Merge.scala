@@ -26,9 +26,14 @@ object Merge {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas, got ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+      // presence TAG, not key nullability: a NULL-key update row never
+      // equi-joins, and deciding the winner by `_u_key IS NOT NULL` would
+      // replace it with the all-NULL base side of its unmatched join row —
+      // silently destroying the update's values instead of inserting them
+      .withColumn("_u_present", lit(1))
     base.join(u, col(key) === col(s"_u_$key"), "full_outer")
       .select(base.columns.toIndexedSeq.map { c =>
-        when(col(s"_u_$key").isNotNull, col(s"_u_$c")).otherwise(col(c)).as(c)
+        when(col("_u_present").isNotNull, col(s"_u_$c")).otherwise(col(c)).as(c)
       }: _*)
   }
 }

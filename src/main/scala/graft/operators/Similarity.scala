@@ -56,6 +56,11 @@ object Similarity {
     * cross product would move. That is the property that survives a 100×
     * corpus. (score desc, id) is a total order → result identical to the
     * window formulation.
+    *
+    * PRECONDITION (here and in the ANN variants): queries share the corpus
+    * id space — self-matches are excluded by ID equality, so an external
+    * query set must carry ids disjoint from the corpus or a colliding id
+    * would silently drop that one true neighbor.
     */
   def knnBruteForce(
       corpus: DataFrame,
@@ -70,14 +75,18 @@ object Similarity {
     val sims = e.crossJoin(broadcast(q))
       .filter(col("query_id").cast("long") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("e_vec")) / (col("q_nrm") * col("e_nrm"))).as("cos"))
+        (dot(col("q_vec"), col("e_vec")) / nullif(col("q_nrm") * col("e_nrm"), lit(0.0))).as("cos"))
     topKPerGroup(sims, k)
   }
 
-  /** Per-query bounded top-k + rank/rounding shared by exact and ANN kNN. */
+  /** Per-query bounded top-k + rank/rounding shared by exact and ANN kNN.
+    * NULL scores (zero-norm or NULL vectors — the guarded cosine returns
+    * NULL for both) are dropped BEFORE the aggregator: its (Double, Long)
+    * encoder is non-nullable, and a no-cosine pair is not a neighbor. */
   private def topKPerGroup(sims: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(k))
-    sims.groupBy(col("query_id"))
+    sims.filter(col("cos").isNotNull)
+      .groupBy(col("query_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
       .select(
@@ -112,7 +121,7 @@ object Similarity {
     val sims = e.crossJoin(broadcast(q))
       .filter(!(col("e_lbl") <=> col("q_lbl")))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("e_vec")) / (col("q_nrm") * col("e_nrm"))).as("cos"))
+        (dot(col("q_vec"), col("e_vec")) / nullif(col("q_nrm") * col("e_nrm"), lit(0.0))).as("cos"))
     topKPerGroup(sims, k)
   }
 
@@ -128,7 +137,9 @@ object Similarity {
     * (id, max_cos) row per corpus vector, never the |corpus|x|bench| pair
     * rows. Downstream a threshold turns the score into a keep/drop
     * decision; keeping the raw max lets one corpus pass serve any
-    * threshold sweep. */
+    * threshold sweep. A zero-norm or NULL corpus vector yields a NULL
+    * max_cos (no cosine is defined for it) — it still gets its output row,
+    * and a `max_cos >= t` keep/drop predicate treats it as uncontaminated. */
   def cosineContamination(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -141,7 +152,7 @@ object Similarity {
         norm(col(vecCol)).as("c_nrm"))
       .crossJoin(broadcast(b))
       .select(col("id"),
-        (dot(col("c_vec"), col("b_vec")) / (col("c_nrm") * col("b_nrm"))).as("cos"))
+        (dot(col("c_vec"), col("b_vec")) / nullif(col("c_nrm") * col("b_nrm"), lit(0.0))).as("cos"))
       .groupBy(col("id"))
       .agg(max(col("cos")).as("max_cos"))
   }
@@ -229,7 +240,8 @@ object Similarity {
     def banded(df: DataFrame, id: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      df.filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           it.flatMap { case (rid, vec) =>
@@ -309,6 +321,7 @@ object Similarity {
     import spark.implicits._
 
     val typed = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     var cents: Array[Array[Double]] = typed
@@ -342,7 +355,8 @@ object Similarity {
     }.toDF("neighbor_id", "neighbor_vec", "cell")
 
     val probes = broadcast(
-      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Array[Float])]
         .mapPartitions(_.flatMap { case (id, vec) =>
           nearestCellsIn(vec, finalCents, nprobe).map(cell => (id, vec, cell))
@@ -390,6 +404,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
 
@@ -438,6 +453,7 @@ object Similarity {
     // per-query distance tables — m·ksub doubles each, built once driver-side
     // from the (small, broadcastable by contract) query set
     val dts: Array[(Long, Array[Array[Double]])] = queries
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .collect()
@@ -496,6 +512,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
 
@@ -553,6 +570,7 @@ object Similarity {
 
     // per-(query, probed cell) ADC tables: m × ksub doubles each
     val qTables: Array[(Long, Map[Int, Array[Array[Double]]])] = queries
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull) // JVM paths NPE on null vec, non-null Long encoder on null id
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .collect()
@@ -621,6 +639,7 @@ object Similarity {
     // on a real cluster so the sketches survive executor loss
     // (Dedup.truncateLineage).
     val sigs = Dedup.truncateLineage(corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, vec) =>
@@ -663,7 +682,7 @@ object Similarity {
     val b = withNorm.select(col("_id").as("id_b"), col("_v").as("v_b"), col("_n").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
+        (dot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }

@@ -33,6 +33,18 @@ class CardinalitySpec extends SparkSpec with Matchers {
     a.getAs[Long]("n_used") shouldBe b.getAs[Long]("n_used")
   }
 
+  test("NULL items are excluded, matching count_distinct semantics") {
+    import spark.implicits._
+    val clean = (0 until 500).map(i => ("g", Some(s"item-$i")))
+    val withNulls = clean ++ Seq.fill(50)(("g", None: Option[String]))
+    val a = Cardinality.hllDistinct(clean.toDF("g", "item"), Seq("g"), col("item"), p = 8).collect()(0)
+    val b = Cardinality.hllDistinct(withNulls.toDF("g", "item"), Seq("g"), col("item"), p = 8).collect()(0)
+    // without the isNotNull filter the NULL rows minted a phantom maximal
+    // register (bucket NULL, rho 57) inflating both n_used and the estimate
+    b.getAs[Double]("hll_est") shouldBe a.getAs[Double]("hll_est")
+    b.getAs[Long]("n_used") shouldBe a.getAs[Long]("n_used")
+  }
+
   test("register max-merge of two sources equals sketching their union directly") {
     import spark.implicits._
     val a = (0 until 3000).map(i => ("a", s"item-$i"))          // [0, 3000)

@@ -120,6 +120,18 @@ class DedupSpec extends SparkSpec with Matchers {
     drops shouldBe Set(5L, 7L) ++ (11L to 16L) ++ Set(101L)
   }
 
+  test("empty gram arrays: no ANSI 0/0 failure, empty-empty pairs are not duplicates") {
+    import spark.implicits._
+    val grams = Seq(
+      (1L, Seq("x y", "y z")), (2L, Seq.empty[String]), (3L, Seq.empty[String]))
+      .toDF("doc_id", "g")
+    // two docs shorter than the shingle width both produce empty sets:
+    // 0/0 has no value — the pair must be absent, not a job-killing error
+    val pairs = Dedup.jaccardPairs(grams, "doc_id", "g", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not contain ((2L, 3L))
+  }
+
   test("quadratic kernels enforce the bounded-input contract") {
     import spark.implicits._
     val grams = docs.select($"doc_id", Dedup.shingles($"text", 2).as("g"))

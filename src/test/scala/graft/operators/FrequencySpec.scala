@@ -58,6 +58,17 @@ class FrequencySpec extends SparkSpec with Matchers {
     est.head.getLong(1) shouldBe 0L
   }
 
+  test("duplicate probe rows each survive with their own estimate row") {
+    import spark.implicits._
+    val items = Seq("a", "b", "a", "a").toDF("item")
+    val cells = Frequency.cmsCells(items, col("item"), depth, wBits = 16)
+    // a raw probe list with repeats (no unique id column): every ROW must
+    // survive — grouping by probe VALUE would collapse the two "a" rows
+    val out = Frequency.cmsEstimate(Seq("a", "a", "b").toDF("item"), "item", cells, depth, wBits = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    out shouldBe Array(("a", 3L), ("a", 3L), ("b", 1L))
+  }
+
   test("probe columns named d/bucket/n do not collide with the cell side") {
     import spark.implicits._
     val items = Seq("a", "b", "a", "a").toDF("item")

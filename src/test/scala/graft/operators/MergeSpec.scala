@@ -24,6 +24,21 @@ class MergeSpec extends SparkSpec with Matchers {
       (4L, Some("d"), 40.0))
   }
 
+  test("a NULL-key update row INSERTS with its values intact") {
+    import spark.implicits._
+    val base = Seq((Some(1L), Some("a"), 10.0)).toDF("k", "s", "v")
+    val updates = Seq((None: Option[Long], Some("orphan"), 77.0),
+      (Some(1L), Some("a2"), 11.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(base, updates, "k")
+      .collect().map(r => (Option(r.get(0)), Option(r.getString(1)), r.getDouble(2)))
+      .sortBy(_._3)
+    // the NULL key never equi-joins: the row must INSERT as-is, not be
+    // replaced by the all-NULL base side of its unmatched join row
+    out shouldBe Array(
+      (Some(1L), Some("a2"), 11.0),
+      (None, Some("orphan"), 77.0))
+  }
+
   test("schema mismatch fails fast") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("k", "s")

@@ -214,6 +214,25 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("zero-norm and NULL vectors neither crash kNN (ANSI divide) nor rank as neighbors") {
+    import spark.implicits._
+    val zeroed = corpus.union(Seq(
+      (900, Array.fill(dim)(0f), -1),                       // zero norm: cos undefined
+      (901, null.asInstanceOf[Array[Float]], -1)).toDF("vec_id", "embedding", "cluster"))
+    val queries = corpus.filter(col("vec_id") === 0)
+    val out = Similarity.knnBruteForce(zeroed, queries, "vec_id", "embedding", k = 9).collect()
+    out.length shouldBe 9
+    out.map(_.getAs[Number]("neighbor_id").longValue) should contain noneOf (900L, 901L)
+    // a zero-norm QUERY yields no neighbors at all (every cosine undefined)
+    val zq = Seq((902, Array.fill(dim)(0f), -1)).toDF("vec_id", "embedding", "cluster")
+    Similarity.knnBruteForce(corpus, zq, "vec_id", "embedding", k = 3).count() shouldBe 0L
+    // contamination: the zero-norm doc keeps its row, max_cos NULL
+    val scored = Similarity.cosineContamination(
+      zq, corpus.limit(5), "vec_id", "embedding").collect()
+    scored.length shouldBe 1
+    scored.head.isNullAt(1) shouldBe true
+  }
+
   test("PQ rejects a dim not divisible into m subspaces") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnProductQuantized(corpus, corpus.limit(1), "vec_id", "embedding",
