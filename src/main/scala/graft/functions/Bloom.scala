@@ -32,16 +32,25 @@ object Bloom {
   /** Column API: `baseHash` must carry the same base hash the filter was
     * built from (e.g. the raw long key, or hash64 of a string key). */
   def mightContainCol(baseHash: Column, words: Array[Long], mBits: Int, k: Int): Column =
-    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(baseHash), words, mBits, k))
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(baseHash),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(words), mBits, k))
 }
 
 /** Codegen'd Bloom probe; `words`/`mBits`/`k` are plan-time constants (the
-  * word array rides along as a codegen reference object, NOT inlined SQL). */
-case class BloomMightContain(child: Expression, words: Array[Long], mBits: Int, k: Int)
+  * word array rides along as a codegen reference object, NOT inlined SQL).
+  * `words` is an ArraySeq, not a raw Array: case-class equality on an Array
+  * field is reference identity, which would make two probes of the SAME
+  * filter never semanticEquals — defeating subexpression elimination and
+  * exchange reuse for reused subqueries. */
+case class BloomMightContain(
+    child: Expression, words: scala.collection.immutable.ArraySeq[Long], mBits: Int, k: Int)
     extends UnaryExpression {
   require(mBits >= 64 && (mBits & 63) == 0, s"mBits must be a positive multiple of 64, got $mBits")
   require(words.length == mBits / 64, s"words.length ${words.length} != mBits/64 ${mBits / 64}")
   require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  @transient private lazy val wordArr: Array[Long] =
+    words.unsafeArray.asInstanceOf[Array[Long]]
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -49,9 +58,9 @@ case class BloomMightContain(child: Expression, words: Array[Long], mBits: Int, 
       s"bloom_might_contain requires a bigint base hash, got ${child.dataType.catalogString}")
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(input: Any): Any =
-    Bloom.mightContain(words, mBits, k, input.asInstanceOf[Long])
+    Bloom.mightContain(wordArr, mBits, k, input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val w = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.Bloom.mightContain($w, $mBits, $k, $c)")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =

@@ -41,11 +41,14 @@ object TextFunctions {
     round(size(filter(t, x => array_contains(sw, x))).cast("double") / size(t), 6)
   }
 
-  /** Fraction of non-space characters that are punctuation. */
+  /** Fraction of non-space characters that are punctuation. NULL for empty
+    * or whitespace-only text (0/0 — under ANSI mode a bare division aborts
+    * the scan; DuckDB's float division by zero is NULL, so the oracle
+    * agrees). */
   def punctRatio(text: Column): Column = {
     val nonSpace = length(regexp_replace(text, "\\s", ""))
     val punct = length(regexp_replace(regexp_replace(text, "\\s", ""), "[a-zA-Z0-9]", ""))
-    round(punct.cast("double") / nonSpace, 6)
+    round(punct.cast("double") / nullif(nonSpace, lit(0)), 6)
   }
 
   /** Mean token length in characters. */

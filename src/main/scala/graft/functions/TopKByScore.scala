@@ -15,6 +15,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * deterministic regardless of partial-merge order.
   */
 class TopKByScore(k: Int) extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+  require(k >= 1, s"TopKByScore: k must be >= 1, got $k (k=0 would silently return empty top-k)")
 
   private def ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }

@@ -16,7 +16,9 @@ class VectorMean(dim: Int) extends Aggregator[Array[Float], (Array[Double], Long
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
-    require(v.length >= dim, s"VectorMean: vector has ${v.length} dims, expected >= $dim")
+    // exact equality: >= would silently average only the first dim
+    // components of a wider vector — the truncation the doc promises to reject
+    require(v.length == dim, s"VectorMean: vector has ${v.length} dims, expected $dim")
     val s = b._1
     var i = 0
     while (i < dim) { s(i) += v(i).toDouble; i += 1 }

@@ -104,10 +104,19 @@ object AsOfJoin {
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"asOfMerge: column '$name' not found"))
+    // The physical node builds its orderings and hash distribution from the
+    // LEFT types and skips analyzer coercion entirely — an int-vs-bigint key
+    // would hash equal values to different partitions and compare garbage
+    // bytes, silently dropping matches. Demand exact type equality; the
+    // caller casts explicitly (visible in the plan) when sides differ.
+    val (lk, rk) = (attr(lp, keyCol), attr(rp, "_asof_key"))
+    val (lt, rt) = (attr(lp, tsCol), attr(rp, "_asof_ts"))
+    require(lk.dataType == rk.dataType,
+      s"asOfMerge: key types differ (${lk.dataType.sql} vs ${rk.dataType.sql}); cast one side explicitly")
+    require(lt.dataType == rt.dataType,
+      s"asOfMerge: ts types differ (${lt.dataType.sql} vs ${rt.dataType.sql}); cast one side explicitly")
     val node = graft.plans.AsOfMergeJoinNode(
-      lp, rp,
-      attr(lp, keyCol), attr(rp, "_asof_key"),
-      attr(lp, tsCol), attr(rp, "_asof_ts"),
+      lp, rp, lk, rk, lt, rt,
       valueCols.map(c => attr(rp, s"asof_$c")))
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
   }

@@ -112,16 +112,19 @@ case class AsOfMergeJoinExec(
       val outAttrs = lOut ++ rv.map(_.withNullability(true))
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
-      // one-row lookahead over the right side (rows copied: the child's
-      // UnsafeRow buffers are reused across next() calls)
+      // one-row lookahead over the right side. rKeyProj/rTsProj reuse ONE
+      // output buffer across calls, which is fine here: the loop only ever
+      // reads the CURRENT right row's projections, and the one reference
+      // that must outlive an advance (matchKey) is copied at the match site
+      // — copy-on-match instead of two UnsafeRow copies per right row
       var rRow: InternalRow = null
       var rKeyRow: UnsafeRow = null
       var rTsRow: UnsafeRow = null
       def advanceRight(): Unit =
         if (rIter.hasNext) {
           rRow = rIter.next()
-          rKeyRow = rKeyProj(rRow).copy()
-          rTsRow = rTsProj(rRow).copy()
+          rKeyRow = rKeyProj(rRow)
+          rTsRow = rTsProj(rRow)
         } else { rRow = null; rKeyRow = null; rTsRow = null }
       advanceRight()
 
@@ -150,7 +153,7 @@ case class AsOfMergeJoinExec(
                 advanceRight(); continue = rRow != null
               } else if (kc == 0 && !lTsRow.isNullAt(0) &&
                   tsOrd.compare(rTsRow, lTsRow) <= 0) {
-                matchKey = rKeyRow // already a private copy
+                matchKey = rKeyRow.copy() // survives the next advance (shared proj buffer)
                 matchVals = rValProj(rRow).copy()
                 advanceRight(); continue = rRow != null
               } else continue = false // right side is ahead of this left row

@@ -85,6 +85,21 @@ class AsOfMergeJoinSpec extends SparkSpec with Matchers {
     got(2).isNullAt(3) shouldBe true
   }
 
+  test("mismatched key or ts types are rejected loudly (no analyzer coercion on this path)") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "t") // int key
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v") // bigint key
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfMerge(l, r, "k", "t", Seq("v"))
+    }
+    ex.getMessage should include("key types differ")
+    val l2 = Seq((1L, 10)).toDF("k", "t") // int ts
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfMerge(l2, r, "k", "t", Seq("v"))
+    }
+    ex2.getMessage should include("ts types differ")
+  }
+
   test("a NULL-ts right row never masks later matches for its key") {
     import spark.implicits._
     // NULL ts sorts FIRST within the key group (Ascending NullsFirst): the
