@@ -36,7 +36,10 @@ class FixedWidthColumnarReader(
   // Pushed predicates evaluate straight off the record buffer (independent
   // of the pruned output schema — see FixedWidthFilters.compileOnBuffer).
   private val predicates: Array[() => Boolean] =
-    pushedFilters.flatMap(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => recOffset))
+    pushedFilters.map(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => recOffset).getOrElse(
+      // fail LOUDLY: this filter was accepted as fully pushed, so nothing
+      // downstream re-evaluates it — dropping it would silently unfilter
+      throw new IllegalStateException(s"fixedwidth: accepted pushed filter failed to compile: $f")))
   private var skipped = 0L
   private var malformed = 0L
 

@@ -57,18 +57,20 @@ object FixedWidthFilters {
 
   /** compileOnBuffer + the reader-facing malformed policy: under tolerant
     * modes a predicate field whose bytes fail the typed parse evaluates as
-    * SQL NULL (no match) instead of throwing — identical to what Spark would
-    * compute post-scan on the PERMISSIVE-nulled field, and an
-    * already-doomed record under DROPMALFORMED. */
+    * SQL NULL at the LEAF (no match for that comparison) — identical to what
+    * Spark would compute post-scan on the PERMISSIVE-nulled field, and an
+    * already-doomed record under DROPMALFORMED. The NULL must be encoded at
+    * the leaf, not by catching around the whole tree: with a top-level catch
+    * `x > 5 OR y = 2` on a malformed x would skip the record even when the
+    * y arm is TRUE, where Catalyst computes NULL OR TRUE = TRUE. (Leaf
+    * NULL-as-false composes soundly through And/Or — see the Or note in
+    * `supported`.) */
   def compileTolerant(
       f: Filter,
       opts: FixedWidthOptions,
       buf: Array[Byte],
       offset: () => Long): Option[() => Boolean] =
-    compileOnBuffer(f, opts, buf, offset).map { p =>
-      if (!opts.tolerant) p
-      else () => try p() catch { case _: NumberFormatException => false }
-    }
+    compileOnBuffer(f, opts, buf, offset)
 
   /** Compile a pushed filter to a predicate over the reused record buffer.
     * `offset` supplies the current record's byte offset (the synthetic
@@ -85,8 +87,16 @@ object FixedWidthFilters {
 
     def isOffset(name: String): Boolean = name.equalsIgnoreCase(FixedWidthOptions.OffsetCol)
 
+    /** Under tolerant modes a parse failure IS the SQL NULL the decoder
+      * would emit for the field — encoded here at the leaf so And/Or
+      * composition stays Catalyst-exact (NULL OR TRUE = TRUE). */
+    def nullOnMalformed(g: () => java.lang.Integer): () => java.lang.Integer =
+      if (!opts.tolerant) g
+      else () => try g() catch { case _: NumberFormatException => null }
+
     /** Comparator returning sign of (record value - literal), null when the
-      * field is blank (SQL NULL — comparisons never match). */
+      * field is blank (SQL NULL — comparisons never match) or, under
+      * tolerant modes, when its bytes fail the typed parse. */
     def cmp(name: String, value: Any): Option[() => java.lang.Integer] = {
       if (isOffset(name)) {
         val v = value.asInstanceOf[Number].longValue()
@@ -104,8 +114,8 @@ object FixedWidthFilters {
               case n: Number               => n.intValue()
               case _                       => return None
             }
-            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
-              else Integer.valueOf(java.lang.Integer.compare(AsciiParse.parseInt(buf, from, until), v)))
+            Some(nullOnMalformed(() => if (AsciiParse.isBlank(buf, from, until)) null
+              else Integer.valueOf(java.lang.Integer.compare(AsciiParse.parseInt(buf, from, until), v))))
           case "long" | "timestamp" =>
             import org.apache.spark.sql.catalyst.util.DateTimeUtils
             val v: Long = value match {
@@ -115,8 +125,8 @@ object FixedWidthFilters {
               case n: Number                    => n.longValue()
               case _                            => return None
             }
-            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
-              else Integer.valueOf(java.lang.Long.compare(AsciiParse.parseLong(buf, from, until), v)))
+            Some(nullOnMalformed(() => if (AsciiParse.isBlank(buf, from, until)) null
+              else Integer.valueOf(java.lang.Long.compare(AsciiParse.parseLong(buf, from, until), v))))
           case "double" =>
             // Normalize -0.0 to 0.0 on both sides: Double.compare orders
             // -0.0 < 0.0 while Catalyst's primitive comparison treats them
@@ -125,7 +135,7 @@ object FixedWidthFilters {
             // Spark (NaN == greatest).
             val raw = value.asInstanceOf[Number].doubleValue()
             val v = if (raw == 0.0d) 0.0d else raw
-            Some(() => {
+            Some(nullOnMalformed(() => {
               val d = AsciiParse.parseDouble(buf, from, until)
               if (d == null) null
               else {
@@ -133,7 +143,7 @@ object FixedWidthFilters {
                 val rv = if (rv0 == 0.0d) 0.0d else rv0
                 Integer.valueOf(java.lang.Double.compare(rv, v))
               }
-            })
+            }))
           case "string" =>
             val cs = opts.charset
             val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
@@ -159,9 +169,9 @@ object FixedWidthFilters {
               case n: Number               => new java.math.BigDecimal(n.toString)
               case _                       => return None
             }
-            Some(() => if (AsciiParse.isBlank(buf, from, until)) null
+            Some(nullOnMalformed(() => if (AsciiParse.isBlank(buf, from, until)) null
               else Integer.valueOf(
-                AsciiParse.parseDecimal(buf, from, until, prec, scale).toJavaBigDecimal.compareTo(v)))
+                AsciiParse.parseDecimal(buf, from, until, prec, scale).toJavaBigDecimal.compareTo(v))))
           case _ => None
         }
       }
@@ -188,16 +198,30 @@ object FixedWidthFilters {
       }
 
     /** String fields decode to "" (never NULL); numeric fields are NULL iff
-      * blank; offset is never NULL. */
+      * blank — or, under tolerant modes, iff their bytes fail the typed
+      * parse (PERMISSIVE nulls exactly those fields, so a pushed
+      * IsNull/IsNotNull must see the same NULL set as the decoder; judging
+      * by blank alone would keep a malformed row through IS NOT NULL and
+      * then emit it with the field NULL). Offset is never NULL. */
     def isNullPred(name: String, expectNull: Boolean): Option[() => Boolean] = {
       if (isOffset(name)) return Some(() => !expectNull)
       fieldOf(name).map { fs =>
-        fs.ftype match {
-          case "string" => () => !expectNull
-          case _ =>
-            val (from, until) = (fs.start, fs.end)
-            () => AsciiParse.isBlank(buf, from, until) == expectNull
+        val (from, until) = (fs.start, fs.end)
+        def decodesNull(parse: () => Any): () => Boolean =
+          if (!opts.tolerant) () => AsciiParse.isBlank(buf, from, until)
+          else () => AsciiParse.isBlank(buf, from, until) ||
+            (try { parse(); false } catch { case _: NumberFormatException => true })
+        val nullTest: () => Boolean = fs.ftype match {
+          case "string" => () => false
+          case "int" | "date" => decodesNull(() => AsciiParse.parseInt(buf, from, until))
+          case "long" | "timestamp" => decodesNull(() => AsciiParse.parseLong(buf, from, until))
+          case "double" => decodesNull(() => AsciiParse.parseDouble(buf, from, until))
+          case FieldSpec.DecimalRe(pp, ss) =>
+            val (prec, scale) = (pp.toInt, ss.toInt)
+            decodesNull(() => AsciiParse.parseDecimal(buf, from, until, prec, scale))
+          case _ => () => AsciiParse.isBlank(buf, from, until)
         }
+        () => nullTest() == expectNull
       }
     }
 

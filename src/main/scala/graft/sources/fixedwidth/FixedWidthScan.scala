@@ -74,8 +74,26 @@ class FixedWidthScanBuilder(
   //  - no compressed files (on-disk length ≠ record count) and, under
   //    FAILFAST, no truncated tail (the scan must throw, not undercount).
   private lazy val listedFiles = FixedWidthTable.listPartitionedFiles(tableOptions, conf)
+
+  // One prune walk per pushed-filter set: the aggregate-pushdown probes
+  // (countable, grouped counts, min/max preconditions, kept-with-parts) all
+  // ask the same question — without the memo a single COUNT(*) planning
+  // walked the full listing up to four times.
+  private var pruneMemo: Option[(Seq[org.apache.spark.sql.sources.Filter],
+    FixedWidthTable.PruneResult)] = None
+  private def prunedForPushed(): FixedWidthTable.PruneResult = {
+    val key = pushed.toSeq
+    pruneMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+        pruneMemo = Some((key, r))
+        r
+    }
+  }
+
   private lazy val countable: Option[Long] = {
-    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
     if (!res.exact || opts.dropMalformed) None
     else if (res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath))) None
@@ -118,7 +136,7 @@ class FixedWidthScanBuilder(
           _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])) return None
     val fields = groupColsOf(agg).getOrElse(return None)
     if (opts.dropMalformed) return None
-    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    val res = prunedForPushed()
     if (!res.exact) return None
     // need the partition assignment per kept file, not just the status
     val keptPaths = res.kept.map(_.getPath.toString).toSet
@@ -153,7 +171,7 @@ class FixedWidthScanBuilder(
   private var listingCols: Seq[FixedWidthListingCol] = Nil
 
   private def minMaxPreconditionsOk: Boolean = {
-    val res = FixedWidthTable.pruneFiles(listedFiles, opts, pushed)
+    val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
     res.exact && !opts.dropMalformed &&
       !res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath)) &&
@@ -174,7 +192,7 @@ class FixedWidthScanBuilder(
     lazy val keptWithParts: Option[Seq[FixedWidthTable.PartitionedFile]] =
       if (!minMaxPreconditionsOk) None
       else {
-        val keptPaths = FixedWidthTable.pruneFiles(listedFiles, opts, pushed).kept
+        val keptPaths = prunedForPushed().kept
           .map(_.getPath.toString).toSet
         Some(listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString)))
       }
@@ -936,7 +954,10 @@ class FixedWidthPartitionReader(
   // filters are NOT re-evaluated by Spark and their columns may not even be
   // projected. Non-matching records never run a single column decoder.
   private val predicates: Array[() => Boolean] =
-    pushedFilters.flatMap(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => pos))
+    pushedFilters.map(f => FixedWidthFilters.compileTolerant(f, opts, buf, () => pos).getOrElse(
+      // fail LOUDLY: this filter was accepted as fully pushed, so nothing
+      // downstream re-evaluates it — dropping it would silently unfilter
+      throw new IllegalStateException(s"fixedwidth: accepted pushed filter failed to compile: $f")))
 
   // Malformed-record policy (see FixedWidthMalformed). `probes` attempt-parse
   // the typed fields whose malformation the projected decoders would not

@@ -142,7 +142,23 @@ object FixedWidthTable {
   /** Decode a directory value string to its Catalyst value through the same
     * synthetic-record path pruning uses (so "1"/"01" merge, trim applies,
     * blank = NULL). Throws NumberFormatException on foreign garbage. */
-  def decodeDirValue(opts: FixedWidthOptions, f: FieldSpec, raw: String): Any = {
+  /** Driver-side memo for directory-value decodes: callers run per FILE
+    * (grouped counts, keyed groups, partition rows) but a listing has only
+    * as many distinct (field, raw) pairs as leaf directories — without the
+    * cache a 1M-file planning walk allocated a recordLength buffer and a
+    * fresh decoder plan per file per partition column. Failures (over-width
+    * values) are not cached and rethrow on every call, preserving the
+    * NumberFormatException contract. Decoded values are immutable (UTF8String
+    * is cloned off the buffer), so sharing across callers is safe. */
+  private val dirValueCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, FieldSpec, String), Any]()
+
+  def decodeDirValue(opts: FixedWidthOptions, f: FieldSpec, raw: String): Any =
+    dirValueCache.computeIfAbsent(
+      (opts.charset.name, opts.trim, f, raw),
+      _ => decodeDirValueUncached(opts, f, raw))
+
+  private def decodeDirValueUncached(opts: FixedWidthOptions, f: FieldSpec, raw: String): Any = {
     val buf = new Array[Byte](opts.recordLength)
     java.util.Arrays.fill(buf, ' '.toByte)
     val bytes =
@@ -243,9 +259,13 @@ object FixedWidthTable {
         if (!ok) (true, false) // not our writer's layout: keep, record filters decide
         else
           try {
-            val keep = prunable.forall(f =>
-              FixedWidthFilters.compileOnBuffer(f, fwOpts, buf, () => 0L).forall(_.apply()))
-            (keep, coversAll)
+            val compiled = prunable.map(f =>
+              FixedWidthFilters.compileOnBuffer(f, fwOpts, buf, () => 0L))
+            val keep = compiled.forall(_.forall(_.apply()))
+            // an uncompilable filter was never evaluated here: keeping the
+            // file is conservative and correct, but claiming `clean` would
+            // let downstream skip the record-level check it still needs
+            (keep, coversAll && compiled.forall(_.isDefined))
           } catch { case _: NumberFormatException => (true, false) } // unparseable value: keep
       }
     })

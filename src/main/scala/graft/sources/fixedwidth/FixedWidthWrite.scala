@@ -384,16 +384,27 @@ object FixedWidthEncoder {
     * `Integer.parseInt` would also accept signed forms like `+1`) pass
     * through as literal characters. */
   def unescapePartitionValue(v: String): String = {
-    val out = new java.io.ByteArrayOutputStream(v.length)
+    // %XX runs decode as UTF-8 byte sequences; everything else appends at
+    // the CHAR level. Writing non-escaped chars as single bytes (the first
+    // version) truncated chars > 0xFF and mangled raw multi-byte UTF-8 —
+    // Hive/Spark layouts leave non-ASCII unescaped in directory names, and
+    // a mangled value makes pruneFiles wrongly PRUNE matching files.
+    val sb = new java.lang.StringBuilder(v.length)
+    val bytes = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
       if (c == '%' && i + 2 < v.length && isHex(v.charAt(i + 1)) && isHex(v.charAt(i + 2))) {
-        out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
+        bytes.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
         i += 3
-      } else { out.write(c.toInt); i += 1 }
+      } else { flush(); sb.append(c); i += 1 }
     }
-    new String(out.toByteArray, StandardCharsets.UTF_8)
+    flush()
+    sb.toString
   }
 
   private def place(bytes: Array[Byte], buf: Array[Byte], start: Int, width: Int, name: String): Unit = {

@@ -109,6 +109,31 @@ class FixedWidthMalformedSpec extends SparkSpec with Matchers {
     read(dir, "mode" -> "DROPMALFORMED").filter($("price") > 2.0).count() shouldBe 1L // id=4
   }
 
+  test("PERMISSIVE: Or with a malformed arm keeps the row when the other arm is TRUE") {
+    val dir = writePoisoned()
+    val df = read(dir, "mode" -> "PERMISSIVE")
+    // id=2 has qty malformed (NULL): Catalyst computes NULL OR TRUE = TRUE.
+    // Leaf-level NULL encoding must keep it; a catch around the whole
+    // predicate tree would skip the record and silently diverge post-scan.
+    df.filter($("qty") > 0L || $("name") === "cd")
+      .select($("id")).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+    // both arms on malformed fields of the same record: NULL OR NULL filters
+    df.filter($("qty") > 0L || $("price") < 0.0)
+      .select($("id")).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
+
+  test("PERMISSIVE: pushed IsNull/IsNotNull see malformed fields as NULL, like the decoder") {
+    val dir = writePoisoned()
+    val df = read(dir, "mode" -> "PERMISSIVE")
+    // qty is NULL for id=2 (malformed) AND id=4 (blank) — both must match
+    df.filter($("qty").isNull).select($("id")).collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 4L)
+    // IS NOT NULL must exclude the malformed row, not just the blank one
+    df.filter($("qty").isNotNull).select($("id")).collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L)
+    df.filter($("price").isNull).select($("id")).collect().map(_.getLong(0)) shouldBe Array(3L)
+  }
+
   test("option validation: corrupt column needs typed PERMISSIVE and a fresh name") {
     val dir = writePoisoned()
     intercept[IllegalArgumentException](
