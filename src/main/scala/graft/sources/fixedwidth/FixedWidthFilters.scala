@@ -228,6 +228,97 @@ object FixedWidthFilters {
     def fromCmp(name: String, value: Any)(test: Int => Boolean): Option[() => Boolean] =
       cmp(name, value).map(c => () => { val r = c(); r != null && test(r.intValue()) })
 
+    /** In(...) as ONE field parse + O(1) set probe per record. Compiling a
+      * comparator per list element (the first version) re-parsed the same
+      * bytes |values| times per record — on `k IN (<1000 ids>)` that is a
+      * 1000× parse amplification on the per-record hot path. NULL (blank,
+      * or malformed under tolerant modes) never matches, like EqualTo. */
+    def inPred(name: String, vs: Array[Any]): Option[() => Boolean] = {
+      def boolGuard(g: () => Boolean): () => Boolean =
+        if (!opts.tolerant) g
+        else () => try g() catch { case _: NumberFormatException => false }
+      if (isOffset(name)) {
+        val set = new java.util.HashSet[java.lang.Long]()
+        vs.foreach(v => set.add(java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())))
+        return Some(() => set.contains(java.lang.Long.valueOf(offset())))
+      }
+      fieldOf(name).flatMap { fs =>
+        val from = fs.start
+        val until = fs.end
+        fs.ftype match {
+          case "int" | "date" =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val set = new java.util.HashSet[Integer]()
+            vs.foreach { value =>
+              val v: Int = value match {
+                case d: java.sql.Date        => DateTimeUtils.fromJavaDate(d)
+                case ld: java.time.LocalDate => DateTimeUtils.localDateToDays(ld)
+                case n: Number               => n.intValue()
+                case _                       => return None
+              }
+              set.add(Integer.valueOf(v))
+            }
+            Some(boolGuard(() => !AsciiParse.isBlank(buf, from, until) &&
+              set.contains(Integer.valueOf(AsciiParse.parseInt(buf, from, until)))))
+          case "long" | "timestamp" =>
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            val set = new java.util.HashSet[java.lang.Long]()
+            vs.foreach { value =>
+              val v: Long = value match {
+                case t: java.sql.Timestamp        => DateTimeUtils.fromJavaTimestamp(t)
+                case inst: java.time.Instant      => DateTimeUtils.instantToMicros(inst)
+                case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
+                case n: Number                    => n.longValue()
+                case _                            => return None
+              }
+              set.add(java.lang.Long.valueOf(v))
+            }
+            Some(boolGuard(() => !AsciiParse.isBlank(buf, from, until) &&
+              set.contains(java.lang.Long.valueOf(AsciiParse.parseLong(buf, from, until)))))
+          case "double" =>
+            // same -0.0 normalization as cmp; boxed Double equality makes
+            // NaN match NaN, which is Spark's own `=` semantics for doubles
+            val set = new java.util.HashSet[java.lang.Double]()
+            vs.foreach { value =>
+              val raw = value match {
+                case n: Number => n.doubleValue()
+                case _         => return None
+              }
+              set.add(java.lang.Double.valueOf(if (raw == 0.0d) 0.0d else raw))
+            }
+            Some(boolGuard(() => {
+              val d = AsciiParse.parseDouble(buf, from, until)
+              d != null && {
+                val rv0 = d.doubleValue()
+                set.contains(java.lang.Double.valueOf(if (rv0 == 0.0d) 0.0d else rv0))
+              }
+            }))
+          case "string" =>
+            val set = new java.util.HashSet[UTF8String]()
+            vs.foreach(v => set.add(UTF8String.fromString(v.toString)))
+            strGetter(name).map(g => () => set.contains(g()))
+          case FieldSpec.DecimalRe(pp, ss) =>
+            // membership must follow compareTo (scale-agnostic numeric
+            // equality), not BigDecimal.equals — normalize both sides
+            val (prec, scale) = (pp.toInt, ss.toInt)
+            val set = new java.util.HashSet[java.math.BigDecimal]()
+            vs.foreach { value =>
+              val v: java.math.BigDecimal = value match {
+                case b: java.math.BigDecimal => b
+                case b: BigDecimal           => b.bigDecimal
+                case n: Number               => new java.math.BigDecimal(n.toString)
+                case _                       => return None
+              }
+              set.add(v.stripTrailingZeros)
+            }
+            Some(boolGuard(() => !AsciiParse.isBlank(buf, from, until) &&
+              set.contains(AsciiParse.parseDecimal(buf, from, until, prec, scale)
+                .toJavaBigDecimal.stripTrailingZeros)))
+          case _ => None
+        }
+      }
+    }
+
     f match {
       case EqualTo(a, v)            => fromCmp(a, v)(_ == 0)
       case GreaterThan(a, v)        => fromCmp(a, v)(_ > 0)
@@ -236,10 +327,7 @@ object FixedWidthFilters {
       case LessThanOrEqual(a, v)    => fromCmp(a, v)(_ <= 0)
       case IsNotNull(a)             => isNullPred(a, expectNull = false)
       case IsNull(a)                => isNullPred(a, expectNull = true)
-      case In(a, vs) =>
-        val compiled = vs.toSeq.map(v => fromCmp(a, v)(_ == 0))
-        if (compiled.exists(_.isEmpty)) None
-        else Some(() => compiled.exists(_.get()))
+      case In(a, vs) => inPred(a, vs)
       case StringStartsWith(a, v) =>
         val pre = UTF8String.fromString(v)
         strGetter(a).map(g => () => g().startsWith(pre))

@@ -134,6 +134,27 @@ class FixedWidthMalformedSpec extends SparkSpec with Matchers {
     df.filter($("price").isNull).select($("id")).collect().map(_.getLong(0)) shouldBe Array(3L)
   }
 
+  test("pushed In: one-parse set membership keeps EqualTo semantics incl. NULL/malformed") {
+    val dir = writePoisoned()
+    val df = read(dir, "mode" -> "PERMISSIVE")
+    // long In: malformed qty (id=2) and blank qty (id=4) never match
+    df.filter($("qty").isin(10L, 30L, 999L)).select($("id"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // string In compares the TRIMMED decoded value
+    df.filter($("name").isin("ab", "gh")).select($("id"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L)
+    // double In: malformed price (id=3) excluded, exact match only
+    df.filter($("price").isin(2.5, 9.9)).select($("id"))
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+    // decimal In membership is scale-agnostic numeric equality (compareTo,
+    // not BigDecimal.equals): stored 1.50 matches literal 1.5
+    val ddir = tmp()
+    Files.write(JPath.of(ddir, "d.fwb"), "  1.50  2.25".getBytes("US-ASCII"))
+    val dd = spark.read.format("fixedwidth")
+      .option("fields", "d:decimal(4,2):0:6").load(ddir)
+    dd.filter($("d").isin(BigDecimal("1.5"), BigDecimal("7"))).count() shouldBe 1L
+  }
+
   test("option validation: corrupt column needs typed PERMISSIVE and a fresh name") {
     val dir = writePoisoned()
     intercept[IllegalArgumentException](
