@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deterministic distributed Lloyd's k-means over an embedding column, plus
+  * the SemDeDup pruning step that motivates it for training-data curation
+  * (cluster the corpus, then drop near-duplicate members WITHIN each
+  * cluster — Abbas et al. 2023, "SemDeDup": the clustering bounds the pair
+  * expansion that an all-pairs cosine sweep could never afford).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - seeding is a bounded driver pull: the k lowest-id vectors (k × dim
+  *    doubles), the same bounded-centroid pattern as the IVF index
+  *    ([[Similarity]]);
+  *  - each ASSIGNMENT round is map-side only: the k centroids ride into the
+  *    plan as array literals and every row computes k codegen'd squared-L2
+  *    folds ([[graft.functions.FloatSqDist]]) + an argmin — no join, no
+  *    shuffle, one streaming pass over the corpus;
+  *  - each UPDATE round shuffles (cluster, dim) cells — k × dim rows out of
+  *    the partial aggregation, not corpus rows;
+  *  - SemDeDup's pair expansion is an equi-join on the cluster id, so its
+  *    cost is sum(|cluster|²) — operators choose k so clusters stay small
+  *    (the paper uses k ≈ √N to n/1000), never the corpus cross product.
+  *
+  * Determinism, for the cross-engine oracle: seeds are the k lowest ids
+  * (not random), distance folds are left-to-right element order, argmin
+  * tie-breaks on (distance, cluster id), and centroid means fold members in
+  * id order — every step replays identically in DuckDB SQL. At corpus scale
+  * swap the ordered centroid fold for a plain double sum and accept
+  * last-ulp partial-agg drift (same note as SimilarityQueries'
+  * labelCentroids).
+  */
+object KMeans {
+
+  /** Cluster assignments after `rounds` assignment rounds (with a centroid
+    * update between consecutive rounds — `rounds = 2` means assign → update
+    * → assign). Returns (id, cluster, dist): the member's cluster id in
+    * [0, k) keyed by seed order, and its squared-L2 distance to that
+    * centroid. Rows with NULL vectors (or a dimension that matches no
+    * centroid) are dropped — a vector that cannot be scored is not a
+    * cluster member.
+    */
+  def assignments(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"kmeans: k must be >= 1, got $k")
+    require(rounds >= 1, s"kmeans: rounds must be >= 1, got $rounds")
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+
+    // Deterministic seeding: cluster i = the i-th lowest-id vector.
+    // Bounded driver pull (k x dim doubles) — the IVF centroid pattern.
+    var centroids: Seq[(Int, Array[Double])] =
+      rows.orderBy(col("id")).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) =>
+          i -> r.getSeq[Any](1).map {
+            case f: java.lang.Float  => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"kmeans: vector elements must be float/double, got ${other.getClass}")
+          }.toArray
+      }
+
+    def assigned: DataFrame = {
+      // argmin over k codegen'd squared-L2 distances, tie-break on cluster
+      // id: array_sort on struct(d, cluster) is field-lexicographic, so
+      // element 0 is exactly row_number() OVER (ORDER BY d, cid) = 1.
+      val scored = centroids.map { case (cid, c) =>
+        struct(VectorOps.sqDist(col("v"), typedlit(c.toSeq)).as("d"),
+          lit(cid).as("cluster"))
+      }
+      rows.withColumn("best", array_sort(array(scored: _*)).getItem(0))
+        .select(col("id"), col("v"),
+          col("best.cluster").as("cluster"), col("best.d").as("dist"))
+        .filter(col("dist").isNotNull)
+    }
+
+    for (_ <- 1 until rounds) {
+      // Centroid update: mean per (cluster, dim), folding members in id
+      // order so the double sum is reproducible cross-engine. One shuffle
+      // of (cluster, dim) cells; result is a bounded k x dim driver pull.
+      val updated = assigned
+        .select(col("id"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(
+          sort_array(collect_list(struct(col("id"), col("x").cast("double").as("x")))).as("xs"),
+          count(lit(1)).as("n"))
+        .withColumn("m",
+          aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) / col("n"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cluster"), transform(col("ms"), s => s.getField("m")).as("c"))
+        .collect()
+      // Clusters that lost every member simply disappear (same in the SQL
+      // oracle: the update GROUP BY has no row for them).
+      centroids = updated.map(r =>
+          r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+    }
+
+    assigned.select(col("id"), col("cluster"), col("dist"))
+  }
+
+  /** SemDeDup: cluster, then mark within-cluster near-duplicates. A row is
+    * dropped iff some LOWER-id member of its cluster has cosine >=
+    * `threshold` with it (keep-lowest-id — deterministic, and one member of
+    * every duplicate group always survives). Returns
+    * (id, cluster, dist, dropped). Pair expansion is bucketed by cluster —
+    * sum(|cluster|²) work, never corpus all-pairs. */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      threshold: Double): DataFrame = {
+    val asg = assignments(df, idCol, vecCol, k, rounds)
+    val members = asg.join(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+    val a = members.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = members.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val droppedIds = a.join(b,
+        a("cluster") === b("cluster") && col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+        .withColumn("is_dropped", lit(true))
+    asg.join(droppedIds, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dist"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+  }
+}

@@ -455,6 +455,84 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared oracle CTE chain replaying KMeans.assignments(k, rounds = 2)
+    * exactly: lowest-id seeding, squared-L2 folds in element order, argmin
+    * tie-broken on (d, cid), and an id-ordered centroid mean fold — so
+    * cluster ids, memberships AND distances hash-match cross-engine. */
+  private def kmeansCte(k: Int): String = {
+    def sq(e: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), j -> ($e[j] - $c[j]) * ($e[j] - $c[j])))"
+    s"""ex AS (
+       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings
+       |), init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+       |  FROM (SELECT vec_id, e FROM ex ORDER BY vec_id LIMIT $k)
+       |), a0 AS (
+       |  SELECT vec_id, e, cid, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM (SELECT x.vec_id, x.e, i.cid, ${sq("x.e", "i.c")} AS d
+       |          FROM ex x CROSS JOIN init i)
+       |  ) WHERE rn = 1
+       |), up AS (
+       |  SELECT cid, dim,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)), (a, b) -> a + b)
+       |      / count(*) AS m
+       |  FROM (SELECT cid, vec_id, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS x FROM a0)
+       |  GROUP BY cid, dim
+       |), c1 AS (
+       |  SELECT cid, list(m ORDER BY dim) AS c FROM up GROUP BY cid
+       |), a1 AS (
+       |  SELECT vec_id, e, cid, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM (SELECT x.vec_id, x.e, i.cid, ${sq("x.e", "i.c")} AS d
+       |          FROM ex x CROSS JOIN c1 i)
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** Deterministic Lloyd's k-means over the corpus embeddings (k=8, two
+    * assignment rounds) — the clustering stage of SemDeDup-style curation.
+    * Assignment is map-side (centroids ride as plan literals into codegen'd
+    * squared-L2 folds); the update shuffles only (cluster, dim) cells. The
+    * oracle unrolls both rounds, so every membership and distance is
+    * hash-checked cross-engine. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.assignments(
+        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2)
+      .select(col("id").as("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+
+  val kmeansClustersOracle: String =
+    s"""WITH ${kmeansCte(8)}
+       |SELECT vec_id, cast(cid AS INT) AS cluster, round(d, 6) AS dist
+       |FROM a1 ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023): within each k-means cluster, drop every
+    * member that has a LOWER-id near-duplicate (cosine >= 0.35) in the same
+    * cluster. The clustering bounds the pair expansion to sum(|cluster|^2)
+    * — the property that makes semantic dedup affordable at corpus scale —
+    * and keep-lowest-id makes the survivor set deterministic. */
+  def semDeDupPrune(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.semDeDup(
+        table(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 2, threshold = 0.35)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dropped"), 1)).as("n_dropped"))
+      .orderBy(col("cluster"))
+
+  val semDeDupPruneOracle: String =
+    s"""WITH ${kmeansCte(8)},
+       |pairs AS (
+       |  SELECT b.vec_id AS id_b
+       |  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.e", "b.e")} >= 0.35
+       |), dropped AS (SELECT DISTINCT id_b FROM pairs)
+       |SELECT cast(a.cid AS INT) AS cluster, count(*) AS n_docs,
+       |  count(dr.id_b) AS n_dropped
+       |FROM a1 a LEFT JOIN dropped dr ON dr.id_b = a.vec_id
+       |GROUP BY a.cid ORDER BY cluster""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -467,5 +545,7 @@ object SimilarityQueries {
     Q("q111_knn_pq", knnPq, Some(knnPqOracle)),
     Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),
     Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)),
-    Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)))
+    Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)),
+    Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
+    Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)))
 }
