@@ -128,13 +128,21 @@ object FixedWidthTable {
       val globbed = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (globbed.isEmpty)
         throw new IllegalArgumentException(s"fixedwidth: path does not exist: $p")
+      // A LITERAL root's own name never contributes a partition value (a
+      // user pointing at `.../date=2024-01-01` directly has fixed that value
+      // for every file — Spark's own sources behave the same). A GLOB root
+      // (`load("/data/date=*")`) is different: each expanded directory
+      // carries a DIFFERENT value, so its `col=value` segment binds — the
+      // value text also lives in the record bytes (partitionRenderers), so
+      // this only enables pruning, it never changes query output.
+      val isGlob = p.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)
       globbed.flatMap { st =>
-        // The root directory's own name never contributes a partition value
-        // (a user may point at `.../date=2024-01-01` directly — then that
-        // value is already fixed for every file and pruning it is moot).
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _, Map.empty))
-        else Seq(st).filter(isDataFile).map(PartitionedFile(_, Map.empty))
+        if (st.isDirectory) {
+          val seed =
+            if (isGlob) partSegment(st.getPath.getName).fold(Map.empty[String, String])(Map(_))
+            else Map.empty[String, String]
+          fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _, seed))
+        } else Seq(st).filter(isDataFile).map(PartitionedFile(_, Map.empty))
       }
     }
   }
