@@ -84,24 +84,24 @@ object KMeans {
     for (_ <- 1 until rounds) {
       // Centroid update: mean per (cluster, dim), folding members in id
       // order so the double sum is reproducible cross-engine. One shuffle
-      // of (cluster, dim) cells; result is a bounded k x dim driver pull.
-      val updated = assigned
+      // of (cluster, dim) cells; the k x dim mean cells come back as ONE
+      // bounded driver pull and assemble into vectors driver-side (a second
+      // per-cluster shuffle just to collect_list dims would be pure
+      // overhead at any scale).
+      val cells = assigned
         .select(col("id"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(
           sort_array(collect_list(struct(col("id"), col("x").cast("double").as("x")))).as("xs"),
           count(lit(1)).as("n"))
-        .withColumn("m",
-          aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) / col("n"))
-        .groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
-        .select(col("cluster"), transform(col("ms"), s => s.getField("m")).as("c"))
+        .select(col("cluster"), col("dim"),
+          (aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) / col("n")).as("m"))
         .collect()
       // Clusters that lost every member simply disappear (same in the SQL
       // oracle: the update GROUP BY has no row for them).
-      centroids = updated.map(r =>
-          r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).toSeq
+      centroids = cells.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.toSeq.sortBy(_._1)
     }
 
     assigned.select(col("id"), col("cluster"), col("dist"))
