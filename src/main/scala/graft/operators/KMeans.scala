@@ -54,16 +54,20 @@ object KMeans {
     val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
 
-    // Deterministic seeding: cluster i = the i-th lowest-id vector.
-    // Bounded driver pull (k x dim doubles) — the IVF centroid pattern.
+    // Deterministic seeding: cluster i = the i-th lowest-id vector with no
+    // NULL elements (a seed must be scoreable against every row — a NULL
+    // element would NULL every distance). Bounded driver pull (k x dim
+    // doubles) — the IVF centroid pattern.
     var centroids: Seq[(Int, Array[Double])] =
-      rows.orderBy(col("id")).limit(k).collect().toSeq.zipWithIndex.map {
+      rows.filter(forall(col("v"), x => x.isNotNull))
+        .orderBy(col("id")).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, i) =>
           i -> r.getSeq[Any](1).map {
             case f: java.lang.Float  => f.toDouble
             case d: java.lang.Double => d.doubleValue()
             case other => throw new IllegalArgumentException(
-              s"kmeans: vector elements must be float/double, got ${other.getClass}")
+              s"kmeans: vector elements must be float/double, got " +
+                (if (other == null) "NULL" else other.getClass.toString))
           }.toArray
       }
 
@@ -112,7 +116,11 @@ object KMeans {
     * `threshold` with it (keep-lowest-id — deterministic, and one member of
     * every duplicate group always survives). Returns
     * (id, cluster, dist, dropped). Pair expansion is bucketed by cluster —
-    * sum(|cluster|²) work, never corpus all-pairs. */
+    * sum(|cluster|²) work, never corpus all-pairs.
+    *
+    * PRECONDITION: ids are unique (shared with the kNN family) — the
+    * re-join of assignments to vectors and the `id_a < id_b` pair order
+    * both key on it. */
   def semDeDup(
       df: DataFrame,
       idCol: String,

@@ -131,18 +131,36 @@ object FixedWidthTable {
       // A LITERAL root's own name never contributes a partition value (a
       // user pointing at `.../date=2024-01-01` directly has fixed that value
       // for every file — Spark's own sources behave the same). A GLOB root
-      // (`load("/data/date=*")`) is different: each expanded directory
-      // carries a DIFFERENT value, so its `col=value` segment binds — the
-      // value text also lives in the record bytes (partitionRenderers), so
-      // this only enables pruning, it never changes query output.
-      val isGlob = p.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)
+      // (`load("/data/date=*")`, `/data/date=*/hour=3`) is different: the
+      // expanded directories carry DIFFERENT values, so every `col=value`
+      // segment from the first glob segment onward binds (segment-aligned —
+      // Hadoop globs never span '/'; on an alignment miss, fall back to the
+      // matched root's own name). The value text also lives in the record
+      // bytes (partitionRenderers), so this only enables pruning, it never
+      // changes query output.
+      def hasGlobChar(s: String): Boolean = s.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)
+      val patSegs = p.split('/').filter(_.nonEmpty)
+      val firstGlobSeg = patSegs.indexWhere(hasGlobChar)
+      // col=value bindings carried by a matched path's segments from the
+      // first glob segment on; `dirSegments` = how many leading segments of
+      // the matched path are directories (a matched FILE's own name never
+      // binds — only its parents). Alignment miss (exotic glob): for a
+      // directory fall back to its own name, for a file bind nothing.
+      def globBindings(matched: Path, isDir: Boolean): Map[String, String] = {
+        if (firstGlobSeg < 0) return Map.empty
+        val gotSegs = matched.toUri.getPath.split('/').filter(_.nonEmpty)
+        val dirSegs = if (isDir) gotSegs else gotSegs.dropRight(1)
+        if (gotSegs.length == patSegs.length)
+          dirSegs.drop(firstGlobSeg).flatMap(partSegment).toMap
+        else if (isDir) partSegment(matched.getName).toMap
+        else Map.empty
+      }
       globbed.flatMap { st =>
         if (st.isDirectory) {
-          val seed =
-            if (isGlob) partSegment(st.getPath.getName).fold(Map.empty[String, String])(Map(_))
-            else Map.empty[String, String]
+          val seed = globBindings(st.getPath, isDir = true)
           fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _, seed))
-        } else Seq(st).filter(isDataFile).map(PartitionedFile(_, Map.empty))
+        } else Seq(st).filter(isDataFile)
+          .map(f => PartitionedFile(f, globBindings(f.getPath, isDir = false)))
       }
     }
   }

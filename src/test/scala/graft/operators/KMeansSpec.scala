@@ -67,6 +67,20 @@ class KMeansSpec extends SparkSpec with Matchers {
     out.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 4L)
   }
 
+  test("a NULL element disqualifies a row from seeding but only drops that row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null)), // lowest id but unscoreable
+      (2L, Array[java.lang.Float](10.0f, 0.0f)),
+      (3L, Array[java.lang.Float](0.0f, 10.0f)))
+      .toDF("id", "v")
+    val out = KMeans.assignments(df, "id", "v", k = 2, rounds = 2)
+      .orderBy("id").collect()
+    // row 1 is dropped (NULL distance), rows 2 and 3 seed clusters 0 and 1
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
+    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1)
+  }
+
   test("assignment stage is map-side: no Exchange in the assignments plan") {
     val plan = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 2)
       .queryExecution.executedPlan.toString
@@ -100,6 +114,56 @@ class KMeansSpec extends SparkSpec with Matchers {
     val out = KMeans.semDeDup(df, "id", "v", k = 1, rounds = 1, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
     out shouldBe Set((1L, false), (2L, false))
+  }
+
+  test("differential fuzz: assignments equal a bit-exact driver-side Lloyd's") {
+    import spark.implicits._
+    // Reference implementation replicating the operator's contracts in
+    // plain Scala: lowest-id seeding, element-order squared-L2 fold with
+    // float->double widening, (d, cid) argmin tie-break, id-ordered mean
+    // folds. Same IEEE ops on the same values in the same order -> results
+    // must be EXACTLY equal, distances included.
+    def refKMeans(rows: Seq[(Long, Array[Float])], k: Int, rounds: Int): Map[Long, (Int, Double)] = {
+      var cents: Seq[(Int, Array[Double])] =
+        rows.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => i -> v.map(_.toDouble) }
+      def sq(v: Array[Float], c: Array[Double]): Double = {
+        var a = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - c(i); a += d * d; i += 1 }
+        a
+      }
+      def assign(): Map[Long, (Int, Double)] = rows.map { case (id, v) =>
+        val (d, cid) = cents.map { case (cid, c) => (sq(v, c), cid) }.min
+        id -> (cid, d)
+      }.toMap
+      for (_ <- 1 until rounds) {
+        val asg = assign()
+        cents = rows.groupBy(r => asg(r._1)._1).toSeq.map { case (cid, members) =>
+          val sorted = members.sortBy(_._1)
+          val dim = sorted.head._2.length
+          cid -> Array.tabulate(dim) { d =>
+            var a = 0.0
+            sorted.foreach { case (_, v) => a += v(d).toDouble }
+            a / sorted.size
+          }
+        }.sortBy(_._1)
+      }
+      assign()
+    }
+
+    val rng = new scala.util.Random(2026)
+    for (trial <- 1 to 8) {
+      val n = 10 + rng.nextInt(50)
+      val dim = 2 + rng.nextInt(4)
+      val k = 2 + rng.nextInt(4)
+      val rounds = 1 + rng.nextInt(3)
+      val rows = (0 until n).map(i => (i.toLong, Array.fill(dim)(rng.nextFloat() * 10 - 5)))
+      val expected = refKMeans(rows, k, rounds)
+      val got = KMeans.assignments(rows.toDF("id", "v"), "id", "v", k, rounds)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      withClue(s"trial $trial (n=$n dim=$dim k=$k rounds=$rounds): ") {
+        got shouldBe expected
+      }
+    }
   }
 
   test("k larger than distinct rows still works (empty clusters vanish)") {
