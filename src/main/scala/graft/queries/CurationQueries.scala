@@ -11,8 +11,10 @@ import QueryRegistry.table
 /** Corpus-curation lanes a training-data pipeline runs between raw ingest
   * and batch assembly: sliding-window document chunking, event
   * sessionization, character-distribution quality stats, asymmetric
-  * containment near-dup, deterministic per-group sampling, and a
-  * padding-waste audit for length-bucketed batching. Every lane keeps the
+  * containment near-dup, deterministic per-group sampling, a padding-waste
+  * audit for length-bucketed batching, the BPE merge-learning pair count,
+  * per-language calibrated quality admission, token-budget epoch planning,
+  * and a fingerprint-based corpus snapshot diff. Every lane keeps the
   * repo's cross-engine conventions: log-free scores (exact integer ratios),
   * `round(x, 6)` before any filter on a double, explicit BIGINT casts over
   * DuckDB's HUGEINT `sum()`, and expressions textually identical in both
@@ -275,11 +277,210 @@ object CurationQueries {
        |    cast(sum(bucket) AS DOUBLE), 6) AS waste_frac
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** BPE merge-learning step: the adjacent symbol-pair frequencies a
+    * byte-pair-encoding trainer computes each round, here over the initial
+    * (character-level) segmentation — pair counts weighted by word
+    * frequency. The scale shape is the point: the corpus-sized work is ONE
+    * token explode + word groupBy (exactly q46's vocabulary build); the
+    * quadratic-looking pair explosion runs over the POST-AGG word-frequency
+    * table, which is Zipf-bounded vocabulary, not corpus — at 100 TB the
+    * vocab table is millions of rows where the corpus is trillions of
+    * tokens, so each merge round costs one vocab-sized map + a skinny pair
+    * aggregation. Single-char words carry no pair and are filtered at the
+    * scan. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wordFreq = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+    wordFreq
+      .select($"word", $"wc",
+        explode(sequence(lit(1), length($"word") - 1)).as("i"))
+      .select(
+        concat(expr("substr(word, i, 1)"), expr("substr(word, i + 1, 1)")).as("pair"),
+        $"wc")
+      .groupBy($"pair")
+      .agg(sum($"wc").cast("long").as("n_merges"))
+      .orderBy($"n_merges".desc, $"pair")
+      .limit(50)
+  }
+
+  val bpePairsOracle: String =
+    """WITH w AS (
+      |  SELECT u.word FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word) u
+      |), wf AS (
+      |  SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY word
+      |), p AS (
+      |  SELECT substr(word, i, 1) || substr(word, i + 1, 1) AS pair, wc
+      |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) g
+      |)
+      |SELECT pair, cast(sum(wc) AS BIGINT) AS n_merges
+      |FROM p GROUP BY pair ORDER BY n_merges DESC, pair LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  /** Per-language calibrated quality admission: rank documents within each
+    * language by an exact alphabetic-density score and keep the top 75% —
+    * the thresholding step that turns raw quality scores (q41) into an
+    * admission decision with a PER-GROUP calibrated cutoff, so a uniformly
+    * lower-scoring language is not wiped out by one global threshold.
+    * Ranking DESC with `percent_rank <= 0.75` (rather than ASC `>= 0.25`)
+    * keeps singleton groups: their percent_rank is 0, and a language with
+    * one document must admit it. One window shuffle on lang; at 100 TB the
+    * cutoff would come from a mergeable quantile sketch (q115) broadcast
+    * back as a plain filter — the window form here is the oracle-checkable
+    * exact twin. */
+  def quantileAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = table(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        round(
+          length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
+            greatest(length($"text"), lit(1)).cast("double"), 6).as("score"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
+    scored.withColumn("pr", percent_rank().over(w))
+      .filter($"pr" <= 0.75)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        round(min($"score"), 6).as("min_score"),
+        sum($"doc_id").cast("long").as("sum_ids"))
+      .orderBy($"lang")
+  }
+
+  val quantileAdmissionOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |      cast(greatest(length(text), 1) AS DOUBLE), 6) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang, score,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS pr
+      |  FROM s
+      |)
+      |SELECT lang, count(*) AS n_admitted, round(min(score), 6) AS min_score,
+      |  cast(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM r WHERE pr <= 0.75 GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Token-budget epoch planning: given a total training-token budget and
+    * per-source mixture weights, compute each source's repeat factor
+    * (epochs = budget share / available tokens, capped at 4 passes) and the
+    * effective token count it contributes — the planning table behind every
+    * "source X is seen N times" pretraining mix. Distinct from q58/q137,
+    * which SAMPLE rows; this lane sizes the mix from exact aggregates. The
+    * corpus-sized work is one per-source token aggregation; everything
+    * after runs on the #sources-row summary (the whole-frame window is over
+    * that summary, not the corpus). Weights and the weight SUM stay exact
+    * integers so the double math starts from identical operands in both
+    * engines. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 500000.0
+    val perSource = table(spark, dir, "documents")
+      .select($"source", TextFunctions.tokenCount($"text").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+      .withColumn("w",
+        lit(1) + (coalesce(
+          expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT)"), lit(0)) % 3))
+    perSource
+      .withColumn("sum_w", sum($"w").over(Window.partitionBy()))
+      .withColumn("mix_frac", round($"w".cast("double") / $"sum_w".cast("double"), 6))
+      .withColumn("epochs",
+        round(least(lit(4.0),
+          lit(budget) * $"w".cast("double") /
+            ($"sum_w".cast("double") * $"n_tokens".cast("double"))), 6))
+      .withColumn("eff_tokens", floor($"epochs" * $"n_tokens".cast("double")).cast("long"))
+      .select($"source", $"n_docs", $"n_tokens", $"mix_frac", $"epochs", $"eff_tokens")
+      .orderBy($"source")
+  }
+
+  val mixtureEpochsOracle: String =
+    """WITH t AS (
+      |  SELECT source, cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), a AS (
+      |  SELECT source, count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY source
+      |), w AS (
+      |  SELECT *, 1 + (coalesce(try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 3) AS w
+      |  FROM a
+      |), n AS (
+      |  SELECT *, cast(sum(w) OVER () AS BIGINT) AS sum_w FROM w
+      |), e AS (
+      |  SELECT *,
+      |    round(least(4.0, 500000.0 * cast(w AS DOUBLE) /
+      |      (cast(sum_w AS DOUBLE) * cast(n_tokens AS DOUBLE))), 6) AS epochs
+      |  FROM n
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(cast(w AS DOUBLE) / cast(sum_w AS DOUBLE), 6) AS mix_frac,
+      |  epochs, cast(floor(epochs * cast(n_tokens AS DOUBLE)) AS BIGINT) AS eff_tokens
+      |FROM e ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** Corpus snapshot diff (CDC between crawl versions): classify every
+    * document as added / removed / modified / unchanged between two
+    * snapshot views, comparing md5 FINGERPRINTS rather than text — the
+    * skinny-column shape that survives 100 TB: the full-outer join shuffles
+    * (id, 32-byte fp) pairs, never document bodies, and the text column is
+    * pruned from everything past the fingerprint projection. The two
+    * snapshots are deterministic views of the documents table (old drops
+    * ids ≡1 mod 10, new drops ≡2 mod 10 and rewrites ids ≡3 mod 7), so the
+    * expected class of every id is computable by eye. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val old = docs.filter($"doc_id" % 10 =!= 1)
+      .select($"doc_id".as("old_id"), md5($"text".cast("binary")).as("old_fp"))
+    val nw = docs.filter($"doc_id" % 10 =!= 2)
+      .select($"doc_id".as("new_id"),
+        md5(when($"doc_id" % 7 === 3, concat($"text", lit(" v2")))
+          .otherwise($"text").cast("binary")).as("new_fp"))
+    old.join(nw, $"old_id" === $"new_id", "full_outer")
+      .select(
+        when($"old_id".isNull, "added")
+          .when($"new_id".isNull, "removed")
+          .when($"old_fp" =!= $"new_fp", "modified")
+          .otherwise("unchanged").as("status"),
+        coalesce($"old_id", $"new_id").as("doc_id"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").cast("long").as("sum_ids"))
+      .orderBy($"status")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH old AS (
+      |  SELECT doc_id AS old_id, md5(text) AS old_fp
+      |  FROM documents WHERE doc_id % 10 != 1
+      |), new AS (
+      |  SELECT doc_id AS new_id,
+      |    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 10 != 2
+      |), d AS (
+      |  SELECT CASE WHEN old_id IS NULL THEN 'added'
+      |              WHEN new_id IS NULL THEN 'removed'
+      |              WHEN old_fp != new_fp THEN 'modified'
+      |              ELSE 'unchanged' END AS status,
+      |    coalesce(old_id, new_id) AS doc_id
+      |  FROM old FULL OUTER JOIN new ON old_id = new_id
+      |)
+      |SELECT status, count(*) AS n_docs, cast(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
     Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
     Q("q141_char_stats", charStats, Some(charStatsOracle)),
     Q("q142_shingle_containment", shingleContainment, Some(shingleContainmentOracle)),
     Q("q143_group_sample", groupSample, Some(groupSampleOracle)),
-    Q("q144_padding_waste", paddingWaste, Some(paddingWasteOracle)))
+    Q("q144_padding_waste", paddingWaste, Some(paddingWasteOracle)),
+    Q("q149_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    Q("q150_quantile_admission", quantileAdmission, Some(quantileAdmissionOracle)),
+    Q("q151_mixture_epochs", mixtureEpochs, Some(mixtureEpochsOracle)),
+    Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)))
 }

@@ -5,11 +5,13 @@ import org.scalatest.matchers.should.Matchers
 import graft.SparkSpec
 import graft.queries.CurationQueries
 
-/** Contract tests for the curation lanes (q139–q144) on hand-built
-  * fixtures where every expected value is computable by eye — the
-  * cross-engine value checks live in the DuckDB oracle gate; these pin the
-  * SEMANTICS: chunk tiling, session splitting, collision-probability math,
-  * containment asymmetry, sample determinism, bucket boundaries. */
+/** Contract tests for the curation lanes (q139–q144, q149–q152) on
+  * hand-built fixtures where every expected value is computable by eye —
+  * the cross-engine value checks live in the DuckDB oracle gate; these pin
+  * the SEMANTICS: chunk tiling, session splitting, collision-probability
+  * math, containment asymmetry, sample determinism, bucket boundaries,
+  * BPE pair weighting, per-group admission cutoffs, epoch capping, and
+  * snapshot-diff classification. */
 class CurationQueriesSpec extends SparkSpec with Matchers {
 
   /** Write tiny documents/events parquet fixtures once, shaped like the
@@ -85,6 +87,62 @@ class CurationQueriesSpec extends SparkSpec with Matchers {
     }
     CurationQueries.groupSample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))) shouldBe rows
+  }
+
+  test("bpePairs weights pairs by word frequency and skips single-char words") {
+    val pairs = CurationQueries.bpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'ta' occurs in beta AND delta -> weight 2
+    pairs("ta") shouldBe 2L
+    // 't1' = word "t1" (1) + prefix of t10..t19 (10)
+    pairs("t1") shouldBe 11L
+    // single-char words (x y z w) contribute no pairs at all
+    pairs.keySet.exists(p => Set("xy", "yz", "zw").contains(p)) shouldBe false
+  }
+
+  test("quantileAdmission keeps singleton languages and drops en's worst quartile") {
+    val rows = CurationQueries.quantileAdmission(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de and fr have one doc each: percent_rank 0 <= 0.75 admits them
+    rows("de") shouldBe 1L
+    rows("fr") shouldBe 1L
+    // en has 4 docs: pr in {0, 1/3, 2/3, 1}; the worst (pr=1) is dropped
+    rows("en") shouldBe 3L
+  }
+
+  test("mixtureEpochs caps every fixture source at 4 passes of its own tokens") {
+    val rows = CurationQueries.mixtureEpochs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    rows.map(_._1).sorted shouldBe Array("books", "code", "web")
+    rows.foreach { case (_, nTokens, mixFrac, epochs, eff) =>
+      // non-numeric sources all get weight 1 -> equal thirds of the mix
+      mixFrac shouldBe 0.333333
+      // budget/3 >> 4*n_tokens for every fixture source -> epoch cap binds
+      epochs shouldBe 4.0
+      eff shouldBe 4L * nTokens
+    }
+    // web = docs 0 (4 tok) + 1 (70) + 4 (7)
+    rows.find(_._1 == "web").get._2 shouldBe 81L
+  }
+
+  test("snapshotDiff classifies added/removed/modified/unchanged by id rule") {
+    val m = CurationQueries.snapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    m("added") shouldBe ((1L, 1L)) // id 1 only in new
+    m("removed") shouldBe ((1L, 2L)) // id 2 only in old
+    m("modified") shouldBe ((1L, 3L)) // id 3 rewritten in new
+    m("unchanged") shouldBe ((3L, 0L + 4L + 5L))
+  }
+
+  test("snapshotDiff prunes the documents scan to (doc_id, text) only") {
+    val df = CurationQueries.snapshotDiff(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    withClue(p) {
+      p should include regex "ReadSchema:.*doc_id.*text"
+      p should not include "lang"
+      p should not include "n_chars"
+    }
   }
 
   test("paddingWaste bucket boundaries: 4 tokens -> 16-bucket, waste 12") {
