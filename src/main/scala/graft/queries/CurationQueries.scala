@@ -116,16 +116,23 @@ object CurationQueries {
     * against it, and an exact integer ratio, so it hash-matches where
     * `ln`-based Shannon entropy would drift an ulp between libm builds —
     * the q39/q124 argument). Gibberish and repeated-character spam score
-    * high; natural text sits low. The position explode fans out ×n_chars but
+    * high; natural text sits low. The char explode fans out ×n_chars but
     * stays map-side; the only shuffles are the two skinny doc-keyed
-    * aggregations. */
+    * aggregations. The explode splits the string ONCE per document
+    * (`split(s, "")`) rather than exploding positions and re-walking the
+    * string with `substr(s, i, 1)` — the position form is O(n²) per
+    * document (each substr re-scans the UTF8 bytes to char i), which a
+    * 10 s bench outlier exposed at sf0.1 and which would be fatal on
+    * book-length documents at 100 TB. Java's split("") emits no leading
+    * empty element but CAN emit a trailing one under limit=-1 semantics;
+    * the ch != '' guard drops it. */
   def charStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val chars = table(spark, dir, "documents")
       .select($"doc_id", regexp_replace(lower($"text"), "\\s", "").as("s"))
       .filter(length($"s") > 0)
-      .select($"doc_id", $"s", explode(sequence(lit(1), length($"s"))).as("i"))
-      .select($"doc_id", expr("substr(s, i, 1)").as("ch"))
+      .select($"doc_id", explode(split($"s", "")).as("ch"))
+      .filter($"ch" =!= "")
     chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(
