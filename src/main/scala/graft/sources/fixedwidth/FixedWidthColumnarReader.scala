@@ -89,11 +89,12 @@ class FixedWidthColumnarReader(
     case "string" =>
       val cs = opts.charset
       val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+      val trimRight = opts.trim == "right" || opts.trim == "both"
+      val trimLeft = opts.trim == "left" || opts.trim == "both"
       (r: Int) => {
-        var s = f.start
-        var e = f.end
-        if (opts.trim == "right" || opts.trim == "both") while (e > s && buf(e - 1) == ' ') e -= 1
-        if (opts.trim == "left" || opts.trim == "both") while (s < e && buf(s) == ' ') s += 1
+        val tr = AsciiParse.trimRange(buf, f.start, f.end, trimLeft, trimRight)
+        val s = (tr >>> 32).toInt
+        val e = (tr & 0xffffffffL).toInt
         if (utf8) v.putByteArray(r, buf, s, e - s)
         else v.putByteArray(r, new String(buf, s, e - s, cs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }

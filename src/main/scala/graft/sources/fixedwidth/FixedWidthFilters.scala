@@ -146,19 +146,11 @@ object FixedWidthFilters {
             }))
           case "string" =>
             val cs = opts.charset
-            val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
             val v = UTF8String.fromString(value.toString)
             val trimRight = opts.trim == "right" || opts.trim == "both"
             val trimLeft = opts.trim == "left" || opts.trim == "both"
-            Some(() => {
-              var s = from
-              var e = until
-              if (trimRight) while (e > s && buf(e - 1) == ' ') e -= 1
-              if (trimLeft) while (s < e && buf(s) == ' ') s += 1
-              val got = if (utf8) UTF8String.fromBytes(buf, s, e - s)
-                        else UTF8String.fromString(new String(buf, s, e - s, cs))
-              Integer.valueOf(got.compareTo(v))
-            })
+            Some(() => Integer.valueOf(
+              AsciiParse.decodeString(buf, from, until, trimLeft, trimRight, cs).compareTo(v)))
           case FieldSpec.DecimalRe(pp, ss) =>
             val (prec, scale) = (pp.toInt, ss.toInt)
             // Catalyst compares decimals by numeric VALUE (scale-agnostic):
@@ -184,17 +176,9 @@ object FixedWidthFilters {
       fieldOf(name).filter(_.ftype == "string").map { fs =>
         val (from, until) = (fs.start, fs.end)
         val cs = opts.charset
-        val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
         val trimRight = opts.trim == "right" || opts.trim == "both"
         val trimLeft = opts.trim == "left" || opts.trim == "both"
-        () => {
-          var s = from
-          var e = until
-          if (trimRight) while (e > s && buf(e - 1) == ' ') e -= 1
-          if (trimLeft) while (s < e && buf(s) == ' ') s += 1
-          if (utf8) UTF8String.fromBytes(buf, s, e - s)
-          else UTF8String.fromString(new String(buf, s, e - s, cs))
-        }
+        () => AsciiParse.decodeString(buf, from, until, trimLeft, trimRight, cs)
       }
 
     /** String fields decode to "" (never NULL); numeric fields are NULL iff

@@ -1087,15 +1087,9 @@ object FixedWidthRowDecoders {
       buf: Array[Byte], row: GenericInternalRow): () => Unit = f.ftype match {
     case "string" =>
       val cs = opts.charset
-      val utf8 = cs == java.nio.charset.StandardCharsets.UTF_8
-      () => {
-        var s = f.start
-        var e = f.end
-        if (opts.trim == "right" || opts.trim == "both") while (e > s && buf(e - 1) == ' ') e -= 1
-        if (opts.trim == "left" || opts.trim == "both") while (s < e && buf(s) == ' ') s += 1
-        if (utf8) row.update(i, UTF8String.fromBytes(buf, s, e - s))
-        else row.update(i, UTF8String.fromString(new String(buf, s, e - s, cs)))
-      }
+      val trimRight = opts.trim == "right" || opts.trim == "both"
+      val trimLeft = opts.trim == "left" || opts.trim == "both"
+      () => row.update(i, AsciiParse.decodeString(buf, f.start, f.end, trimLeft, trimRight, cs))
     case "int" | "date" => // date stored as epoch-day decimal int
       () => {
         if (AsciiParse.isBlank(buf, f.start, f.end)) row.setNullAt(i)
@@ -1157,6 +1151,35 @@ object FixedWidthMalformed {
   * both sides; all-space field decodes to SQL NULL — callers test `isBlank`
   * first, so no in-band sentinel value can collide with real data). */
 object AsciiParse {
+
+  /** Configurable space-trim of a byte range, packed as (start << 32) | end —
+    * one primitive return, no tuple allocation on the per-record path. The
+    * SAME loop previously lived (and could drift) in four decode sites: the
+    * row reader, the columnar reader, and both pushed-filter compile paths. */
+  def trimRange(buf: Array[Byte], from: Int, until: Int,
+      trimLeft: Boolean, trimRight: Boolean): Long = {
+    var s = from
+    var e = until
+    if (trimRight) while (e > s && buf(e - 1) == ' ') e -= 1
+    if (trimLeft) while (s < e && buf(s) == ' ') s += 1
+    (s.toLong << 32) | e
+  }
+
+  /** Trimmed, charset-decoded string field value — the ONE definition of
+    * what a fixedwidth string field decodes to, shared by the row reader
+    * and both pushed-filter paths so pushed predicates match Catalyst's
+    * post-scan semantics bit-exactly. UTF-8 zero-copies: the returned
+    * UTF8String SHARES `buf`, so callers must consume it before the next
+    * record overwrites the buffer. */
+  def decodeString(buf: Array[Byte], from: Int, until: Int,
+      trimLeft: Boolean, trimRight: Boolean,
+      cs: java.nio.charset.Charset): UTF8String = {
+    val r = trimRange(buf, from, until, trimLeft, trimRight)
+    val s = (r >>> 32).toInt
+    val e = (r & 0xffffffffL).toInt
+    if (cs eq java.nio.charset.StandardCharsets.UTF_8) UTF8String.fromBytes(buf, s, e - s)
+    else UTF8String.fromString(new String(buf, s, e - s, cs))
+  }
 
   /** True iff the byte range is entirely spaces (the encoding of SQL NULL). */
   def isBlank(buf: Array[Byte], from: Int, until: Int): Boolean = {
