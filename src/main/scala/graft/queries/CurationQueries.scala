@@ -339,13 +339,20 @@ object CurationQueries {
     * cutoff would come from a mergeable quantile sketch (q115) broadcast
     * back as a plain filter — the window form here is the oracle-checkable
     * exact twin. */
-  def quantileAdmission(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared scoring projection of [[quantileAdmission]] and its approx
+    * variant: exact alphabetic-density (integer-ratio double, rounded). */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select($"doc_id", $"lang",
         round(
           length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
             greatest(length($"text"), lit(1)).cast("double"), 6).as("score"))
+  }
+
+  def quantileAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = scoredDocs(spark, dir)
     val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
     scored.withColumn("pr", percent_rank().over(w))
       .filter($"pr" <= 0.75)
@@ -371,6 +378,32 @@ object CurationQueries {
       |SELECT lang, count(*) AS n_admitted, round(min(score), 6) AS min_score,
       |  cast(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM r WHERE pr <= 0.75 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The 100 TB mode of [[quantileAdmission]]: identical output shape, but
+    * the per-language cutoff comes from `percentile_approx` (a mergeable
+    * KLL-style sketch carried through a partial agg — fixed-size state per
+    * lang, one skinny #langs-row result) broadcast back as a PLAIN FILTER,
+    * instead of ranking every document through a per-lang Window. The exact
+    * variant shuffles and sorts the full corpus once per admission run; this
+    * one runs two pruned passes (cutoff build + filter), both map-side
+    * except the #langs-row aggregate, and the boundary differs from exact
+    * only at score ties / sketch error. Plan-pinned: no Window node, the
+    * cutoff joins by broadcast, and both modes must agree per-lang within
+    * 10% at sf0.01 (`QuantileAdmissionPlanSpec`). */
+  def quantileAdmissionApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = scoredDocs(spark, dir)
+    val cuts = scored.groupBy($"lang")
+      .agg(percentile_approx($"score", lit(0.25), lit(10000)).as("cut"))
+    scored.join(broadcast(cuts), "lang")
+      .filter($"score" >= $"cut")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        round(min($"score"), 6).as("min_score"),
+        sum($"doc_id").cast("long").as("sum_ids"))
+      .orderBy($"lang")
+  }
 
   // ---------------------------------------------------------------- q151
   /** Token-budget epoch planning: given a total training-token budget and
