@@ -823,8 +823,58 @@ object PipelineQueries {
        |ORDER BY l_returnflag, q""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q153
+  /** Deterministic training-shard assembly: shard = low bits of mix64(id)
+    * (map-side, uniform, retry/layout-invariant — the q56 hash-sample
+    * argument applied to shard ROUTING) plus an intra-shard position from
+    * the per-shard (hash, id) sort — together they define the exact record
+    * order of every training shard before a writer runs. At scale this IS
+    * the write plan: `repartition(shard)` → `sortWithinPartitions(h, id)` →
+    * `write.partitionBy(shard)`; every shard sorts only its own slice in
+    * parallel and nothing ever global-sorts. The lane verifies both halves
+    * cross-engine: per-shard doc/token totals pin the ASSIGNMENT, and
+    * Σ(pos·doc_id) pins the PERMUTATION (any transposition of two
+    * positions changes the sum, since doc ids are distinct). Signed-order
+    * subtlety: Spark sorts the signed long hash, so the oracle converts its
+    * unsigned hugeint twin through [[DuckHashSql.signedSql]] BEFORE
+    * ordering — sorting the unsigned view would interleave shards'
+    * negative-hash records differently. */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    table(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tok"))
+      .withColumn("h", graft.functions.Hashing.mix64Col($"doc_id"))
+      .withColumn("shard", Pipeline.hashBucket($"doc_id", 3))
+      .withColumn("pos", row_number().over(w))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("sum_tokens"),
+        sum($"pos" * $"doc_id").cast("long").as("order_sig"))
+      .orderBy($"shard")
+  }
+
+  val trainingShardsOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("doc_id::HUGEINT", "0"))
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    $h AS h, cast(${bucketSql(3)} AS BIGINT) AS shard
+       |  FROM documents
+       |), p AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+       |  FROM t
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  cast(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  cast(sum(pos * doc_id) AS BIGINT) AS order_sig
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
+    Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
