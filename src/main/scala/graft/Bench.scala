@@ -14,16 +14,26 @@ object Bench {
     // Deterministic name order: Map iteration order shuffles across builds,
     // which moved shared lazy-init costs between queries and made
     // round-over-round per-query timings non-comparable.
+    // SPARK_GRAFT_BENCH_REPS (default 1 = driver-identical single shot):
+    // run each query N times and record the MEDIAN — the local tool for
+    // separating real regressions from the host-noise spike class (q16/q46/
+    // q52/q141 across rounds all looked 3-20x slower in exactly one run).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // A failed query must be visible as -1, not recorded as a fast run.
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop state a query persisted/cached so later queries aren't taxed
-      // by another query's memory footprint.
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // A failed query must be visible as -1, not recorded as a fast run.
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop state a query persisted/cached so later queries aren't taxed
+        // by another query's memory footprint.
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      val dt = if (times.contains(-1.0)) -1.0
+               else times.sorted.apply((times.size - 1) / 2)
+      name -> dt
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map first (human/archive record)...

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FloatDot, Hash64Of, Mix64Of, Nlz64, RollingHash64, ShinglesOf, SimHash64, WordGramsOf, WordSpansOf, ZValue2}
+import graft.functions.{FloatDot, Hash64Of, Mix64Of, NfcNormalize, Nlz64, RollingHash64, ShinglesOf, SimHash64, WordGramsOf, WordSpansOf, ZValue2}
 
 /** SQL-surface registration of graft's native expressions via the public
   * `SparkSessionExtensions` hook — the blessed way for a library to extend
@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("mix64",
       "mix64(x) - splitmix64 finalizer of a bigint (deterministic sampling hash)",
       Mix64Of.apply))
+    ext.injectFunction(unary("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition (DuckDB-parity name)",
+      NfcNormalize.apply))
     ext.injectFunction(binary("float_dot",
       "float_dot(a, b) - double-precision left-to-right dot product of two float/double arrays",
       FloatDot.apply))

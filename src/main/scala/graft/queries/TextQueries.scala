@@ -320,8 +320,41 @@ object TextQueries {
       |  min(num::BIGINT) AS min_num, max(num::BIGINT) AS max_num
       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Unicode NFC canonicalization (the codegen'd [[graft.functions.NfcNormalize]]
+    * expression vs DuckDB's built-in `nfc_normalize`): the corpus text gets
+    * a DECOMPOSED suffix appended ("cafe" + combining acute U+0301, built
+    * identically in both engines — the synthetic corpus alone is mostly
+    * ASCII, where NFC is the identity and the check would be vacuous), then
+    * both engines normalize and md5 the result. n_chars_norm ==
+    * n_chars_raw − 1 for every row proves composition actually HAPPENED
+    * (e + U+0301 → é collapses one code point); the md5 proves the bytes
+    * agree, i.e. the JDK's Normalizer and DuckDB's utf8proc produce
+    * identical NFC for this text. Map-side only — the canonicalization
+    * every cross-crawl dedup must run before fingerprints are comparable. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // decomposed on purpose: "e" + combining acute U+0301 (see scaladoc)
+    val raw = concat($"text", lit(" cafe\u0301"))
+    table(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        md5(graft.functions.TextNorm.nfc(raw).cast("binary")).as("norm_md5"),
+        length(graft.functions.TextNorm.nfc(raw)).cast("long").as("n_chars_norm"),
+        length(raw).cast("long").as("n_chars_raw"))
+      .orderBy($"doc_id")
+  }
+
+  val normalizeTextOracle: String =
+    """SELECT doc_id,
+      |  md5(nfc_normalize(text || ' cafe' || chr(769))) AS norm_md5,
+      |  cast(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS n_chars_norm,
+      |  cast(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_chars_raw
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
+    Q("q154_normalize_text", normalizeText, Some(normalizeTextOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),
