@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Hashing, TextFunctions}
 import graft.operators.Dedup
 import QueryRegistry.table
 
@@ -512,6 +512,77 @@ object CurationQueries {
       |SELECT status, count(*) AS n_docs, cast(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** Leakage-safe train/val/test split: assignment keyed on the CONTENT
+    * fingerprint (md5 of normalized text), not the row id, so every copy of
+    * a duplicated document lands in the same split — the classic
+    * train/test-contamination bug is splitting by row id, which strews
+    * near-identical rows across the boundary. The lane measures both
+    * policies on the same corpus: `leaked_fps_naive` counts fingerprints
+    * whose copies straddle splits under doc_id hashing (nonzero by
+    * construction), while `leaked_fps_fp` is genuinely computed and lands
+    * at 0 because the split is a pure function of the fingerprint. The
+    * corpus has no exact duplicates, so every 7th document re-enters under
+    * a shifted id (a pure function of doc_id, built identically in both
+    * engines). Scale shape: fingerprint + both hash buckets are map-side
+    * expressions; the per-split stats and the two leak audits are skinny
+    * (fp, split) aggregations — nothing ever shuffles document text. For
+    * NEAR-duplicate safety the same split-by-representative composes with
+    * the q55 connected-components output: hash the cluster rep id instead
+    * of the fingerprint. 80/10/10 via 1024 buckets (819/922 cutoffs). */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = base.union(
+      base.filter($"doc_id" % 7 === 0).select(($"doc_id" + 10000L).as("doc_id"), $"text"))
+    def splitOf(bucket: Column): Column =
+      when(bucket < 819, "train").when(bucket < 922, "val").otherwise("test")
+    val assigned = corpus.select(
+      $"doc_id",
+      TextFunctions.fingerprint($"text").as("fp"))
+      .select($"doc_id", $"fp",
+        splitOf(pmod(Hashing.hash64Col($"fp"), lit(1024L))).as("split_fp"),
+        splitOf(pmod(Hashing.mix64Col($"doc_id"), lit(1024L))).as("split_naive"))
+    def leakCount(splitCol: String, as: String): DataFrame = assigned
+      .groupBy($"fp").agg(countDistinct(col(splitCol)).as("ns"))
+      .filter($"ns" > 1)
+      .agg(count(lit(1)).as(as))
+    assigned
+      .groupBy($"split_fp".as("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_fps"))
+      .crossJoin(broadcast(leakCount("split_fp", "leaked_fps_fp")))
+      .crossJoin(broadcast(leakCount("split_naive", "leaked_fps_naive")))
+      .orderBy($"split")
+  }
+
+  val leakageSafeSplitOracle: String = {
+    val fpBucket = s"(${DuckHashSql.hash64Sql("fp")} % 1024)"
+    val idBucket = s"(${DuckHashSql.mix64Sql("doc_id::HUGEINT", "0")} % 1024)"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 819 THEN 'train' WHEN $b < 922 THEN 'val' ELSE 'test' END"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |), f AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM corpus
+       |), a AS (
+       |  SELECT doc_id, fp,
+       |    ${splitCase(fpBucket)} AS split_fp,
+       |    ${splitCase(idBucket)} AS split_naive
+       |  FROM f
+       |), leak AS (
+       |  SELECT
+       |    (SELECT count(*) FROM (SELECT fp FROM a GROUP BY fp HAVING count(DISTINCT split_fp) > 1)) AS leaked_fps_fp,
+       |    (SELECT count(*) FROM (SELECT fp FROM a GROUP BY fp HAVING count(DISTINCT split_naive) > 1)) AS leaked_fps_naive
+       |)
+       |SELECT split_fp AS split, count(*) AS n_docs, count(DISTINCT fp) AS n_fps,
+       |  leaked_fps_fp, leaked_fps_naive
+       |FROM a CROSS JOIN leak
+       |GROUP BY 1, leaked_fps_fp, leaked_fps_naive
+       |ORDER BY split""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
     Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
@@ -522,5 +593,6 @@ object CurationQueries {
     Q("q149_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Q("q150_quantile_admission", quantileAdmission, Some(quantileAdmissionOracle)),
     Q("q151_mixture_epochs", mixtureEpochs, Some(mixtureEpochsOracle)),
-    Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)))
+    Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
+    Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)))
 }

@@ -352,9 +352,97 @@ object TextQueries {
       |  cast(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_chars_raw
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** BM25 ranked retrieval — the scoring layer over the q121 inverted-index
+    * machinery: for a literal query set, the top-10 documents per query by
+    * the standard Okapi BM25 (k1=1.2, b=0.75). The scale shape, stage by
+    * stage: the query-term whitelist joins BROADCAST against the exploded
+    * token stream, so all non-query tokens die inside the scan task (at
+    * 100 TB the tf table is |matching docs|·|terms|, not the corpus token
+    * count); per-doc length comes from the map-side `tokenCount` (no
+    * second explode); df and the corpus stats are tiny aggregates that
+    * broadcast back; and the final per-query ranking is the bounded
+    * [[graft.functions.TopKByScore]] partial-agg — O(queries·k) shuffled
+    * rows, never a corpus-sized per-query Window.
+    *
+    * Cross-engine determinism: the score formula is textually identical in
+    * both engines over identical doubles (exact integer tf/df/dl and the
+    * exact-rational avgdl), so `ln` sees bit-equal inputs; contributions
+    * sum via the order-free decimal [[CoreQueries.dsum]] (a double sum
+    * would be partial-order-dependent), and ranking ties break on doc_id. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select($"doc_id", $"text")
+    val dl = docs.select($"doc_id", TextFunctions.tokenCount($"text").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum($"dl").cast("double").as("sum_dl"))
+    val qterms = Seq(
+      ("q1", "hash"), ("q1", "join"),
+      ("q2", "window"), ("q2", "sort"), ("q2", "merge"),
+      ("q3", "vector"), ("q3", "scan")).toDF("query_id", "term")
+    val tf = docs.select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .join(broadcast(qterms), $"tok" === $"term")
+      .groupBy($"query_id", $"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        (log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs"))))
+          .as("contrib"))
+    val scored = contrib.groupBy($"query_id", $"doc_id")
+      .agg(CoreQueries.dsum($"contrib").as("score"))
+    val topk = udaf(new graft.functions.TopKByScore(10))
+    scored.groupBy($"query_id")
+      .agg(topk($"score", $"doc_id").as("tk"))
+      .select($"query_id", posexplode($"tk").as(Seq("pos", "p")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rk"),
+        $"p._2".as("doc_id"), $"p._1".as("score"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  val bm25TopKOracle: String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl FROM dl
+       |), qt(query_id, term) AS (
+       |  VALUES ('q1','hash'),('q1','join'),('q2','window'),('q2','sort'),('q2','merge'),
+       |         ('q3','vector'),('q3','scan')
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+       |), tf AS (
+       |  SELECT query_id, term, doc_id, count(*) AS tf
+       |  FROM toks JOIN qt ON tok = term GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY 1
+       |), c AS (
+       |  SELECT query_id, doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) AS contrib
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |), s AS (
+       |  SELECT query_id, doc_id, ${CoreQueries.dsumSql("contrib")} AS score
+       |  FROM c GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM s
+       |)
+       |SELECT query_id, rk, doc_id, score FROM r WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q154_normalize_text", normalizeText, Some(normalizeTextOracle)),
+    Q("q155_bm25_topk", bm25TopK, Some(bm25TopKOracle)),
     Q("q40_token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("q41_quality_scores", qualityScores, Some(qualityScoresOracle)),
     Q("q42_lang_id", langIdConfusion, Some(langIdConfusionOracle)),

@@ -156,4 +156,21 @@ class CurationQueriesSpec extends SparkSpec with Matchers {
     // doc 1 (70 tokens) lands in the 128 bucket
     byBucket(128) shouldBe ((1L, 70L, 58L))
   }
+
+  test("leakageSafeSplit co-assigns every copy of a fingerprint; naive split is the foil") {
+    // fixture: 6 distinct docs; the lane re-injects doc 0 under id 10000,
+    // so the corpus is 7 docs over 6 fingerprints
+    val rows = CurationQueries.leakageSafeSplit(spark, dir).collect()
+    rows.map(_.getLong(1)).sum shouldBe 7L // n_docs
+    // fp-keyed split puts both copies of doc 0's text in ONE split, so the
+    // per-split distinct-fp counts add up to exactly the 6 distinct texts
+    rows.map(_.getLong(2)).sum shouldBe 6L // n_fps
+    // the fp-keyed leak audit is computed, not assumed — and must be 0
+    rows.map(_.getLong(3)).distinct shouldBe Array(0L)
+    // the naive audit counts the same fingerprint set split by doc_id
+    // hashing; with one duplicated fp it is 0 or 1, never negative/multiple
+    val naive = rows.map(_.getLong(4)).distinct
+    naive.length shouldBe 1
+    naive.head should be <= 1L
+  }
 }
