@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Quantize, Similarity}
+import graft.operators.{Dedup, Quantize, Similarity}
 import QueryRegistry.table
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64):
@@ -533,6 +534,94 @@ object SimilarityQueries {
        |FROM a1 a LEFT JOIN dropped dr ON dr.id_b = a.vec_id
        |GROUP BY a.cid ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard RAG
+    * composition of a dense and a lexical ranker: for each query document
+    * (query-by-example, vec_id/doc_id < 5), the semantic list is the q60
+    * brute-force cosine top-20 over `embeddings` and the lexical list is
+    * the word-3-gram Jaccard top-20 over `documents` (query gram sets
+    * broadcast — the corpus side is one map-side pass, no pairwise
+    * self-join); fusion score = Σ 1/(60 + rank) over the lists that
+    * contain the candidate. RRF needs only RANKS, never comparable scores —
+    * which is the point: cosine and Jaccard live on different scales.
+    *
+    * Scale shape: both rankers end in the bounded TopKByScore partial-agg
+    * (O(queries·k) shuffled rows); the fusion full-outer join and window
+    * touch ≤ 2k candidates per query, so the post-ranker cost is
+    * independent of corpus size. Determinism: 1/(60+rank) over small ints
+    * is an exact double both engines compute identically, the two-term sum
+    * has a fixed association, and ties break on neighbor_id. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val sem = Similarity
+      .knnBruteForce(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("r_sem"))
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+    val qgrams = grams.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("grams").as("q_grams"))
+    val lexSims = grams.crossJoin(broadcast(qgrams))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        Dedup.jaccard(col("q_grams"), col("grams")).as("jac"))
+      .filter(col("jac") > 0.0)
+    val topk = udaf(new graft.functions.TopKByScore(20))
+    val lex = lexSims.groupBy(col("query_id"))
+      .agg(topk(col("jac"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("r_lex"),
+        col("p._2").as("neighbor_id"))
+    sem.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf"), col("r_sem"), col("r_lex"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val hybridRrfOracle: String =
+    s"""WITH semranked AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS r_sem
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       |), sem AS (
+       |  SELECT query_id, neighbor_id, r_sem FROM semranked WHERE r_sem <= 20
+       |), toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |), lexsims AS (
+       |  SELECT q.doc_id AS query_id, e.doc_id AS neighbor_id,
+       |    round(cast(len(list_intersect(q.g, e.g)) AS double)
+       |      / (len(q.g) + len(e.g) - len(list_intersect(q.g, e.g))), 6) AS jac
+       |  FROM grams q, grams e
+       |  WHERE q.doc_id < 5 AND e.doc_id != q.doc_id
+       |), lexranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, neighbor_id) AS r_lex
+       |  FROM lexsims WHERE jac > 0
+       |), lex AS (
+       |  SELECT query_id, neighbor_id, r_lex FROM lexranked WHERE r_lex <= 20
+       |), fused AS (
+       |  SELECT query_id, neighbor_id, r_sem, r_lex,
+       |    coalesce(1.0 / (60 + r_sem), 0.0) + coalesce(1.0 / (60 + r_lex), 0.0) AS rrf
+       |  FROM sem FULL JOIN lex USING (query_id, neighbor_id)
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, r_sem, r_lex, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rk
+       |  FROM fused
+       |)
+       |SELECT query_id, rk, neighbor_id, round(rrf, 6) AS rrf, r_sem, r_lex
+       |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
@@ -547,5 +636,6 @@ object SimilarityQueries {
     Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)),
     Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)),
     Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
-    Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)))
+    Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
+    Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)))
 }
