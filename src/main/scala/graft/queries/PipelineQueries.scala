@@ -105,6 +105,66 @@ object PipelineQueries {
        |  cast(row_number() OVER (ORDER BY n_occ DESC, token) AS INT) AS vocab_id
        |FROM top ORDER BY vocab_id""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** Token-id encoding — the bridge between vocabulary construction (q46)
+    * and shard assembly (q153): every document becomes its ordered id
+    * sequence under a broadcast vocab, with out-of-vocabulary tokens mapped
+    * to the reserved id 0. The 100 TB shape is exactly this plan: the
+    * vocab is small by construction and BROADCASTS (the corpus-side join
+    * never shuffles), position comes from `posexplode` inside the scan
+    * task, and the only shuffle is the per-doc reassembly groupBy. Order
+    * correctness does not depend on shuffle order: ids re-sort by position
+    * inside the aggregate (`array_sort` over (pos, id) structs), and the
+    * md5 over the joined sequence proves the full encoding — order, OOV
+    * substitutions, everything — byte-identical cross-engine. A tiny vocab
+    * (top-20 of the corpus's 31 distinct tokens) keeps the OOV path
+    * genuinely exercised rather than vacuously empty. */
+  def tokenIdEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxVocab = 20
+    val toks = table(spark, dir, "documents")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
+      .filter(length($"tok") > 0)
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"tok").limit(maxVocab)
+      .withColumn("tok_id", row_number().over(Window.orderBy($"n_occ".desc, $"tok")))
+      .select($"tok", $"tok_id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", coalesce($"tok_id", lit(0)).as("id"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"id" === 0, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct($"pos", $"id"))),
+            s => s.getField("id").cast("string"))).cast("binary")).as("ids_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenIdEncodeOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tl FROM documents
+      |), toks AS (
+      |  SELECT doc_id, pos, tok FROM (
+      |    SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok FROM t
+      |  ) WHERE length(tok) > 0
+      |), c AS (
+      |  SELECT tok, count(*) AS n_occ FROM toks GROUP BY tok
+      |), top AS (
+      |  SELECT tok, n_occ FROM c ORDER BY n_occ DESC, tok LIMIT 20
+      |), vocab AS (
+      |  SELECT tok, cast(row_number() OVER (ORDER BY n_occ DESC, tok) AS INT) AS tok_id
+      |  FROM top
+      |), ids AS (
+      |  SELECT doc_id, pos, coalesce(tok_id, 0) AS id
+      |  FROM toks LEFT JOIN vocab USING (tok)
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  cast(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_md5
+      |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q47
   /** Benchmark decontamination: flag corpus documents sharing any 8-gram
     * with the benchmark split (doc_id % 10 == 0 stands in for a held-out
@@ -876,6 +936,7 @@ object PipelineQueries {
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
+    Q("q158_token_id_encode", tokenIdEncode, Some(tokenIdEncodeOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
