@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Spans, TextFunctions}
+import graft.functions.{Hashing, Spans, TextFunctions}
 import graft.operators.{BloomJoin, Cardinality, Dedup, Frequency, Pipeline, SpanDedup}
+import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
 import QueryRegistry.table
 
 /** Corpus-shaping pipeline queries over `documents`: PII redaction,
@@ -932,9 +933,107 @@ object PipelineQueries {
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q159
+  /** End-to-end training export — the composed pipeline a real run ships:
+    * train-split admission keyed on the content fingerprint (q156 policy,
+    * so duplicates can never leak eval-ward), token-id encoding under the
+    * full-corpus broadcast vocab (q158 — eval must share token ids, so the
+    * vocab sees every document), deterministic shard routing + intra-shard
+    * (hash, id) order (q153), then an actual WRITE through this repo's own
+    * fixedwidth sink and a read BACK through the fixedwidth scan — the
+    * audit below runs on post-round-trip bytes, so it proves the export
+    * artifact, not just the plan that produced it. Per-shard
+    * `payload_md5` re-sorts by the signed mix64 key inside the aggregate
+    * and digests every `doc_id:ids` payload in shard order: any lost row,
+    * scrambled sequence, truncated field, or misrouted shard changes it.
+    * The write plan is the q153 scale shape verbatim: `repartition(shard)`
+    * → `sortWithinPartitions(h, id)` → save — per-shard parallel sorts,
+    * no global sort, and the oracle recomputes the whole lane (split,
+    * vocab, encoding, routing, digest) from the parquet corpus alone. */
+  def trainingExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select($"doc_id", $"text")
+    val train = docs
+      .withColumn("fp", TextFunctions.fingerprint($"text"))
+      .filter(pmod(Hashing.hash64Col($"fp"), lit(1024L)) < 819)
+      .select($"doc_id")
+    val toks = docs
+      .select($"doc_id", posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
+      .filter(length($"tok") > 0)
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"tok").limit(20)
+      .withColumn("tok_id", row_number().over(Window.orderBy($"n_occ".desc, $"tok")))
+      .select($"tok", $"tok_id")
+    val encoded = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", coalesce($"tok_id", lit(0)).as("id"))
+      .groupBy($"doc_id")
+      .agg(concat_ws(",", transform(array_sort(collect_list(struct($"pos", $"id"))),
+        s => s.getField("id").cast("string"))).as("ids"))
+    val shards = train.join(encoded, "doc_id")
+      .withColumn("shard", pmod(Hashing.mix64Col($"doc_id"), lit(4L)).cast("int"))
+    val layout = Seq(
+      FieldSpec("doc_id", "long", 0, 8),
+      FieldSpec("shard", "int", 8, 2),
+      FieldSpec("ids", "string", 10, 320))
+    val fieldsOpt = FixedWidthOptions.renderFields(layout)
+    val out = QueryRegistry.scratch(dir, "training_export_fw")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      shards.select($"doc_id", $"shard", $"ids")
+        .repartition($"shard")
+        .sortWithinPartitions(Hashing.mix64Col($"doc_id"), $"doc_id")
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .withColumn("h", Hashing.mix64Col($"doc_id"))
+      .withColumn("payload", concat_ws(":", $"doc_id".cast("string"), $"ids"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        md5(concat_ws("|", transform(array_sort(collect_list(struct($"h", $"doc_id", $"payload"))),
+          s => s.getField("payload"))).cast("binary")).as("payload_md5"))
+      .orderBy($"shard")
+  }
+
+  val trainingExportOracle: String = {
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tl,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, pos, tok FROM (
+       |    SELECT doc_id, generate_subscripts(tl, 1) AS pos, unnest(tl) AS tok FROM t
+       |  ) WHERE length(tok) > 0
+       |), c AS (
+       |  SELECT tok, count(*) AS n_occ FROM toks GROUP BY tok
+       |), top AS (
+       |  SELECT tok, n_occ FROM c ORDER BY n_occ DESC, tok LIMIT 20
+       |), vocab AS (
+       |  SELECT tok, cast(row_number() OVER (ORDER BY n_occ DESC, tok) AS INT) AS tok_id
+       |  FROM top
+       |), enc AS (
+       |  SELECT doc_id, array_to_string(list(coalesce(tok_id, 0) ORDER BY pos), ',') AS ids
+       |  FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id
+       |), train AS (
+       |  SELECT doc_id FROM t WHERE (${DuckHashSql.hash64Sql("fp")} % 1024) < 819
+       |), sh AS (
+       |  SELECT e.doc_id,
+       |    cast((${DuckHashSql.mix64Sql("e.doc_id::HUGEINT", "0")} % 4) AS INT) AS shard,
+       |    ${DuckHashSql.signedSql(DuckHashSql.mix64Sql("e.doc_id::HUGEINT", "0"))} AS h,
+       |    e.ids
+       |  FROM enc e JOIN train USING (doc_id)
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  md5(string_agg(doc_id || ':' || ids, '|' ORDER BY h, doc_id)) AS payload_md5
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),
+    Q("q159_training_export", trainingExport, Some(trainingExportOracle)),
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q158_token_id_encode", tokenIdEncode, Some(tokenIdEncodeOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
