@@ -583,6 +583,71 @@ object CurationQueries {
        |ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q160
+  /** Deterministic source-interleaved training order — the "shuffle
+    * quality" op: consuming a corpus grouped by source trains on long
+    * same-source runs (gradient correlation), so the order is defined as
+    * (round, source) where round = each doc's row_number within its source
+    * under the mix64 permutation. That interleaves sources round-robin
+    * with NO randomness — retry/layout-invariant like every sampling lane
+    * here (the q56 argument applied to ORDER). At scale the order is a
+    * write: range-partition on (round, source) and sort within partitions
+    * (the q153 shard argument); nothing global-sorts. The lane AUDITS the
+    * property instead of dumping the permutation: max consecutive
+    * same-source run under the interleave (small by construction — bounded
+    * by consecutive rounds where other sources ran dry) vs under naive
+    * (source, id) order (= the whole source, the worst case). Runs are
+    * computed by the classic gaps-and-islands lag/cumsum; the audit
+    * windows are single-partition but the AUDIT is a diagnostic pass, not
+    * the operator. */
+  def sourceInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("h", Hashing.mix64Col($"doc_id"))
+    val perSource = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val interleaved = docs.withColumn("rr", row_number().over(perSource))
+    def maxRun(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
+      val w = Window.orderBy(order: _*)
+      df.withColumn("chg", when(lag($"source", 1).over(w) <=> $"source", 0L).otherwise(1L))
+        .withColumn("island", sum($"chg").over(w))
+        .groupBy($"source", $"island").agg(count(lit(1)).as("run"))
+        .groupBy($"source").agg(max($"run").as(as))
+    }
+    val inter = maxRun(interleaved, Seq($"rr", $"source", $"doc_id"), "max_run_interleaved")
+    val naive = maxRun(docs, Seq($"source", $"doc_id"), "max_run_naive")
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(inter, "source").join(naive, "source")
+      .select($"source", $"n_docs", $"max_run_interleaved", $"max_run_naive")
+      .orderBy($"source")
+  }
+
+  val sourceInterleaveOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("doc_id::HUGEINT", "0"))
+    def runs(orderBy: String, as: String) =
+      s"""(SELECT source, max(run) AS $as FROM (
+         |    SELECT source, island, count(*) AS run FROM (
+         |      SELECT source, sum(chg) OVER (ORDER BY $orderBy) AS island FROM (
+         |        SELECT source, rr, doc_id,
+         |          CASE WHEN lag(source) OVER (ORDER BY $orderBy)
+         |               IS NOT DISTINCT FROM source THEN 0 ELSE 1 END AS chg
+         |        FROM i)
+         |      ) GROUP BY 1, 2
+         |    ) GROUP BY 1)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $h AS h FROM documents
+       |), i AS (
+       |  SELECT doc_id, source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rr
+       |  FROM d
+       |), mi AS ${runs("rr, source, doc_id", "max_run_interleaved")},
+       |mn AS ${runs("source, doc_id", "max_run_naive")}
+       |SELECT source, count(*) AS n_docs, max_run_interleaved, max_run_naive
+       |FROM i JOIN mi USING (source) JOIN mn USING (source)
+       |GROUP BY source, max_run_interleaved, max_run_naive
+       |ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
     Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
@@ -594,5 +659,6 @@ object CurationQueries {
     Q("q150_quantile_admission", quantileAdmission, Some(quantileAdmissionOracle)),
     Q("q151_mixture_epochs", mixtureEpochs, Some(mixtureEpochsOracle)),
     Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
-    Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)))
+    Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)),
+    Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)))
 }
