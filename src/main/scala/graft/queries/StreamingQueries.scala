@@ -514,7 +514,52 @@ object StreamingQueries {
        |  ${CoreQueries.dsumSql("asof_view_value")} AS sum_matched_value
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** Streaming token-id encoding under a FROZEN vocabulary — the
+    * ingest/inference shape of q158: a corpus stream is encoded
+    * continuously against a vocab trained earlier, so documents admitted
+    * tomorrow get yesterday's token ids. The vocab is built batch-side
+    * (the q158/q46 rule), pulled to the driver (bounded: ≤ maxVocab rows —
+    * the IVF-centroid argument) and enters the stream as a MAP LITERAL, so
+    * the per-row encode is a pure codegen'd expression chain: tokenize →
+    * `element_at(vocabMap, tok)` → OOV 0 — STATELESS, no watermark, no
+    * state store, unbounded-throughput streaming. The oracle is exactly
+    * the batch q158 SQL: the drained stream must equal the batch encoding
+    * byte-for-byte, md5s included. */
+  def streamEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val vocabRows = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(20)
+      .withColumn("tok_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("tok"))))
+      .select(col("tok"), col("tok_id"))
+      .collect()
+    val vocabMap = map(vocabRows.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
+    runToMemory(spark, "stream_encode", "append") { ss =>
+      val schema = table(ss, dir, "documents").schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"),
+          filter(TextFunctions.tokens(lower(col("text"))), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"), t => coalesce(element_at(vocabMap, t), lit(0))).as("ids"))
+        .select(
+          col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), x => x === 0)).cast("long").as("n_oov"),
+          md5(concat_ws(",", transform(col("ids"), _.cast("string"))).cast("binary"))
+            .as("ids_md5"))
+    }
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q161_stream_encode", streamEncode, Some(PipelineQueries.tokenIdEncodeOracle)),
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
     Q("q72_stream_sessions", sessions, Some(sessionsOracle)),
