@@ -327,6 +327,158 @@ object CurationQueries {
       |SELECT pair, cast(sum(wc) AS BIGINT) AS n_merges
       |FROM p GROUP BY pair ORDER BY n_merges DESC, pair LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Full BPE tokenizer TRAINING (q149 computes one round's pair counts;
+    * this lane runs the whole merge loop). The scale split is the classic
+    * one (Sennrich et al. 2016): the corpus-sized work is ONE token explode
+    * + word groupBy (the q46 vocabulary plan); training then operates on
+    * the word-frequency DICT, capped to the top `BpeMaxWords` by
+    * (frequency, word) — a bounded driver pull BY CONSTRUCTION, same
+    * contract as the IVF centroid and Bloom word pulls — and the merge
+    * loop is a pure function (`operators/BpeTrain.train`). At 100 TB the
+    * dict agg shuffles once and everything after is O(maxWords · wordLen)
+    * on the driver; nothing re-reads the corpus. The oracle replays every
+    * round in DuckDB: pair counts, (count DESC, lhs, rhs) argmax, and
+    * greedy left-to-right application via a run-parity window trick
+    * (consecutive candidate starts alternate take/skip), so the merge
+    * table — ranks, pairs, and weighted support — is verified exactly,
+    * not just counted. */
+  private val BpeMaxWords = 300
+  private val BpeMaxMerges = 8
+
+  private def bpeDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+  }
+
+  private def bpeMerges(spark: SparkSession, dir: String): Vector[graft.operators.BpeTrain.Merge] = {
+    import spark.implicits._
+    val dict = bpeDict(spark, dir)
+      .orderBy($"wc".desc, $"word").limit(BpeMaxWords)
+      .as[(String, Long)].collect()
+    graft.operators.BpeTrain.train(dict.toSeq, BpeMaxMerges)
+  }
+
+  def bpeTrainLane(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+
+  /** Oracle-side round generator. `pos` explodes a segmentation table into
+    * (word, position, piece, next-piece); the apply block marks candidate
+    * starts, groups consecutive runs, takes alternate starts (greedy
+    * left-to-right), drops consumed successors, and reassembles the piece
+    * list. MATERIALIZED pins each reused CTE to one evaluation — DuckDB
+    * inlines by default, which re-ran the whole chain per reference
+    * (measured 43 s → 0.2 s on the encode oracle at sf0.01). */
+  private def bpePosCte(sfx: String, inSeg: String): String =
+    s"""pos$sfx AS MATERIALIZED (
+       |  SELECT word, wc, g.i, pieces[g.i] AS p, pieces[g.i + 1] AS pn
+       |  FROM $inSeg, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i) g
+       |)""".stripMargin
+
+  private def bpeApplyCtes(sfx: String, best: String): String =
+    s"""cand$sfx AS (
+       |  SELECT s.word, s.wc, s.i, s.p, s.pn,
+       |    coalesce(s.p = x.a AND s.pn = x.b, false) AS is_cand
+       |  FROM pos$sfx s LEFT JOIN $best x ON true
+       |), runs$sfx AS (
+       |  SELECT *, CASE WHEN is_cand
+       |    THEN i - row_number() OVER (PARTITION BY word, is_cand ORDER BY i) END AS grp
+       |  FROM cand$sfx
+       |), take$sfx AS (
+       |  SELECT *, is_cand AND
+       |    (row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1) AS take
+       |  FROM runs$sfx
+       |), cons$sfx AS (
+       |  SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+       |  FROM take$sfx
+       |), seg$sfx AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    list(CASE WHEN take THEN p || pn ELSE p END ORDER BY i) AS pieces
+       |  FROM cons$sfx WHERE NOT consumed GROUP BY word, wc
+       |)""".stripMargin
+
+  private def bpeTrainRound(r: Int): String = {
+    val in = if (r == 1) "seg0" else s"seg${r - 1}"
+    s"""${bpePosCte(r.toString, in)}, pc$r AS (
+       |  SELECT p AS a, pn AS b, sum(wc) AS n FROM pos$r WHERE pn IS NOT NULL GROUP BY 1, 2
+       |), best$r AS MATERIALIZED (
+       |  SELECT a, b, cast(n AS BIGINT) AS n FROM pc$r ORDER BY n DESC, a, b LIMIT 1
+       |), ${bpeApplyCtes(r.toString, s"best$r")}""".stripMargin
+  }
+
+  private val bpeBaseCtes: String =
+    s"""w AS (
+       |  SELECT u.word FROM documents,
+       |  LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word) u
+       |  WHERE length(u.word) > 0
+       |), wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS wc FROM w GROUP BY word
+       |), cap AS (
+       |  SELECT word, wc FROM wf ORDER BY wc DESC, word LIMIT $BpeMaxWords
+       |), seg0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS pieces
+       |  FROM cap
+       |)""".stripMargin
+
+  val bpeTrainOracle: String = {
+    val rounds = (1 to BpeMaxMerges).map(bpeTrainRound).mkString(", ")
+    val union = (1 to BpeMaxMerges).map { r =>
+      s"SELECT cast($r AS INT) AS rank, a AS lhs, b AS rhs, a || b AS merged, n AS pair_count FROM best$r"
+    }.mkString("\n  UNION ALL ")
+    s"WITH $bpeBaseCtes, $rounds\nSELECT * FROM (\n  $union\n) ORDER BY rank"
+  }
+
+  // ---------------------------------------------------------------- q163
+  /** Encoding under the TRAINED merges — the lane q158 (encode under a
+    * given vocab) could not provide: subword segmentation of the whole
+    * corpus with merges learned by q162's loop, reported as the top-40
+    * subword frequencies. The scale shape: encoding runs over the DISTINCT
+    * word table (vocab-sized, Zipf-bounded — millions of rows at 100 TB
+    * where the corpus is trillions of tokens), each word encoded once via
+    * the broadcast 8-entry merge list; corpus weights arrive as the word
+    * counts already aggregated by the one corpus shuffle. The per-word
+    * encode is a Scala UDF deliberately: it runs O(vocab) times, not
+    * O(corpus), so codegen pressure is irrelevant and the pure function is
+    * shared verbatim with the trainer (spec-tested against the oracle's
+    * SQL replay of the same greedy semantics). */
+  def bpeEncodeLane(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir).map(m => (m.left, m.right))
+    val bc = spark.sparkContext.broadcast(merges)
+    val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
+    bpeDict(spark, dir)
+      .select(explode(encodeWord($"word")).as("token"), $"wc")
+      .groupBy($"token").agg(sum($"wc").cast("long").as("n_occ"))
+      .orderBy($"n_occ".desc, $"token").limit(40)
+  }
+
+  val bpeEncodeOracle: String = {
+    val rounds = (1 to BpeMaxMerges).map(bpeTrainRound).mkString(", ")
+    val enc0 =
+      """sege0 AS MATERIALIZED (
+        |  SELECT word, wc,
+        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS pieces
+        |  FROM wf
+        |)""".stripMargin
+    val encRounds = (1 to BpeMaxMerges).map { r =>
+      val in = if (r == 1) "sege0" else s"sege${r - 1}"
+      s"${bpePosCte(s"e$r", in)}, ${bpeApplyCtes(s"e$r", s"best$r")}"
+    }.mkString(", ")
+    s"""WITH $bpeBaseCtes, $rounds, $enc0, $encRounds
+       |SELECT piece AS token, cast(sum(wc) AS BIGINT) AS n_occ
+       |FROM (SELECT unnest(pieces) AS piece, wc FROM sege$BpeMaxMerges)
+       |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 40""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -660,5 +812,7 @@ object CurationQueries {
     Q("q151_mixture_epochs", mixtureEpochs, Some(mixtureEpochsOracle)),
     Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
     Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)),
-    Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)))
+    Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)),
+    Q("q162_bpe_train", bpeTrainLane, Some(bpeTrainOracle)),
+    Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)))
 }
