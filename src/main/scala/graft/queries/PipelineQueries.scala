@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Spans, TextFunctions}
-import graft.operators.{BloomJoin, Cardinality, Dedup, Frequency, Pipeline, SpanDedup}
+import graft.operators.{BloomJoin, Cardinality, Dedup, Frequency, HeavyHitters, Pipeline, SpanDedup}
 import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
 import QueryRegistry.table
 
@@ -392,6 +392,42 @@ object PipelineQueries {
        |GROUP BY p.token, p.n_exact
        |ORDER BY n_exact DESC, token""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q164
+  /** EXACT heavy hitters via a SpaceSaving candidate sketch + exact
+    * verification pass (`operators/HeavyHitters`). Where q49's Count-Min
+    * answers "how often is THIS token" approximately, this lane answers
+    * "which tokens exceed N/k" exactly: pass 1 keeps O(capacity) state per
+    * partition inside mapPartitions and unions candidates (the omission
+    * bound makes the union a guaranteed superset of every token with count
+    * > N/capacity — no partition-balance assumption); pass 2 broadcast
+    * semi-joins the corpus to the bounded candidate set and counts
+    * exactly. The oracle is a plain exact HAVING — the sketch only PRUNES,
+    * so a single false negative in it would break the hash match, which
+    * makes the driver gate a genuine test of the sketch guarantee, not
+    * just of the counting. Integer-exact threshold (`n·k > total`), no
+    * division. At 100 TB: two scans, one shuffle over candidate rows
+    * only. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+      .as[String]
+    HeavyHitters.exact(toks, k = 100, capacity = 400)
+  }
+
+  val heavyHittersOracle: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents
+      |), tok AS (
+      |  SELECT token FROM t WHERE length(token) > 0
+      |), n AS (
+      |  SELECT count(*) AS total FROM tok
+      |)
+      |SELECT token, cast(count(*) AS BIGINT) AS n_occ
+      |FROM tok, n GROUP BY token, n.total HAVING count(*) * 100 > n.total
+      |ORDER BY n_occ DESC, token""".stripMargin
 
   // ---------------------------------------------------------------- q56
   /** Deterministic ~10% Bernoulli sample (102/1024): map-side only, no
@@ -1040,6 +1076,7 @@ object PipelineQueries {
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
+    Q("q164_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Q("q56_hash_sample", hashSample, Some(hashSampleOracle)),
     Q("q57_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("q58_weighted_mixture", weightedMixture, Some(weightedMixtureOracle)),
