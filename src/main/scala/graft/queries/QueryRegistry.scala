@@ -28,10 +28,15 @@ object QueryRegistry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table with its TIMESTAMP(NANOS) column converted to a real
-    * timestamp: Spark 4 reads parquet nanos only via the nanosAsLong legacy
-    * conf; integral `div` keeps the µs conversion exact (double math would
-    * round above 2^53).
+  /** The events table with `ts` normalized to a session-TZ TIMESTAMP
+    * regardless of how the parquet encodes it — the driver's generator has
+    * shipped both TIMESTAMP(NANOS) (read as long under the nanosAsLong
+    * legacy conf, µs conversion via integral `div` — double math would
+    * round above 2^53) and TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ; cast re-interprets the wall-clock in the session's UTC
+    * zone, so epoch math is unchanged). Keying on the OBSERVED type rather
+    * than an assumed encoding is what keeps a testdata regeneration from
+    * silently breaking every events lane.
     *
     * SIDE EFFECT (documented): sets the session-wide nanosAsLong conf — any
     * later read of a TIMESTAMP(NANOS) parquet in this session sees longs.
@@ -39,9 +44,23 @@ object QueryRegistry {
     * so the flag is effectively session-constant there; standalone callers
     * should set it at session build time. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** `ts` → session-TZ TIMESTAMP from any of the three representations the
+    * events table has appeared in (long nanos, TIMESTAMP_NTZ, TIMESTAMP). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected long nanos, " +
+          "timestamp_ntz, or timestamp)")
+    }
   }
 
   /** Per-scale-factor scratch dir for fixed-width round-trip artifacts. */

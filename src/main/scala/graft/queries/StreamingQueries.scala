@@ -56,16 +56,17 @@ object StreamingQueries {
     ss.table(name)
   }
 
-  /** Stream the events parquet as a file stream — same TIMESTAMP(NANOS)
-    * handling as the batch QueryRegistry.events helper. */
+  /** Stream the events parquet as a file stream — same ts normalization as
+    * the batch QueryRegistry.events helper (long nanos / TIMESTAMP_NTZ /
+    * TIMESTAMP, keyed on the observed batch-read schema). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events").schema // long ts under the conf
-    spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet") // the file stream source wants a directory
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events").schema
+    QueryRegistry.normalizeTs(
+      spark.readStream
+        .schema(raw)
+        .option("pathGlobFilter", "events.parquet") // the file stream source wants a directory
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windows with a watermark: count + exact value sum per
