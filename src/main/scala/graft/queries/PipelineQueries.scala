@@ -1066,6 +1066,275 @@ object PipelineQueries {
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q165
+  /** Linear quality-classifier scoring — the fastText-style shape every
+    * large-scale curation pipeline runs (CCNet/LLaMA quality filters):
+    * hashed bag-of-words features, a broadcast weight table, map-side
+    * inference, admission on the margin sign. The "model" here is
+    * deterministic (weight of bucket b = low-11-bits of mix64(b) − 1024,
+    * an integer in [−1024, 1023]) so the oracle replays it exactly; a real
+    * model swaps the `range`-derived table for learned weights with zero
+    * plan change. INTEGER weights keep the per-doc margin an order-free
+    * BIGINT sum (a double Σw would be partial-agg-order-dependent — the
+    * q103/q105 lesson), and the admission test `sum_w > 0` is pure integer
+    * comparison. Power-of-two moduli (4096 buckets, 2048 weight range)
+    * keep Java's signed and DuckDB's unsigned hash views bit-identical
+    * (the q56 argument). Scale shape: token explode is map-side, the
+    * 4096-row model broadcasts, the only corpus shuffles are the two
+    * skinny aggs (doc_id, then source×lang). Docs join back by LEFT join
+    * so a token-less document can never vanish from n_docs (q131). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = broadcast(spark.range(ClsBuckets).select(
+      $"id".as("bucket"),
+      (pmod(Hashing.mix64Col($"id"), lit(2L * ClsScale)) - lit(ClsScale)).as("w")))
+    val docs = table(spark, dir, "documents").select($"doc_id", $"source", $"lang", $"text")
+    val perDoc = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .select($"doc_id", pmod(Hashing.hash64Col($"token"), lit(ClsBuckets)).as("bucket"))
+      .join(weights, "bucket")
+      .groupBy($"doc_id")
+      .agg(sum($"w").as("sum_w"), count(lit(1)).as("n_tokens"))
+    docs.select($"doc_id", $"source", $"lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"source", $"lang",
+        coalesce($"sum_w", lit(0L)).as("sum_w"),
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"sum_w" > 0, 1)).as("n_admitted"),
+        sum($"sum_w").cast("long").as("sum_margin_num"),
+        sum($"n_tokens").cast("long").as("sum_tokens"))
+      .withColumn("corpus_margin",
+        round($"sum_margin_num".cast("double") /
+          ($"sum_tokens".cast("double") * lit(ClsScale.toDouble)), 8))
+      .orderBy($"source", $"lang")
+  }
+
+  private val ClsBuckets = 4096L
+  private val ClsScale = 1024L
+
+  val qualityClassifierOracle: String =
+    s"""WITH wt AS (
+       |  SELECT b AS bucket,
+       |    cast((${DuckHashSql.mix64Sql("b::HUGEINT", "0")} % ${2 * ClsScale}) AS BIGINT) - $ClsScale AS w
+       |  FROM (SELECT unnest(generate_series(0, ${ClsBuckets - 1})) AS b)
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+       |), tk AS (
+       |  SELECT doc_id, token FROM tok WHERE length(token) > 0
+       |), th AS (
+       |  SELECT token, cast((${DuckHashSql.hash64Sql("token")} % $ClsBuckets) AS BIGINT) AS bucket
+       |  FROM (SELECT DISTINCT token FROM tk)
+       |), pd AS (
+       |  SELECT doc_id, cast(sum(w) AS BIGINT) AS sum_w, count(*) AS n_tokens
+       |  FROM tk JOIN th USING (token) JOIN wt USING (bucket) GROUP BY doc_id
+       |)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  count(CASE WHEN coalesce(sum_w, 0) > 0 THEN 1 END) AS n_admitted,
+       |  cast(sum(coalesce(sum_w, 0)) AS BIGINT) AS sum_margin_num,
+       |  cast(sum(coalesce(n_tokens, 0)) AS BIGINT) AS sum_tokens,
+       |  round(cast(sum(coalesce(sum_w, 0)) AS DOUBLE) /
+       |    (cast(sum(coalesce(n_tokens, 0)) AS DOUBLE) * $ClsScale.0), 8) AS corpus_margin
+       |FROM documents LEFT JOIN pd USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** Sketch-based join-size and self-join-size (F2) estimation — the
+    * planner question "how big is this join / how skewed is this key?"
+    * answered WITHOUT shuffling the keys: the Count-Min inner product
+    * Σ_w a_d[w]·b_d[w], minimized over the d hash rows, upper-bounds
+    * Σ_k a_k·b_k (the classic AMS/CMS estimator; collisions only ever
+    * add, so the estimate is one-sided like the point query). At 100 TB
+    * this is how you decide salting (F2 ≫ N²/distinct ⇒ skew) or
+    * broadcast-vs-shuffle BEFORE paying for the join: each side's sketch
+    * is d·2^wBits longs built map-side in one pass, and the inner product
+    * joins two 256Ki-row cell tables — the exact answers (computed here
+    * as the lane's own ground truth) need a full per-key shuffle of both
+    * relations. Both sides share one hash family by construction, which
+    * is what makes the cell tables inner-product-compatible. */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val wBits = 16
+    val evK = table(spark, dir, "events").select($"user_id".cast("string").as("k"))
+    val ordK = table(spark, dir, "orders").select($"o_custkey".cast("string").as("k"))
+    val ca = Frequency.cmsCells(evK, $"k", depth, wBits)
+      .select($"d", $"bucket", $"n".as("na"))
+    val cb = Frequency.cmsCells(ordK, $"k", depth, wBits)
+      .select($"d", $"bucket", $"n".as("nb"))
+    val joinEst = ca.join(cb, Seq("d", "bucket"))
+      .groupBy($"d").agg(sum($"na" * $"nb").as("est"))
+      .agg(min($"est").cast("long").as("join_est"))
+    val f2Est = ca
+      .groupBy($"d").agg(sum($"na" * $"na").as("est"))
+      .agg(min($"est").cast("long").as("f2_est"))
+    val joinExact = evK.groupBy($"k").agg(count(lit(1)).as("na"))
+      .join(ordK.groupBy($"k").agg(count(lit(1)).as("nb")), "k")
+      .agg(sum($"na" * $"nb").cast("long").as("join_exact"))
+    val f2Exact = evK.groupBy($"k").agg(count(lit(1)).as("na"))
+      .agg(sum($"na" * $"na").cast("long").as("f2_exact"))
+    joinEst.crossJoin(joinExact).crossJoin(f2Est).crossJoin(f2Exact)
+  }
+
+  val cmsJoinSizeOracle: String = {
+    val m = DuckHashSql.mix64Sql("h", "d")
+    s"""WITH ak AS (
+       |  SELECT user_id::VARCHAR AS k FROM events
+       |), bk AS (
+       |  SELECT o_custkey::VARCHAR AS k FROM orders
+       |), ah AS (
+       |  SELECT k, ${DuckHashSql.hash64Sql("k")} AS h FROM (SELECT DISTINCT k FROM ak)
+       |), bh AS (
+       |  SELECT k, ${DuckHashSql.hash64Sql("k")} AS h FROM (SELECT DISTINCT k FROM bk)
+       |), dd AS (
+       |  SELECT unnest([0, 1, 2, 3]) AS d
+       |), acells AS (
+       |  SELECT d, bucket, count(*) AS n FROM (
+       |    SELECT dd.d, cast(($m % 65536) AS BIGINT) AS bucket
+       |    FROM ak JOIN ah USING (k) CROSS JOIN dd
+       |  ) GROUP BY d, bucket
+       |), bcells AS (
+       |  SELECT d, bucket, count(*) AS n FROM (
+       |    SELECT dd.d, cast(($m % 65536) AS BIGINT) AS bucket
+       |    FROM bk JOIN bh USING (k) CROSS JOIN dd
+       |  ) GROUP BY d, bucket
+       |), j AS (
+       |  SELECT a.d, cast(sum(a.n * b.n) AS BIGINT) AS est
+       |  FROM acells a JOIN bcells b ON a.d = b.d AND a.bucket = b.bucket
+       |  GROUP BY a.d
+       |), f AS (
+       |  SELECT d, cast(sum(n * n) AS BIGINT) AS est FROM acells GROUP BY d
+       |)
+       |SELECT
+       |  (SELECT min(est) FROM j) AS join_est,
+       |  (SELECT cast(sum(an.n * bn.n) AS BIGINT)
+       |   FROM (SELECT k, count(*) AS n FROM ak GROUP BY k) an
+       |   JOIN (SELECT k, count(*) AS n FROM bk GROUP BY k) bn USING (k)) AS join_exact,
+       |  (SELECT min(est) FROM f) AS f2_est,
+       |  (SELECT cast(sum(n * n) AS BIGINT)
+       |   FROM (SELECT k, count(*) AS n FROM ak GROUP BY k)) AS f2_exact""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q167
+  /** Overlap-FRACTION decontamination — the loose-match policy real
+    * pipelines use (GPT-3/PaLM style): a doc is contaminated when ≥ 50% of
+    * its distinct 8-gram shingles hit the benchmark set, not when ANY
+    * single gram does (q47's policy, audited alongside as `n_any_hit`).
+    * The fraction test is pure integer math (`2·hits ≥ grams`), never a
+    * double compare. Denominator comes free: [[Dedup.shingles]] emits
+    * DISTINCT grams, so `size(grams)` is the per-doc distinct count with
+    * no second explode. Scale shape is q47's: benchmark grams broadcast
+    * into a LEFT SEMI join inside the scan task, per-doc hit counts
+    * shuffle skinny (doc_id, long) rows, and sub-8-token docs stay in the
+    * audit with n_grams = 0 (never contaminated, never dropped). */
+  def overlapContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", $"source", Dedup.shingles($"text", 8).as("grams"))
+    val bench = docs.filter($"doc_id" % 10 === 0)
+      .select(explode($"grams").as("gram")).distinct()
+    val eval = docs.filter($"doc_id" % 10 =!= 0)
+    val hits = eval.select($"doc_id", explode($"grams").as("gram"))
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    eval.select($"doc_id", $"source", size($"grams").cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"source", $"n_grams", coalesce($"n_hit", lit(0L)).as("n_hit"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"n_hit" > 0, 1)).as("n_any_hit"),
+        count(when($"n_hit" * 2 >= $"n_grams" && $"n_grams" > 0, 1)).as("n_contaminated"),
+        sum($"n_hit").cast("long").as("sum_hits"),
+        sum($"n_grams").cast("long").as("sum_grams"))
+      .orderBy($"source")
+  }
+
+  val overlapContaminationOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, ${DuckHashSql.gramsSql(8)} AS grams FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+       |), ev AS (
+       |  SELECT doc_id, source, grams, len(grams) AS n_grams FROM g WHERE doc_id % 10 <> 0
+       |), hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM (
+       |    SELECT doc_id, unnest(grams) AS gram FROM ev
+       |  ) WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN coalesce(n_hit, 0) > 0 THEN 1 END) AS n_any_hit,
+       |  count(CASE WHEN coalesce(n_hit, 0) * 2 >= n_grams AND n_grams > 0 THEN 1 END)
+       |    AS n_contaminated,
+       |  cast(sum(coalesce(n_hit, 0)) AS BIGINT) AS sum_hits,
+       |  cast(sum(n_grams) AS BIGINT) AS sum_grams
+       |FROM ev LEFT JOIN hits USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** Vocabulary coverage / OOV-rate curve — the tokenizer-planning query
+    * behind "how big must the vocab be": for each candidate size V, the
+    * token mass NOT covered by the top-V types (rank by count desc, token
+    * asc — q46's deterministic tie-break). One corpus aggregation; the
+    * row_number runs over the POST-AGG type table (Zipf-bounded — q46's
+    * argument), and the V×types theta-join touches |V|·|types| post-agg
+    * rows, never the corpus. The largest V deliberately exceeds the type
+    * count to pin the saturated edge (oov_rate exactly 0.0). OOV rate is
+    * the only double and is an exact integer ratio, division-identical in
+    * both engines. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy($"n_occ".desc, $"token")).cast("long"))
+    val sizes = Seq(5, 10, 20, 40).toDF("vocab_size")
+    val total = counts.agg(sum($"n_occ").cast("long").as("total_mass"))
+    ranked.join(broadcast(sizes), $"r" <= $"vocab_size")
+      .groupBy($"vocab_size")
+      .agg(count(lit(1)).as("covered_types"), sum($"n_occ").cast("long").as("covered_mass"))
+      .crossJoin(total)
+      .select(
+        $"vocab_size", $"covered_types", $"covered_mass",
+        ($"total_mass" - $"covered_mass").as("oov_mass"),
+        round(($"total_mass" - $"covered_mass").cast("double") /
+          $"total_mass".cast("double"), 8).as("oov_rate"))
+      .orderBy($"vocab_size")
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+      |), tk AS (
+      |  SELECT token FROM tok WHERE length(token) > 0
+      |), c AS (
+      |  SELECT token, count(*) AS n_occ FROM tk GROUP BY token
+      |), r AS (
+      |  SELECT token, n_occ,
+      |    cast(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS r
+      |  FROM c
+      |), tot AS (
+      |  SELECT cast(sum(n_occ) AS BIGINT) AS total_mass FROM c
+      |), v AS (
+      |  SELECT unnest([5, 10, 20, 40]) AS vocab_size
+      |), cov AS (
+      |  SELECT vocab_size, count(*) AS covered_types,
+      |    cast(sum(n_occ) AS BIGINT) AS covered_mass
+      |  FROM v JOIN r ON r.r <= v.vocab_size GROUP BY vocab_size
+      |)
+      |SELECT vocab_size, covered_types, covered_mass,
+      |  total_mass - covered_mass AS oov_mass,
+      |  round(cast(total_mass - covered_mass AS DOUBLE) /
+      |    cast(total_mass AS DOUBLE), 8) AS oov_rate
+      |FROM cov, tot ORDER BY vocab_size""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),
@@ -1073,6 +1342,10 @@ object PipelineQueries {
     Q("q46_vocabulary", vocabulary, Some(vocabularyOracle)),
     Q("q158_token_id_encode", tokenIdEncode, Some(tokenIdEncodeOracle)),
     Q("q47_decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("q165_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
+    Q("q166_cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
+    Q("q167_overlap_decontaminate", overlapContamination, Some(overlapContaminationOracle)),
+    Q("q168_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
