@@ -490,6 +490,36 @@ object CoreQueries {
        |FROM lineitem WHERE l_returnflag = 'R'
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Per-record file provenance under the oracle: the `_source_file` DSv2
+    * METADATA column (SupportsMetadataColumns — absent from the schema,
+    * materialized only when referenced) over the partitioned fixture. The
+    * partition value is re-derived from the PATH and checked against the
+    * same record's DECODED field in-query (`n_mismatched` — any record
+    * attributed to the wrong file breaks the oracle's constant-0 column),
+    * so provenance is proven per record against content, not just present.
+    * At 100 TB this is the lineage query ("which feed file produced this
+    * row?") paid for only by queries that ask. */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .load(partitionedFixture(spark, dir))
+      .select($"l_returnflag", $"l_quantity",
+        regexp_extract($"_source_file", "l_returnflag=([^/]+)", 1).as("path_flag"))
+      .groupBy($"path_flag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"),
+        count(when($"l_returnflag" =!= $"path_flag", 1)).as("n_mismatched"))
+      .orderBy($"path_flag")
+  }
+
+  val q169Oracle: String =
+    s"""SELECT l_returnflag AS path_flag, count(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  cast(0 AS BIGINT) AS n_mismatched
+       |FROM lineitem GROUP BY l_returnflag ORDER BY path_flag""".stripMargin
+
   /** COUNT(*) pushdown: both counts are answered from the driver-side file
     * listing (the filtered one over the directory-pruned listing) with ZERO
     * data IO — the plan contains FixedWidthCountScan, no aggregate, no scan
@@ -598,6 +628,7 @@ object CoreQueries {
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),
     Q("q05_fw_dropmalformed", q05, Some(q05Oracle)),
     Q("q06_fw_partition_pruned", q06, Some(q06Oracle)),
+    Q("q169_fw_source_file", q169, Some(q169Oracle)),
     Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
     Q("q08_fw_limit_offset", q08, Some(q08Oracle)),
     Q("q09_fw_grouped_count", q09, Some(q09Oracle)),

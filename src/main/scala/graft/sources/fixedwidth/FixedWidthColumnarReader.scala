@@ -70,6 +70,13 @@ class FixedWidthColumnarReader(
     sf.name match {
       case FixedWidthOptions.OffsetCol =>
         (r: Int) => v.putLong(r, recOffset)
+      case FixedWidthOptions.SourceFileCol
+          if !opts.fields.exists(_.name.equalsIgnoreCase(sf.name)) =>
+        // metadata column; path bytes converted once per chunk by the stream
+        (r: Int) => {
+          val b = stream.currentPathUtf8
+          v.putByteArray(r, b, 0, b.length)
+        }
       case FixedWidthOptions.KeyCol if !opts.typed =>
         (r: Int) => v.putByteArray(r, buf, opts.keyStartAt, opts.keyLen)
       case FixedWidthOptions.ValueCol if !opts.typed =>

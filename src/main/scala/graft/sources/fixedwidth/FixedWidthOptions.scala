@@ -103,6 +103,12 @@ object FixedWidthOptions {
   val KeyCol = "key"
   val ValueCol = "value"
 
+  /** DSv2 metadata column (SupportsMetadataColumns): the record's source
+    * file path. NOT part of the table schema — surfaced only when a query
+    * references it (`select($"_source_file")`), the provenance column a
+    * 100 TB lineage audit needs without paying for it on every scan. */
+  val SourceFileCol = "_source_file"
+
   /** Hadoop config-key aliases for drop-in migration: the reference's job-conf
     * property names (reference FixedLengthInputFormat.java:97-149) are accepted
     * as reader options alongside the native names. Setting both spellings to

@@ -42,9 +42,17 @@ class FixedWidthScanBuilder(
   private var offsetN: Long = 0L  // records skipped from the front
 
   override def pruneColumns(required: StructType): Unit = {
-    // Preserve OUR field order/decoders; keep only requested names.
+    // Preserve OUR field order/decoders; keep only requested names. The
+    // `_source_file` metadata column is not in opts.schema — append it
+    // (always last) when the query references it.
     val wanted = required.fieldNames.toSet
-    requiredSchema = StructType(opts.schema.fields.filter(f => wanted.contains(f.name)))
+    val base = opts.schema.fields.filter(f => wanted.contains(f.name))
+    val meta =
+      if (required.fieldNames.exists(_.equalsIgnoreCase(FixedWidthOptions.SourceFileCol)) &&
+        !opts.fields.exists(_.name.equalsIgnoreCase(FixedWidthOptions.SourceFileCol)))
+        Array(StructField(FixedWidthOptions.SourceFileCol, StringType, nullable = false))
+      else Array.empty[StructField]
+    requiredSchema = StructType(base ++ meta)
   }
 
   override def pushFilters(
@@ -845,6 +853,15 @@ final class ChunkedRecordStream(
 
   var recordsRead = 0L
 
+  // Current file path as UTF-8 bytes, converted ONCE per chunk — the
+  // `_source_file` metadata column must not pay a per-record String→UTF8
+  // encode. Empty until the first chunk opens (readers only consult it
+  // after a successful fetch).
+  private var curPathUtf8: Array[Byte] = Array.emptyByteArray
+
+  /** UTF-8 bytes of the file the LAST fetched record came from. */
+  def currentPathUtf8: Array[Byte] = curPathUtf8
+
   def close(): Unit = {
     if (compIn != null) { compIn.close(); compIn = null }
     if (rawIn != null) { rawIn.close(); rawIn = null }
@@ -859,6 +876,7 @@ final class ChunkedRecordStream(
     rawIn = p.getFileSystem(conf).open(p)
     curCompressed = c.compressed
     curPath = c.filePath
+    curPathUtf8 = c.filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (c.compressed) {
       val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
       if (codec == null)
@@ -947,7 +965,8 @@ class FixedWidthPartitionReader(
   // reusable `buf` is safe: `proj` copies all bytes into its own buffer
   // before the next record overwrites `buf`.
   private val decoders: Array[() => Unit] =
-    FixedWidthRowDecoders.plan(opts, requiredSchema, buf, row, () => pos, keyBuf)
+    FixedWidthRowDecoders.plan(opts, requiredSchema, buf, row, () => pos, keyBuf,
+      () => stream.currentPathUtf8)
 
   // Pushed predicates evaluate straight off the record buffer — fully
   // independent of the (possibly pruned) output schema, because fully-pushed
@@ -1054,7 +1073,8 @@ object FixedWidthRowDecoders {
       buf: Array[Byte],
       row: GenericInternalRow,
       offset: () => Long,
-      keyBufOrNull: Array[Byte] = null): Array[() => Unit] = {
+      keyBufOrNull: Array[Byte] = null,
+      sourceFileUtf8: () => Array[Byte] = null): Array[() => Unit] = {
     val keyBuf =
       if (keyBufOrNull != null) keyBufOrNull
       else if (opts.hasKey && !opts.typed) new Array[Byte](opts.keyLen)
@@ -1063,6 +1083,10 @@ object FixedWidthRowDecoders {
       sf.name match {
         case FixedWidthOptions.OffsetCol =>
           () => row.setLong(i, offset())
+        case FixedWidthOptions.SourceFileCol
+            if sourceFileUtf8 != null && !opts.fields.exists(_.name.equalsIgnoreCase(sf.name)) =>
+          () => row.update(i,
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(sourceFileUtf8()))
         case FixedWidthOptions.KeyCol if !opts.typed =>
           () => {
             System.arraycopy(buf, opts.keyStartAt, keyBuf, 0, opts.keyLen)

@@ -48,6 +48,17 @@ class FixedWidthTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object FixedWidthTable {
+
+  /** The `_source_file` DSv2 metadata column (per-record file provenance). */
+  object SourceFileColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FixedWidthOptions.SourceFileCol
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "path of the file this record was read from"
+  }
+
   /** Extensions the reference treats as compressed → unsupported
     * (reference FixedLengthRecordReader.java:147-152 throws; the format marks
     * them merely non-splittable at FixedLengthInputFormat.java:371-380 — the
@@ -317,7 +328,17 @@ class FixedWidthTable(
     tableOptions: CaseInsensitiveStringMap,
     partitionTransforms: Array[Transform] = Array.empty,
     providedSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_source_file` surfaces per-record file provenance on demand (DSv2
+    * metadata column — absent from schema(), materialized only when a query
+    * references it). Suppressed if a declared field claims the name: data
+    * columns win, per the SupportsMetadataColumns conflict contract. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (fwOptions.fields.exists(_.name.equalsIgnoreCase(FixedWidthOptions.SourceFileCol)))
+      Array.empty
+    else Array(FixedWidthTable.SourceFileColumn)
 
   /** Column names of the writer's `partitionBy(...)` — identity transforms
     * only (bucket/days/etc. have no meaning for a directory-indexed flat

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The DSv2 FunctionCatalog surface: `spark.sql.catalog.graft` resolves the
+  * shared hash family from plain SQL with no session-extension wiring, the
+  * magic-invoke results match the JVM kernels, and unknown names /
+  * wrong-typed arguments fail at analysis, not at runtime. */
+class FunctionCatalogSpec extends SparkSpec with Matchers {
+
+  private def withCatalog[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftFunctionCatalog].getName)
+    try body finally spark.conf.unset("spark.sql.catalog.graft")
+  }
+
+  test("catalog functions resolve from SQL and match the JVM kernels") {
+    withCatalog {
+      val r = spark.sql(
+        "SELECT graft.mix64(12345L) AS m, graft.hash64('key agg row') AS h, " +
+          "graft.zvalue2(3L, 5L) AS z").head
+      r.getLong(0) shouldBe Hashing.mix64(12345L, 0)
+      r.getLong(1) shouldBe Hashing.hash64("key agg row")
+      r.getLong(2) shouldBe ZOrder.interleave16(3L, 5L)
+    }
+  }
+
+  test("catalog functions evaluate over table data, not just literals") {
+    withCatalog {
+      import spark.implicits._
+      val got = Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("fc_xs")
+      val rows = spark.sql("SELECT x, graft.mix64(x) AS m FROM fc_xs ORDER BY x")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows shouldBe Seq(1L, 2L, 3L).map(x => (x, Hashing.mix64(x, 0)))
+    }
+  }
+
+  test("unknown function and wrong argument types fail at analysis") {
+    withCatalog {
+      an[Exception] should be thrownBy spark.sql("SELECT graft.nope(1L)").head
+      an[Exception] should be thrownBy spark.sql("SELECT graft.mix64('str')").head
+      an[Exception] should be thrownBy spark.sql("SELECT graft.zvalue2(1L)").head
+    }
+  }
+
+  test("listFunctions exposes the registry") {
+    val cat = new GraftFunctionCatalog
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    cat.listFunctions(Array.empty).map(_.name).sorted shouldBe
+      Array("hash64", "mix64", "zvalue2")
+    cat.functionExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "MIX64")) shouldBe true
+  }
+}
