@@ -117,6 +117,14 @@ def main():
                 for i in idx:
                     print(f"  [{name}.{c}] row {i}: spark={g[c][i]!r} duck={e[c][i]!r}")
 
+    # A query that CRASHED in graft.Verify never writes its dump dir, so
+    # iterating outDir alone would silently shrink the denominator (the
+    # round-8 ts-type break produced 32 missing dumps and a green-looking
+    # "136/136 pass"). Every oracle key must have a dump — absent = FAIL.
+    for name in oracle:
+        if name not in results:
+            results[name] = "MISSING_DUMP (query crashed in graft.Verify?)"
+
     bad = 0
     for name, r in sorted(results.items()):
         print(f"{'PASS' if r == 'OK' or r.startswith('ROWS_ONLY rows=') and 'EMPTY' not in r else 'FAIL'}  {name}: {r}")
