@@ -1335,6 +1335,93 @@ object PipelineQueries {
       |    cast(total_mass AS DOUBLE), 8) AS oov_rate
       |FROM cov, tot ORDER BY vocab_size""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Corpus drift monitoring: total-variation distance between every source
+    * pair's token distributions — the "did this ingest change the mix?"
+    * check a pipeline runs between snapshots. TVD = ½·Σ|p_i − q_i| is the
+    * log-free distribution distance (KL needs ln and diverges on disjoint
+    * support): with p_i = c_i/N_a, q_i = d_i/N_b the numerator is the pure
+    * INTEGER Σ|c_i·N_b − d_i·N_a|, and tokens on one side only contribute
+    * their whole mass — computable from the SHARED-token inner join alone,
+    * because Σ_all c_i·N_b = N_a·N_b identically (one-sided totals fall out
+    * by complement, no full-outer join needed). Scale shape: one corpus agg
+    * to (source, token, c); the pair join runs over the post-agg
+    * Zipf-bounded type table with fan-out = sources-per-token (the q100
+    * argument); source totals broadcast. Disjoint-support pairs survive via
+    * the pairs-frame LEFT join (TVD exactly 1.0). At 100 TB the c·N
+    * products need decimal(38,0); BIGINT is exact at every tested SF. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = table(spark, dir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"source").agg(sum($"c").cast("long").as("n"))
+    val sharedAgg = counts.select($"source".as("source_a"), $"token", $"c".as("ca"))
+      .join(counts.select($"source".as("source_b"), $"token", $"c".as("cb")), "token")
+      .filter($"source_a" < $"source_b")
+      .join(broadcast(totals.select($"source".as("source_a"), $"n".as("na_"))), "source_a")
+      .join(broadcast(totals.select($"source".as("source_b"), $"n".as("nb_"))), "source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(
+        count(lit(1)).as("n_shared_types"),
+        sum(abs($"ca" * $"nb_" - $"cb" * $"na_")).cast("long").as("shared_absdiff"),
+        sum($"ca" * $"nb_").cast("long").as("shared_a_mass"),
+        sum($"cb" * $"na_").cast("long").as("shared_b_mass"))
+    val pairs = totals.select($"source".as("source_a"), $"n".as("na"))
+      .crossJoin(totals.select($"source".as("source_b"), $"n".as("nb")))
+      .filter($"source_a" < $"source_b")
+    pairs.join(sharedAgg, Seq("source_a", "source_b"), "left")
+      .select(
+        $"source_a", $"source_b",
+        coalesce($"n_shared_types", lit(0L)).as("n_shared_types"),
+        $"na", $"nb",
+        (coalesce($"shared_absdiff", lit(0L)) +
+          ($"na" * $"nb" - coalesce($"shared_a_mass", lit(0L))) +
+          ($"na" * $"nb" - coalesce($"shared_b_mass", lit(0L)))).as("tvd_num"))
+      .withColumn("tvd",
+        round($"tvd_num".cast("double") /
+          ($"na".cast("double") * $"nb".cast("double") * lit(2.0d)), 8))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val tokenDriftOracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), tk AS (
+      |  SELECT source, token FROM tok WHERE length(token) > 0
+      |), c AS (
+      |  SELECT source, token, count(*) AS c FROM tk GROUP BY source, token
+      |), t AS (
+      |  SELECT source, cast(sum(c) AS BIGINT) AS n FROM c GROUP BY source
+      |), sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_shared_types,
+      |    cast(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS shared_absdiff,
+      |    cast(sum(a.c * tb.n) AS BIGINT) AS shared_a_mass,
+      |    cast(sum(b.c * ta.n) AS BIGINT) AS shared_b_mass
+      |  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+      |  JOIN t ta ON ta.source = a.source
+      |  JOIN t tb ON tb.source = b.source
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT ta.source AS source_a, tb.source AS source_b, ta.n AS na, tb.n AS nb
+      |  FROM t ta, t tb WHERE ta.source < tb.source
+      |)
+      |SELECT p.source_a, p.source_b,
+      |  coalesce(n_shared_types, 0) AS n_shared_types,
+      |  na, nb,
+      |  coalesce(shared_absdiff, 0)
+      |    + (na * nb - coalesce(shared_a_mass, 0))
+      |    + (na * nb - coalesce(shared_b_mass, 0)) AS tvd_num,
+      |  round(cast(coalesce(shared_absdiff, 0)
+      |    + (na * nb - coalesce(shared_a_mass, 0))
+      |    + (na * nb - coalesce(shared_b_mass, 0)) AS DOUBLE) /
+      |    (cast(na AS DOUBLE) * cast(nb AS DOUBLE) * 2.0), 8) AS tvd
+      |FROM p LEFT JOIN sh USING (source_a, source_b)
+      |ORDER BY source_a, source_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),
@@ -1346,6 +1433,7 @@ object PipelineQueries {
     Q("q166_cms_join_size", cmsJoinSize, Some(cmsJoinSizeOracle)),
     Q("q167_overlap_decontaminate", overlapContamination, Some(overlapContaminationOracle)),
     Q("q168_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
+    Q("q170_token_drift", tokenDrift, Some(tokenDriftOracle)),
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),

@@ -99,6 +99,25 @@ class PipelineLanesSpec extends SparkSpec with Matchers {
     bySource("code").getLong(5) shouldBe 0 // sum_grams
   }
 
+  test("tokenDrift: disjoint-support pairs hit exactly 1.0, overlapping pairs sit inside (0,1)") {
+    val rows = PipelineQueries.tokenDrift(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(5), r.getDouble(6)))).toMap
+    rows.keySet shouldBe Set(("books", "code"), ("books", "web"), ("code", "web"))
+    // code's tokens {tiny, doc} are disjoint from both other sources:
+    // zero shared types, TVD exactly 1.0 (whole mass moved) — the edge the
+    // pairs-frame LEFT join exists for
+    for (p <- Seq(("books", "code"), ("code", "web"))) {
+      rows(p)._1 shouldBe 0
+      rows(p)._3 shouldBe 1.0
+    }
+    // books and web share the benchmark prefix but differ: strict interior
+    val (shared, num, tvd) = rows(("books", "web"))
+    shared should be > 0L
+    num should be > 0L
+    tvd should (be > 0.0 and be < 1.0)
+  }
+
   test("vocabCoverage: OOV rate monotone non-increasing, saturated tail exactly zero") {
     val rows = PipelineQueries.vocabCoverage(spark, dir).collect()
     rows.map(_.getInt(0)) shouldBe Array(5, 10, 20, 40)
