@@ -612,8 +612,26 @@ class FixedWidthScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
 
-  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FixedWidthMicroBatchStream(opts, tableOptions, requiredSchema, conf, checkpointLocation, pushedFilters)
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Streaming plans bypass V2 column pruning, so Spark maps the
+    // relation's output — the FULL table schema plus, when the query
+    // references it, `_source_file` appended LAST — onto the batch's
+    // vectors by ordinal. Emit the metadata column as a trailing vector
+    // unconditionally: for streams that never reference it the aligned
+    // prefix makes the extra vector inert (per-chunk path bytes, near-zero
+    // cost), while omitting it breaks provenance-selecting streams with an
+    // out-of-bounds read in ColumnarToRow. If a future Spark version runs
+    // pruning on streams (requiredSchema would then already carry the
+    // column), the presence check prevents a duplicate.
+    val hasMeta = requiredSchema.fieldNames
+      .exists(_.equalsIgnoreCase(FixedWidthOptions.SourceFileCol))
+    val shadowed = opts.fields.exists(_.name.equalsIgnoreCase(FixedWidthOptions.SourceFileCol))
+    val streamSchema =
+      if (hasMeta || shadowed) requiredSchema
+      else StructType(requiredSchema.fields :+
+        StructField(FixedWidthOptions.SourceFileCol, StringType, nullable = false))
+    new FixedWidthMicroBatchStream(opts, tableOptions, streamSchema, conf, checkpointLocation, pushedFilters)
+  }
 
   /** Task-level metrics surfaced in the Spark UI / listener (the analog of
     * the reference's byte counter + progress, FixedLengthRecordReader.java:

@@ -76,4 +76,75 @@ class MetadataColumnSpec extends SparkSpec with Matchers {
       .option("recordLength", 4).option("fields", layout).load(dir)
     df.agg(sum(col("id"))).head.getLong(0) shouldBe (0 until 20).sum.toLong
   }
+
+  test("raw (untyped) mode surfaces _source_file next to offset/value") {
+    val dir = Files.createTempDirectory("graft-metacol5").toString
+    writeTyped(dir, 0 until 20)
+    val rows = spark.read.format("fixedwidth").option("recordLength", 4).load(dir)
+      .select(col("offset"), col("value").cast("string"), col("_source_file"))
+      .collect()
+    rows.length shouldBe 20
+    all(rows.map(_.getString(2))) should include(dir)
+  }
+
+  test("aggregates over _source_file fall back from listing pushdown and stay correct") {
+    val dir = Files.createTempDirectory("graft-metacol6").toString
+    writeTyped(dir, 0 until 20)
+    val df = spark.read.format("fixedwidth").option("recordLength", 4).load(dir)
+    // countDistinct over the metadata column must read records (no zero-IO
+    // listing answer exists for it) and equal the number of data files
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    df.agg(countDistinct(col("_source_file"))).head.getLong(0) shouldBe nFiles.toLong
+  }
+
+  test("streaming: _source_file flows through the micro-batch reader per record") {
+    val dir = Files.createTempDirectory("graft-metacol7").toString
+    writeTyped(dir, 0 until 20)
+    val name = "metacol_stream"
+    val q = spark.readStream.format("fixedwidth")
+      .option("recordLength", 4).option("fields", layout).load(dir)
+      .select(col("id"), col("_source_file"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("graft-metacol-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    got.keySet shouldBe (0 until 20).toSet
+    // streamed attribution must match the batch reader's per record
+    val batch = spark.read.format("fixedwidth")
+      .option("recordLength", 4).option("fields", layout).load(dir)
+      .select(col("id"), col("_source_file")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    got shouldBe batch
+  }
+
+  test("a declared field named _source_file wins: metadata column suppressed, bytes decode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metacol9").toString
+    (0 until 5).map(i => f"$i%04d").toDF("_source_file")
+      .select(col("_source_file").cast("binary").as("value"))
+      .write.format("fixedwidth").option("recordLength", 4).mode("overwrite").save(dir)
+    val df = spark.read.format("fixedwidth")
+      .option("recordLength", 4).option("fields", "_source_file:string:0:4").load(dir)
+    // the DATA column resolves — values come from record bytes, not paths
+    df.select(col("_source_file")).collect().map(_.getString(0)).sorted shouldBe
+      (0 until 5).map(i => f"$i%04d").toArray
+  }
+
+  test("streams that never reference _source_file are unaffected by the trailing vector") {
+    val dir = Files.createTempDirectory("graft-metacol8").toString
+    writeTyped(dir, 0 until 12)
+    val name = "metacol_stream_plain"
+    val q = spark.readStream.format("fixedwidth")
+      .option("recordLength", 4).option("fields", layout).load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("graft-metacol-ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).collect().map(_.getAs[Int]("id")).sorted shouldBe (0 until 12)
+  }
 }
