@@ -800,6 +800,45 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+  /** Incremental aggregate refresh — maintaining a materialized per-group
+    * summary when a delta batch lands, WITHOUT rescanning the base corpus:
+    * summarize the delta alone, then merge summary⊕summary by key
+    * (full-outer join, coalesced additive measures). This is the exact-agg
+    * twin of the mergeable-sketch lanes (q109/q115): counts and sums are
+    * additive, so refresh cost is O(delta + |summary|), not O(corpus) —
+    * at 100 TB the difference between a minutes-long delta job and a full
+    * recompute. The lane COMPUTES via the split+merge path (base slice
+    * doc_id%7≠3, delta slice =3) while the oracle aggregates the whole
+    * corpus directly — hash equality proves the merge is lossless, edge
+    * groups included (a group born in the delta survives via the
+    * full-outer side). */
+  def incrementalAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang", TextFunctions.tokenCount($"text").as("n_tok"))
+    def summary(df: DataFrame) = df.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+    val base = summary(docs.filter($"doc_id" % 7 =!= 3))
+      .select($"source", $"lang", $"n_docs".as("b_docs"), $"n_tokens".as("b_tokens"))
+    val delta = summary(docs.filter($"doc_id" % 7 === 3))
+      .select($"source", $"lang", $"n_docs".as("d_docs"), $"n_tokens".as("d_tokens"))
+    base.join(delta, Seq("source", "lang"), "full_outer")
+      .select(
+        $"source", $"lang",
+        (coalesce($"b_docs", lit(0L)) + coalesce($"d_docs", lit(0L))).as("n_docs"),
+        (coalesce($"b_tokens", lit(0L)) + coalesce($"d_tokens", lit(0L))).as("n_tokens"),
+        coalesce($"d_docs", lit(0L)).as("delta_docs"))
+      .orderBy($"source", $"lang")
+  }
+
+  val incrementalAggRefreshOracle: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  cast(sum(cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT)
+      |    AS n_tokens,
+      |  cast(count(CASE WHEN doc_id % 7 = 3 THEN 1 END) AS BIGINT) AS delta_docs
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
     Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
@@ -814,5 +853,6 @@ object CurationQueries {
     Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)),
     Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)),
     Q("q162_bpe_train", bpeTrainLane, Some(bpeTrainOracle)),
-    Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)))
+    Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)),
+    Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)))
 }
