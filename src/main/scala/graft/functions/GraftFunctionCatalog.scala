@@ -53,6 +53,11 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
 
 object GraftFunctionCatalog {
 
+  // bind() sees PRE-coercion argument types (an unsuffixed SQL literal is
+  // INT, not BIGINT), so it checks ARITY only and returns the bound
+  // function — Spark then inserts implicit casts toward inputTypes() and
+  // fails analysis itself when a cast is impossible. A type check here
+  // would reject coercible arguments plain SQL produces naturally.
   private abstract class OneArg(
       fnName: String, argType: DataType, resType: DataType) extends UnboundFunction {
     def bound: BoundFunction
@@ -60,7 +65,7 @@ object GraftFunctionCatalog {
     override def description(): String =
       s"$fnName(${argType.simpleString}) -> ${resType.simpleString} (graft hash family)"
     override def bind(inputType: StructType): BoundFunction = {
-      if (inputType.length != 1 || inputType.head.dataType != argType)
+      if (inputType.length != 1)
         throw new UnsupportedOperationException(
           s"$fnName expects exactly one ${argType.simpleString} argument, " +
             s"got ${inputType.simpleString}")
@@ -80,10 +85,11 @@ object GraftFunctionCatalog {
     override def canonicalName(): String = "graft.mix64"
     override def isDeterministic: Boolean = true
     override def isResultNullable: Boolean = false
-    // magic method: primitive signature, codegen'd as a static-shaped Invoke
+    // magic method: primitive signature, codegen'd as a static-shaped Invoke;
+    // Spark's null propagation short-circuits NULL inputs before the call
     def invoke(x: Long): Long = Hashing.mix64(x, 0)
     override def produceResult(input: InternalRow): java.lang.Long =
-      Hashing.mix64(input.getLong(0), 0)
+      if (input.isNullAt(0)) null else Hashing.mix64(input.getLong(0), 0)
   }
 
   /** Seeded string hash — `graft.hash64(s)`. */
@@ -97,10 +103,15 @@ object GraftFunctionCatalog {
     override def name(): String = "hash64"
     override def canonicalName(): String = "graft.hash64"
     override def isDeterministic: Boolean = true
-    override def isResultNullable: Boolean = false
-    def invoke(s: UTF8String): Long = Hashing.hash64(s.toString)
+    // NULL string input -> NULL result. Unlike the primitive-long functions
+    // (where Spark's null propagation short-circuits before the call), a
+    // null REFERENCE argument reaches the magic method, so the method
+    // handles it (boxed return) and the result is declared nullable.
+    override def isResultNullable: Boolean = true
+    def invoke(s: UTF8String): java.lang.Long =
+      if (s == null) null else java.lang.Long.valueOf(Hashing.hash64(s.toString))
     override def produceResult(input: InternalRow): java.lang.Long =
-      Hashing.hash64(input.getUTF8String(0).toString)
+      if (input.isNullAt(0)) null else Hashing.hash64(input.getUTF8String(0).toString)
   }
 
   /** Morton/Z-curve interleave of two longs in [0, 2^16) — `graft.zvalue2`. */
@@ -108,7 +119,7 @@ object GraftFunctionCatalog {
     override def name(): String = "zvalue2"
     override def description(): String = "zvalue2(bigint, bigint) -> bigint (Morton interleave)"
     override def bind(inputType: StructType): BoundFunction = {
-      if (inputType.length != 2 || inputType.exists(_.dataType != LongType))
+      if (inputType.length != 2)
         throw new UnsupportedOperationException(
           s"zvalue2 expects exactly two bigint arguments, got ${inputType.simpleString}")
       ZValue2Bound
@@ -124,7 +135,8 @@ object GraftFunctionCatalog {
     override def isResultNullable: Boolean = false
     def invoke(x: Long, y: Long): Long = ZOrder.interleave16(x, y)
     override def produceResult(input: InternalRow): java.lang.Long =
-      ZOrder.interleave16(input.getLong(0), input.getLong(1))
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else ZOrder.interleave16(input.getLong(0), input.getLong(1))
   }
 
   private val Functions: Map[String, UnboundFunction] = Map(

@@ -36,11 +36,36 @@ class FunctionCatalogSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("unknown function and wrong argument types fail at analysis") {
+  test("unknown function and wrong arity fail at analysis") {
     withCatalog {
       an[Exception] should be thrownBy spark.sql("SELECT graft.nope(1L)").head
-      an[Exception] should be thrownBy spark.sql("SELECT graft.mix64('str')").head
       an[Exception] should be thrownBy spark.sql("SELECT graft.zvalue2(1L)").head
+      an[Exception] should be thrownBy spark.sql("SELECT graft.mix64(1L, 2L)").head
+    }
+  }
+
+  test("coercible argument types work: plain INT literals reach the BIGINT functions") {
+    withCatalog {
+      // bind() must not reject pre-coercion INT — Spark casts toward
+      // inputTypes() after bind, and unsuffixed SQL literals are INT
+      spark.sql("SELECT graft.mix64(42) AS m").head.getLong(0) shouldBe
+        Hashing.mix64(42L, 0)
+      spark.sql("SELECT graft.zvalue2(3, 5) AS z").head.getLong(0) shouldBe
+        ZOrder.interleave16(3L, 5L)
+    }
+  }
+
+  test("NULL inputs propagate to NULL results, never a crash or a wrong value") {
+    withCatalog {
+      spark.sql("SELECT graft.mix64(CAST(NULL AS BIGINT))").head.isNullAt(0) shouldBe true
+      spark.sql("SELECT graft.hash64(CAST(NULL AS STRING))").head.isNullAt(0) shouldBe true
+      // per-row: a null element yields a null result alongside real values
+      val rows = spark.sql(
+        "SELECT s, graft.hash64(s) AS h FROM VALUES ('a'), (CAST(NULL AS STRING)) t(s)")
+        .collect()
+      rows.length shouldBe 2
+      rows.find(_.isNullAt(0)).get.isNullAt(1) shouldBe true
+      rows.find(!_.isNullAt(0)).get.getLong(1) shouldBe Hashing.hash64("a")
     }
   }
 
