@@ -1108,8 +1108,10 @@ object PipelineQueries {
         sum($"sum_w").cast("long").as("sum_margin_num"),
         sum($"n_tokens").cast("long").as("sum_tokens"))
       .withColumn("corpus_margin",
+        // nullif guards the all-empty-docs group: 0/0 would raise under
+        // ANSI mode in Spark but return NaN in DuckDB — NULL/NULL agrees
         round($"sum_margin_num".cast("double") /
-          ($"sum_tokens".cast("double") * lit(ClsScale.toDouble)), 8))
+          (nullif($"sum_tokens", lit(0L)).cast("double") * lit(ClsScale.toDouble)), 8))
       .orderBy($"source", $"lang")
   }
 
@@ -1137,7 +1139,8 @@ object PipelineQueries {
        |  cast(sum(coalesce(sum_w, 0)) AS BIGINT) AS sum_margin_num,
        |  cast(sum(coalesce(n_tokens, 0)) AS BIGINT) AS sum_tokens,
        |  round(cast(sum(coalesce(sum_w, 0)) AS DOUBLE) /
-       |    (cast(sum(coalesce(n_tokens, 0)) AS DOUBLE) * $ClsScale.0), 8) AS corpus_margin
+       |    (cast(nullif(sum(coalesce(n_tokens, 0)), 0) AS DOUBLE) * $ClsScale.0), 8)
+       |    AS corpus_margin
        |FROM documents LEFT JOIN pd USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

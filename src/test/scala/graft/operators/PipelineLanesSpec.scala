@@ -26,7 +26,10 @@ class PipelineLanesSpec extends SparkSpec with Matchers {
       (12L, base + " lambda mu nu xi omicron pi rho sigma", "en", "books", 18L),
       (13L, "one two three four five six seven eight nine ten", "en", "books", 10L),
       (14L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "web", 10L),
-      (15L, "tiny doc", "en", "code", 2L))
+      (15L, "tiny doc", "en", "code", 2L),
+      // whitespace-only doc: zero tokens after trim+split — exercises the
+      // classifier's nullif zero-denominator guard (its group has no mass)
+      (16L, "   ", "en", "emptysrc", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     // events: user 1 ×3, user 2 ×2, user 3 ×1 → F2 = 9+4+1 = 14
@@ -55,14 +58,21 @@ class PipelineLanesSpec extends SparkSpec with Matchers {
 
   test("qualityClassifier: every doc counted once, admission bounded, margins consistent") {
     val rows = PipelineQueries.qualityClassifier(spark, dir).collect()
-    rows.map(_.getLong(2)).sum shouldBe 6 // n_docs covers all fixture docs
+    rows.map(_.getLong(2)).sum shouldBe 7 // n_docs covers all fixture docs
     rows.foreach { r =>
       val (nDocs, nAdmitted) = (r.getLong(2), r.getLong(3))
       nAdmitted should be <= nDocs
       val (num, den) = (r.getLong(4), r.getLong(5))
-      val margin = r.getDouble(6)
-      margin shouldBe (num.toDouble / (den.toDouble * 1024.0) +- 1e-7)
+      if (den == 0) {
+        // the whitespace-only group: present, zero mass, NULL margin (the
+        // nullif guard — an ANSI divide-by-zero would kill the whole lane)
+        r.isNullAt(6) shouldBe true
+      } else {
+        r.getDouble(6) shouldBe (num.toDouble / (den.toDouble * 1024.0) +- 1e-7)
+      }
     }
+    // the zero-token group really is exercised
+    rows.count(_.getLong(5) == 0) shouldBe 1
   }
 
   test("cmsJoinSize: estimates are one-sided and exact at fixture scale") {
