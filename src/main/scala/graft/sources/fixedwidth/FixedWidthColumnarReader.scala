@@ -59,7 +59,25 @@ class FixedWidthColumnarReader(
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, requiredSchema)
-  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  // `_source_file` metadata column: within one batch every record shares a
+  // path (batches FLUSH at file switches — see next()), so the column is a
+  // ConstantColumnVector set once per batch instead of a per-record byte
+  // copy — for short records the path would otherwise dominate vector fill.
+  private val metaIdx: Int = requiredSchema.fieldNames.indexWhere(fn =>
+    fn.equalsIgnoreCase(FixedWidthOptions.SourceFileCol) &&
+      !opts.fields.exists(_.name.equalsIgnoreCase(fn)))
+  private val metaVec: org.apache.spark.sql.execution.vectorized.ConstantColumnVector =
+    if (metaIdx >= 0)
+      new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(capacity, StringType)
+    else null
+
+  private val batch = {
+    val vs: Array[ColumnVector] = Array.tabulate(vectors.length) { i =>
+      if (i == metaIdx) metaVec else vectors(i)
+    }
+    new ColumnarBatch(vs)
+  }
 
   /** Offset of the record currently being decoded (set before decoders run). */
   private var recOffset = 0L
@@ -72,11 +90,8 @@ class FixedWidthColumnarReader(
         (r: Int) => v.putLong(r, recOffset)
       case FixedWidthOptions.SourceFileCol
           if !opts.fields.exists(_.name.equalsIgnoreCase(sf.name)) =>
-        // metadata column; path bytes converted once per chunk by the stream
-        (r: Int) => {
-          val b = stream.currentPathUtf8
-          v.putByteArray(r, b, 0, b.length)
-        }
+        // constant per batch — set once in next(), nothing to do per record
+        (_: Int) => ()
       case FixedWidthOptions.KeyCol if !opts.typed =>
         (r: Int) => v.putByteArray(r, buf, opts.keyStartAt, opts.keyLen)
       case FixedWidthOptions.ValueCol if !opts.typed =>
@@ -128,12 +143,32 @@ class FixedWidthColumnarReader(
       }
   }
 
+  // When a fetch crosses into a new file mid-batch, the already-fetched
+  // record (still in `buf`) carries over to the NEXT batch so the batch
+  // being emitted stays single-file (the ConstantColumnVector contract).
+  private var pendingAt = -1L
+  private var batchPath: Array[Byte] = null
+
   override def next(): Boolean = {
     var i = 0
-    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    while (i < vectors.length) { if (i != metaIdx) vectors(i).reset(); i += 1 }
     var n = 0
     var at = 0L
-    while (n < capacity && { at = stream.fetch(buf); at >= 0 }) {
+    var flush = false
+    while (!flush && n < capacity && {
+        if (pendingAt >= 0) { at = pendingAt; pendingAt = -1L; true }
+        else { at = stream.fetch(buf); at >= 0 }
+      }) {
+      if (metaVec != null) {
+        val p = stream.currentPathUtf8
+        if (n == 0) batchPath = p
+        else if (p ne batchPath) {
+          // record belongs to the next file: hold it, emit what we have
+          pendingAt = at
+          flush = true
+        }
+      }
+      if (!flush) {
       recOffset = at
       var pass = true
       var p = 0
@@ -182,7 +217,10 @@ class FixedWidthColumnarReader(
           n += 1
         }
       } else skipped += 1
+      }
     }
+    if (metaVec != null && n > 0)
+      metaVec.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromBytes(batchPath))
     batch.setNumRows(n)
     n > 0
   }
