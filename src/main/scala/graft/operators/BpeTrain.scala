@@ -62,6 +62,30 @@ object BpeTrain {
     out.result()
   }
 
+  /** Binary UTF-8 byte order — DuckDB's string comparison and Spark's
+    * UTF8String order. The JVM's String ordering is UTF-16 code-unit order,
+    * which ranks a supplementary-plane string BELOW one in [U+E000, U+FFFF]
+    * (surrogates start at 0xD800) while UTF-8 bytes rank it above — so a
+    * count-tied argmax broken with JVM order could pick a different merge
+    * than the DuckDB oracle replay and diverge every round after. */
+  private[graft] object Utf8Order extends Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  private[graft] val ArgmaxOrder: Ordering[(Long, String, String)] =
+    Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order)
+
   /** Train up to `maxMerges` merges over the (word, count) dict. */
   def train(dict: Seq[(String, Long)], maxMerges: Int): Vector[Merge] = {
     require(maxMerges >= 0, s"maxMerges must be >= 0, got $maxMerges")
@@ -82,7 +106,7 @@ object BpeTrain {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), n) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((a, b), n) = counts.minBy { case ((l, r), c) => (-c, l, r) }(ArgmaxOrder)
         out += Merge(rank, a, b, n)
         segs = segs.map { case (ps, c) => (applyMerge(ps, a, b), c) }
         rank += 1

@@ -33,13 +33,27 @@ class BpeTrainSpec extends AnyFunSuite with Matchers {
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       if (counts.isEmpty) stop = true
       else {
-        val ((a, b), n) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+        val ((a, b), n) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }(BpeTrain.ArgmaxOrder)
         out += Merge(r, a, b, n)
         segs = segs.map { case (ps, c) => (refApply(ps, a, b), c) }
         r += 1
       }
     }
     out.result()
+  }
+
+  test("count-tied argmax breaks ties in UTF-8 byte order, not UTF-16 (oracle parity)") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞 U+1D11E, 4 UTF-8 bytes F0 9D 84 9E
+    val pua = "" // U+F8FF, 3 UTF-8 bytes EF A3 BF — UTF-16 ranks it ABOVE the surrogate
+    // JVM String order: clef (lead surrogate 0xD834) < pua (0xF8FF);
+    // UTF-8 byte order (DuckDB, Spark UTF8String): pua (EF..) < clef (F0..)
+    assert(clef < pua, "JVM order sanity")
+    assert(BpeTrain.Utf8Order.compare(pua, clef) < 0, "UTF-8 order sanity")
+    // two words with equal counts force a tie between (pua,pua) and (clef,clef):
+    // the UTF-8 tie-break must choose the pua pair
+    val merges = train(Seq(clef + clef -> 5L, pua + pua -> 5L), 1)
+    merges.head.left shouldBe pua
+    merges.head.right shouldBe pua
   }
 
   test("toPieces is codepoint-based (surrogate pairs stay whole)") {
