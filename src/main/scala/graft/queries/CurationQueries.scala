@@ -22,6 +22,13 @@ import QueryRegistry.table
   */
 object CurationQueries {
 
+  /** q156's 80/10/10 split cutoffs over 1024 fingerprint-hash buckets —
+    * the single source for the split policy (q159's export admission and
+    * the q156 oracle both derive from these; transcribed copies drifted
+    * silently before). */
+  private[queries] val TrainCutoff = 819
+  private[queries] val ValCutoff = 922
+
   // ---------------------------------------------------------------- q139
   /** Sliding-window document chunking (retrieval / context-window prep):
     * 40-token chunks at stride 30, trailing partial chunk kept. Purely
@@ -452,10 +459,20 @@ object CurationQueries {
     * SQL replay of the same greedy semantics). */
   def bpeEncodeLane(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, dir).map(m => (m.left, m.right))
+    // ONE corpus word-count aggregation serves both consumers — the bounded
+    // top-dict pull that trains the merges AND the full-dict encode fan-out.
+    // Persisted: the encode job is lazy, and without the cache it would
+    // re-run the corpus explode+groupBy from scratch (the dict table itself
+    // is vocab-sized, so the cache is tiny; the bench harness clears caches
+    // between lanes).
+    val dict = bpeDict(spark, dir).persist()
+    val top = dict.orderBy($"wc".desc, $"word").limit(BpeMaxWords)
+      .as[(String, Long)].collect()
+    val merges = graft.operators.BpeTrain.train(top.toSeq, BpeMaxMerges)
+      .map(m => (m.left, m.right))
     val bc = spark.sparkContext.broadcast(merges)
     val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
-    bpeDict(spark, dir)
+    dict
       .select(explode(encodeWord($"word")).as("token"), $"wc")
       .groupBy($"token").agg(sum($"wc").cast("long").as("n_occ"))
       .orderBy($"n_occ".desc, $"token").limit(40)
@@ -688,7 +705,7 @@ object CurationQueries {
     val corpus = base.union(
       base.filter($"doc_id" % 7 === 0).select(($"doc_id" + 10000L).as("doc_id"), $"text"))
     def splitOf(bucket: Column): Column =
-      when(bucket < 819, "train").when(bucket < 922, "val").otherwise("test")
+      when(bucket < TrainCutoff, "train").when(bucket < ValCutoff, "val").otherwise("test")
     val assigned = corpus.select(
       $"doc_id",
       TextFunctions.fingerprint($"text").as("fp"))
@@ -711,7 +728,7 @@ object CurationQueries {
     val fpBucket = s"(${DuckHashSql.hash64Sql("fp")} % 1024)"
     val idBucket = s"(${DuckHashSql.mix64Sql("doc_id::HUGEINT", "0")} % 1024)"
     def splitCase(b: String) =
-      s"CASE WHEN $b < 819 THEN 'train' WHEN $b < 922 THEN 'val' ELSE 'test' END"
+      s"CASE WHEN $b < $TrainCutoff THEN 'train' WHEN $b < $ValCutoff THEN 'val' ELSE 'test' END"
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL

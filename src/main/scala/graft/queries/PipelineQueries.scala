@@ -120,17 +120,35 @@ object PipelineQueries {
     * substitutions, everything — byte-identical cross-engine. A tiny vocab
     * (top-20 of the corpus's 31 distinct tokens) keeps the OOV path
     * genuinely exercised rather than vacuously empty. */
+  /** The shared positional token stream (lowercased, empty tokens dropped):
+    * q158 batch encode, q159 training export, and q161 stream encode must
+    * agree token-for-token, so there is exactly ONE definition. */
+  private[queries] def posTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+
+  /** The shared top-`maxVocab` vocabulary (count desc, token asc; ids from
+    * 1) over [[posTokens]] output — one definition for the same reason:
+    * an id drift between the encode lanes would silently desynchronize
+    * them with no compile-time signal. */
+  private[queries] def vocabOf(toks: DataFrame, maxVocab: Int): DataFrame =
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(maxVocab)
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("n_occ").desc, col("tok"))))
+      .select(col("tok"), col("tok_id"))
+
+  /** q156's train-bucket admission (the 80% cutoff of the 1024
+    * fingerprint-hash buckets, [[CurationQueries.TrainCutoff]]) — q159's
+    * export uses THE SAME policy by construction, not by transcription. */
+  private[queries] def trainBucketFilter(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(Hashing.hash64Col(fp), lit(1024L)) < CurationQueries.TrainCutoff
+
   def tokenIdEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val maxVocab = 20
-    val toks = table(spark, dir, "documents")
-      .select($"doc_id",
-        posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
-      .filter(length($"tok") > 0)
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
-      .orderBy($"n_occ".desc, $"tok").limit(maxVocab)
-      .withColumn("tok_id", row_number().over(Window.orderBy($"n_occ".desc, $"tok")))
-      .select($"tok", $"tok_id")
+    val toks = posTokens(table(spark, dir, "documents").select($"doc_id", $"text"))
+    val vocab = vocabOf(toks, maxVocab)
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .select($"doc_id", $"pos", coalesce($"tok_id", lit(0)).as("id"))
       .groupBy($"doc_id")
@@ -986,20 +1004,17 @@ object PipelineQueries {
     * → `sortWithinPartitions(h, id)` → save — per-shard parallel sorts,
     * no global sort, and the oracle recomputes the whole lane (split,
     * vocab, encoding, routing, digest) from the parquet corpus alone. */
+  private val IdsWidth = 320
+
   def trainingExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = table(spark, dir, "documents").select($"doc_id", $"text")
     val train = docs
       .withColumn("fp", TextFunctions.fingerprint($"text"))
-      .filter(pmod(Hashing.hash64Col($"fp"), lit(1024L)) < 819)
+      .filter(trainBucketFilter($"fp"))
       .select($"doc_id")
-    val toks = docs
-      .select($"doc_id", posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
-      .filter(length($"tok") > 0)
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
-      .orderBy($"n_occ".desc, $"tok").limit(20)
-      .withColumn("tok_id", row_number().over(Window.orderBy($"n_occ".desc, $"tok")))
-      .select($"tok", $"tok_id")
+    val toks = posTokens(docs)
+    val vocab = vocabOf(toks, 20)
     val encoded = toks.join(broadcast(vocab), Seq("tok"), "left")
       .select($"doc_id", $"pos", coalesce($"tok_id", lit(0)).as("id"))
       .groupBy($"doc_id")
@@ -1007,10 +1022,21 @@ object PipelineQueries {
         s => s.getField("id").cast("string"))).as("ids"))
     val shards = train.join(encoded, "doc_id")
       .withColumn("shard", pmod(Hashing.mix64Col($"doc_id"), lit(4L)).cast("int"))
+      // the fixedwidth writer TRUNCATES over-width strings silently — a
+      // too-long ids sequence must fail the export loudly, not corrupt it
+      // (mid-sequence cuts would surface only as an inscrutable digest
+      // mismatch, or not at all on an unverified run)
+      .withColumn("ids",
+        when(length($"ids") > IdsWidth,
+          raise_error(concat(lit(s"trainingExport: ids sequence exceeds the $IdsWidth-byte " +
+            "field for doc_id="), $"doc_id".cast("string"),
+            lit(" (len="), length($"ids").cast("string"),
+            lit(") — widen the layout or cap doc length"))))
+          .otherwise($"ids"))
     val layout = Seq(
       FieldSpec("doc_id", "long", 0, 8),
       FieldSpec("shard", "int", 8, 2),
-      FieldSpec("ids", "string", 10, 320))
+      FieldSpec("ids", "string", 10, IdsWidth))
     val fieldsOpt = FixedWidthOptions.renderFields(layout)
     val out = QueryRegistry.scratch(dir, "training_export_fw")
     val marker = new java.io.File(out, "_graft_done")
@@ -1053,7 +1079,7 @@ object PipelineQueries {
        |  SELECT doc_id, array_to_string(list(coalesce(tok_id, 0) ORDER BY pos), ',') AS ids
        |  FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id
        |), train AS (
-       |  SELECT doc_id FROM t WHERE (${DuckHashSql.hash64Sql("fp")} % 1024) < 819
+       |  SELECT doc_id FROM t WHERE (${DuckHashSql.hash64Sql("fp")} % 1024) < ${CurationQueries.TrainCutoff}
        |), sh AS (
        |  SELECT e.doc_id,
        |    cast((${DuckHashSql.mix64Sql("e.doc_id::HUGEINT", "0")} % 4) AS INT) AS shard,

@@ -529,15 +529,11 @@ object StreamingQueries {
     * byte-for-byte, md5s included. */
   def streamEncode(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val vocabRows = table(spark, dir, "documents")
-      .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
-      .orderBy(col("n_occ").desc, col("tok")).limit(20)
-      .withColumn("tok_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_occ").desc, col("tok"))))
-      .select(col("tok"), col("tok_id"))
+    // the SHARED q158 vocab definition (PipelineQueries.vocabOf) — the
+    // stream must encode under the very same ids as the batch lane
+    val vocabRows = PipelineQueries.vocabOf(
+      PipelineQueries.posTokens(
+        table(spark, dir, "documents").select(col("doc_id"), col("text"))), 20)
       .collect()
     val vocabMap = map(vocabRows.flatMap(r =>
       Seq(lit(r.getString(0)), lit(r.getInt(1)))).toIndexedSeq: _*)
@@ -547,6 +543,10 @@ object StreamingQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("doc_id"),
           filter(TextFunctions.tokens(lower(col("text"))), t => length(t) > 0).as("toks"))
+        // batch q158 explodes-then-groups, so a zero-token doc produces no
+        // group and no row; drop it here too or the drained stream gains a
+        // row the shared oracle doesn't have
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"),
           transform(col("toks"), t => coalesce(element_at(vocabMap, t), lit(0))).as("ids"))
         .select(
