@@ -29,11 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Per-partition SpaceSaving summary: returns the ≤ capacity tracked
-    * items. Counts only ever grow, so the min-tracking priority queue can
-    * use lazy deletion: stale entries are skipped when popped. */
+  /** Per-partition SpaceSaving summary keys (spec-facing wrapper). */
   private[operators] def spaceSavingPartition(
-      items: Iterator[String], capacity: Int): Iterator[String] = {
+      items: Iterator[String], capacity: Int): Iterator[String] =
+    spaceSavingCounts(items, capacity).map(_._1)
+
+  /** Per-partition SpaceSaving summary: the ≤ capacity tracked items WITH
+    * their tracked counts. The SpaceSaving invariant Σ tracked counts =
+    * items-seen lets one sketch pass carry the corpus total alongside the
+    * candidate set. Counts only ever grow, so the min-tracking priority
+    * queue can use lazy deletion: stale entries are skipped when popped. */
+  private[operators] def spaceSavingCounts(
+      items: Iterator[String], capacity: Int): Iterator[(String, Long)] = {
     require(capacity > 0, s"capacity must be > 0, got $capacity")
     val counts = mutable.HashMap.empty[String, Long]
     // (count, item) min-heap with lazy deletion: an entry is live iff its
@@ -67,7 +74,7 @@ object HeavyHitters {
           enqueue(minCount + 1, w)
       }
     }
-    counts.keysIterator
+    counts.iterator
   }
 
   /** Pass 1: the unioned candidate set (distinct items). */
@@ -79,12 +86,27 @@ object HeavyHitters {
 
   /** Exact heavy hitters: items whose exact count strictly exceeds
     * total/k (integer-exact via `count * k > total`). `capacity` must
-    * exceed `k` for the superset guarantee; 4·k leaves slack. */
+    * exceed `k` for the superset guarantee; 4·k leaves slack.
+    *
+    * One sketch pass serves double duty: the per-candidate tracked counts
+    * sum (per partition) to the partition's item count, so the corpus
+    * total is Σ over the aggregated sketch rows — no separate
+    * `words.count()` scan. The sketch aggregate is collected driver-side;
+    * that is the same ≤ capacity·partitions bound the candidate BROADCAST
+    * already commits to, so nothing new is assumed about driver memory.
+    * Corpus scans: exactly two (sketch, verification), as designed. */
   def exact(words: Dataset[String], k: Int, capacity: Int): DataFrame = {
     require(capacity > k, s"capacity ($capacity) must exceed k ($k) for the omission bound")
     import words.sparkSession.implicits._
-    val total = words.count()
-    val cand = candidates(words, capacity)
+    val sketch = words
+      .mapPartitions(it => spaceSavingCounts(it, capacity))
+      .toDF("token", "cnt")
+      .groupBy($"token").agg(sum($"cnt").as("cnt"))
+      .collect()
+    val total = sketch.map(_.getLong(1)).sum
+    val spark = words.sparkSession
+    val cand = spark.createDataset(sketch.map(_.getString(0)).toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("token")
     words.toDF("token")
       .join(broadcast(cand), Seq("token"), "left_semi")
       .groupBy($"token")
