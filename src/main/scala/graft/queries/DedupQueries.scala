@@ -151,6 +151,57 @@ object DedupQueries {
       |WHERE levenshtein(a.s, b.s) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** EXACT Jaccard-threshold join via prefix filtering
+    * ([[Dedup.prefixFilterPairs]], τ = 1/2 over 3-gram shingles, whole
+    * corpus — no id-range bound needed, unlike q51's brute-force kernel):
+    * candidates come from an equi-join on each document's RAREST grams
+    * (the canonical-order prefix), verification is exact set math. The
+    * oracle replays the whole construction — global gram frequencies,
+    * the (freq, gram) canonical sort, the integer prefix length, the
+    * candidate equi-join, and the integer threshold test — so a prefix
+    * one gram too short (breaking the completeness lemma) loses a pair
+    * and fails the hash, not just a recall spec. */
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val grams = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+    Dedup.prefixFilterPairs(grams, "doc_id", "grams", tnum = 1, tden = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val prefixJaccardJoinOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, ${DuckHashSql.gramsSql(3)} AS g FROM toks
+       |), ge AS (
+       |  SELECT doc_id, unnest(g) AS gram FROM grams WHERE len(g) > 0
+       |), gf AS (
+       |  SELECT gram, count(*) AS f FROM ge GROUP BY gram
+       |), og AS (
+       |  SELECT doc_id, list(gram ORDER BY f, gram) AS sorted,
+       |    count(*) AS n
+       |  FROM ge JOIN gf USING (gram) GROUP BY doc_id
+       |), pre AS (
+       |  SELECT doc_id, unnest(sorted[1 : cast(n - ((n * 1 + 1) // 2) + 1 AS INT)]) AS gram
+       |  FROM og
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |), v AS (
+       |  SELECT id_a, id_b,
+       |    cast(len(ga.g) AS BIGINT) AS n_a,
+       |    cast(len(gb.g) AS BIGINT) AS n_b,
+       |    cast(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_inter,
+       |    cast(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_union
+       |  FROM cand JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b
+       |)
+       |SELECT id_a, id_b, n_a, n_b, n_inter, n_union,
+       |  round(cast(n_inter AS DOUBLE) / cast(n_union AS DOUBLE), 6) AS jaccard
+       |FROM v WHERE n_inter * 2 >= n_union * 1
+       |ORDER BY id_a, id_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q50_exact_dedup", exactDedup, Some(exactDedupOracle)),
     Q("q51_ngram_jaccard", ngramJaccardTop, Some(ngramJaccardTopOracle)),
@@ -161,7 +212,8 @@ object DedupQueries {
     Q("q90_priority_dedup", priorityDedup, Some(priorityDedupOracle)),
     Q("q99_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
     Q("q100_source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
-    Q("q108_editdistance_neardup", editDistance, Some(editDistanceOracle)))
+    Q("q108_editdistance_neardup", editDistance, Some(editDistanceOracle)),
+    Q("q172_prefix_jaccard_join", prefixJaccardJoin, Some(prefixJaccardJoinOracle)))
 
   /** Incremental dedup — the production shape of corpus REFRESH: a new
     * batch (doc_id >= 250) admitted only where its rolling fingerprint is
