@@ -1364,6 +1364,52 @@ object PipelineQueries {
       |    cast(total_mass AS DOUBLE), 8) AS oov_rate
       |FROM cov, tot ORDER BY vocab_size""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Heavy hitters PER GROUP via the native `TypedImperativeAggregate`
+    * ([[graft.functions.SpaceSavingCandidates]]) + exact verification —
+    * q164 generalized from one global answer to one per language, with
+    * the sketch riding an ordinary `groupBy(lang).agg(...)`: O(capacity)
+    * state per (group, partial), merge-without-trim preserving the
+    * omission-bound superset per group. The exact pass joins candidates
+    * back (skinny (lang, token) keys), counts precisely, and applies the
+    * integer `n·k > total` test per group — so the sketch only ever
+    * prunes, and the DuckDB oracle is the plain exact per-group HAVING:
+    * one candidate false negative anywhere loses a row and fails the
+    * hash. */
+  def groupedHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 32
+    val toks = table(spark, dir, "documents")
+      .select($"lang", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val cand = toks.groupBy($"lang")
+      .agg(graft.functions.SpaceSavingCandidates.candidates($"token", 4 * k).as("cands"))
+      .select($"lang", explode($"cands").as("token"))
+    val totals = toks.groupBy($"lang").agg(count(lit(1)).as("total"))
+    toks.join(cand, Seq("lang", "token"), "left_semi")
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("n_occ"))
+      .join(broadcast(totals), "lang")
+      .filter($"n_occ" * k > $"total")
+      .select($"lang", $"token", $"n_occ", $"total")
+      .orderBy($"lang", $"n_occ".desc, $"token")
+  }
+
+  val groupedHeavyHittersOracle: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), tk AS (
+      |  SELECT lang, token FROM tok WHERE length(token) > 0
+      |), t AS (
+      |  SELECT lang, count(*) AS total FROM tk GROUP BY lang
+      |)
+      |SELECT lang, token, n_occ, total FROM (
+      |  SELECT lang, token, count(*) AS n_occ FROM tk GROUP BY lang, token
+      |) JOIN t USING (lang)
+      |WHERE n_occ * 32 > total
+      |ORDER BY lang, n_occ DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- q170
   /** Corpus drift monitoring: total-variation distance between every source
     * pair's token distributions — the "did this ingest change the mix?"
@@ -1463,6 +1509,7 @@ object PipelineQueries {
     Q("q167_overlap_decontaminate", overlapContamination, Some(overlapContaminationOracle)),
     Q("q168_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
     Q("q170_token_drift", tokenDrift, Some(tokenDriftOracle)),
+    Q("q173_grouped_heavy_hitters", groupedHeavyHitters, Some(groupedHeavyHittersOracle)),
     Q("q138_lm_novelty", lmNovelty, Some(lmNoveltyOracle)),
     Q("q48_hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     Q("q49_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
