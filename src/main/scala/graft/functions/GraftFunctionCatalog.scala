@@ -54,21 +54,29 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
 object GraftFunctionCatalog {
 
   // bind() sees PRE-coercion argument types (an unsuffixed SQL literal is
-  // INT, not BIGINT), so it checks ARITY only and returns the bound
-  // function — Spark then inserts implicit casts toward inputTypes() and
-  // fails analysis itself when a cast is impossible. A type check here
-  // would reject coercible arguments plain SQL produces naturally.
+  // INT, not BIGINT), so it must not demand exact types — but dropping the
+  // check entirely would let a STRING argument slip through Spark's
+  // string→bigint implicit cast and turn malformed values into silent
+  // NULLs. Accept exactly the SAFE widenings (integral→bigint) and fail
+  // analysis loudly on everything else.
+  private def integralish(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private abstract class OneArg(
       fnName: String, argType: DataType, resType: DataType) extends UnboundFunction {
     def bound: BoundFunction
     override def name(): String = fnName
     override def description(): String =
       s"$fnName(${argType.simpleString}) -> ${resType.simpleString} (graft hash family)"
+    private def accepts(dt: DataType): Boolean =
+      if (argType == LongType) integralish(dt) else dt == argType
     override def bind(inputType: StructType): BoundFunction = {
-      if (inputType.length != 1)
+      if (inputType.length != 1 || !accepts(inputType.head.dataType))
         throw new UnsupportedOperationException(
-          s"$fnName expects exactly one ${argType.simpleString} argument, " +
-            s"got ${inputType.simpleString}")
+          s"$fnName expects exactly one ${argType.simpleString} argument " +
+            s"(integral widths coerce), got ${inputType.simpleString}")
       bound
     }
   }
@@ -84,7 +92,10 @@ object GraftFunctionCatalog {
     override def name(): String = "mix64"
     override def canonicalName(): String = "graft.mix64"
     override def isDeterministic: Boolean = true
-    override def isResultNullable: Boolean = false
+    // produceResult returns null for NULL input (the interpreted path), so
+    // the declared contract must allow it — even though the magic-invoke
+    // path short-circuits nulls before the call and never produces one
+    override def isResultNullable: Boolean = true
     // magic method: primitive signature, codegen'd as a static-shaped Invoke;
     // Spark's null propagation short-circuits NULL inputs before the call
     def invoke(x: Long): Long = Hashing.mix64(x, 0)
@@ -119,9 +130,10 @@ object GraftFunctionCatalog {
     override def name(): String = "zvalue2"
     override def description(): String = "zvalue2(bigint, bigint) -> bigint (Morton interleave)"
     override def bind(inputType: StructType): BoundFunction = {
-      if (inputType.length != 2)
+      if (inputType.length != 2 || inputType.exists(f => !integralish(f.dataType)))
         throw new UnsupportedOperationException(
-          s"zvalue2 expects exactly two bigint arguments, got ${inputType.simpleString}")
+          s"zvalue2 expects exactly two bigint arguments " +
+            s"(integral widths coerce), got ${inputType.simpleString}")
       ZValue2Bound
     }
   }
@@ -132,7 +144,7 @@ object GraftFunctionCatalog {
     override def name(): String = "zvalue2"
     override def canonicalName(): String = "graft.zvalue2"
     override def isDeterministic: Boolean = true
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true // see mix64 — produceResult nulls
     def invoke(x: Long, y: Long): Long = ZOrder.interleave16(x, y)
     override def produceResult(input: InternalRow): java.lang.Long =
       if (input.isNullAt(0) || input.isNullAt(1)) null

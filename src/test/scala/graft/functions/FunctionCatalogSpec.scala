@@ -36,11 +36,15 @@ class FunctionCatalogSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("unknown function and wrong arity fail at analysis") {
+  test("unknown function, wrong arity, and non-coercible types fail at analysis") {
     withCatalog {
       an[Exception] should be thrownBy spark.sql("SELECT graft.nope(1L)").head
       an[Exception] should be thrownBy spark.sql("SELECT graft.zvalue2(1L)").head
       an[Exception] should be thrownBy spark.sql("SELECT graft.mix64(1L, 2L)").head
+      // a STRING argument must fail loudly, not ride the string->bigint
+      // implicit cast into silent NULLs for malformed values
+      an[Exception] should be thrownBy spark.sql("SELECT graft.mix64('str')").head
+      an[Exception] should be thrownBy spark.sql("SELECT graft.hash64(1L)").head
     }
   }
 
