@@ -44,6 +44,15 @@ case class SpaceSavingCandidates(
 
   require(capacity > 0, s"capacity must be > 0, got $capacity")
 
+  // analysis-time type gate: without it a non-string child passes analysis
+  // and dies mid-job with a ClassCastException deep in the agg executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving_candidates requires a string input, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
@@ -78,11 +87,17 @@ case class SpaceSavingCandidates(
     b
   }
 
-  /** Sorted candidate array — order is presentation-stable, the SET is the
-    * contract (superset of true heavy hitters; exact verify downstream). */
+  /** Sorted (token, cnt) struct array. The candidate SET is the contract
+    * (superset of true heavy hitters; exact verify downstream); the counts
+    * make the aggregate self-sufficient — Σ cnt over a group's array is
+    * the group's item count (the SpaceSaving invariant survives the
+    * sum-merge), so callers derive group totals from the sketch output
+    * instead of a second corpus scan (the q164 lesson, grouped). */
   override def eval(b: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(
-      b.keysIterator.toArray.sorted.map(UTF8String.fromString(_): Any))
+      b.toArray.sortBy(_._1).map { case (k, c) =>
+        InternalRow(UTF8String.fromString(k), c): Any
+      })
 
   override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -112,7 +127,11 @@ case class SpaceSavingCandidates(
     b
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = child :: Nil
   override protected def withNewChildrenInternal(

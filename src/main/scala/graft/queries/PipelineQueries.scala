@@ -1022,17 +1022,6 @@ object PipelineQueries {
         s => s.getField("id").cast("string"))).as("ids"))
     val shards = train.join(encoded, "doc_id")
       .withColumn("shard", pmod(Hashing.mix64Col($"doc_id"), lit(4L)).cast("int"))
-      // the fixedwidth writer TRUNCATES over-width strings silently — a
-      // too-long ids sequence must fail the export loudly, not corrupt it
-      // (mid-sequence cuts would surface only as an inscrutable digest
-      // mismatch, or not at all on an unverified run)
-      .withColumn("ids",
-        when(length($"ids") > IdsWidth,
-          raise_error(concat(lit(s"trainingExport: ids sequence exceeds the $IdsWidth-byte " +
-            "field for doc_id="), $"doc_id".cast("string"),
-            lit(" (len="), length($"ids").cast("string"),
-            lit(") — widen the layout or cap doc length"))))
-          .otherwise($"ids"))
     val layout = Seq(
       FieldSpec("doc_id", "long", 0, 8),
       FieldSpec("shard", "int", 8, 2),
@@ -1044,7 +1033,11 @@ object PipelineQueries {
       shards.select($"doc_id", $"shard", $"ids")
         .repartition($"shard")
         .sortWithinPartitions(Hashing.mix64Col($"doc_id"), $"doc_id")
+        // strictWidth: an over-width ids sequence must FAIL the export, not
+        // silently truncate mid-sequence (which would surface only as an
+        // inscrutable digest mismatch — or not at all on an unverified run)
         .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("strictWidth", "true")
         .mode("overwrite").save(out)
       marker.createNewFile()
     }
@@ -1382,10 +1375,15 @@ object PipelineQueries {
     val toks = table(spark, dir, "documents")
       .select($"lang", explode(TextFunctions.tokens($"text")).as("token"))
       .filter(length($"token") > 0)
-    val cand = toks.groupBy($"lang")
+    val sketch = toks.groupBy($"lang")
       .agg(graft.functions.SpaceSavingCandidates.candidates($"token", 4 * k).as("cands"))
-      .select($"lang", explode($"cands").as("token"))
-    val totals = toks.groupBy($"lang").agg(count(lit(1)).as("total"))
+    // group totals come FROM the sketch (Σ tracked counts = items seen —
+    // the invariant survives the sum-merge), so the corpus is tokenized
+    // twice (sketch, exact verify), never a third time for totals
+    val totals = sketch.select($"lang",
+      expr("aggregate(cands, 0L, (a, x) -> a + x.cnt)").as("total"))
+    val cand = sketch.select($"lang",
+      explode(expr("transform(cands, x -> x.token)")).as("token"))
     toks.join(cand, Seq("lang", "token"), "left_semi")
       .groupBy($"lang", $"token")
       .agg(count(lit(1)).as("n_occ"))

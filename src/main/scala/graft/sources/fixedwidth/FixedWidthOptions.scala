@@ -56,7 +56,8 @@ final case class FixedWidthOptions(
     trim: String,
     mode: String = "FAILFAST",
     allowCompressed: Boolean = false,
-    corruptRecordCol: Option[String] = None) {
+    corruptRecordCol: Option[String] = None,
+    strictWidth: Boolean = false) {
 
   def permissive: Boolean = mode == "PERMISSIVE"
   def dropMalformed: Boolean = mode == "DROPMALFORMED"
@@ -223,7 +224,12 @@ object FixedWidthOptions {
       trim = trim,
       mode = mode,
       allowCompressed = Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true")),
-      corruptRecordCol = corruptCol)
+      corruptRecordCol = corruptCol,
+      // write-side: over-width STRING values truncate by default (pad/
+      // truncate is the documented fixed-width contract); strictWidth=true
+      // turns that into a loud per-record error — silent truncation of a
+      // payload field surfaces only as a downstream digest mismatch
+      strictWidth = Option(map.get("strictWidth")).exists(_.trim.equalsIgnoreCase("true")))
   }
 
   /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.

@@ -298,7 +298,7 @@ object FixedWidthEncoder {
           throw new IllegalArgumentException(
             s"fixedwidth: write schema is missing layout field '${f.name}' " +
               s"(have: ${querySchema.fieldNames.mkString(", ")})")
-        fieldEncoder(f, ord, querySchema.fields(ord).dataType, opts.charset)
+        fieldEncoder(f, ord, querySchema.fields(ord).dataType, opts.charset, opts.strictWidth)
       }.toArray
     } else {
       val ord = querySchema.fieldNames.indexWhere(_.equalsIgnoreCase(FixedWidthOptions.ValueCol))
@@ -416,7 +416,9 @@ object FixedWidthEncoder {
 
   private def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
 
-  private def fieldEncoder(f: FieldSpec, ord: Int, dt: DataType, cs: java.nio.charset.Charset): Enc = {
+  private def fieldEncoder(
+      f: FieldSpec, ord: Int, dt: DataType, cs: java.nio.charset.Charset,
+      strictWidth: Boolean): Enc = {
     def numeric(render: InternalRow => String): Enc = (row, buf) =>
       if (!row.isNullAt(ord)) place(ascii(render(row)), buf, f.start, f.len, f.name)
     val utf8 = cs == StandardCharsets.UTF_8
@@ -428,7 +430,13 @@ object FixedWidthEncoder {
                     else row.getUTF8String(ord).toString.getBytes(cs)
             // Strings may be truncated to the declared width (SURVEY.md §2.1
             // S9: pad/truncate); numerics error instead — truncation would
-            // silently corrupt them.
+            // silently corrupt them. strictWidth=true makes over-width
+            // STRINGS error too (a payload field that silently loses bytes
+            // surfaces only as a downstream digest mismatch).
+            if (strictWidth && b.length > f.len)
+              throw new IllegalArgumentException(
+                s"fixedwidth: value of '${f.name}' is ${b.length} bytes, exceeds field " +
+                  s"width ${f.len} (strictWidth=true; widen the field or pre-truncate)")
             System.arraycopy(b, 0, buf, f.start, math.min(b.length, f.len))
           }
       case ("int", IntegerType)        => numeric(r => r.getInt(ord).toString)

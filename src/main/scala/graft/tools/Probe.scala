@@ -178,6 +178,15 @@ object Probe {
         .option("compression", "gzip").mode("overwrite").save(s"$base/comp-out")
     }
 
+    // strictWidth: over-width string values error instead of the default
+    // silent pad/truncate contract.
+    expectError("strict-width-overflow") {
+      import spark.implicits._
+      Seq(("toolongvalue")).toDF("v")
+        .write.format("fixedwidth").option("fields", "v:string:0:4")
+        .option("strictWidth", "true").mode("overwrite").save(s"$base/strict-out")
+    }
+
     spark.stop()
   }
 }

@@ -28,9 +28,13 @@ class SpaceSavingAggSpec extends SparkSpec with Matchers {
     val k = 10
     for (parts <- Seq(1, 3, 17)) {
       val df = rows.toDF("g", "t").repartition(parts)
-      val cand = df.groupBy($"g")
+      val out = df.groupBy($"g")
         .agg(SpaceSavingCandidates.candidates($"t", 4 * k).as("c"))
-        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+        .collect().map { r =>
+          val entries = r.getSeq[org.apache.spark.sql.Row](1)
+          r.getString(0) -> (entries.map(_.getString(0)).toSet,
+            entries.map(_.getLong(1)).sum)
+        }.toMap
       // ground truth per group
       val byGroup = rows.groupBy(_._1)
       for ((g, grp) <- byGroup) {
@@ -39,9 +43,13 @@ class SpaceSavingAggSpec extends SparkSpec with Matchers {
         grp.foreach { case (_, t) => counts.update(t, counts.getOrElse(t, 0) + 1) }
         val heavy = counts.filter { case (_, c) => c.toLong * k > total }.keySet
         heavy should not be empty
-        withClue(s"group $g parts=$parts missing=${heavy -- cand(g)}") {
-          (heavy -- cand(g)) shouldBe empty
+        val (candSet, cntSum) = out(g)
+        withClue(s"group $g parts=$parts missing=${heavy -- candSet}") {
+          (heavy -- candSet) shouldBe empty
         }
+        // the SpaceSaving invariant survives partials + sum-merge: tracked
+        // counts sum to the group's item count
+        cntSum shouldBe total.toLong
       }
     }
   }
@@ -52,8 +60,9 @@ class SpaceSavingAggSpec extends SparkSpec with Matchers {
       .toDF("g", "t")
     val out = df.groupBy($"g")
       .agg(SpaceSavingCandidates.candidates($"t", 8).as("c"))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    out("g1") shouldBe Seq("a")
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getString(0), e.getLong(1)))).toMap
+    out("g1") shouldBe Seq(("a", 1L))
     out("g2") shouldBe Seq.empty
   }
 
@@ -62,6 +71,13 @@ class SpaceSavingAggSpec extends SparkSpec with Matchers {
       org.apache.spark.sql.graft.ColumnBridge.expression(col("x")), capacity = 4)
     val b = mutable.HashMap("alpha" -> 3L, "βeta" -> 7L, "" -> 1L)
     agg.deserialize(agg.serialize(b)) shouldBe b
+  }
+
+  test("non-string input fails at analysis, not mid-job") {
+    import spark.implicits._
+    val df = Seq(("g", 1L)).toDF("g", "x")
+    an[Exception] should be thrownBy
+      df.groupBy($"g").agg(SpaceSavingCandidates.candidates($"x", 8)).collect()
   }
 
   test("capacity contract enforced") {
