@@ -361,13 +361,18 @@ object CurationQueries {
       .groupBy($"word").agg(count(lit(1)).as("wc"))
   }
 
-  private def bpeMerges(spark: SparkSession, dir: String): Vector[graft.operators.BpeTrain.Merge] = {
-    import spark.implicits._
-    val dict = bpeDict(spark, dir)
-      .orderBy($"wc".desc, $"word").limit(BpeMaxWords)
+  /** Train merges from a (word, wc) dict frame — ONE definition of the
+    * top-dict pull + trainer call, shared by the q162 train lane and the
+    * q163 encode lane (a transcribed copy could silently desync them). */
+  private def bpeMergesOf(dict: DataFrame): Vector[graft.operators.BpeTrain.Merge] = {
+    import dict.sparkSession.implicits._
+    val top = dict.orderBy($"wc".desc, $"word").limit(BpeMaxWords)
       .as[(String, Long)].collect()
-    graft.operators.BpeTrain.train(dict.toSeq, BpeMaxMerges)
+    graft.operators.BpeTrain.train(top.toSeq, BpeMaxMerges)
   }
+
+  private def bpeMerges(spark: SparkSession, dir: String): Vector[graft.operators.BpeTrain.Merge] =
+    bpeMergesOf(bpeDict(spark, dir))
 
   def bpeTrainLane(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -466,10 +471,7 @@ object CurationQueries {
     // is vocab-sized, so the cache is tiny; the bench harness clears caches
     // between lanes).
     val dict = bpeDict(spark, dir).persist()
-    val top = dict.orderBy($"wc".desc, $"word").limit(BpeMaxWords)
-      .as[(String, Long)].collect()
-    val merges = graft.operators.BpeTrain.train(top.toSeq, BpeMaxMerges)
-      .map(m => (m.left, m.right))
+    val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
     val bc = spark.sparkContext.broadcast(merges)
     val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
     dict

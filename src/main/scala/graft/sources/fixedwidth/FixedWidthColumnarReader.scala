@@ -57,23 +57,31 @@ class FixedWidthColumnarReader(
         opts.fields.filterNot(f => requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))), buf)
     else Array.empty
 
-  private val vectors: Array[OnHeapColumnVector] =
-    OnHeapColumnVector.allocateColumns(capacity, requiredSchema)
-
   // `_source_file` metadata column: within one batch every record shares a
   // path (batches FLUSH at file switches — see next()), so the column is a
   // ConstantColumnVector set once per batch instead of a per-record byte
   // copy — for short records the path would otherwise dominate vector fill.
+  // It is always the LAST field (pruneColumns and toMicroBatchStream both
+  // append it), which lets the writable vectors array simply be one shorter
+  // — no dead capacity-sized string vector allocated for the meta slot.
   private val metaIdx: Int = requiredSchema.fieldNames.indexWhere(fn =>
     fn.equalsIgnoreCase(FixedWidthOptions.SourceFileCol) &&
       !opts.fields.exists(_.name.equalsIgnoreCase(fn)))
+  require(metaIdx < 0 || metaIdx == requiredSchema.length - 1,
+    s"fixedwidth: ${FixedWidthOptions.SourceFileCol} must be the last read column, " +
+      s"got index $metaIdx of ${requiredSchema.length}")
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity,
+      if (metaIdx < 0) requiredSchema else StructType(requiredSchema.fields.init))
+
   private val metaVec: org.apache.spark.sql.execution.vectorized.ConstantColumnVector =
     if (metaIdx >= 0)
       new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(capacity, StringType)
     else null
 
   private val batch = {
-    val vs: Array[ColumnVector] = Array.tabulate(vectors.length) { i =>
+    val vs: Array[ColumnVector] = Array.tabulate(requiredSchema.length) { i =>
       if (i == metaIdx) metaVec else vectors(i)
     }
     new ColumnarBatch(vs)
@@ -84,14 +92,14 @@ class FixedWidthColumnarReader(
 
   // Per-column vectorized decoders: (vector, rowIdx) writes from `buf`.
   private val decoders: Array[Int => Unit] = requiredSchema.fields.zipWithIndex.map { case (sf, ci) =>
+    // meta column first: it has no writable vector slot (constant per
+    // batch, set once in next()) — vectors(ci) would be out of bounds
+    if (ci == metaIdx) { (_: Int) => () }
+    else {
     val v = vectors(ci)
     sf.name match {
       case FixedWidthOptions.OffsetCol =>
         (r: Int) => v.putLong(r, recOffset)
-      case FixedWidthOptions.SourceFileCol
-          if !opts.fields.exists(_.name.equalsIgnoreCase(sf.name)) =>
-        // constant per batch — set once in next(), nothing to do per record
-        (_: Int) => ()
       case FixedWidthOptions.KeyCol if !opts.typed =>
         (r: Int) => v.putByteArray(r, buf, opts.keyStartAt, opts.keyLen)
       case FixedWidthOptions.ValueCol if !opts.typed =>
@@ -104,6 +112,7 @@ class FixedWidthColumnarReader(
         val f = opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(s"fixedwidth: unknown column '$name'"))
         fieldDecoder(f, v)
+    }
     }
   }
 
@@ -151,7 +160,7 @@ class FixedWidthColumnarReader(
 
   override def next(): Boolean = {
     var i = 0
-    while (i < vectors.length) { if (i != metaIdx) vectors(i).reset(); i += 1 }
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
     var at = 0L
     var flush = false
@@ -163,9 +172,16 @@ class FixedWidthColumnarReader(
         val p = stream.currentPathUtf8
         if (n == 0) batchPath = p
         else if (p ne batchPath) {
-          // record belongs to the next file: hold it, emit what we have
-          pendingAt = at
-          flush = true
+          // new array reference — usually a new FILE, but two chunks of the
+          // SAME file can land in one partition (range packing): compare
+          // content before flushing so intra-file chunk switches don't
+          // truncate batches
+          if (java.util.Arrays.equals(p, batchPath)) batchPath = p
+          else {
+            // record belongs to the next file: hold it, emit what we have
+            pendingAt = at
+            flush = true
+          }
         }
       }
       if (!flush) {
