@@ -216,6 +216,34 @@ class DedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("prefixFilterPairs == brute force on randomized corpora across thresholds (fuzz)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val vocab = ('a' to 'p').map(_.toString)
+    // random docs over a small vocab (forced gram collisions), with planted
+    // mutated copies so thresholds bite at different levels
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val mutated = base.take(12).map { case (id, t) =>
+      val toks = t.split(" ").toBuffer
+      toks(rng.nextInt(toks.length)) = vocab(rng.nextInt(vocab.length))
+      (id + 1000L, toks.mkString(" "))
+    }
+    val fuzzGrams = (base ++ mutated).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 2).as("grams"))
+      .filter(org.apache.spark.sql.functions.size($"grams") > 0)
+    for ((tnum, tden) <- Seq((1, 4), (1, 2), (2, 3), (4, 5))) {
+      val got = Dedup.prefixFilterPairs(fuzzGrams, "doc_id", "grams", tnum, tden)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.jaccardPairs(fuzzGrams, "doc_id", "grams", tnum.toDouble / tden)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"tau=$tnum/$tden missing=${want -- got} extra=${got -- want}") {
+        got shouldBe want
+      }
+    }
+  }
+
   test("prefixFilterPairs prefix really is shorter than the full set (it filters, not rescans)") {
     val grams = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("grams"))
       .filter(org.apache.spark.sql.functions.size(col("grams")) > 0)
