@@ -123,31 +123,31 @@ object CurationQueries {
     * against it, and an exact integer ratio, so it hash-matches where
     * `ln`-based Shannon entropy would drift an ulp between libm builds —
     * the q39/q124 argument). Gibberish and repeated-character spam score
-    * high; natural text sits low. The char explode fans out ×n_chars but
-    * stays map-side; the only shuffles are the two skinny doc-keyed
-    * aggregations. The explode splits the string ONCE per document
-    * (`split(s, "")`) rather than exploding positions and re-walking the
-    * string with `substr(s, i, 1)` — the position form is O(n²) per
-    * document (each substr re-scans the UTF8 bytes to char i), which a
-    * 10 s bench outlier exposed at sf0.1 and which would be fatal on
-    * book-length documents at 100 TB. Java's split("") emits no leading
-    * empty element but CAN emit a trailing one under limit=-1 semantics;
-    * the ch != '' guard drops it. */
+    * high; natural text sits low.
+    *
+    * Plan shape: the whole computation is per-document, so it runs as ONE
+    * codegen'd pass over each string ([[graft.functions.CharStatsFns]])
+    * emitting one skinny struct per doc — no explode, no groupBy, no
+    * shuffle except the presentation orderBy. The previous
+    * `explode(split(s, "")) → groupBy(doc, ch) → groupBy(doc)` form turned
+    * every corpus character into an aggregate-hash-map row (8+ s at sf0.1,
+    * fatal at 100 TB); `CharStatsPlanSpec` pins the explode out of the
+    * plan. The oracle keeps the relational restatement (per-position
+    * unnest + two groupBys), proving the fused pass computes exactly the
+    * same distribution. */
   def charStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val chars = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select($"doc_id", regexp_replace(lower($"text"), "\\s", "").as("s"))
       .filter(length($"s") > 0)
-      .select($"doc_id", explode(split($"s", "")).as("ch"))
-      .filter($"ch" =!= "")
-    chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(
-        sum($"c").cast("long").as("m"),
-        count(lit(1)).as("distinct_chars"),
+      .select($"doc_id", graft.functions.CharStatsFns.charStats($"s").as("st"))
+      .select(
+        $"doc_id",
+        $"st.m".as("m"),
+        $"st.distinct_chars".as("distinct_chars"),
         round(
-          sum($"c" * $"c").cast("double") /
-            (sum($"c").cast("double") * sum($"c").cast("double")), 6).as("collision_p"))
+          $"st.sum_c2".cast("double") /
+            ($"st.m".cast("double") * $"st.m".cast("double")), 6).as("collision_p"))
       .orderBy($"doc_id")
   }
 
