@@ -26,9 +26,9 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Drop state a query persisted/cached so later queries aren't taxed
-        // by another query's memory footprint.
-        spark.catalog.clearCache()
+        // Drop state a query persisted/cached/checkpointed so later queries
+        // aren't taxed by another query's memory footprint (see LaneReset).
+        LaneReset(spark)
         if (ok) dt else -1.0
       }
       val dt = if (times.contains(-1.0)) -1.0

@@ -26,9 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop whatever a lane persisted so the 173-query sweep can't
-      // accumulate cached frames (Bench does the same between lanes)
-      spark.catalog.clearCache()
+      // drop whatever a lane persisted/checkpointed so the 173-query sweep
+      // can't accumulate blocks (Bench does the same between lanes)
+      LaneReset(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -22,8 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Each function implements `ScalarFunction`'s magic `invoke` method with
   * primitive signatures, so Catalyst plans a direct method call (codegen
   * `Invoke`, no row boxing) — the `produceResult` fallback exists only for
-  * the interpreted path. Results are deterministic and non-nullable; both
-  * properties are declared so the optimizer can fold and prune around them.
+  * the interpreted path. Results are deterministic (declared, so the
+  * optimizer can fold and reuse them) but NULLABLE — each function
+  * propagates NULL input to NULL output, and `isResultNullable = true`
+  * declares exactly that contract.
   */
 class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
   import GraftFunctionCatalog._

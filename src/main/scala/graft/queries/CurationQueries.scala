@@ -466,18 +466,23 @@ object CurationQueries {
     import spark.implicits._
     // ONE corpus word-count aggregation serves both consumers — the bounded
     // top-dict pull that trains the merges AND the full-dict encode fan-out.
-    // Persisted: the encode job is lazy, and without the cache it would
-    // re-run the corpus explode+groupBy from scratch (the dict table itself
-    // is vocab-sized, so the cache is tiny; the bench harness clears caches
-    // between lanes).
+    // Persisted for the duration of THIS lane only: the encode result is
+    // materialized eagerly (bounded — limit(40) by construction) so the
+    // cache can be released in the same call, instead of leaking a cached
+    // table per invocation for any caller that isn't the harness (which
+    // clears caches between lanes anyway).
     val dict = bpeDict(spark, dir).persist()
-    val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
-    val bc = spark.sparkContext.broadcast(merges)
-    val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
-    dict
-      .select(explode(encodeWord($"word")).as("token"), $"wc")
-      .groupBy($"token").agg(sum($"wc").cast("long").as("n_occ"))
-      .orderBy($"n_occ".desc, $"token").limit(40)
+    try {
+      val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
+      val bc = spark.sparkContext.broadcast(merges)
+      val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
+      val result = dict
+        .select(explode(encodeWord($"word")).as("token"), $"wc")
+        .groupBy($"token").agg(sum($"wc").cast("long").as("n_occ"))
+        .orderBy($"n_occ".desc, $"token").limit(40)
+      val rows = result.collect() // ≤ 40 rows — the limit above bounds it
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally dict.unpersist(blocking = false)
   }
 
   val bpeEncodeOracle: String = {

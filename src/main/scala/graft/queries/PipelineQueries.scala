@@ -229,36 +229,63 @@ object PipelineQueries {
     * decimal-cast pattern at 12 dp. Docs with <2 tokens have no bigrams
     * and drop out of the scoring in BOTH engines (count over existing
     * rows). Low avg probability = novel/unfamiliar vs the reference slice
-    * — the same split logic as perplexity-band corpus filtering. */
+    * — the same split logic as perplexity-band corpus filtering.
+    *
+    * Join strategy: the train-side model tables (uni, bi) are AGGREGATES,
+    * so Catalyst's size estimate for them is the upstream scan's (huge) and
+    * auto-broadcast never fires — the eval explode then shuffles on g/w1.
+    * Both tables are persisted (they are consumed by a count AND the score
+    * join — one materialization serves both), counted, and broadcast iff
+    * the measured row count is under a hard cap: at bench SF both fit
+    * comfortably (vocab-sized / bigram-distinct-sized) and the eval side
+    * streams map-side; at 100 TB the bigram table blows the cap and the
+    * plan falls back to the shuffled join, which is the only safe shape
+    * there. The counts are not extra work at scale — the aggregation must
+    * materialize for the join anyway, and V (vocab) is already needed as a
+    * scalar. Output is ≤ |languages| rows, so it is materialized eagerly
+    * and both persists released before returning. */
   def lmNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def psum(c: org.apache.spark.sql.Column) =
       round(sum(c.cast("decimal(30,12)")).cast("double"), 8)
+    // Broadcast gate: ~2M distinct grams ≈ low hundreds of MB hashed — the
+    // upper end of what a broadcast build should ever be.
+    val broadcastRowCap = 2000000L
     val docs = table(spark, dir, "documents").select($"doc_id", $"lang", $"text")
     val train = docs.filter($"doc_id" % 10 === 0)
     val eval = docs.filter($"doc_id" % 10 =!= 0)
     val uni = train.select(explode(TextFunctions.tokens($"text")).as("w1"))
-      .groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocab = uni.count() // V: driver scalar over the tiny vocab table
+      .groupBy($"w1").agg(count(lit(1)).as("c1")).persist()
     val bi = train.select(explode(Spans.wordGrams($"text", 2)).as("g"))
-      .groupBy($"g").agg(count(lit(1)).as("c2"))
-    val pairs = eval
-      .select($"doc_id", $"lang", explode(Spans.wordGrams($"text", 2)).as("g"))
-      .withColumn("w1", substring_index($"g", " ", 1))
-    val perDoc = pairs
-      .join(bi, Seq("g"), "left")
-      .join(uni, Seq("w1"), "left")
-      .select($"doc_id", $"lang",
-        ((coalesce($"c2", lit(0L)) + 1).cast("double") /
-          (coalesce($"c1", lit(0L)) + vocab).cast("double")).as("p"))
-      .groupBy($"doc_id", $"lang")
-      .agg(count(lit(1)).as("n_pairs"), psum($"p").as("sum_p"))
-      .withColumn("avg_p", round($"sum_p" / $"n_pairs".cast("double"), 9))
-    perDoc.groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        count(when($"avg_p" < 0.031, 1)).as("n_novel"),
-        round(max($"avg_p"), 9).as("max_avg_p"))
-      .orderBy($"lang")
+      .groupBy($"g").agg(count(lit(1)).as("c2")).persist()
+    try {
+      val vocab = uni.count() // V: driver scalar over the tiny vocab table
+      val nBi = bi.count()
+      val uniJ = if (vocab <= broadcastRowCap) broadcast(uni) else uni
+      val biJ = if (nBi <= broadcastRowCap) broadcast(bi) else bi
+      val pairs = eval
+        .select($"doc_id", $"lang", explode(Spans.wordGrams($"text", 2)).as("g"))
+        .withColumn("w1", substring_index($"g", " ", 1))
+      val perDoc = pairs
+        .join(biJ, Seq("g"), "left")
+        .join(uniJ, Seq("w1"), "left")
+        .select($"doc_id", $"lang",
+          ((coalesce($"c2", lit(0L)) + 1).cast("double") /
+            (coalesce($"c1", lit(0L)) + vocab).cast("double")).as("p"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_pairs"), psum($"p").as("sum_p"))
+        .withColumn("avg_p", round($"sum_p" / $"n_pairs".cast("double"), 9))
+      val result = perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"avg_p" < 0.031, 1)).as("n_novel"),
+          round(max($"avg_p"), 9).as("max_avg_p"))
+        .orderBy($"lang")
+      val rows = result.collect() // ≤ |languages| rows by construction
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      uni.unpersist(blocking = false)
+      bi.unpersist(blocking = false)
+    }
   }
 
   val lmNoveltyOracle: String =

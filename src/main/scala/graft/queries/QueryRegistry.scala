@@ -55,7 +55,17 @@ object QueryRegistry {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TZ cast reinterprets the stored wall clock in the SESSION
+        // time zone — epoch math is unchanged only under UTC (which the
+        // driver mains pin). Refuse anything else so a standalone non-UTC
+        // caller fails loudly instead of silently shifting every event.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz') — a non-UTC session " +
+            "would reinterpret the wall clock and shift every epoch")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other (expected long nanos, " +

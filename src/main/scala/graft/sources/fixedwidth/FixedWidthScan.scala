@@ -623,6 +623,15 @@ class FixedWidthScan(
     // out-of-bounds read in ColumnarToRow. If a future Spark version runs
     // pruning on streams (requiredSchema would then already carry the
     // column), the presence check prevents a duplicate.
+    //
+    // UPGRADE TRIPWIRE: "extra trailing vectors are ignored" is observed
+    // ColumnarToRow behavior, not documented contract, and the public DSv2
+    // streaming API offers no callback handing the stream its actual
+    // required schema (MicroBatchStream has no pruneColumns analog), so it
+    // cannot be plumbed away. MetadataColumnSpec's "metacol8" test pins
+    // both stream shapes (with and without _source_file referenced) and is
+    // the test that MUST fail first if a Spark upgrade adds a strict
+    // vector-count check here.
     val hasMeta = requiredSchema.fieldNames
       .exists(_.equalsIgnoreCase(FixedWidthOptions.SourceFileCol))
     val shadowed = opts.fields.exists(_.name.equalsIgnoreCase(FixedWidthOptions.SourceFileCol))

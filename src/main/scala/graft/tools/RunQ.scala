@@ -32,6 +32,9 @@ object RunQ {
         val t0 = System.nanoTime()
         val n = all(name)(spark, sfDir).count()
         println(f"RUNQ $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        // same between-lane reset as Bench, so warm RunQ repeats measure the
+        // query, not a leftover cache/checkpoint from the previous repeat
+        graft.LaneReset(spark)
       }
     }
     spark.stop()
