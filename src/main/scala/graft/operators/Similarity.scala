@@ -620,6 +620,20 @@ object Similarity {
     * degenerate bucket. Recall is tuned by (tables, planes): for pairs at
     * cosine c, P(candidate) = 1 - (1 - (1 - arccos(c)/π)^planes)^tables —
     * fewer planes = bigger buckets = more candidates = higher recall.
+    *
+    * SCALE WARNING, measured: `planes` fixes the bucket space at 2^planes
+    * per table, so AVERAGE occupancy — and with it candidate-pair count —
+    * grows as n²/2^planes. The sf1 rehearsal caught exactly this: 10× the
+    * corpus at planes=6 cost 185× (every bucket ~10× denser, none over
+    * `bucketCap`, pairs ×100). `autoPlanesOccupancy` is the scale knob:
+    * when > 0 the operator counts the corpus (one cheap scan against a
+    * pair-gen stage that dwarfs it) and raises `planes` to
+    * ceil(log2(n / occupancy)) so expected occupancy — and per-bucket pair
+    * cost — stays CONSTANT as the corpus grows; recall for true near-dups
+    * (cosine → 1) stays high since their per-table collision probability
+    * (1 − θ/π)^planes degrades only polynomially in planes while bucket
+    * density drops exponentially. Fixed `planes` remains the replayable
+    * configuration the q64 oracle pins.
     */
   def cosineNearDupsBucketed(
       corpus: DataFrame,
@@ -630,10 +644,19 @@ object Similarity {
       tables: Int = 16,
       planes: Int = 4,
       bucketCap: Int = 2000,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      autoPlanesOccupancy: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val mat = hyperplaneMatrix(tables, planes, dim)
+    val effPlanes =
+      if (autoPlanesOccupancy <= 0) planes
+      else {
+        val n = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull).count()
+        val needed = math.ceil(
+          math.log(math.max(1.0, n.toDouble / autoPlanesOccupancy)) / math.log(2.0)).toInt
+        math.max(planes, needed)
+      }
+    val mat = hyperplaneMatrix(tables, effPlanes, dim)
 
     // Materialized once for the three consumers below; pass `checkpointDir`
     // on a real cluster so the sketches survive executor loss
@@ -643,7 +666,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, vec) =>
-        (id, vec, srpBucketsOf(vec, tables, planes, dim, mat))
+        (id, vec, srpBucketsOf(vec, tables, effPlanes, dim, mat))
       })
       .toDF("id", "vec", "buckets"), checkpointDir)
 

@@ -909,16 +909,30 @@ object RelationalQueries {
     * MATCH each other instead of vanishing — the semantics corner plain
     * equi-joins silently drop. Keys are deterministically NULLified on both
     * sides; the NULL-key group is the interesting row of the output. Spark
-    * still plans this as a hash join (null-safe equality is an equi-key). */
+    * plans `<=>` as a hash join (null-safe equality is an equi-key).
+    *
+    * Plan shape: the key domain is TINY (25 nations + NULL) and both sides
+    * are large, so the row-level join's output is |C|·|S|/25-ish — the sf1
+    * rehearsal measured the naive form at 22× the data ratio, pure
+    * many-to-many pair materialization. Since the lane only needs PAIR
+    * COUNTS, the scale-correct plan factorizes: aggregate each side to
+    * (key, cnt) first, null-safe-join the two ≤26-row aggregates, and
+    * multiply — n_pairs(k) = cnt_c(k)·cnt_s(k) exactly, NULL group
+    * included, with the `<=>` semantics exercised on the join itself.
+    * Cost is two map-side-partial aggregations; the quadratic row blowup
+    * never exists. The oracle keeps the naive row-level join, proving the
+    * factorization computes the same distribution. */
   def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = table(spark, dir, "customer")
       .select(when($"c_custkey" % 10 === 0, lit(null)).otherwise($"c_nationkey").as("ck"))
+      .groupBy($"ck").agg(count(lit(1)).as("n_c"))
     val s = table(spark, dir, "supplier")
       .select(when($"s_suppkey" % 7 === 0, lit(null)).otherwise($"s_nationkey").as("sk"))
+      .groupBy($"sk").agg(count(lit(1)).as("n_s"))
     c.join(s, $"ck" <=> $"sk")
-      .groupBy(coalesce($"ck".cast("string"), lit("NULLKEY")).as("key"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(coalesce($"ck".cast("string"), lit("NULLKEY")).as("key"),
+        ($"n_c" * $"n_s").as("n_pairs"))
       .orderBy($"key")
   }
 

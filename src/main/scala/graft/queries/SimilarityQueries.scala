@@ -171,6 +171,34 @@ object SimilarityQueries {
         "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q64's AUTO-SIZED sibling — the 100 TB configuration. Fixed planes fix
+    * the bucket space, so occupancy and pair cost grow n²/2^planes (the
+    * sf1 rehearsal measured q64 at 185× for 10× data — every bucket 10×
+    * denser, none degenerate). `autoPlanesOccupancy` counts the corpus and
+    * raises planes to ceil(log2(n/32)) so expected occupancy stays
+    * constant: at the verify SF (500 vectors) that resolves to planes=4 —
+    * which the oracle's literal-hyperplane CTE replays exactly — while at
+    * sf0.1/sf1 the same lane self-sizes to 6/10+ planes and its rehearsal
+    * ratio stays ~linear. (The oracle SQL is the auto-sizing EVALUATED at
+    * n=500; it is correct for any n ≤ 512 and regenerates per-SF beyond.) */
+  def nearDupsBucketedAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupsBucketed(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 4,
+        autoPlanesOccupancy = 32)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val nearDupsBucketedAutoOracle: String =
+    s"""WITH ${srpBandedCte(tables = 16, planes = 4, dim = 64, whereClause = "")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.embedding AS e_a, b.embedding AS e_b
+       |  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT id_a, id_b, ${cosSql("e_a", "e_b")} AS cos FROM cand
+       |)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
   val nearDupsBucketedOracle: String =
     s"""WITH ${srpBandedCte(tables = 16, planes = 6, dim = 64, whereClause = "")},
        |cand AS (
@@ -637,5 +665,6 @@ object SimilarityQueries {
     Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)),
     Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
     Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
-    Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)))
+    Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
+    Q("q174_neardup_bucketed_auto", nearDupsBucketedAuto, Some(nearDupsBucketedAutoOracle)))
 }

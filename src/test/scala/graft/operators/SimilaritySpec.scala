@@ -125,6 +125,21 @@ class SimilaritySpec extends SparkSpec with Matchers {
     bucketed.foreach { case (a, b) => a / 10 shouldBe b / 10 }
   }
 
+  test("autoPlanesOccupancy keeps recall on planted clusters while shrinking buckets") {
+    // the sf1 rehearsal finding: fixed planes → occupancy (and pair cost)
+    // grows n²/2^planes. With the auto knob, planes rise to
+    // ceil(log2(n/occupancy)): for n=200, occupancy=8 → planes 5 (> the
+    // base 4), and in-cluster pairs (cos ≈ 0.99) must still all surface.
+    val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Int]("id_a").toLong, r.getAs[Int]("id_b").toLong)).toSet
+    val auto = Similarity.cosineNearDupsBucketed(corpus, "vec_id", "embedding", 0.95,
+        dim = dim, tables = 16, planes = 4, autoPlanesOccupancy = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    (exact -- auto) shouldBe empty
+    auto.foreach { case (a, b) => a / 10 shouldBe b / 10 }
+  }
+
   test("quadratic kernels enforce the bounded-input contract") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95, maxInput = 10)
