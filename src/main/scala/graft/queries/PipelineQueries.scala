@@ -245,6 +245,18 @@ object PipelineQueries {
     * scalar. Output is ≤ |languages| rows, so it is materialized eagerly
     * and both persists released before returning. */
   def lmNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val (result, release) = lmNoveltyPlan(spark, dir)
+    try {
+      val rows = result.collect() // ≤ |languages| rows by construction
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally release()
+  }
+
+  /** The lazy q138 plan plus its persist-release hook — split out so the
+    * plan spec can pin the broadcast shape of the model joins before the
+    * eager collect above hides them behind a LocalRelation. */
+  private[graft] def lmNoveltyPlan(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     import spark.implicits._
     def psum(c: org.apache.spark.sql.Column) =
       round(sum(c.cast("decimal(30,12)")).cast("double"), 8)
@@ -258,34 +270,28 @@ object PipelineQueries {
       .groupBy($"w1").agg(count(lit(1)).as("c1")).persist()
     val bi = train.select(explode(Spans.wordGrams($"text", 2)).as("g"))
       .groupBy($"g").agg(count(lit(1)).as("c2")).persist()
-    try {
-      val vocab = uni.count() // V: driver scalar over the tiny vocab table
-      val nBi = bi.count()
-      val uniJ = if (vocab <= broadcastRowCap) broadcast(uni) else uni
-      val biJ = if (nBi <= broadcastRowCap) broadcast(bi) else bi
-      val pairs = eval
-        .select($"doc_id", $"lang", explode(Spans.wordGrams($"text", 2)).as("g"))
-        .withColumn("w1", substring_index($"g", " ", 1))
-      val perDoc = pairs
-        .join(biJ, Seq("g"), "left")
-        .join(uniJ, Seq("w1"), "left")
-        .select($"doc_id", $"lang",
-          ((coalesce($"c2", lit(0L)) + 1).cast("double") /
-            (coalesce($"c1", lit(0L)) + vocab).cast("double")).as("p"))
-        .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_pairs"), psum($"p").as("sum_p"))
-        .withColumn("avg_p", round($"sum_p" / $"n_pairs".cast("double"), 9))
-      val result = perDoc.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when($"avg_p" < 0.031, 1)).as("n_novel"),
-          round(max($"avg_p"), 9).as("max_avg_p"))
-        .orderBy($"lang")
-      val rows = result.collect() // ≤ |languages| rows by construction
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally {
-      uni.unpersist(blocking = false)
-      bi.unpersist(blocking = false)
-    }
+    val vocab = uni.count() // V: driver scalar over the tiny vocab table
+    val nBi = bi.count()
+    val uniJ = if (vocab <= broadcastRowCap) broadcast(uni) else uni
+    val biJ = if (nBi <= broadcastRowCap) broadcast(bi) else bi
+    val pairs = eval
+      .select($"doc_id", $"lang", explode(Spans.wordGrams($"text", 2)).as("g"))
+      .withColumn("w1", substring_index($"g", " ", 1))
+    val perDoc = pairs
+      .join(biJ, Seq("g"), "left")
+      .join(uniJ, Seq("w1"), "left")
+      .select($"doc_id", $"lang",
+        ((coalesce($"c2", lit(0L)) + 1).cast("double") /
+          (coalesce($"c1", lit(0L)) + vocab).cast("double")).as("p"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_pairs"), psum($"p").as("sum_p"))
+      .withColumn("avg_p", round($"sum_p" / $"n_pairs".cast("double"), 9))
+    val result = perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"avg_p" < 0.031, 1)).as("n_novel"),
+        round(max($"avg_p"), 9).as("max_avg_p"))
+      .orderBy($"lang")
+    (result, () => { uni.unpersist(blocking = false); bi.unpersist(blocking = false) })
   }
 
   val lmNoveltyOracle: String =
