@@ -252,10 +252,19 @@ class DedupSpec extends SparkSpec with Matchers {
     val fullRows = grams.select(explode(col("grams"))).count()
     val out = Dedup.prefixFilterPairs(grams, "doc_id", "grams", 9, 10)
     out.collect() // force
-    // structural check on the operator's own plan: prefix slice present
     val plan = out.queryExecution.optimizedPlan.toString
-    plan should include("slice")
+    // structural: the prefix table is MATERIALIZED once (LogicalRDD from
+    // truncateLineage) and both candidate sides read it, instead of each
+    // side re-deriving the gram-frequency/sort-collect/slice chain
+    plan should include("LogicalRDD")
+    // the prefix-length formula itself: Σ_docs (n − ⌈τn⌉ + 1) must be a
+    // small fraction of the full gram explode the prefix join avoids
+    val prefixRows = grams
+      .select(org.apache.spark.sql.functions.size(col("grams")).cast("long").as("n"))
+      .select((col("n") - expr("(n * 9 + 9) div 10") + 1).as("p"))
+      .agg(org.apache.spark.sql.functions.sum(col("p"))).head.getLong(0)
     fullRows should be > 0L
+    prefixRows should be < fullRows / 2
   }
 
   test("keepBest selects the highest-priority row per key, tie to lowest id") {
