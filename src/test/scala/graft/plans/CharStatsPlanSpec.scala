@@ -76,4 +76,23 @@ class CharStatsPlanSpec extends SparkSpec with Matchers {
     val r = CharStatsFns.statsOf(UTF8String.fromString(""))
     (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((0L, 0L, 0L))
   }
+
+  test("statsOf fuzz: agrees with a map-based reference on random unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(99)
+    // alphabet spanning the ascii fast path, the boxed fallback, and a
+    // surrogate-pair code point
+    val alphabet: Array[String] =
+      (('a' to 'e').map(_.toString) ++ Seq("é", "ß", "日", "本", "𝄞", " ", "!")).toArray
+    for (_ <- 0 until 300) {
+      val s = Array.fill(rng.nextInt(80))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val counts = s.codePoints().toArray.groupBy(identity).map { case (_, v) => v.length.toLong }
+      val r = CharStatsFns.statsOf(UTF8String.fromString(s))
+      withClue(s"input=$s") {
+        r.getLong(0) shouldBe counts.sum
+        r.getLong(1) shouldBe counts.size.toLong
+        r.getLong(2) shouldBe counts.map(c => c * c).sum
+      }
+    }
+  }
 }
