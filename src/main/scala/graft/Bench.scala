@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other main: the event lanes' NTZ→TZ normalization
+      // REQUIRES it (QueryRegistry.normalizeTs fails loudly otherwise), and
+      // timing the same plans under a different session TZ than Verify's
+      // would be comparing different codegen.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

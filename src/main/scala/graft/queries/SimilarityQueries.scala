@@ -584,14 +584,19 @@ object SimilarityQueries {
     val sem = Similarity
       .knnBruteForce(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("r_sem"))
+    // Gram sets are xxhash64'd once per doc and SORTED so the per-pair
+    // Jaccard runs as the codegen'd two-pointer merge (SetOps) instead of
+    // a per-pair string-array hash set — |A∩B| unchanged modulo ~2^-64
+    // collisions (the q47/q51/q52 argument), values bit-identical.
     val grams = table(spark, dir, "documents")
-      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+      .select(col("doc_id"),
+        array_sort(transform(Dedup.shingles(col("text"), 3), g => xxhash64(g))).as("grams"))
     val qgrams = grams.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("grams").as("q_grams"))
     val lexSims = grams.crossJoin(broadcast(qgrams))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
-        Dedup.jaccard(col("q_grams"), col("grams")).as("jac"))
+        graft.functions.SetOps.sortedJaccard(col("q_grams"), col("grams")).as("jac"))
       .filter(col("jac") > 0.0)
     val topk = udaf(new graft.functions.TopKByScore(20))
     val lex = lexSims.groupBy(col("query_id"))
