@@ -655,7 +655,122 @@ object SimilarityQueries {
        |SELECT query_id, rk, neighbor_id, round(rrf, 6) AS rrf, r_sem, r_lex
        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** Farthest-point-sampling diversity coreset (greedy k-center) — k = 8
+    * maximally-spread embedding rows. The oracle replays the greedy loop
+    * exactly with a recursive CTE: same lowest-id seed, same left-to-right
+    * squared-L2 fold, same (max distance, lowest id) selection each round,
+    * so even the selection ORDER is hash-checked cross-engine. */
+  def fpsCoreset(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.farthestPointSample(
+        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      .select(col("sel_rank"), col("vec_id"),
+        round(col("min_sq_dist"), 6).as("min_sq_dist"))
+      .orderBy(col("sel_rank"))
+
+  val fpsCoresetOracle: String = {
+    // the min-over-chosen is a join + GROUP BY (not a correlated scalar
+    // subquery): DuckDB cannot bind a lambda that captures a column two
+    // correlation levels up, and min over the chosen set equals the Spark
+    // side's least-fold (order-free for non-NaN doubles)
+    val sq = "list_sum(list_transform(generate_series(1, 64), j -> (cand.e[j] - x.e[j]) * (cand.e[j] - x.e[j])))"
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, list_transform(embedding, v -> cast(v AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, v -> v IS NULL)) = 0
+       |), sel AS (
+       |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS md, [vec_id] AS chosen
+       |  FROM ex WHERE vec_id = (SELECT min(vec_id) FROM ex)
+       |  UNION ALL
+       |  SELECT s.sel_rank + 1, c.vec_id, c.md, list_append(s.chosen, c.vec_id)
+       |  FROM sel s JOIN LATERAL (
+       |    SELECT cand.vec_id, min($sq) AS md
+       |    FROM ex cand JOIN ex x ON list_contains(s.chosen, x.vec_id)
+       |    WHERE NOT list_contains(s.chosen, cand.vec_id)
+       |    GROUP BY cand.vec_id
+       |    ORDER BY md DESC, cand.vec_id
+       |    LIMIT 1
+       |  ) c ON true
+       |  WHERE s.sel_rank < 8
+       |)
+       |SELECT sel_rank, vec_id, round(md, 6) AS min_sq_dist
+       |FROM sel ORDER BY sel_rank""".stripMargin
+  }
+
+  /** MMR-diversified retrieval: brute-force top-20 cosine candidates per
+    * query (the q60 kernel), then Maximal-Marginal-Relevance re-ranking to
+    * 8 with λ = 0.7. The oracle replays the greedy argmax loop with a
+    * recursive CTE — same double cosine fold for both terms, same
+    * (1.0 − 0.7) weight bits, same lowest-id tie-break — so the selection
+    * order itself is hash-checked.
+    *
+    * The rel score is the UNROUNDED cosine (recomputed from the vectors,
+    * bit-identical to the fold that ranked the top-20): weighting the
+    * 6-decimal presentation value by λ = 0.7 would make every score an
+    * exact 7-decimal number, i.e. a round-half TIE at round(…, 6) for one
+    * value in ten — the two engines' round implementations disagree on
+    * exact ties, and the first verify run hit one. Unrounded doubles put
+    * the boundary probability back at ~ulp scale. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val knn = Similarity.knnBruteForce(
+      embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val cands = knn.select(col("query_id"), col("neighbor_id"))
+      .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), "query_id")
+      .withColumn("rel", Similarity.cosine(col("q_emb"), col("embedding")))
+    graft.operators.Mmr.rerank(cands, "query_id", "neighbor_id", "rel", "embedding",
+        k = 8, lambda = 0.7)
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  val mmrRerankOracle: String = {
+    val dotDD = "list_sum(list_transform(generate_series(1, 64), j -> cand.e[j] * x.e[j]))"
+    val nrm = (t: String) =>
+      s"sqrt(list_sum(list_transform(generate_series(1, 64), j -> $t.e[j] * $t.e[j])))"
+    s"""WITH RECURSIVE rel0 AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       |), rel AS (
+       |  SELECT query_id, neighbor_id, cos AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |        FROM rel0)
+       |  WHERE rk <= 20
+       |), relv AS (
+       |  SELECT r.query_id, r.neighbor_id, r.rel,
+       |    list_transform(e.embedding, v -> cast(v AS DOUBLE)) AS e
+       |  FROM rel r JOIN embeddings e ON e.vec_id = r.neighbor_id
+       |), sel AS (
+       |  SELECT query_id, 1 AS mmr_rank, neighbor_id, 0.7 * rel AS score, [neighbor_id] AS chosen
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+       |        FROM rel)
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.query_id, s.mmr_rank + 1, c.neighbor_id, c.score,
+       |    list_append(s.chosen, c.neighbor_id)
+       |  FROM sel s JOIN LATERAL (
+       |    SELECT cand.neighbor_id,
+       |      0.7 * cand.rel - (1.0 - 0.7) * max($dotDD / (${nrm("cand")} * ${nrm("x")})) AS score
+       |    FROM relv cand JOIN relv x
+       |      ON x.query_id = s.query_id AND list_contains(s.chosen, x.neighbor_id)
+       |    WHERE cand.query_id = s.query_id AND NOT list_contains(s.chosen, cand.neighbor_id)
+       |    GROUP BY cand.neighbor_id, cand.rel
+       |    ORDER BY score DESC, cand.neighbor_id
+       |    LIMIT 1
+       |  ) c ON true
+       |  WHERE s.mmr_rank < 8
+       |)
+       |SELECT query_id, mmr_rank, neighbor_id, round(score, 6) AS mmr_score
+       |FROM sel ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
+    Q("q177_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("q62_embedding_neardup", nearDupPairs, Some(nearDupPairsOracle)),

@@ -439,7 +439,62 @@ object TextQueries {
        |SELECT query_id, rk, doc_id, score FROM r WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Zipf's-law audit per source: least-squares slope and R² of
+    * ln(freq) vs ln(rank) over the source's token-frequency table — the
+    * classic corpus-health check (natural text fits slope ≈ −1; templated
+    * or machine-generated text flattens or steepens the curve), used as a
+    * cheap generation/spam detector in large-scale pretraining pipelines.
+    *
+    * Scale shape: the only corpus-sized work is the (source, token)
+    * word-count — the canonical map-side-combine aggregation. Everything
+    * after operates on the VOCABULARY (|types| ≪ corpus): ranks are a
+    * per-source window over type rows, and the regression is covar/var
+    * aggregates over those same skinny rows. No corpus-sized shuffle, no
+    * window over raw tokens.
+    *
+    * Determinism: ranks tie-break on the token string, so the (rank, freq)
+    * pairs are identical cross-engine; ln inputs are rounded to 8 places
+    * (both engines' ln is correctly rounded on these small-int inputs —
+    * the round is belt-and-braces), and the regression outputs to 4,
+    * because Spark's CentralMomentAgg and DuckDB's covar/var use different
+    * single-pass update orders and differ in low-order bits. */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freqs = table(spark, dir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val ranked = freqs.withColumn("rk",
+        row_number().over(Window.partitionBy($"source").orderBy($"c".desc, $"tok")))
+      .select($"source", $"c",
+        round(log($"rk".cast("double")), 8).as("x"),
+        round(log($"c".cast("double")), 8).as("y"))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_types"), sum($"c").as("n_tokens"),
+        round(covar_pop($"x", $"y") / var_pop($"x"), 4).as("zipf_slope"),
+        round(pow(corr($"x", $"y"), 2), 4).as("zipf_r2"))
+      .orderBy($"source")
+  }
+
+  val zipfAuditOracle: String =
+    """WITH freqs AS (
+      |  SELECT source, tok, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT source, c,
+      |    round(ln(cast(row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS DOUBLE)), 8) AS x,
+      |    round(ln(cast(c AS DOUBLE)), 8) AS y
+      |  FROM freqs
+      |)
+      |SELECT source, count(*) AS n_types, cast(sum(c) AS BIGINT) AS n_tokens,
+      |  round(covar_pop(x, y) / var_pop(x), 4) AS zipf_slope,
+      |  round(pow(corr(x, y), 2), 4) AS zipf_r2
+      |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q175_zipf_audit", zipfAudit, Some(zipfAuditOracle)),
     Q("q39_tfidf_terms", distinguishingTerms, Some(distinguishingTermsOracle)),
     Q("q154_normalize_text", normalizeText, Some(normalizeTextOracle)),
     Q("q155_bm25_topk", bm25TopK, Some(bm25TopKOracle)),
