@@ -559,7 +559,95 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming SimHash near-dup detection — the streaming twin of batch
+    * q54: each arriving document is flagged as a near-duplicate iff some
+    * LOWER-id document has simhash Hamming distance ≤ 3. Stream state is
+    * keyed by (band, 16-bit band value) via `flatMapGroupsWithState`: a
+    * doc only compares against the docs sharing one of its 4 bands, and
+    * the pigeonhole argument makes that EXACT, not approximate — ≤ 3
+    * differing bits can touch at most 3 of the 4 bands, so every
+    * qualifying pair shares at least one band key; pairs meeting in a
+    * band but beyond the radius are rejected by the in-group Hamming
+    * check. So the banded stream equals the all-pairs definition, which
+    * is exactly what the (band-free) pairwise oracle asserts.
+    *
+    * Scale shape: state per band key is its bucket's (id, sig) list —
+    * 64-bit sigs, so ~16 B per doc per band; buckets are capped by the
+    * 2^16 key domain spreading the corpus, and a production feed bounds
+    * them further with wider band values (more/wider bands shrink buckets
+    * while keeping the pigeonhole radius) plus state TTL. The verdict is
+    * "vs lower doc_id", not arrival order, so the answer is deterministic
+    * under any micro-batch split or state-shard interleaving. Per-band
+    * verdicts drain to the sink and the 4-row-per-doc OR runs batch-side
+    * on the drained table (the q75 post-aggregation pattern). */
+  /** The band-keyed stateful core of [[streamNearDup]], factored out so
+    * tests can drive it with a forced multi-batch stream (the lane's
+    * AvailableNow run drains in one batch): per-(band, value) verdict rows
+    * (doc_id, band_no, band_dup) from a streaming (doc_id, sig) Dataset —
+    * OR the 4 band rows per doc downstream. */
+  private[graft] def nearDupVerdicts(
+      sigs: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bandBits = 16
+    val nBands = 4
+    val maxHamming = 3
+    sigs.toDF("doc_id", "sig")
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_no"),
+            shiftrightunsigned(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))): _*)).as("bv"))
+      .select(col("bv.band_no"), col("bv.band_val"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Int, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[List[(Long, Long)]]) =>
+          // process the batch in id order so within-batch pairs resolve
+          // identically to cross-batch ones; prior state may hold HIGHER
+          // ids than an incoming row (late file), hence the pid < id guard
+          val seen = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long)] ++= state.getOption.getOrElse(Nil)
+          val out = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1).map {
+            case (id, sig) =>
+              val dup = seen.exists { case (pid, psig) =>
+                pid < id && java.lang.Long.bitCount(psig ^ sig) <= maxHamming
+              }
+              seen += ((id, sig))
+              (id, key._1, if (dup) 1 else 0)
+          }
+          state.update(seen.toList)
+          out.iterator
+      }
+      .toDF("doc_id", "band_no", "band_dup")
+  }
+
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runToMemory(spark, "stream_neardup", "update") { ss =>
+      val schema = table(ss, dir, "documents").schema
+      nearDupVerdicts(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), graft.functions.Hashing.simhash(col("text")).as("sig"))
+          .as[(Long, Long)])
+    }
+      .groupBy(col("doc_id"))
+      .agg(max(col("band_dup")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val streamNearDupOracle: String =
+    s"""${graft.queries.DuckHashSql.simhashSigsCte("")}
+       |SELECT s.doc_id,
+       |  coalesce(max(CASE WHEN bit_count(xor(s.sig, p.sig)) <= 3 THEN 1 ELSE 0 END), 0) AS is_dup
+       |FROM sigs s LEFT JOIN sigs p ON p.doc_id < s.doc_id
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q178_stream_neardup", streamNearDup, Some(streamNearDupOracle)),
     Q("q161_stream_encode", streamEncode, Some(PipelineQueries.tokenIdEncodeOracle)),
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
     Q("q71_stream_sliding", sliding, Some(slidingOracle)),
