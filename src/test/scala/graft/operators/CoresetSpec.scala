@@ -56,4 +56,36 @@ class CoresetSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Coreset.farthestPointSample(planted(), "id", "v", k = 0)
   }
+
+  test("FPS == driver-side greedy reference on randomized corpora (fuzz)") {
+    val rng = new scala.util.Random(43)
+    for (trial <- 1 to 5) {
+      val n = 12 + rng.nextInt(20)
+      val dim = 1 + rng.nextInt(5)
+      val rows = (0 until n).map(i => (i.toLong, Seq.fill(dim)(rng.nextFloat() * 4f - 2f)))
+      val k = 1 + rng.nextInt(n + 2)
+      val got = Coreset.farthestPointSample(rows.toDF("id", "v"), "id", "v", k)
+        .orderBy("sel_rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+      // independent reference: plain greedy over doubles
+      val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+      def sq(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val want = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
+      var chosen = List(rows.map(_._1).min)
+      want += ((1, chosen.head, None))
+      while (want.length < math.min(k, n)) {
+        val cands = rows.map(_._1).filterNot(chosen.contains)
+          .map(id => (id, chosen.map(c => sq(vecs(id), vecs(c))).min))
+        val best = cands.minBy { case (id, d) => (-d, id) }
+        want += ((want.length + 1, best._1, Some(best._2)))
+        chosen ::= best._1
+      }
+      assert(got.toSeq == want.toSeq, s"trial $trial: n=$n dim=$dim k=$k")
+    }
+  }
 }

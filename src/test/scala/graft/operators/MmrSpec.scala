@@ -60,4 +60,43 @@ class MmrSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Mmr.rerank(cands(), "q", "id", "rel", "v", k = 1, lambda = 1.5)
   }
+
+  test("MMR == driver-side greedy reference on randomized candidates (fuzz)") {
+    val rng = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val nq = 1 + rng.nextInt(3)
+      val dim = 2 + rng.nextInt(4)
+      val lam = Seq(0.0, 0.3, 0.7, 1.0)(rng.nextInt(4))
+      val k = 1 + rng.nextInt(6)
+      val cands = for {
+        q <- 0 until nq
+        c <- 0 until (3 + rng.nextInt(10))
+      } yield (q.toLong, c.toLong, rng.nextDouble(), Seq.fill(dim)(rng.nextFloat() * 2f - 1f))
+      val got = Mmr.rerank(cands.toDF("q", "id", "rel", "v"), "q", "id", "rel", "v", k, lam)
+        .orderBy("query_id", "mmr_rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        val pool = cs.map(c => (c._2, c._3, c._4.map(_.toDouble).toArray))
+        var sel = Vector.empty[(Long, Double, Array[Double])]
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+        while (out.length < math.min(k, pool.length)) {
+          val scored = pool.filterNot(p => sel.exists(_._1 == p._1)).map { p =>
+            val div = if (sel.isEmpty) 0.0 else sel.map(s => cos(s._3, p._3)).max
+            (p, lam * p._2 - (1.0 - lam) * div)
+          }
+          val best = scored.minBy { case (p, s) => (-s, p._1) }
+          sel :+= best._1
+          out += ((q, out.length + 1, best._1._1))
+        }
+        out
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == want.toSeq, s"trial $trial: nq=$nq dim=$dim k=$k lam=$lam")
+    }
+  }
 }
