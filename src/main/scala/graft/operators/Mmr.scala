@@ -76,27 +76,38 @@ object Mmr {
         val selVecs = ArrayBuffer.empty[Array[Double]]
         val out = ArrayBuffer.empty[(Long, Int, Long, Double)]
         var rank = 1
-        while (rank <= k && out.length < cands.length) {
+        var stuck = false
+        while (rank <= k && out.length < cands.length && !stuck) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
           while (i < cands.length) {
             if (!used(i)) {
+              // true max over the selected set (can be negative — first
+              // assigns unconditionally); a NaN cosine (zero-norm vector on
+              // either side) carries no diversity information and is
+              // SKIPPED — folding it in would NaN-poison the score and
+              // silently wedge the whole group after one bad row
               var maxSim = 0.0
               var first = true
               selVecs.foreach { s =>
                 val c = cos(s, cands(i)._4)
-                if (first || c > maxSim) { maxSim = c; first = false }
+                if (!c.isNaN && (first || c > maxSim)) { maxSim = c; first = false }
               }
               val score = lambda * cands(i)._3 - mu * maxSim
               if (score > bestScore) { bestScore = score; best = i }
             }
             i += 1
           }
-          used(best) = true
-          selVecs += cands(best)._4
-          out += ((q, rank, cands(best)._2, bestScore))
-          rank += 1
+          // unreachable unless a NaN rel slips through the null filter —
+          // stop emitting rather than index with best = -1
+          if (best < 0) stuck = true
+          else {
+            used(best) = true
+            selVecs += cands(best)._4
+            out += ((q, rank, cands(best)._2, bestScore))
+            rank += 1
+          }
         }
         out
       }

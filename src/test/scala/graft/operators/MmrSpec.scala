@@ -61,6 +61,20 @@ class MmrSpec extends SparkSpec with Matchers {
       Mmr.rerank(cands(), "q", "id", "rel", "v", k = 1, lambda = 1.5)
   }
 
+  test("zero-norm vector cannot crash or wedge the group") {
+    val df = Seq(
+      (1L, 10L, 0.9, Seq(1f, 0f)),
+      (1L, 11L, 0.99, Seq(0f, 0f)), // zero norm: NaN cosine once anything is selected
+      (1L, 12L, 0.5, Seq(0f, 1f))
+    ).toDF("q", "id", "rel", "v")
+    val out = Mmr.rerank(df, "q", "id", "rel", "v", k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(2))
+    // 11 wins rank 1 on relevance; its NaN cosines are then SKIPPED in the
+    // diversity max (no information, not a poison), so the scoreable
+    // candidates still rank normally and all three rows come out
+    out.toSeq shouldBe Seq(11L, 10L, 12L)
+  }
+
   test("MMR == driver-side greedy reference on randomized candidates (fuzz)") {
     val rng = new scala.util.Random(47)
     for (trial <- 1 to 5) {
