@@ -863,7 +863,102 @@ object CurationQueries {
       |  cast(count(CASE WHEN doc_id % 7 = 3 THEN 1 END) AS BIGINT) AS delta_docs
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its hashed n-gram profile is — the importance
+    * log-ratio between a smoothed target feature distribution (here the
+    * 'en' slice) and the raw-corpus distribution — and keep the top 50.
+    *
+    * Scale shape: ONE corpus pass explodes unigrams+bigrams, hashes each
+    * into 1024 buckets (top 10 bits of the library hash — the HLL bucket
+    * convention) and shuffles skinny (doc, lang, bucket) counts; that
+    * table is persisted because both the bucket statistics and the
+    * per-doc weights fold from it (Catalyst does not reuse common
+    * subtrees). Everything downstream is vocabulary-sized: the log-ratio
+    * table is ≤ 1024 rows (broadcast back), totals are one tiny aggregate,
+    * and the final selection is the bounded [[graft.functions.TopKByScore]]
+    * aggregator — map-side ≤ 2k candidates per task, never a global sort.
+    *
+    * Determinism: bucket log-ratios are ln of identical double divisions
+    * (rounded to 8), per-doc weights are the decimal-cast order-free
+    * `dsum` of c·lr, and (weight desc, doc_id) is a total order. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 1024
+    val feats = table(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        explode(concat(TextFunctions.tokens($"text"),
+          graft.functions.Spans.wordGrams($"text", 2))).as("f"))
+      .select($"doc_id", $"lang",
+        shiftrightunsigned(Hashing.hash64Col($"f"), 64 - 10).as("b"))
+    // persisted for THIS lane only: the top-50 result is materialized
+    // eagerly (bounded by construction) so the cache is released in the
+    // same call — the bpeEncodeLane no-leak pattern
+    val db = feats.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val raw = db.groupBy($"b").agg(sum($"c").as("cr"))
+      val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
+      val tot = db.agg(sum($"c").as("nr"),
+        sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"))
+      val lr = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct")).crossJoin(tot)
+        .select($"b",
+          round(log(($"ct" + lit(1.0)) / ($"nt" + lit(m.toDouble))) -
+                log(($"cr" + lit(1.0)) / ($"nr" + lit(m.toDouble))), 8).as("lr"))
+      val weights = db.join(broadcast(lr), "b")
+        .groupBy($"doc_id")
+        .agg(CoreQueries.dsum($"c" * $"lr").as("weight"))
+      val topk = udaf(new graft.functions.TopKByScore(50))
+      val result = weights.agg(topk($"weight", $"doc_id").as("tk"))
+        .select(posexplode($"tk").as(Seq("pos", "p")))
+        .select(($"pos" + 1).cast("int").as("sel_rank"),
+          $"p._2".as("doc_id"), $"p._1".as("weight"))
+        .orderBy($"sel_rank")
+      val rows = result.collect() // ≤ 50 rows — TopKByScore bounds it
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally db.unpersist(blocking = false)
+  }
+
+  val dsirSelectOracle: String = {
+    val bucket = s"(${DuckHashSql.hash64Sql("f")} // ${1L << 54})"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), uni AS (
+       |  SELECT doc_id, lang, u.tok AS f, u.ord
+       |  FROM toks, LATERAL (SELECT unnest(t) AS tok, generate_subscripts(t, 1) AS ord) u
+       |), feats AS (
+       |  SELECT doc_id, lang, f FROM uni
+       |  UNION ALL
+       |  SELECT a.doc_id, a.lang, a.f || ' ' || b.f AS f
+       |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       |), db AS (
+       |  SELECT doc_id, lang, $bucket AS b, count(*) AS c FROM feats GROUP BY 1, 2, 3
+       |), raw AS (
+       |  SELECT b, cast(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1
+       |), tgt AS (
+       |  SELECT b, cast(sum(c) AS BIGINT) AS ct FROM db WHERE lang = 'en' GROUP BY 1
+       |), tot AS (
+       |  SELECT cast(sum(c) AS BIGINT) AS nr,
+       |    cast(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS nt
+       |  FROM db
+       |), lr AS (
+       |  SELECT raw.b,
+       |    round(ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0)), 8) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+       |), w AS (
+       |  SELECT doc_id, ${CoreQueries.dsumSql("c * lr")} AS weight
+       |  FROM db JOIN lr USING (b) GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT doc_id, weight,
+       |    row_number() OVER (ORDER BY weight DESC, doc_id) AS sel_rank
+       |  FROM w
+       |)
+       |SELECT cast(sel_rank AS INT) AS sel_rank, doc_id, weight
+       |FROM ranked WHERE sel_rank <= 50 ORDER BY sel_rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q179_dsir_select", dsirSelect, Some(dsirSelectOracle)),
     Q("q139_doc_chunks", docChunks, Some(docChunksOracle)),
     Q("q140_sessionize", sessionize, Some(sessionizeOracle)),
     Q("q141_char_stats", charStats, Some(charStatsOracle)),
