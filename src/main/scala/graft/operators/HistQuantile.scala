@@ -50,6 +50,23 @@ object HistQuantile {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ bucket.as("_b"): _*)
       .agg(count(lit(1)).as("_c"))
+    estimateFromCounts(counts, groupCols, lo, w, qs)
+  }
+
+  /** The interpolation half of [[estimate]], over an ALREADY-built bucket
+    * count table (groupCols + `_b` + `_c`) — the single source for every
+    * consumer of the sketch state, wherever the counts were accumulated
+    * (one batch pass, a merge of per-source tables, or the drained state
+    * of a streaming aggregation: the counts ARE the stream state, so a
+    * stream hands its registers straight to this). */
+  def estimateFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      lo: Double,
+      w: Double,
+      qs: Seq[Double]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val perGroup = Window.partitionBy(groupCols.map(col): _*)
     val cum = counts
       .withColumn("_cum", sum(col("_c")).over(perGroup.orderBy(col("_b"))))

@@ -646,7 +646,57 @@ object StreamingQueries {
        |FROM sigs s LEFT JOIN sigs p ON p.doc_id < s.doc_id
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** Streaming histogram-sketch quantiles: per-hour p50/p90 of `value`
+    * where the stream STATE is the q115 sketch itself — a
+    * groupBy(window, bucket) count holds ≤ 50 tiny rows per window however
+    * many events arrive (the q102-HLL bounded-state argument applied to
+    * quantiles; exact streaming percentiles would buffer whole windows).
+    * The drained registers go straight to the shared
+    * [[graft.operators.HistQuantile.estimateFromCounts]] interpolation
+    * batch-side, so the streaming estimate is definitionally the batch
+    * sketch estimate — which is what the oracle replays. */
+  def streamHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = 0.0; val hi = 500.0; val buckets = 50
+    val w = (hi - lo) / buckets
+    val drained = runToMemory(spark, "stream_histq", "complete") { ss =>
+      val bucket = least(greatest(floor((col("value") - lo) / w), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("long")
+      eventsStream(ss, dir)
+        .filter(col("value").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("wnd"), bucket.as("_b"))
+        .agg(count(lit(1)).as("_c"))
+    }
+    graft.operators.HistQuantile.estimateFromCounts(
+        drained.select(col("wnd.start").as("window_start"), col("_b"), col("_c")),
+        Seq("window_start"), lo, w, qs = Seq(0.5, 0.9))
+      .orderBy(col("window_start"), col("q"))
+  }
+
+  val streamHistQuantilesOracle: String = {
+    val w = 500.0 / 50
+    s"""WITH b AS (
+       |  SELECT date_trunc('hour', ts) AS window_start,
+       |    least(greatest(floor(value / $w), 0), 49)::BIGINT AS b
+       |  FROM events WHERE value IS NOT NULL
+       |), c AS (
+       |  SELECT window_start, b, count(*) AS c FROM b GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT window_start, b, c,
+       |    sum(c) OVER (PARTITION BY window_start ORDER BY b) AS cum,
+       |    sum(c) OVER (PARTITION BY window_start) AS n
+       |  FROM c
+       |), qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE))
+       |SELECT window_start, q, n::BIGINT AS n_rows,
+       |  round(0.0 + $w * (b::DOUBLE + (q * n::DOUBLE - (cum - c)::DOUBLE) / c::DOUBLE), 6) AS est
+       |FROM cum CROSS JOIN qs
+       |WHERE (cum - c)::DOUBLE < q * n::DOUBLE AND cum::DOUBLE >= q * n::DOUBLE
+       |ORDER BY window_start, q""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q180_stream_hist_quantiles", streamHistQuantiles, Some(streamHistQuantilesOracle)),
     Q("q178_stream_neardup", streamNearDup, Some(streamNearDupOracle)),
     Q("q161_stream_encode", streamEncode, Some(PipelineQueries.tokenIdEncodeOracle)),
     Q("q70_stream_tumbling", tumbling, Some(tumblingOracle)),
