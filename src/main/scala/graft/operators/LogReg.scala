@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Full-batch gradient-descent training of a binary logistic classifier
+  * over hashed bag-of-words features — the training half of the q165
+  * fastText-shape scoring lane (which consumes a FIXED weight table; this
+  * operator produces one). The whole optimization trajectory is
+  * deterministic and cross-engine replayable, so the final weight table
+  * can be hash-compared against a SQL replay of every round.
+  *
+  * Scale shape (the [[KMeans]] pattern applied to GD):
+  *  - ONE corpus pass builds the (doc, bucket, count) feature table —
+  *    tokens hashed into 2^logBuckets buckets map-side plus a bias
+  *    pseudo-bucket — persisted for the training loop and released
+  *    eagerly (the output is bucket-table-sized by construction);
+  *  - each round is: margins via a BROADCAST join of the ≤ (buckets+1)-row
+  *    weight table (one skinny (doc, p) aggregate), gradients via one
+  *    (bucket)-keyed aggregate, and the weight update over bucket rows —
+  *    per-round driver traffic is the weight table itself, the bounded
+  *    centroid-pull pattern;
+  *  - nothing corpus-sized ever reaches the driver, and the only
+  *    corpus-sized shuffles are the two per-round skinny aggregates.
+  *
+  * Determinism (the part that makes the oracle possible): weights are
+  * rounded to 8 decimals after every update and probabilities after every
+  * sigmoid, margins and gradients accumulate through the decimal-cast
+  * order-free sum (8-decimal factors × integer counts are EXACT in
+  * decimal(30,10) — partial-agg order cannot drift them), and every
+  * arithmetic step is written with the same association in both engines.
+  * exp() is the one transcendental: both libms are correctly rounded to
+  * ~1 ulp on these inputs and the post-sigmoid round(…, 8) absorbs it
+  * (the BM25/Zipf precedent).
+  */
+object LogReg {
+
+  /** Train `rounds` full-batch GD rounds from zero weights; returns the
+    * final weight table (bucket, weight) with bucket 2^logBuckets = the
+    * bias. `label` must evaluate to 0/1. */
+  def trainWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      logBuckets: Int,
+      rounds: Int,
+      lr: Double): DataFrame = {
+    require(logBuckets >= 1 && logBuckets <= 20, s"logreg: logBuckets out of range: $logBuckets")
+    require(rounds >= 1, s"logreg: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = 1 << logBuckets
+    val base = docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"), col(textCol).as("text"))
+    val counts = base
+      .select($"doc_id", $"y", explode(TextFunctions.tokens($"text")).as("tok"))
+      .select($"doc_id", $"y",
+        shiftrightunsigned(Hashing.hash64Col($"tok"), 64 - logBuckets).as("b"))
+      .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).as("c"))
+    val bias = base.select($"doc_id", $"y", lit(buckets.toLong).as("b"), lit(1L).as("c"))
+    val db = counts.unionByName(bias).persist()
+    try {
+      val n = base.count()
+      require(n > 0, "logreg: empty corpus")
+      // weight state crosses rounds as collected (bucket, weight) pairs —
+      // values are EXACTLY the doubles Spark's round() produced, so each
+      // broadcast literal table replays bit-identically in the oracle
+      var w: Seq[(Long, Double)] = (0L to buckets.toLong).map(_ -> 0.0)
+      for (_ <- 1 to rounds) {
+        val wdf = w.toDF("b", "w")
+        val p = db.join(broadcast(wdf), "b")
+          .groupBy($"doc_id", $"y")
+          .agg(sum(($"w" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+          .select($"doc_id", $"y",
+            round(lit(1.0) / (lit(1.0) + exp(-$"m")), 8).as("p"))
+        val grads = db.join(p.select($"doc_id", ($"p" - $"y").as("err")), "doc_id")
+          .groupBy($"b")
+          .agg(sum(($"err" * $"c").cast("decimal(30,10)")).cast("double").as("g"))
+        w = wdf.join(grads, Seq("b"), "left")
+          .select($"b",
+            round($"w" - lit(lr) * (coalesce($"g", lit(0.0)) / lit(n.toDouble)), 8).as("w"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      }
+      w.toDF("b", "weight").select($"b".cast("int").as("bucket"), $"weight")
+    } finally db.unpersist(blocking = false)
+  }
+}

@@ -1556,5 +1556,55 @@ object PipelineQueries {
     Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)),
     Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)),
     Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)),
-    Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)))
+    Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
+    Q("q181_logreg_train", logregTrain, Some(logregTrainOracle)))
+
+  // ---------------------------------------------------------------- q181
+  /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
+    * full-batch gradient descent learning lang=='en' from hashed
+    * bag-of-words counts (64 buckets + bias) — the training half of q165's
+    * fixed-weight scoring lane. The oracle unrolls every round in SQL
+    * (margins, sigmoids, gradients, weight updates), so the hash compare
+    * pins the entire optimization trajectory, not just the final table —
+    * the same every-round standard as the k-means (q147) and BPE (q162)
+    * oracles. */
+  def logregTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.LogReg.trainWeights(
+        table(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        logBuckets = 6, rounds = 3, lr = 0.1)
+      .orderBy($"bucket")
+  }
+
+  val logregTrainOracle: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT db.doc_id, db.y,
+         |    round(1.0 / (1.0 + exp(-(cast(sum(cast(w.w * db.c AS DECIMAL(30,10))) AS DOUBLE)))), 8) AS p
+         |  FROM db JOIN w${r - 1} w USING (b) GROUP BY db.doc_id, db.y
+         |), g$r AS (
+         |  SELECT db.b, cast(sum(cast((p.p - p.y) * db.c AS DECIMAL(30,10))) AS DOUBLE) AS g
+         |  FROM db JOIN p$r p USING (doc_id) GROUP BY db.b
+         |), w$r AS (
+         |  SELECT w.b, round(w.w - 0.1 * (coalesce(g.g, 0.0) / (SELECT n FROM nn)), 8) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (b)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents
+       |), db AS (
+       |  SELECT doc_id, y, (${DuckHashSql.hash64Sql("tok")} // ${1L << 58}) AS b, count(*) AS c
+       |  FROM toks GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, 64, 1 FROM documents
+       |), nn AS (
+       |  SELECT count(*)::DOUBLE AS n FROM documents
+       |), w0 AS (
+       |  SELECT unnest(generate_series(0, 64)) AS b, 0.0::DOUBLE AS w
+       |), $roundCtes
+       |SELECT cast(b AS INT) AS bucket, w AS weight FROM w$rounds ORDER BY bucket""".stripMargin
+  }
 }

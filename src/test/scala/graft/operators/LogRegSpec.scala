@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.Hashing
+
+/** Logistic-regression GD training: the learned weights actually separate
+  * a separable corpus, training is deterministic, and edges validate. */
+class LogRegSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  // two perfectly separable token classes
+  private def corpus() = (0 until 20).map { i =>
+    if (i % 2 == 0) (i.toLong, "alpha alpha alpha", 1) else (i.toLong, "beta beta beta", 0)
+  }.toDF("doc_id", "text", "y")
+
+  private def weightOf(w: Map[Int, Double], tok: String, logBuckets: Int): Double =
+    w((Hashing.hash64(tok) >>> (64 - logBuckets)).toInt)
+
+  test("weights move toward the separating direction and sharpen with rounds") {
+    def weights(rounds: Int): Map[Int, Double] =
+      LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1,
+          logBuckets = 6, rounds = rounds, lr = 0.5)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val w1 = weights(1)
+    val w3 = weights(3)
+    // the positive-class token gets positive weight, the negative-class
+    // token negative; more rounds push them further apart
+    weightOf(w1, "alpha", 6) should be > 0.0
+    weightOf(w1, "beta", 6) should be < 0.0
+    weightOf(w3, "alpha", 6) should be > weightOf(w1, "alpha", 6)
+    weightOf(w3, "beta", 6) should be < weightOf(w1, "beta", 6)
+  }
+
+  test("bias follows class imbalance from zero init") {
+    val skewed = (0 until 10).map(i => (i.toLong, "tok", if (i < 2) 1 else 0))
+      .toDF("doc_id", "text", "y")
+    val w = LogReg.trainWeights(skewed, "doc_id", "text", col("y") === 1,
+        logBuckets = 6, rounds = 1, lr = 0.1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // round 1 sees p = 0.5 everywhere; with 2/10 positives the mean error
+    // is positive, so the bias (bucket 64) steps negative
+    w(64) should be < 0.0
+  }
+
+  test("deterministic across runs; untouched buckets stay exactly zero") {
+    val a = LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1,
+      logBuckets = 6, rounds = 2, lr = 0.1).collect().toSeq
+    val b = LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1,
+      logBuckets = 6, rounds = 2, lr = 0.1).collect().toSeq
+    a shouldBe b
+    val touched = Set("alpha", "beta").map(t => (Hashing.hash64(t) >>> 58).toInt) + 64
+    a.filterNot(r => touched(r.getInt(0))).foreach(r => r.getDouble(1) shouldBe 0.0)
+  }
+
+  test("parameter validation") {
+    an[IllegalArgumentException] should be thrownBy
+      LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1, 6, 0, 0.1)
+    an[IllegalArgumentException] should be thrownBy
+      LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1, 0, 1, 0.1)
+    an[IllegalArgumentException] should be thrownBy
+      LogReg.trainWeights(spark.emptyDataset[(Long, String, Int)]
+        .toDF("doc_id", "text", "y"), "doc_id", "text", col("y") === 1, 6, 1, 0.1)
+  }
+}
