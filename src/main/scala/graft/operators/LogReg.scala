@@ -37,6 +37,32 @@ import graft.functions.{Hashing, TextFunctions}
   */
 object LogReg {
 
+  /** The hashed bag-of-words feature table: (doc_id, carryCols…, b, c)
+    * bucket counts plus the bias pseudo-bucket (b = 2^logBuckets, c = 1)
+    * for every doc — the SINGLE feature definition shared by training and
+    * scoring (a transcribed copy could silently drift the hash or the
+    * bias convention between them). `carryCols` are doc-level columns
+    * (label, lang) to thread through the aggregation. */
+  private[graft] def features(
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      logBuckets: Int,
+      carryCols: Seq[String]): DataFrame = {
+    val buckets = 1 << logBuckets
+    val carry = carryCols.map(col)
+    val counts = base
+      .select(col(idCol).as("doc_id") +: carry :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .select(col("doc_id") +: carry :+
+        shiftrightunsigned(Hashing.hash64Col(col("tok")), 64 - logBuckets).as("b"): _*)
+      .groupBy(col("doc_id") +: carry :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val bias = base.select(col(idCol).as("doc_id") +: carry :+
+      lit(buckets.toLong).as("b") :+ lit(1L).as("c"): _*)
+    counts.unionByName(bias)
+  }
+
   /** Train `rounds` full-batch GD rounds from zero weights; returns the
     * final weight table (bucket, weight) with bucket 2^logBuckets = the
     * bias. `label` must evaluate to 0/1. */
@@ -54,13 +80,7 @@ object LogReg {
     import spark.implicits._
     val buckets = 1 << logBuckets
     val base = docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"), col(textCol).as("text"))
-    val counts = base
-      .select($"doc_id", $"y", explode(TextFunctions.tokens($"text")).as("tok"))
-      .select($"doc_id", $"y",
-        shiftrightunsigned(Hashing.hash64Col($"tok"), 64 - logBuckets).as("b"))
-      .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).as("c"))
-    val bias = base.select($"doc_id", $"y", lit(buckets.toLong).as("b"), lit(1L).as("c"))
-    val db = counts.unionByName(bias).persist()
+    val db = features(base, "doc_id", "text", logBuckets, Seq("y")).persist()
     try {
       val n = base.count()
       require(n > 0, "logreg: empty corpus")

@@ -1557,7 +1557,8 @@ object PipelineQueries {
     Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)),
     Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)),
     Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
-    Q("q181_logreg_train", logregTrain, Some(logregTrainOracle)))
+    Q("q181_logreg_train", logregTrain, Some(logregTrainOracle)),
+    Q("q182_logreg_score", logregScore, Some(logregScoreOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -1576,8 +1577,11 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
-  val logregTrainOracle: String = {
-    val rounds = 3
+  /** The q181 training chain as a CTE body (no leading WITH): feature
+    * table, totals, zero init, and `rounds` unrolled GD rounds ending in
+    * `w<rounds>` — shared by the training oracle and the q182 scoring
+    * oracle, so both replay the SAME trajectory definition. */
+  private def logregCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT db.doc_id, db.y,
@@ -1591,7 +1595,7 @@ object PipelineQueries {
          |  FROM w${r - 1} w LEFT JOIN g$r g USING (b)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents
@@ -1604,7 +1608,54 @@ object PipelineQueries {
        |  SELECT count(*)::DOUBLE AS n FROM documents
        |), w0 AS (
        |  SELECT unnest(generate_series(0, 64)) AS b, 0.0::DOUBLE AS w
-       |), $roundCtes
-       |SELECT cast(b AS INT) AS bucket, w AS weight FROM w$rounds ORDER BY bucket""".stripMargin
+       |), $roundCtes""".stripMargin
   }
+
+  val logregTrainOracle: String =
+    s"""WITH ${logregCtes(3)}
+       |SELECT cast(b AS INT) AS bucket, w AS weight FROM w3 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  /** Train → infer composition: score EVERY document under the q181
+    * weights (same margin arithmetic the training rounds used —
+    * [[graft.operators.LogReg.features]] is the single feature
+    * definition for both halves) and report per-language doc counts,
+    * predicted-positive counts, and the decimal-exact margin sum.
+    *
+    * Honest expectation on THIS corpus: the synthetic documents draw from
+    * one shared vocabulary regardless of `lang`, so there is no
+    * text→language signal to learn — the optimum is the base rate, and
+    * the trained model correctly predicts negative (majority) everywhere
+    * with near-identical per-doc margins across languages. What the lane
+    * pins is the train→infer COMPOSITION and its deterministic
+    * trajectory; LEARNING on separable data is asserted by
+    * `LogRegSpec` (planted two-token classes → correct signs, sharpening
+    * with rounds). */
+  def logregScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val wdf = graft.operators.LogReg.trainWeights(
+      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
+    val feats = graft.operators.LogReg.features(
+      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
+    feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"m" > 0, 1)).as("n_pred_en"),
+        CoreQueries.dsum($"m").as("sum_margin"))
+      .orderBy($"lang")
+  }
+
+  val logregScoreOracle: String =
+    s"""WITH ${logregCtes(3)}, score AS (
+       |  SELECT db.doc_id, cast(sum(cast(w.w * db.c AS DECIMAL(30,10))) AS DOUBLE) AS m
+       |  FROM db JOIN w3 w USING (b) GROUP BY db.doc_id
+       |)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN s.m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       |  ${CoreQueries.dsumSql("s.m")} AS sum_margin
+       |FROM score s JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }
