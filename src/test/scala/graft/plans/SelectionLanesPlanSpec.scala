@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.queries.{PipelineQueries, SimilarityQueries, TextQueries}
+
+/** Plan pins for the continuation-session lanes with LIVE returned plans
+  * (q176/q179/q181 materialize bounded results driver-side, so their
+  * returned plan is a LocalTableScan — their scale shapes are pinned by
+  * operator specs instead): the Zipf audit must never plan a cartesian or
+  * nested-loop join, MMR must run as a MapGroups over broadcast-joined
+  * candidates, and the classifier scoring join must broadcast the weight
+  * table, with no corpus-wide Window anywhere. */
+class SelectionLanesPlanSpec extends SparkSpec with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  private def docsExist = new java.io.File(s"$sfDir/documents.parquet").exists()
+  private def embsExist = new java.io.File(s"$sfDir/embeddings.parquet").exists()
+
+  test("q175 zipf: word-count + vocabulary regression, no cartesian/nested-loop") {
+    assume(docsExist)
+    val p = plan(TextQueries.zipfAudit(spark, sfDir))
+    withClue(p) {
+      p should not include "CartesianProduct"
+      p should not include "NestedLoop"
+    }
+  }
+
+  test("q177 mmr: greedy runs as MapGroups; no cartesian product") {
+    assume(embsExist)
+    val p = plan(SimilarityQueries.mmrRerank(spark, sfDir))
+    withClue(p) {
+      p should include("MapGroups")
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("q182 scoring: weight table broadcasts; no Window, no cartesian") {
+    assume(docsExist)
+    val p = plan(PipelineQueries.logregScore(spark, sfDir))
+    withClue(p) {
+      p should include("BroadcastHashJoin")
+      p should not include "Window"
+      p should not include "CartesianProduct"
+    }
+  }
+}
