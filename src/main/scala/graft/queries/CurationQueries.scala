@@ -503,6 +503,80 @@ object CurationQueries {
        |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 40""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q183
+  /** Tokenizer fertility per language — the tokenizer-EQUITY audit run on
+    * every multilingual pretraining corpus: under the q162-trained BPE,
+    * how many subword tokens does each language pay per word, and how many
+    * characters ride in each token? A language with high fertility gets
+    * fewer effective context tokens and more compute per character — the
+    * standard argument for vocabulary rebalancing.
+    *
+    * Scale shape: ONE corpus pass builds per-(lang, word) counts
+    * (persisted for the lane, released eagerly — the q163 pattern); the
+    * corpus-wide dict folds from it, training pulls the bounded top dict,
+    * and the encode fan-out runs over DISTINCT words (vocab-sized,
+    * Zipf-bounded) exactly as q163 argues. The fertility aggregate is
+    * integer sums and exact integer-ratio doubles — no transcendentals,
+    * bit-identical cross-engine. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "documents")
+      .select($"lang", explode(TextFunctions.tokens(lower($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val dict = base.groupBy($"word").agg(sum($"c").as("wc"))
+      val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
+      val bc = spark.sparkContext.broadcast(merges)
+      val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
+      val ntok = dict.select($"word", size(encodeWord($"word")).as("ntok"))
+      val result = base.join(ntok, "word")
+        .groupBy($"lang")
+        .agg(sum($"c").as("n_words"),
+          sum($"c" * length($"word")).cast("long").as("n_chars"),
+          sum($"c" * $"ntok").cast("long").as("n_subtokens"))
+        .select($"lang", $"n_words", $"n_chars", $"n_subtokens",
+          round($"n_subtokens".cast("double") / $"n_words".cast("double"), 6)
+            .as("tokens_per_word"),
+          round($"n_chars".cast("double") / $"n_subtokens".cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy($"lang")
+      val rows = result.collect() // one row per language — bounded
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally base.unpersist(blocking = false)
+  }
+
+  val bpeFertilityOracle: String = {
+    val rounds = (1 to BpeMaxMerges).map(bpeTrainRound).mkString(", ")
+    val enc0 =
+      """sege0 AS MATERIALIZED (
+        |  SELECT word, wc,
+        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS pieces
+        |  FROM wf
+        |)""".stripMargin
+    val encRounds = (1 to BpeMaxMerges).map { r =>
+      val in = if (r == 1) "sege0" else s"sege${r - 1}"
+      s"${bpePosCte(s"e$r", in)}, ${bpeApplyCtes(s"e$r", s"best$r")}"
+    }.mkString(", ")
+    s"""WITH $bpeBaseCtes, $rounds, $enc0, $encRounds, lw AS (
+       |  SELECT lang, u.word, count(*) AS c
+       |  FROM documents,
+       |  LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word) u
+       |  WHERE length(u.word) > 0
+       |  GROUP BY 1, 2
+       |), nt AS (
+       |  SELECT word, len(pieces) AS ntok FROM sege$BpeMaxMerges
+       |)
+       |SELECT lang, cast(sum(c) AS BIGINT) AS n_words,
+       |  cast(sum(c * length(word)) AS BIGINT) AS n_chars,
+       |  cast(sum(c * ntok) AS BIGINT) AS n_subtokens,
+       |  round(sum(c * ntok)::DOUBLE / sum(c)::DOUBLE, 6) AS tokens_per_word,
+       |  round(sum(c * length(word))::DOUBLE / sum(c * ntok)::DOUBLE, 6) AS chars_per_token
+       |FROM lw JOIN nt USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -973,5 +1047,6 @@ object CurationQueries {
     Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)),
     Q("q162_bpe_train", bpeTrainLane, Some(bpeTrainOracle)),
     Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)),
-    Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)))
+    Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)),
+    Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)))
 }
