@@ -55,6 +55,57 @@ class LogRegSpec extends SparkSpec with Matchers {
     a.filterNot(r => touched(r.getInt(0))).foreach(r => r.getDouble(1) shouldBe 0.0)
   }
 
+  test("GD == driver-side reference on randomized corpora (fuzz)") {
+    val rng = new scala.util.Random(53)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(20)
+      val rounds = 1 + rng.nextInt(3)
+      val lr = Seq(0.1, 0.5)(rng.nextInt(2))
+      val logB = 4
+      val rows = (0 until n).map { i =>
+        val text = Seq.fill(1 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+        (i.toLong, text, rng.nextInt(2))
+      }
+      val got = LogReg.trainWeights(rows.toDF("doc_id", "text", "y"),
+          "doc_id", "text", col("y") === 1, logB, rounds, lr)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+      // independent reference: plain-Scala full-batch GD with the same
+      // 8-decimal rounding convention (half-up); sums are exact rationals
+      // via BigDecimal so partial-agg order cannot matter
+      def r8(x: Double): Double =
+        BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val buckets = 1 << logB
+      val feats = rows.map { case (_, text, y) =>
+        val counts = text.split("\\s+").filter(_.nonEmpty)
+          .map(t => (Hashing.hash64(t) >>> (64 - logB)).toInt)
+          .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+        (y, counts + (buckets -> 1L))
+      }
+      var w = Array.fill(buckets + 1)(0.0)
+      for (_ <- 1 to rounds) {
+        val errs = feats.map { case (y, cs) =>
+          val m = cs.map { case (b, c) => BigDecimal.valueOf(w(b)) * BigDecimal(c) }
+            .sum.toDouble
+          (r8(1.0 / (1.0 + math.exp(-m))) - y, cs)
+        }
+        val grads = Array.fill(buckets + 1)(BigDecimal(0))
+        errs.foreach { case (err, cs) =>
+          cs.foreach { case (b, c) =>
+            grads(b) += BigDecimal.valueOf(err * c).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+        w = w.indices.map(b => r8(w(b) - lr * (grads(b).toDouble / n))).toArray
+      }
+      w.indices.foreach { b =>
+        withClue(s"trial $trial bucket $b") {
+          math.abs(got(b) - w(b)) should be <= 1e-6
+        }
+      }
+    }
+  }
+
   test("parameter validation") {
     an[IllegalArgumentException] should be thrownBy
       LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1, 6, 0, 0.1)
