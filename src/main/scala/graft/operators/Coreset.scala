@@ -49,8 +49,11 @@ object Coreset {
     require(k >= 1, s"fps: k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // the id cast NULLs non-numeric ids — drop them here or the driver
+    // pull would NPE on getLong; same stance as the null-vector filter
     val rows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull && forall(col("v"), x => x.isNotNull))
+      .filter(col("id").isNotNull &&
+        col("v").isNotNull && forall(col("v"), x => x.isNotNull))
       .persist()
     try {
       def vecOf(r: Row): Array[Double] = r.getSeq[Any](1).map {

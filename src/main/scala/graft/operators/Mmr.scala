@@ -65,7 +65,8 @@ object Mmr {
     candidates
       .select(col(queryCol).cast("long").as("q"), col(idCol).cast("long").as("id"),
         col(relCol).cast("double").as("rel"), col(vecCol).cast("array<double>").as("v"))
-      .filter(col("rel").isNotNull && col("v").isNotNull &&
+      .filter(col("q").isNotNull && col("id").isNotNull &&
+        col("rel").isNotNull && col("v").isNotNull &&
         forall(col("v"), x => x.isNotNull))
       .as[(Long, Long, Double, Array[Double])]
       .groupByKey(_._1)

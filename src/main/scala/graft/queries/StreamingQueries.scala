@@ -593,6 +593,9 @@ object StreamingQueries {
     val nBands = 4
     val maxHamming = 3
     sigs.toDF("doc_id", "sig")
+      // a NULL id/sig (unsigned doc, simhash of NULL text) has no verdict
+      // and would NPE the primitive tuple encoder below
+      .filter(col("doc_id").isNotNull && col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_no"),

@@ -52,6 +52,13 @@ class CoresetSpec extends SparkSpec with Matchers {
     sel.map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
   }
 
+  test("NULL ids are dropped, not NPE'd (non-numeric strings fail loudly under ANSI)") {
+    val df = Seq((None: Option[Long], Seq(1f, 0f)), (Some(7L), Seq(0f, 1f)),
+      (Some(9L), Seq(1f, 1f))).toDF("id", "v")
+    val sel = Coreset.farthestPointSample(df, "id", "v", k = 5).collect()
+    sel.map(_.getLong(1)).toSet shouldBe Set(7L, 9L)
+  }
+
   test("k must be positive") {
     an[IllegalArgumentException] should be thrownBy
       Coreset.farthestPointSample(planted(), "id", "v", k = 0)

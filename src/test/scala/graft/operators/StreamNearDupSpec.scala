@@ -66,4 +66,16 @@ class StreamNearDupSpec extends SparkSpec with Matchers {
     import spark.implicits._
     implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
   }
+
+  test("NULL sig rows are dropped before the primitive encoder (batch-mode run)") {
+    import spark.implicits._
+    // (flat)MapGroupsWithState also runs on batch Datasets (empty state) —
+    // enough to pin the null filter without a stream
+    val df = Seq((1L, Some(A)), (2L, Some(A ^ 1L)), (3L, None: Option[Long]))
+      .toDF("doc_id", "sig").select($"doc_id", $"sig")
+    val out = StreamingQueries.nearDupVerdicts(df.as[(Long, Long)](newLongLongEncoder))
+      .groupBy($"doc_id").agg(max($"band_dup").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out shouldBe Map(1L -> 0, 2L -> 1)
+  }
 }
