@@ -1444,6 +1444,116 @@ object RelationalQueries {
        |SELECT node, pr FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Weighted label-propagation community detection (Raghavan et al. 2007)
+    * over the symmetrized nation trade graph — the fourth graph lane next
+    * to iterative PageRank (q101), triangle counting (q122), and the
+    * connected-components verdicts inside q55. Three SYNCHRONOUS rounds:
+    * each node adopts the label with the largest incident edge-weight sum
+    * among its neighbors, ties to the smallest label; isolated nodes keep
+    * their own. Self-loop edges are dropped (a self-loop is a vote for
+    * your own label and freezes propagation).
+    *
+    * The dense all-pairs trade graph would collapse to ONE community in a
+    * round or two (every node hears every label — correct LPA, useless
+    * output), so the graph is first sparsified to the union-symmetrized
+    * top-k-neighbors-by-weight kNN graph — the standard preprocessing
+    * step that makes community structure detectable, and itself a
+    * per-node bounded top-k (the library's recurring shape). k = 2 here:
+    * the synthetic trade weights are NEAR-UNIFORM (every nation trades
+    * with every nation at similar volume), so only aggressive
+    * sparsification leaves any detectable structure — on real power-law
+    * graphs k of 3–10 is typical. Honest expectation on this corpus: one
+    * dominant community plus a small satellite, and the lane's real
+    * claim is the exact cross-engine replay of the iterative argmax
+    * trajectory.
+    *
+    * Scale shape: one round = one equi-join of the edge list with the
+    * (node, label) table + one (node, label) aggregate + one argmax over
+    * per-node candidate rows — the same per-round shuffle budget as
+    * PageRank, nothing driver-side. Every quantity is an integer count,
+    * so the replay is exact with no float convention needed at all. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val full = edges.select($"src".as("a"), $"dst".as("b"), $"w")
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b"), $"w"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(sum($"w").as("w"))
+    val arcs = full
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"a").orderBy($"w".desc, $"b")))
+      .filter($"rn" <= 2).select($"a", $"b", $"w")
+    // union-symmetrize the kept arcs (weights are already symmetric in
+    // `full`, so max == the shared weight)
+    val und = arcs.unionByName(arcs.select($"b".as("a"), $"a".as("b"), $"w"))
+      .groupBy($"a", $"b").agg(max($"w").as("w"))
+    val nodes = table(spark, dir, "nation").select($"n_nationkey".as("node"))
+    var lbl = nodes.withColumn("lbl", $"node")
+    for (_ <- 1 to 3) {
+      val votes = und.join(lbl.select($"node".as("b"), $"lbl"), "b")
+        .groupBy($"a", $"lbl").agg(sum($"w").as("sw"))
+      val pick = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"a").orderBy($"sw".desc, $"lbl")))
+        .filter($"rn" === 1)
+        .select($"a".as("node"), $"lbl".as("new_lbl"))
+      lbl = lbl.join(pick, Seq("node"), "left")
+        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    lbl.orderBy($"node")
+  }
+
+  val labelPropagationOracle: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT l.node, coalesce(p.new_lbl, l.lbl) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT a AS node, lbl AS new_lbl FROM (
+         |      SELECT v.a, v.lbl,
+         |        row_number() OVER (PARTITION BY v.a ORDER BY v.sw DESC, v.lbl) AS rn
+         |      FROM (
+         |        SELECT e.a, x.lbl, sum(e.w) AS sw
+         |        FROM und e JOIN $prev x ON x.node = e.b GROUP BY 1, 2
+         |      ) v
+         |    ) WHERE rn = 1
+         |  ) p USING (node)
+         |)""".stripMargin
+    val iters = (1 to 3).map(i => step(if (i == 1) "l0" else s"l${i - 1}", s"l$i"))
+    s"""WITH edges AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2
+       |), full_g AS (
+       |  SELECT a, b, cast(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges
+       |    UNION ALL
+       |    SELECT dst AS a, src AS b, w FROM edges
+       |  ) WHERE a != b GROUP BY 1, 2
+       |), arcs AS (
+       |  SELECT a, b, w FROM (
+       |    SELECT a, b, w, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+       |    FROM full_g
+       |  ) WHERE rn <= 2
+       |), und AS (
+       |  SELECT a, b, max(w) AS w FROM (
+       |    SELECT a, b, w FROM arcs
+       |    UNION ALL
+       |    SELECT b AS a, a AS b, w FROM arcs
+       |  ) GROUP BY 1, 2
+       |), l0 AS (
+       |  SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation
+       |), ${iters.mkString(", ")}
+       |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+  }
+
   /** Pearson correlation from EXACT moment sums: built-in `corr` uses
     * Welford-style updates whose float error depends on partial-agg order
     * (and differs from DuckDB's implementation), so instead the five moments
@@ -1618,6 +1728,7 @@ object RelationalQueries {
     Q("q92_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
     Q("q101_pagerank", pageRank, Some(pageRankOracle)),
+    Q("q184_label_propagation", labelPropagation, Some(labelPropagationOracle)),
     Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)),
     Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)),
     Q("q107_bucketed_range_join", bucketedRangeJoin, Some(bucketedRangeJoinOracle)),
