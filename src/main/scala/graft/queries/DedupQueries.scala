@@ -163,7 +163,11 @@ object DedupQueries {
     * one gram too short (breaking the completeness lemma) loses a pair
     * and fails the hash, not just a recall spec. */
   def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    // repartition the RAW docs before the shingle projection: projections
+    // push into the scan stage, and the single-file local testdata scans
+    // with 1-2 splits — shingling would run 2-way parallel however many
+    // cores the session has (no-op on real multi-split inputs)
+    val docs = Dedup.ensureParallelism(table(spark, dir, "documents"))
     val grams = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
       .filter(size(col("grams")) > 0)
     Dedup.prefixFilterPairs(grams, "doc_id", "grams", tnum = 1, tden = 2)
