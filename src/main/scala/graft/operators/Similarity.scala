@@ -661,9 +661,9 @@ object Similarity {
     // Materialized once for the three consumers below; pass `checkpointDir`
     // on a real cluster so the sketches survive executor loss
     // (Dedup.truncateLineage).
-    val sigs = Dedup.truncateLineage(corpus
+    val sigs = Dedup.truncateLineage(Dedup.ensureParallelism(corpus
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec")))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, vec) =>
         (id, vec, srpBucketsOf(vec, tables, effPlanes, dim, mat))

@@ -137,7 +137,7 @@ object CurationQueries {
     * same distribution. */
   def charStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
+    Dedup.ensureParallelism(table(spark, dir, "documents"))
       .select($"doc_id", regexp_replace(lower($"text"), "\\s", "").as("s"))
       .filter(length($"s") > 0)
       .select($"doc_id", graft.functions.CharStatsFns.charStats($"s").as("st"))
@@ -520,7 +520,7 @@ object CurationQueries {
     * bit-identical cross-engine. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = table(spark, dir, "documents")
+    val base = Dedup.ensureParallelism(table(spark, dir, "documents"))
       .select($"lang", explode(TextFunctions.tokens(lower($"text"))).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"lang", $"word").agg(count(lit(1)).as("c"))
@@ -959,7 +959,7 @@ object CurationQueries {
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = 1024
-    val feats = table(spark, dir, "documents")
+    val feats = Dedup.ensureParallelism(table(spark, dir, "documents"))
       .select($"doc_id", $"lang",
         explode(concat(TextFunctions.tokens($"text"),
           graft.functions.Spans.wordGrams($"text", 2))).as("f"))

@@ -263,7 +263,11 @@ object PipelineQueries {
     // Broadcast gate: ~2M distinct grams ≈ low hundreds of MB hashed — the
     // upper end of what a broadcast build should ever be.
     val broadcastRowCap = 2000000L
-    val docs = table(spark, dir, "documents").select($"doc_id", $"lang", $"text")
+    // parallelize BEFORE the projections: the single-file local scan would
+    // otherwise run every explode 1-2-way (Dedup.ensureParallelism no-ops
+    // on real multi-split inputs and on tiny tables)
+    val docs = graft.operators.Dedup.ensureParallelism(
+      table(spark, dir, "documents")).select($"doc_id", $"lang", $"text")
     val train = docs.filter($"doc_id" % 10 === 0)
     val eval = docs.filter($"doc_id" % 10 =!= 0)
     val uni = train.select(explode(TextFunctions.tokens($"text")).as("w1"))
