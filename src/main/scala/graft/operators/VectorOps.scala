@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Whole-corpus vector feature engineering: per-dimension standardization
+  * (z-scores under corpus moments) and Johnson–Lindenstrauss random
+  * projection with a ±1 sign matrix (Achlioptas 2003 — database-friendly
+  * random projections: E[y·y'] preserves inner products at k ≪ d with
+  * nothing heavier than sign flips and adds).
+  *
+  * Cross-engine float conventions (the q103 lesson, see
+  * [[graft.queries.SimilarityQueries.labelCentroids]]): arbitrary float
+  * inputs cannot ride the decimal-sum trick, so every corpus sum here is an
+  * ORDERED left-to-right IEEE double fold — exact in both engines by
+  * construction — and derived quantities are computed with textually
+  * identical expressions. The JL sign matrix is [[Hashing.mix64]] of
+  * (dimension, output column), which the DuckDB oracle replays bit-for-bit
+  * via its hugeint twin.
+  */
+object VectorOps {
+
+  /** Per-dimension corpus z-scores: (idCol, dim, z) with
+    * z = (x − mean_dim) / sd_dim rounded to 6 dp; sd is the population
+    * standard deviation, and zero-variance dimensions yield NULL z (the
+    * nullif guard — ANSI division would abort on the degenerate constant
+    * column, and NULL states "no information" the same way the quality
+    * ratios do).
+    *
+    * Scale shape: one explode to (dim, x) and ONE shuffle into d groups.
+    * The ordered-fold moments collect each dimension's column — unbounded
+    * per group at corpus scale; there, swap the fold for plain double sums
+    * (partial-agg map-side, last-ulp order drift accepted) exactly as the
+    * q103 caveat prescribes. The d-row stats frame broadcasts back onto
+    * the exploded corpus, so the transform itself is map-side. */
+  def standardize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = embs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(
+        sort_array(collect_list(struct(col(idCol), col("x")))).as("xs"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("dim"),
+        aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")).as("sx"),
+        aggregate(col("xs"), lit(0.0),
+          (a, s) => a + s.getField("x") * s.getField("x")).as("sxx"),
+        col("n"))
+      .select(col("dim"), (col("sx") / col("n")).as("mean"),
+        sqrt(greatest(
+          col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
+          lit(0.0))).as("sd"))
+    ex.join(broadcast(stats), Seq("dim")) // d rows — always broadcastable
+      .select(col(idCol), col("dim"),
+        round((col("x") - col("mean")) / nullif(col("sd"), lit(0.0)), 6).as("z"))
+  }
+
+  /** JL projection to `k` dimensions: (idCol, j, y) where
+    * y_j = Σ_i x_i · sign(mix64(i, j)), folded in element order (exact
+    * cross-engine — sign flips introduce no rounding), rounded to 6 dp.
+    * The d×k sign matrix is derived on the driver from the deterministic
+    * hash (bounded — it never touches the corpus) and enters the plan as
+    * k literal arrays, so the whole projection is ONE codegen'd map-side
+    * pass over the vectors: no shuffle, no join, no explode. */
+  def jlProject(embs: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val signs: IndexedSeq[Array[Double]] = (0 until k).map { j =>
+      Array.tabulate(dim)(i => if (Hashing.mix64(i.toLong, j) < 0) -1.0 else 1.0)
+    }
+    val ys = array((0 until k).map { j =>
+      round(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), typedLit(signs(j)), (x, s) => x * s),
+        lit(0.0), (a, b) => a + b), 6)
+    }: _*)
+    embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .filter(size(col(vecCol)) === dim) // the sign matrix is dim-indexed
+      .select(col(idCol), posexplode(ys).as(Seq("j", "y")))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextFunctions}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Wordpiece}
 import QueryRegistry.table
 
 /** Corpus-curation lanes a training-data pipeline runs between raw ingest
@@ -577,6 +577,62 @@ object CurationQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q186
+  /** WordPiece-style GREEDY MAXIMAL-MUNCH fertility per source — the same
+    * audit as q183 but under the other published segmentation family
+    * (longest-vocabulary-piece-first inference, BERT tokenizers) with a
+    * frequency-derived top-24 gram vocabulary, so the two tokenizer
+    * algorithms are comparable on one corpus. The oracle replays the
+    * greedy scan as a recursive CTE advancing one munch per step; the
+    * vocabulary cut is deterministic (count desc, gram asc — a total
+    * order). Scale shape: one corpus word-count shuffle; gram ranking and
+    * the encode run over the distinct-word table with the bounded top-24
+    * vocab broadcast ([[graft.operators.Wordpiece]]). */
+  def wordpieceFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Wordpiece.fertilityByGroup(
+      table(spark, dir, "documents").select($"source", $"text"), "source", "text")
+      .orderBy($"source")
+  }
+
+  val wordpieceFertilityOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT source, u.tok
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok) u
+      |), wf AS (
+      |  SELECT tok AS word, count(*) AS wc FROM toks GROUP BY 1
+      |), grams AS (
+      |  SELECT g, cast(sum(wc) AS BIGINT) AS cnt FROM (
+      |    SELECT substring(word, i.i, l.l) AS g, wc
+      |    FROM wf
+      |    CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) l
+      |    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(word) - l.l + 1)) AS i) i
+      |    WHERE length(word) >= l.l
+      |  ) GROUP BY 1
+      |), vocab AS (
+      |  SELECT g FROM grams ORDER BY cnt DESC, g LIMIT 24
+      |), seg AS (
+      |  SELECT word, 1 AS pos, 0 AS ntok FROM wf
+      |  UNION ALL
+      |  SELECT word,
+      |    pos + CASE WHEN pos + 3 <= length(word) AND substring(word, pos, 4) IN (SELECT g FROM vocab) THEN 4
+      |               WHEN pos + 2 <= length(word) AND substring(word, pos, 3) IN (SELECT g FROM vocab) THEN 3
+      |               WHEN pos + 1 <= length(word) AND substring(word, pos, 2) IN (SELECT g FROM vocab) THEN 2
+      |               ELSE 1 END,
+      |    ntok + 1
+      |  FROM seg WHERE pos <= length(word)
+      |), pieces AS (
+      |  SELECT word, ntok FROM seg WHERE pos = length(word) + 1
+      |), src_words AS (
+      |  SELECT source, tok AS word, count(*) AS c FROM toks GROUP BY 1, 2
+      |)
+      |SELECT source, cast(sum(c) AS BIGINT) AS n_words,
+      |  cast(sum(c * p.ntok) AS BIGINT) AS n_subtokens,
+      |  round(sum(c * p.ntok)::DOUBLE / sum(c)::DOUBLE, 6) AS fertility
+      |FROM src_words JOIN pieces p USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -1048,5 +1104,6 @@ object CurationQueries {
     Q("q162_bpe_train", bpeTrainLane, Some(bpeTrainOracle)),
     Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)),
     Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)),
-    Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)))
+    Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
+    Q("q186_wordpiece_fertility", wordpieceFertility, Some(wordpieceFertilityOracle)))
 }

@@ -807,6 +807,46 @@ object PipelineQueries {
       |  count(*) AS n_spans
       |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** CCNet/RefinedWeb-style boilerplate removal by document frequency:
+    * 3-token spans occurring in MORE THAN 2 distinct documents are removed
+    * from every document (popularity is the evidence of boilerplate —
+    * unlike q68's first-occurrence dedup, the first copy goes too, and
+    * rare duplicates are untouched). The cleaned text is hash-compared in
+    * full, so the oracle replays reassembly order as well as membership. */
+  def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    SpanDedup.removeBoilerplate(
+      table(spark, dir, "documents").select($"doc_id", $"text"),
+      "doc_id", "text", n = 3, maxDf = 2)
+      .orderBy($"doc_id")
+  }
+
+  val boilerplateSpansOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.tok, u.ord
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |                  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord) u
+      |), spans AS (
+      |  SELECT doc_id, (ord - 1) // 3 AS span_no, string_agg(tok, ' ' ORDER BY ord) AS span
+      |  FROM toks GROUP BY doc_id, span_no
+      |), boiler AS (
+      |  SELECT span FROM (
+      |    SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span
+      |  ) WHERE df > 2
+      |), kept AS (
+      |  SELECT doc_id, span_no, span FROM spans
+      |  WHERE span NOT IN (SELECT span FROM boiler)
+      |), totals AS (
+      |  SELECT doc_id, count(*) AS n_total FROM spans GROUP BY doc_id
+      |)
+      |SELECT k.doc_id, string_agg(k.span, ' ' ORDER BY k.span_no) AS clean_text,
+      |  count(*) AS n_spans_kept,
+      |  any_value(t.n_total) - count(*) AS n_spans_removed
+      |FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q69
   /** Gopher-style repetition-quality metrics per document: duplicate-token
     * fraction and the fraction of bigrams claimed by the most common bigram,
@@ -1557,6 +1597,7 @@ object PipelineQueries {
     Q("q66_curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
     Q("q67_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     Q("q68_span_dedup", spanDedup, Some(spanDedupOracle)),
+    Q("q185_boilerplate_spans", boilerplateSpans, Some(boilerplateSpansOracle)),
     Q("q69_repetition_filter", repetitionFilter, Some(repetitionFilterOracle)),
     Q("q98_bloom_words", bloomWords, Some(bloomWordsOracle)),
     Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)),

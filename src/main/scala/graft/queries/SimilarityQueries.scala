@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quantize, Similarity}
+import graft.operators.{Dedup, Quantize, Similarity, VectorOps}
 import QueryRegistry.table
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64):
@@ -768,8 +768,76 @@ object SimilarityQueries {
        |FROM sel ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q187
+  /** Per-dimension corpus standardization (z-scores): the feature-scaling
+    * pass upstream of any distance-based curation (k-means, SemDeDup,
+    * kNN) — a dimension with 10× the variance silently dominates every
+    * Euclidean decision until this runs. Moments use the ordered-fold
+    * convention (q103); zero-variance dims are NULL by the nullif guard.
+    */
+  def embeddingStandardize(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.standardize(table(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val embeddingStandardizeOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    cast(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), moments AS (
+      |  SELECT dim,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)),
+      |      (a, b) -> a + b) AS sx,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY vec_id)),
+      |      (a, b) -> a + b) AS sxx,
+      |    count(*)::DOUBLE AS n
+      |  FROM ex GROUP BY dim
+      |), stats AS (
+      |  SELECT dim, sx / n AS mean,
+      |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0::DOUBLE)) AS sd
+      |  FROM moments
+      |)
+      |SELECT e.vec_id, e.dim, round((e.x - s.mean) / nullif(s.sd, 0.0::DOUBLE), 6) AS z
+      |FROM ex e JOIN stats s USING (dim)
+      |ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** Johnson–Lindenstrauss ±1 random projection to k=8 dims (Achlioptas
+    * 2003): the cheap-at-100-TB dimensionality reduction in front of
+    * clustering or coarse ANN. The sign matrix is mix64(dim, j) — the
+    * oracle replays it with the hugeint twin — and each output is an
+    * in-order fold over the vector, so values hash-match exactly. The
+    * whole projection is one map-side codegen'd pass: no shuffle at all.
+    */
+  def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.jlProject(table(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 8)
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  val jlProjectionOracle: String = {
+    val sign = DuckHashSql.signedSql(DuckHashSql.mix64Sql("dim::HUGEINT", "j.j"))
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    cast(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |  WHERE len(embedding) = 64
+       |)
+       |SELECT vec_id, j.j AS j,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(x * (CASE WHEN $sign < 0 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END)
+       |         ORDER BY dim)),
+       |    (a, b) -> a + b), 6) AS y
+       |FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+       |GROUP BY vec_id, j.j
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
+    Q("q187_embedding_standardize", embeddingStandardize, Some(embeddingStandardizeOracle)),
+    Q("q188_jl_projection", jlProjection, Some(jlProjectionOracle)),
     Q("q177_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
