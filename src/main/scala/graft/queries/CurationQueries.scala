@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextFunctions}
-import graft.operators.{Dedup, Wordpiece}
+import graft.operators.{Dedup, SegmentEm, Wordpiece}
 import QueryRegistry.table
 
 /** Corpus-curation lanes a training-data pipeline runs between raw ingest
@@ -633,6 +633,85 @@ object CurationQueries {
       |FROM src_words JOIN pieces p USING (word)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Subword vocabulary induction by hard-EM Viterbi segmentation
+    * ([[graft.operators.SegmentEm]]) — the SentencePiece-family trainer
+    * next to BPE (q162) and greedy maximal-munch (q186): two E/M rounds
+    * over the distinct-word dict under the integer-exact MDL objective
+    * (fewest pieces, then max count product, then lex path). The oracle
+    * ENUMERATES every segmentation per word in a recursive CTE (paths ≤
+    * 2^(len−1), bounded at oracle scale) and replays both rounds'
+    * argmaxes with HUGEINT products, so the full EM trajectory — not
+    * just the final counts — is what the hash certifies. The engine side
+    * is the O(len·maxLen) DP, fuzz-proven equal to enumeration in
+    * `SegmentEmSpec`. */
+  def segmentEmTrain(spark: SparkSession, dir: String): DataFrame = {
+    SegmentEm.train(table(spark, dir, "documents").select(col("text")), "text")
+  }
+
+  val segmentEmTrainOracle: String = {
+    def seg(name: String, vocab: String): String =
+      s"""$name AS (
+         |  SELECT word, 1 AS pos, 1::HUGEINT AS prod, 0 AS ntok, '' AS path FROM wf
+         |  UNION ALL
+         |  SELECT s.word, s.pos + length(v.p), s.prod * v.c, s.ntok + 1,
+         |         s.path || chr(1) || v.p
+         |  FROM $name s JOIN $vocab v
+         |    ON s.pos + length(v.p) - 1 <= length(s.word)
+         |   AND v.p = substring(s.word, s.pos, length(v.p))
+         |  WHERE s.pos <= length(s.word)
+         |)""".stripMargin
+    def best(name: String, segName: String): String =
+      s"""$name AS (
+         |  SELECT word, path FROM (
+         |    SELECT word, path,
+         |      row_number() OVER (PARTITION BY word
+         |        ORDER BY ntok ASC, prod DESC, path ASC) AS rn
+         |    FROM $segName WHERE pos = length(word) + 1
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def cnt(name: String, bestName: String, cType: String): String =
+      s"""$name AS (
+         |  SELECT piece AS p, cast(sum(wc) AS $cType) AS c FROM (
+         |    SELECT b.word, unnest(string_split(substring(b.path, 2), chr(1))) AS piece
+         |    FROM $bestName b
+         |  ) JOIN wf USING (word) GROUP BY 1
+         |)""".stripMargin
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT u.tok FROM documents,
+       |  LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) u
+       |), wf AS (
+       |  SELECT tok AS word, cast(count(*) AS HUGEINT) AS wc FROM toks
+       |  WHERE length(tok) > 0 GROUP BY 1
+       |), subs AS (
+       |  SELECT p, cast(sum(wc) AS HUGEINT) AS c FROM (
+       |    SELECT substring(word, i.i, l.l) AS p, wc
+       |    FROM wf CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) l
+       |    CROSS JOIN LATERAL (
+       |      SELECT unnest(generate_series(1, length(word) - l.l + 1)) AS i) i
+       |    WHERE length(word) >= l.l
+       |  ) GROUP BY 1
+       |), v0 AS (
+       |  SELECT p, c FROM subs WHERE length(p) = 1 OR c >= 2
+       |), ${seg("seg1", "v0")}, ${best("best1", "seg1")}, ${cnt("c1", "best1", "HUGEINT")},
+       |v1 AS (
+       |  SELECT p, c FROM c1 WHERE length(p) > 1
+       |  UNION ALL
+       |  SELECT a.p, greatest(coalesce(c1.c, 0::HUGEINT), 1::HUGEINT) AS c
+       |  FROM (SELECT DISTINCT substring(word, i.i, 1) AS p
+       |        FROM wf CROSS JOIN LATERAL (
+       |          SELECT unnest(generate_series(1, length(word))) AS i) i) a
+       |  LEFT JOIN c1 ON a.p = c1.p AND length(c1.p) = 1
+       |), ${seg("seg2", "v1")}, ${best("best2", "seg2")}, c2 AS (
+       |  SELECT piece, cast(sum(wc) AS BIGINT) AS cnt FROM (
+       |    SELECT b.word, unnest(string_split(substring(b.path, 2), chr(1))) AS piece
+       |    FROM best2 b
+       |  ) JOIN wf USING (word) GROUP BY 1
+       |)
+       |SELECT cast(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank, piece, cnt
+       |FROM c2 ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -1105,5 +1184,6 @@ object CurationQueries {
     Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)),
     Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)),
     Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
-    Q("q186_wordpiece_fertility", wordpieceFertility, Some(wordpieceFertilityOracle)))
+    Q("q186_wordpiece_fertility", wordpieceFertility, Some(wordpieceFertilityOracle)),
+    Q("q189_segment_em_train", segmentEmTrain, Some(segmentEmTrainOracle)))
 }
