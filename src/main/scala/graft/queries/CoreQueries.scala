@@ -241,6 +241,45 @@ object CoreQueries {
        |  count(DISTINCT s_suppkey) AS n_keys
        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Supplier through an AVRO container-file round trip via the classpath's
+    * avro-mapred ([[graft.sources.avro.AvroHadoop]] — Spark ships the Avro
+    * runtime but not the spark-avro DataSource, so the bridge is the same
+    * Hadoop-interop surface the reference input format lives on).
+    * Marker-guarded like the ORC twin; a markerless partial dir from a
+    * crashed run is deleted first because the Hadoop committer refuses an
+    * existing output path. */
+  def supplierViaAvro(spark: SparkSession, dir: String): DataFrame = {
+    val pq = QueryRegistry.table(spark, dir, "supplier")
+    val out = QueryRegistry.scratch(dir, "supplier_avro")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(out, "_graft_done")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.sources.avro.AvroHadoop.write(pq, out)
+      fs.create(marker, true).close()
+    }
+    graft.sources.avro.AvroHadoop.read(spark, out, pq.schema)
+  }
+
+  /** Avro as a SOURCE lane — same oracle contract as q94/q95/q117:
+    * aggregate over the Avro round trip, oracle over the original parquet.
+    * Doubles survive bit-exactly (binary encoding), so this lane's hash
+    * proves the GenericRecord bridge loses nothing. */
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplierViaAvro(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("sum_bal"),
+        max($"s_suppkey").as("max_suppkey"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q191Oracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
+       |  max(s_suppkey) AS max_suppkey
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Events as a Hive-partitioned PARQUET layout (partitionBy(event_type)),
     * marker-guarded. The standard-format twin of the fixedwidth partitioned
     * lane (q06): directory layout as a queryable index. */
@@ -637,6 +676,7 @@ object CoreQueries {
     Q("q94_csv_source", q94, Some(q94Oracle)),
     Q("q95_jsonl_source", q95, Some(q95Oracle)),
     Q("q117_orc_source", q117, Some(q117Oracle)),
+    Q("q191_avro_source", q191, Some(q191Oracle)),
     Q("q96_parquet_partition_pruned", q96, Some(q96Oracle)),
     Q("q97_bucketed_join", q97, Some(q97Oracle)))
 }

@@ -712,6 +712,46 @@ object CurationQueries {
        |FROM c2 ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q190
+  /** k-anonymity audit over quasi-identifiers — the privacy-engineering
+    * gate a corpus release runs before publication: group documents by the
+    * QI tuple (lang, source, length-bucket), count groups smaller than
+    * k = 5 (each such group's documents are re-identifiable by their QI
+    * combination and must be suppressed or generalized), and report the
+    * per-language suppression cost. All integer counts plus one
+    * integer-ratio double — bit-identical cross-engine. Scale shape: two
+    * skinny aggregations (QI-keyed, then language-keyed) with map-side
+    * partials; nothing touches document text. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = table(spark, dir, "documents")
+      .groupBy($"lang", $"source", expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("gsize"))
+    groups.groupBy($"lang")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"gsize" < 5, 1L).otherwise(0L)).cast("long").as("n_small_groups"),
+        sum(when($"gsize" < 5, $"gsize").otherwise(0L)).cast("long").as("n_suppressed"),
+        sum($"gsize").cast("long").as("n_docs"))
+      .withColumn("suppression_rate",
+        round($"n_suppressed".cast("double") / $"n_docs".cast("double"), 6))
+      .orderBy($"lang")
+  }
+
+  val kAnonymityAuditOracle: String =
+    """WITH g AS (
+      |  SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS gsize
+      |  FROM documents GROUP BY 1, 2, 3
+      |), a AS (
+      |  SELECT lang, count(*) AS n_groups,
+      |    cast(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+      |    cast(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT) AS n_suppressed,
+      |    cast(sum(gsize) AS BIGINT) AS n_docs
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT lang, n_groups, n_small_groups, n_suppressed, n_docs,
+      |  round(n_suppressed::DOUBLE / n_docs::DOUBLE, 6) AS suppression_rate
+      |FROM a ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -1185,5 +1225,6 @@ object CurationQueries {
     Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)),
     Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
     Q("q186_wordpiece_fertility", wordpieceFertility, Some(wordpieceFertilityOracle)),
-    Q("q189_segment_em_train", segmentEmTrain, Some(segmentEmTrainOracle)))
+    Q("q189_segment_em_train", segmentEmTrain, Some(segmentEmTrainOracle)),
+    Q("q190_k_anonymity", kAnonymityAudit, Some(kAnonymityAuditOracle)))
 }
