@@ -655,6 +655,108 @@ object SimilarityQueries {
        |SELECT query_id, rk, neighbor_id, round(rrf, 6) AS rrf, r_sem, r_lex
        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** Rank-biased overlap (Webber et al. 2010) between the two retrieval
+    * rankings q157 fuses — the EVALUATION metric beside the fusion
+    * operator: how much do semantic (cosine) and lexical (Jaccard) top-10
+    * agree per query? RBO@10 = Σ_{d=1..10} p^d · |A_{1..d} ∩ B_{1..d}|/d
+    * with p = 1/2 — an exact binary power, so every term is an
+    * integer-ratio double scaled by 2^-d and the d-ordered fold is
+    * bit-identical cross-engine (the paper's usual p≈0.9 would drag
+    * libm `pow` into the hash). An item common to both lists enters the
+    * overlap at depth max(r_sem, r_lex), which turns the prefix
+    * intersection into one equi-join plus a count — no per-depth set
+    * materialization. Scale shape: both rankings are the q157 pipelines
+    * (bounded top-k per query); everything after is queries × 10 rows. */
+  def rboAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val sem = Similarity
+      .knnBruteForce(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("r_sem"))
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(Dedup.shingles(col("text"), 3), g => xxhash64(g))).as("grams"))
+    val qgrams = grams.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("grams").as("q_grams"))
+    val lexSims = grams.crossJoin(broadcast(qgrams))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        graft.functions.SetOps.sortedJaccard(col("q_grams"), col("grams")).as("jac"))
+      .filter(col("jac") > 0.0)
+    val topk = udaf(new graft.functions.TopKByScore(10))
+    val lex = lexSims.groupBy(col("query_id"))
+      .agg(topk(col("jac"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("r_lex"),
+        col("p._2").as("neighbor_id"))
+
+    val common = sem.join(lex, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("r_sem"), col("r_lex")).as("m"))
+    val queries = embs.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"))
+    val xd = queries
+      .crossJoin(spark.range(1, 11).select(col("id").cast("int").as("d")))
+      .join(common, Seq("query_id"), "left")
+      .groupBy(col("query_id"), col("d"))
+      .agg(count(when(col("m") <= col("d"), 1)).as("x"))
+    xd.select(col("query_id"), col("d"),
+        ((lit(1.0) / pow(lit(2.0), col("d"))) *
+          (col("x").cast("double") / col("d").cast("double"))).as("term"),
+        col("x"))
+      .groupBy(col("query_id"))
+      .agg(
+        round(aggregate(
+          sort_array(collect_list(struct(col("d"), col("term")))),
+          lit(0.0), (a, s) => a + s.getField("term")), 6).as("rbo"),
+        max(when(col("d") === 10, col("x"))).as("n_common10"))
+      .orderBy(col("query_id"))
+  }
+
+  val rboAgreementOracle: String =
+    s"""WITH semranked AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS r_sem
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       |), sem AS (
+       |  SELECT query_id, neighbor_id, r_sem FROM semranked WHERE r_sem <= 10
+       |), toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |), lexsims AS (
+       |  SELECT q.doc_id AS query_id, e.doc_id AS neighbor_id,
+       |    round(cast(len(list_intersect(q.g, e.g)) AS double)
+       |      / (len(q.g) + len(e.g) - len(list_intersect(q.g, e.g))), 6) AS jac
+       |  FROM grams q, grams e
+       |  WHERE q.doc_id < 5 AND e.doc_id != q.doc_id
+       |), lexranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, neighbor_id) AS r_lex
+       |  FROM lexsims WHERE jac > 0
+       |), lex AS (
+       |  SELECT query_id, neighbor_id, r_lex FROM lexranked WHERE r_lex <= 10
+       |), common AS (
+       |  SELECT query_id, neighbor_id, greatest(r_sem, r_lex) AS m
+       |  FROM sem JOIN lex USING (query_id, neighbor_id)
+       |), xd AS (
+       |  SELECT q.query_id, d.d, count(CASE WHEN c.m <= d.d THEN 1 END) AS x
+       |  FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+       |  LEFT JOIN common c ON c.query_id = q.query_id
+       |  GROUP BY 1, 2
+       |), terms AS (
+       |  SELECT query_id, d, (1.0 / power(2.0, d)) * (x::DOUBLE / d::DOUBLE) AS term, x
+       |  FROM xd
+       |)
+       |SELECT query_id,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY d)),
+       |    (a, b) -> a + b), 6) AS rbo,
+       |  cast(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS n_common10
+       |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin
+
   /** Farthest-point-sampling diversity coreset (greedy k-center) — k = 8
     * maximally-spread embedding rows. The oracle replays the greedy loop
     * exactly with a recursive CTE: same lowest-id seed, same left-to-right
@@ -838,6 +940,7 @@ object SimilarityQueries {
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
     Q("q187_embedding_standardize", embeddingStandardize, Some(embeddingStandardizeOracle)),
     Q("q188_jl_projection", jlProjection, Some(jlProjectionOracle)),
+    Q("q192_rbo_agreement", rboAgreement, Some(rboAgreementOracle)),
     Q("q177_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),
