@@ -58,6 +58,61 @@ object VectorOps {
         round((col("x") - col("mean")) / nullif(col("sd"), lit(0.0)), 6).as("z"))
   }
 
+  /** Top principal direction of the mean-centered corpus by POWER
+    * ITERATION (the PCA workhorse at matrix sizes where covariance
+    * materialization — d² ordered folds — is the wrong shape): iterate
+    * v ← X'ᵀ(X'v) / ‖X'ᵀ(X'v)‖ from the exact all-⅛ start vector,
+    * without ever materializing d×d. Returns (dim, loading, lambda) —
+    * the unit loading vector after `iters` rounds and ‖u‖ of the final
+    * un-normalized step (the Rayleigh-style estimate of the top scatter
+    * eigenvalue).
+    *
+    * Every corpus reduction (per-dim mean, per-row score x'·v, per-dim
+    * re-projection Σᵢ sᵢx'ᵢ, the norm) is an ORDERED left-to-right fold
+    * (the q103 float convention), and the start vector and normalization
+    * are exact/textually-identical expressions — so a 3-iteration
+    * TRAJECTORY hash-matches the oracle, not just a converged direction.
+    * Scale shape: each iteration is two skinny shuffles over (id, dim, x)
+    * rows — a d-row broadcast join for the scores, an id-keyed join for
+    * the re-projection; per-group ordered collects carry the same
+    * corpus-scale caveat as q103 (swap for plain sums, accept last-ulp
+    * drift). */
+  def powerIteration(
+      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ex0 = embs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    def fold(items: org.apache.spark.sql.Column) =
+      aggregate(sort_array(items), lit(0.0), (a, s) => a + s.getField("t"))
+    val means = ex0.groupBy(col("dim"))
+      .agg(fold(collect_list(struct(col(idCol), col("x").as("t")))).as("sx"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("dim"), (col("sx") / col("n")).as("mean"))
+    val ex = ex0.join(broadcast(means), Seq("dim"))
+      .select(col(idCol), col("dim"), (col("x") - col("mean")).as("xc"))
+
+    var v = means.select(col("dim"), lit(0.125).as("v"))
+    var lambda: DataFrame = null
+    for (_ <- 1 to iters) {
+      val s = ex.join(broadcast(v), Seq("dim"))
+        .select(col(idCol), struct(col("dim"), (col("xc") * col("v")).as("t")).as("item"))
+        .groupBy(col(idCol)).agg(fold(collect_list(col("item"))).as("s"))
+      val u = ex.join(s, Seq(idCol))
+        .select(col("dim"),
+          struct(col(idCol), (col("s") * col("xc")).as("t")).as("item"))
+        .groupBy(col("dim")).agg(fold(collect_list(col("item"))).as("u"))
+      lambda = u
+        .select(struct(col("dim"), (col("u") * col("u")).as("t")).as("item"))
+        .agg(sqrt(fold(collect_list(col("item")))).as("nrm"))
+      v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+      .orderBy(col("dim"))
+  }
+
   /** JL projection to `k` dimensions: (idCol, j, y) where
     * y_j = Σ_i x_i · sign(mix64(i, j)), folded in element order (exact
     * cross-engine — sign flips introduce no rounding), rounded to 6 dp.

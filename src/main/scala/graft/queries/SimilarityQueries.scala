@@ -757,6 +757,49 @@ object SimilarityQueries {
        |  cast(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS n_common10
        |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Top principal direction by 3 rounds of power iteration over the
+    * mean-centered embeddings ([[VectorOps.powerIteration]]) — the
+    * spectral lane: variance structure without materializing a d×d
+    * covariance. Every reduction is a keyed ordered fold and the start
+    * vector is the exact ⅛ constant, so the full 3-iteration trajectory
+    * (loadings AND the Rayleigh-style eigenvalue estimate) hash-matches
+    * the oracle's CTE-unrolled replay. */
+  def powerIterationLane(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.powerIteration(table(spark, dir, "embeddings"), "vec_id", "embedding",
+      iters = 3)
+
+  val powerIterationOracle: String = {
+    def fold(expr: String, ord: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list($expr ORDER BY $ord)), (a, b) -> a + b)"
+    def iter(k: Int, vPrev: String): String =
+      s"""s$k AS (
+         |  SELECT vec_id, ${fold("xc * v", "dim")} AS s
+         |  FROM exc JOIN $vPrev USING (dim) GROUP BY vec_id
+         |), u$k AS (
+         |  SELECT dim, ${fold("s * xc", "vec_id")} AS u
+         |  FROM exc JOIN s$k USING (vec_id) GROUP BY dim
+         |), n$k AS (
+         |  SELECT sqrt(${fold("u * u", "dim")}) AS nrm FROM u$k
+         |), v$k AS (
+         |  SELECT dim, u / nrm AS v FROM u$k CROSS JOIN n$k
+         |)""".stripMargin
+    s"""WITH ex0 AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    cast(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), means AS (
+       |  SELECT dim, ${fold("x", "vec_id")} / count(*)::DOUBLE AS mean
+       |  FROM ex0 GROUP BY dim
+       |), exc AS (
+       |  SELECT vec_id, ex0.dim, x - mean AS xc FROM ex0 JOIN means USING (dim)
+       |), v0 AS (
+       |  SELECT dim, 0.125::DOUBLE AS v FROM means
+       |), ${iter(1, "v0")}, ${iter(2, "v1")}, ${iter(3, "v2")}
+       |SELECT dim, round(v, 6) AS loading, round(nrm, 6) AS lambda
+       |FROM v3 CROSS JOIN n3 ORDER BY dim""".stripMargin
+  }
+
   /** Farthest-point-sampling diversity coreset (greedy k-center) — k = 8
     * maximally-spread embedding rows. The oracle replays the greedy loop
     * exactly with a recursive CTE: same lowest-id seed, same left-to-right
@@ -941,6 +984,7 @@ object SimilarityQueries {
     Q("q187_embedding_standardize", embeddingStandardize, Some(embeddingStandardizeOracle)),
     Q("q188_jl_projection", jlProjection, Some(jlProjectionOracle)),
     Q("q192_rbo_agreement", rboAgreement, Some(rboAgreementOracle)),
+    Q("q193_power_iteration", powerIterationLane, Some(powerIterationOracle)),
     Q("q177_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),

@@ -60,6 +60,54 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("powerIteration matches a driver-side replay with identical fold orders") {
+    import spark.implicits._
+    val d = 6
+    val vecs = randomVecs(80, d, 11L)
+    // replay: same ordered folds (by id / by dim), same start, 3 iterations
+    val byId = vecs.sortBy(_._1)
+    val means = Array.tabulate(d) { j =>
+      byId.map(_._2(j).toDouble).foldLeft(0.0)(_ + _) / byId.length
+    }
+    val xc = byId.map { case (id, v) => (id, Array.tabulate(d)(j => v(j).toDouble - means(j))) }
+    var vv = Array.fill(d)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val s = xc.map { case (id, r) =>
+        (id, (0 until d).foldLeft(0.0)((a, j) => a + r(j) * vv(j)))
+      }.toMap
+      val u = Array.tabulate(d) { j =>
+        xc.foldLeft(0.0) { case (a, (id, r)) => a + s(id) * r(j) }
+      }
+      nrm = math.sqrt((0 until d).foldLeft(0.0)((a, j) => a + u(j) * u(j)))
+      vv = u.map(_ / nrm)
+    }
+    val expected = (0 until d).map(j => (j,
+      BigDecimal(vv(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+
+    val got = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    got.map(r => (r._1, r._2)).toMap shouldBe expected
+    got.map(_._3).distinct.length shouldBe 1
+    got.head._3 shouldBe BigDecimal(nrm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("powerIteration recovers a planted dominant direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val d = 8
+    // variance 100x along dim 2, noise elsewhere
+    val vecs = (1L to 300L).map { id =>
+      val v = Array.fill(d)(rnd.nextFloat() * 0.1f - 0.05f)
+      v(2) = rnd.nextFloat() * 10f - 5f
+      (id, v)
+    }
+    val out = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    math.abs(out(2)) should be > 0.99
+    (0 until d).filter(_ != 2).foreach(j => math.abs(out(j)) should be < 0.15)
+  }
+
   test("jlProject drops vectors whose length differs from the declared dim") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
