@@ -752,6 +752,65 @@ object CurationQueries {
       |  round(n_suppressed::DOUBLE / n_docs::DOUBLE, 6) AS suppression_rate
       |FROM a ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Pareto frontier (2-D skyline) over quality-vs-cost: the documents no
+    * other document beats on BOTH axes — alphabetic-density score
+    * (maximize; q150's exact integer-ratio formula) and length in chars
+    * (minimize). Multi-criteria selection without a weighting knob: the
+    * frontier is what admission curves get tuned against.
+    *
+    * Algorithm: the 2-D skyline is one prefix-min sweep, not an O(n²)
+    * domination join — group docs by score (6-dp quantized → the group
+    * table is far smaller than the corpus), take each group's min length,
+    * running-min over strictly-better score groups (ROWS … 1 PRECEDING),
+    * and a score group survives iff its min length beats that prefix min;
+    * docs join back on (score, group-min length) so exact (score, len)
+    * ties all stay on the frontier (neither dominates the other). The
+    * single-partition window runs over the SCORE-GROUP table only; at
+    * 100 TB the sweep is the classic two-level prefix scan
+    * (per-range min + broadcast boundary prefix). All values integer or
+    * integer-ratio — hash-exact. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = table(spark, dir, "documents")
+      .select($"doc_id",
+        round(
+          length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
+            greatest(length($"text"), lit(1)).cast("double"), 6).as("score"),
+        length($"text").cast("long").as("len"))
+    val g = scored.groupBy($"score").agg(min($"len").as("gmin"))
+    val sweep = Window.orderBy($"score".desc).rowsBetween(Window.unboundedPreceding, -1)
+    val frontierScores = g
+      .withColumn("spmin", min($"gmin").over(sweep))
+      .filter($"spmin".isNull || $"gmin" < $"spmin")
+      .select($"score".as("f_score"), $"gmin")
+    scored.join(broadcast(frontierScores),
+        $"score" === $"f_score" && $"len" === $"gmin")
+      .select($"doc_id", $"score", $"len")
+      .orderBy($"score".desc, $"doc_id")
+  }
+
+  val paretoFrontierOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |      cast(greatest(length(text), 1) AS DOUBLE), 6) AS score,
+      |    cast(length(text) AS BIGINT) AS len
+      |  FROM documents
+      |), g AS (
+      |  SELECT score, min(len) AS gmin FROM scored GROUP BY score
+      |), o AS (
+      |  SELECT score, gmin,
+      |    min(gmin) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS spmin
+      |  FROM g
+      |), f AS (
+      |  SELECT score, gmin FROM o WHERE spmin IS NULL OR gmin < spmin
+      |)
+      |SELECT d.doc_id, d.score, d.len
+      |FROM scored d JOIN f ON d.score = f.score AND d.len = f.gmin
+      |ORDER BY d.score DESC, d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q150
   /** Per-language calibrated quality admission: rank documents within each
     * language by an exact alphabetic-density score and keep the top 75% —
@@ -1226,5 +1285,6 @@ object CurationQueries {
     Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),
     Q("q186_wordpiece_fertility", wordpieceFertility, Some(wordpieceFertilityOracle)),
     Q("q189_segment_em_train", segmentEmTrain, Some(segmentEmTrainOracle)),
-    Q("q190_k_anonymity", kAnonymityAudit, Some(kAnonymityAuditOracle)))
+    Q("q190_k_anonymity", kAnonymityAudit, Some(kAnonymityAuditOracle)),
+    Q("q194_pareto_frontier", paretoFrontier, Some(paretoFrontierOracle)))
 }

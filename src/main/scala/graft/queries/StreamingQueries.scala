@@ -698,7 +698,105 @@ object StreamingQueries {
        |ORDER BY window_start, q""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q195
+  /** Streaming Count-Min frequency per window — the FREQUENCY member of
+    * the streaming-sketch family (q102 keeps distinct-count registers,
+    * q180 keeps quantile buckets, this keeps CMS cells): the stream state
+    * is the per-(window, d, bucket) count table — ≤ depth × occupied
+    * buckets rows per window regardless of event volume, the mergeable-
+    * register argument verbatim. After the drain, the global top-5 users
+    * (plus an impossible probe) are point-queried against each window's
+    * cells batch-side: est = min over the d cells, absent cell = 0. Same
+    * hash family as batch q49 (hash64 → mix64 rows), so the oracle
+    * replays cells AND estimates exactly. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val wBits = 12
+    def keyCells(item: org.apache.spark.sql.Column) = {
+      val h = graft.functions.Hashing.hash64Col(item)
+      explode(array((0 until depth).map { j =>
+        struct(lit(j).as("d"),
+          pmod(graft.functions.Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
+      }: _*))
+    }
+    val drained = runToMemory(spark, "stream_cms", "complete") { ss =>
+      eventsStream(ss, dir)
+        .filter(col("user_id").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), keyCells(col("user_id").cast("string")).as("_c"))
+        .groupBy(window(col("ts"), "1 hour").as("wnd"),
+          col("_c.d").as("d"), col("_c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val cells = drained.select(col("wnd.start").as("window_start"),
+      col("d"), col("bucket"), col("n"))
+
+    val events = QueryRegistry.events(spark, dir).filter($"user_id".isNotNull)
+    val probes = events.groupBy($"user_id").agg(count(lit(1)).as("total"))
+      .orderBy($"total".desc, $"user_id").limit(5)
+      .select($"user_id".cast("string").as("user"))
+      .unionByName(Seq("unseen probe").toDF("user"))
+    val probeKeyed = probes.select($"user", keyCells($"user").as("_c"))
+      .select($"user", $"_c.d".as("d"), $"_c.bucket".as("bucket"))
+    val windows = cells.select($"window_start").distinct()
+    val est = windows.crossJoin(broadcast(probeKeyed)) // ≤ 6 users × depth rows
+      .join(cells, Seq("window_start", "d", "bucket"), "left")
+      .groupBy($"window_start", $"user")
+      .agg(min(coalesce($"n", lit(0L))).as("cms_est"))
+    val exact = events
+      .select(date_trunc("hour", $"ts").as("window_start"),
+        $"user_id".cast("string").as("user"))
+      .groupBy($"window_start", $"user").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("window_start", "user"), "left")
+      .select($"window_start", $"user", coalesce($"n_exact", lit(0L)).as("n_exact"),
+        $"cms_est")
+      .orderBy($"window_start", $"user")
+  }
+
+  val streamCmsOracle: String = {
+    val m = DuckHashSql.mix64Sql("h", "d")
+    s"""WITH ev AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, cast(user_id AS VARCHAR) AS u
+       |  FROM events WHERE user_id IS NOT NULL
+       |), uh AS (
+       |  SELECT u, ${DuckHashSql.hash64Sql("u")} AS h FROM (SELECT DISTINCT u FROM ev)
+       |), cells AS (
+       |  SELECT window_start, d.d, cast(($m % 4096) AS BIGINT) AS bucket, count(*) AS n
+       |  FROM ev JOIN uh USING (u)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |  GROUP BY 1, 2, 3
+       |), probes AS (
+       |  SELECT cast(user_id AS VARCHAR) AS user FROM (
+       |    SELECT user_id, count(*) AS total FROM events WHERE user_id IS NOT NULL
+       |    GROUP BY user_id ORDER BY total DESC, user_id LIMIT 5
+       |  )
+       |  UNION ALL SELECT 'unseen probe'
+       |), ph AS (
+       |  SELECT "user", ${DuckHashSql.hash64Sql(""""user"""")} AS h
+       |  FROM (SELECT DISTINCT "user" FROM probes)
+       |), pk AS (
+       |  SELECT "user", d.d, cast(($m % 4096) AS BIGINT) AS bucket
+       |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |), est AS (
+       |  SELECT w.window_start, pk."user", min(coalesce(c.n, 0)) AS cms_est
+       |  FROM (SELECT DISTINCT window_start FROM cells) w
+       |  CROSS JOIN pk
+       |  LEFT JOIN cells c ON c.window_start = w.window_start
+       |    AND c.d = pk.d AND c.bucket = pk.bucket
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT window_start, u AS "user", count(*) AS n_exact FROM ev GROUP BY 1, 2
+       |)
+       |SELECT e.window_start, e."user",
+       |  cast(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+       |  cast(e.cms_est AS BIGINT) AS cms_est
+       |FROM est e LEFT JOIN exact x USING (window_start, "user")
+       |ORDER BY e.window_start, e."user"""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q195_stream_cms", streamCms, Some(streamCmsOracle)),
     Q("q180_stream_hist_quantiles", streamHistQuantiles, Some(streamHistQuantilesOracle)),
     Q("q178_stream_neardup", streamNearDup, Some(streamNearDupOracle)),
     Q("q161_stream_encode", streamEncode, Some(PipelineQueries.tokenIdEncodeOracle)),

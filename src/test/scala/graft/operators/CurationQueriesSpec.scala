@@ -173,4 +173,37 @@ class CurationQueriesSpec extends SparkSpec with Matchers {
     naive.length shouldBe 1
     naive.head should be <= 1L
   }
+
+  test("q194 pareto frontier equals the brute-force domination check") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 5) {
+      // random (score, len) docs with deliberate ties on both axes
+      val docs = (0L until 60L).map { id =>
+        (id, rnd.nextInt(6) / 10.0, (20 + rnd.nextInt(5) * 10).toLong)
+      }
+      val d = java.nio.file.Files.createTempDirectory("graft-pareto").toString
+      // encode score as alphabetic density: text of len chars with
+      // round(score*len) letters, rest '1's — reproduces the lane formula
+      docs.map { case (id, s, len) =>
+        val letters = math.round(s * len).toInt
+        (id, "a" * letters + "1" * (len.toInt - letters), "en", "web", len)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+      val got = CurationQueries.paretoFrontier(spark, d)
+        .collect().map(_.getLong(0)).toSet
+      val exact = docs.map { case (id, s, len) =>
+        val score = BigDecimal(math.round(s * len).toDouble / len)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, score, len)
+      }
+      val expected = exact.filter { case (id, s, l) =>
+        !exact.exists { case (id2, s2, l2) =>
+          id2 != id && s2 >= s && l2 <= l && (s2 > s || l2 < l)
+        }
+      }.map(_._1).toSet
+      withClue(s"trial=$trial: ") { got shouldBe expected }
+    }
+  }
 }
