@@ -1554,6 +1554,139 @@ object RelationalQueries {
        |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q196
+  /** Single-source shortest paths by 4 unrolled min-plus relaxation rounds
+    * (Bellman–Ford — the canonical Pregel/BSP example, expressed as the
+    * per-round join+aggregate every distributed graph engine lowers it
+    * to) over the same sparsified trade graph as q184: dist ← min(dist,
+    * min over in-edges (dist(u) + w)). NULL plays infinity through
+    * aggregate-min semantics (candidates UNION current, min ignores
+    * nothing — absent = still unreachable), so no float and no sentinel
+    * arithmetic: all integer, hash-exact, and the unrolled oracle
+    * certifies every round's frontier, not just the fixpoint. Per round:
+    * one edge⋈dist join + one node-keyed min — the PageRank shuffle
+    * budget. */
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val full = edges.select($"src".as("a"), $"dst".as("b"), $"w")
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b"), $"w"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(sum($"w").as("w"))
+    val arcs = full
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"a").orderBy($"w".desc, $"b")))
+      .filter($"rn" <= 2).select($"a", $"b", $"w")
+    val und = arcs.unionByName(arcs.select($"b".as("a"), $"a".as("b"), $"w"))
+      .groupBy($"a", $"b").agg(max($"w").as("w"))
+    val nodes = table(spark, dir, "nation").select($"n_nationkey".as("node"))
+    var dist = nodes.select($"node",
+      when($"node" === 0, 0L).otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to 4) {
+      val reached = dist.filter($"dist".isNotNull)
+      val relaxed = und.join(reached.select($"node".as("a"), $"dist"), "a")
+        .select($"b".as("node"), ($"dist" + $"w").as("nd"))
+        .unionByName(reached.select($"node", $"dist".as("nd")))
+        .groupBy($"node").agg(min($"nd").as("nd"))
+      dist = nodes.join(relaxed, Seq("node"), "left")
+        .select($"node", $"nd".as("dist"))
+    }
+    dist.orderBy($"node")
+  }
+
+  val shortestPathsOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, r.nd AS dist
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT node, min(nd) AS nd FROM (
+         |      SELECT e.b AS node, p.dist + e.w AS nd
+         |      FROM und e JOIN $prev p ON p.node = e.a AND p.dist IS NOT NULL
+         |      UNION ALL
+         |      SELECT node, dist AS nd FROM $prev WHERE dist IS NOT NULL
+         |    ) GROUP BY node
+         |  ) r ON n.node = r.node
+         |)""".stripMargin
+    val rounds = (1 to 4).map(i => round(if (i == 1) "d0" else s"d${i - 1}", s"d$i"))
+    s"""WITH edges AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2
+       |), full_g AS (
+       |  SELECT a, b, cast(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges
+       |    UNION ALL
+       |    SELECT dst AS a, src AS b, w FROM edges
+       |  ) WHERE a != b GROUP BY 1, 2
+       |), arcs AS (
+       |  SELECT a, b, w FROM (
+       |    SELECT a, b, w, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+       |    FROM full_g
+       |  ) WHERE rn <= 2
+       |), und AS (
+       |  SELECT a, b, max(w) AS w FROM (
+       |    SELECT a, b, w FROM arcs
+       |    UNION ALL
+       |    SELECT b AS a, a AS b, w FROM arcs
+       |  ) GROUP BY 1, 2
+       |), nodes AS (
+       |  SELECT n_nationkey AS node FROM nation
+       |), d0 AS (
+       |  SELECT node, CASE WHEN node = 0 THEN 0::BIGINT END AS dist FROM nodes
+       |), ${rounds.mkString(", ")}
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q197
+  /** Join-key skew audit — the diagnostic that DECIDES when q35's salted
+    * join engages: per-key counts of lineitem.l_suppkey reduced to one
+    * summary row of n_keys, total, max, skew ratio (max/mean) and the
+    * Gini coefficient of the key distribution, all from exact integer
+    * sums (Σ rank·count via one window over the KEY table — dimension-
+    * sized; for corpus-scale key spaces the rank sum comes from the q115
+    * quantile sketch instead). The doubles are conversions of exact
+    * integers through textually identical expressions — hash-exact. */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = table(spark, dir, "lineitem")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("i", row_number().over(Window.orderBy($"c", $"l_suppkey")).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum($"c").cast("long").as("total_rows"),
+        max($"c").as("max_cnt"), sum($"i" * $"c").cast("long").as("sic"))
+      .select($"n_keys", $"total_rows", $"max_cnt",
+        round($"max_cnt".cast("double") * $"n_keys".cast("double") /
+          $"total_rows".cast("double"), 6).as("skew_ratio"),
+        round((lit(2.0) * $"sic".cast("double") -
+            ($"n_keys".cast("double") + 1.0) * $"total_rows".cast("double")) /
+          ($"n_keys".cast("double") * $"total_rows".cast("double")), 6).as("gini"))
+  }
+
+  val keySkewAuditOracle: String =
+    """WITH c AS (
+      |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+      |), idx AS (
+      |  SELECT c, cast(row_number() OVER (ORDER BY c, l_suppkey) AS BIGINT) AS i FROM c
+      |), m AS (
+      |  SELECT count(*) AS n_keys, cast(sum(c) AS BIGINT) AS total_rows,
+      |    max(c) AS max_cnt, cast(sum(i * c) AS BIGINT) AS sic
+      |  FROM idx
+      |)
+      |SELECT n_keys, total_rows, max_cnt,
+      |  round(max_cnt::DOUBLE * n_keys::DOUBLE / total_rows::DOUBLE, 6) AS skew_ratio,
+      |  round((2.0 * sic::DOUBLE - (n_keys::DOUBLE + 1.0) * total_rows::DOUBLE) /
+      |    (n_keys::DOUBLE * total_rows::DOUBLE), 6) AS gini
+      |FROM m""".stripMargin
+
   /** Pearson correlation from EXACT moment sums: built-in `corr` uses
     * Welford-style updates whose float error depends on partial-agg order
     * (and differs from DuckDB's implementation), so instead the five moments
@@ -1729,6 +1862,8 @@ object RelationalQueries {
     Q("q93_funnel_detect", funnelDetect, Some(funnelDetectOracle)),
     Q("q101_pagerank", pageRank, Some(pageRankOracle)),
     Q("q184_label_propagation", labelPropagation, Some(labelPropagationOracle)),
+    Q("q196_shortest_paths", shortestPaths, Some(shortestPathsOracle)),
+    Q("q197_key_skew_audit", keySkewAudit, Some(keySkewAuditOracle)),
     Q("q105_corr_moments", corrMoments, Some(corrMomentsOracle)),
     Q("q106_cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileOracle)),
     Q("q107_bucketed_range_join", bucketedRangeJoin, Some(bucketedRangeJoinOracle)),
