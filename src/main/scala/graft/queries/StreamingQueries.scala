@@ -723,9 +723,9 @@ object StreamingQueries {
     val drained = runToMemory(spark, "stream_cms", "complete") { ss =>
       eventsStream(ss, dir)
         .filter(col("user_id").isNotNull)
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", "1 day")
         .select(col("ts"), keyCells(col("user_id").cast("string")).as("_c"))
-        .groupBy(window(col("ts"), "1 hour").as("wnd"),
+        .groupBy(window(col("ts"), "1 day").as("wnd"),
           col("_c.d").as("d"), col("_c.bucket").as("bucket"))
         .agg(count(lit(1)).as("n"))
     }
@@ -745,7 +745,7 @@ object StreamingQueries {
       .groupBy($"window_start", $"user")
       .agg(min(coalesce($"n", lit(0L))).as("cms_est"))
     val exact = events
-      .select(date_trunc("hour", $"ts").as("window_start"),
+      .select(date_trunc("day", $"ts").as("window_start"),
         $"user_id".cast("string").as("user"))
       .groupBy($"window_start", $"user").agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("window_start", "user"), "left")
@@ -757,7 +757,7 @@ object StreamingQueries {
   val streamCmsOracle: String = {
     val m = DuckHashSql.mix64Sql("h", "d")
     s"""WITH ev AS (
-       |  SELECT date_trunc('hour', ts) AS window_start, cast(user_id AS VARCHAR) AS u
+       |  SELECT date_trunc('day', ts) AS window_start, cast(user_id AS VARCHAR) AS u
        |  FROM events WHERE user_id IS NOT NULL
        |), uh AS (
        |  SELECT u, ${DuckHashSql.hash64Sql("u")} AS h FROM (SELECT DISTINCT u FROM ev)
