@@ -146,6 +146,8 @@ object CoreQueries {
     supplierViaCsv(spark, dir)
     supplierViaJsonl(spark, dir)
     supplierViaOrc(spark, dir)
+    supplierViaAvro(spark, dir)
+    supplierGenerations(spark, dir)
     eventsPartitionedParquet(spark, dir)
     bucketedTables(spark, dir)
   }
@@ -278,6 +280,47 @@ object CoreQueries {
   val q191Oracle: String =
     s"""SELECT s_nationkey, count(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_bal,
        |  max(s_suppkey) AS max_suppkey
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Schema EVOLUTION across parquet generations — the drift every
+    * long-lived ingest hits: generation 1 wrote (suppkey, nationkey,
+    * name); generation 2 added `s_acctbal`. `mergeSchema=true` unions the
+    * file schemas at read time and fills the missing column with NULL for
+    * old-generation rows; the aggregate counts and sums prove both the
+    * union and the NULL-fill. The oracle reconstructs the identical
+    * two-generation view from the original table (even suppkeys = gen 1).
+    * Marker-guarded scratch like the ORC/Avro twins. */
+  def supplierGenerations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pq = QueryRegistry.table(spark, dir, "supplier")
+    val out = QueryRegistry.scratch(dir, "supplier_gens")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      pq.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey", $"s_nationkey", $"s_name")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      pq.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_nationkey", $"s_name", $"s_acctbal")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      marker.createNewFile()
+    }
+    spark.read.option("mergeSchema", "true").parquet(out)
+  }
+
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplierGenerations(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        count($"s_acctbal").as("n_with_bal"),
+        dsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q198Oracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_suppliers,
+       |  count(CASE WHEN s_suppkey % 2 = 1 THEN 1 END) AS n_with_bal,
+       |  ${dsumSql("CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END")} AS sum_bal
        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Events as a Hive-partitioned PARQUET layout (partitionBy(event_type)),
@@ -677,6 +720,7 @@ object CoreQueries {
     Q("q95_jsonl_source", q95, Some(q95Oracle)),
     Q("q117_orc_source", q117, Some(q117Oracle)),
     Q("q191_avro_source", q191, Some(q191Oracle)),
+    Q("q198_schema_evolution", q198, Some(q198Oracle)),
     Q("q96_parquet_partition_pruned", q96, Some(q96Oracle)),
     Q("q97_bucketed_join", q97, Some(q97Oracle)))
 }
