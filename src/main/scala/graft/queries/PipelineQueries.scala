@@ -1603,7 +1603,8 @@ object PipelineQueries {
     Q("q109_hll_setops", hllSetOps, Some(hllSetOpsOracle)),
     Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
     Q("q181_logreg_train", logregTrain, Some(logregTrainOracle)),
-    Q("q182_logreg_score", logregScore, Some(logregScoreOracle)))
+    Q("q182_logreg_score", logregScore, Some(logregScoreOracle)),
+    Q("q199_classifier_eval", classifierEval, Some(classifierEvalOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -1703,4 +1704,67 @@ object PipelineQueries {
        |  ${CoreQueries.dsumSql("s.m")} AS sum_margin
        |FROM score s JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** Classifier EVALUATION: the precision/recall/F1 threshold sweep every
+    * quality-filter deployment runs before picking its operating point —
+    * q181 trains, q182 scores, this grades. Per margin threshold t ∈
+    * {−2,−1,0,1,2}: confusion counts of (margin > t) against the true
+    * is-English label, plus precision (NULL when nothing is predicted
+    * positive — the nullif convention), recall, and F1 in its direct
+    * 2tp/(2tp+fp+fn) form so no rounded value is composed. Margins are
+    * the q182 decimal-exact sums, so thresholds cut identically in both
+    * engines; metrics are integer-count ratios — hash-exact. Scale
+    * shape: one margin table (the q182 shuffle budget) × 5 threshold
+    * rows via a literal explode, everything downstream 5 rows. */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val wdf = graft.operators.LogReg.trainWeights(
+      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
+    val feats = graft.operators.LogReg.features(
+      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
+    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+      .select($"m", ($"lang" === "en").cast("int").as("y"))
+    val conf = scored
+      .select($"m", $"y", explode(typedLit(Seq(-2.0, -1.0, 0.0, 1.0, 2.0))).as("t"))
+      .groupBy($"t")
+      .agg(
+        sum(when($"m" > $"t", $"y").otherwise(0)).cast("long").as("tp"),
+        sum(when($"m" > $"t", lit(1) - $"y").otherwise(0)).cast("long").as("fp"),
+        sum(when($"m" <= $"t", $"y").otherwise(0)).cast("long").as("fn"),
+        sum(when($"m" <= $"t", lit(1) - $"y").otherwise(0)).cast("long").as("tn"))
+    conf.select($"t", $"tp", $"fp", $"fn", $"tn",
+        round($"tp".cast("double") /
+          nullif(($"tp" + $"fp").cast("double"), lit(0.0)), 6).as("precision"),
+        round($"tp".cast("double") /
+          nullif(($"tp" + $"fn").cast("double"), lit(0.0)), 6).as("recall"),
+        round(lit(2.0) * $"tp".cast("double") /
+          nullif((lit(2.0) * $"tp" + $"fp" + $"fn").cast("double"), lit(0.0)), 6).as("f1"))
+      .orderBy($"t")
+  }
+
+  val classifierEvalOracle: String =
+    s"""WITH ${logregCtes(3)}, score AS (
+       |  SELECT db.doc_id, cast(sum(cast(w.w * db.c AS DECIMAL(30,10))) AS DOUBLE) AS m
+       |  FROM db JOIN w3 w USING (b) GROUP BY db.doc_id
+       |), lab AS (
+       |  SELECT s.m, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM score s JOIN documents d USING (doc_id)
+       |), conf AS (
+       |  SELECT t.t,
+       |    cast(sum(CASE WHEN m > t.t THEN y ELSE 0 END) AS BIGINT) AS tp,
+       |    cast(sum(CASE WHEN m > t.t THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+       |    cast(sum(CASE WHEN m <= t.t THEN y ELSE 0 END) AS BIGINT) AS fn,
+       |    cast(sum(CASE WHEN m <= t.t THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+       |  FROM lab CROSS JOIN (SELECT unnest([-2.0, -1.0, 0.0, 1.0, 2.0]::DOUBLE[]) AS t) t
+       |  GROUP BY t.t
+       |)
+       |SELECT t, tp, fp, fn, tn,
+       |  round(tp::DOUBLE / nullif((tp + fp)::DOUBLE, 0.0), 6) AS precision,
+       |  round(tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0.0), 6) AS recall,
+       |  round(2.0 * tp::DOUBLE / nullif((2.0 * tp + fp + fn)::DOUBLE, 0.0), 6) AS f1
+       |FROM conf ORDER BY t""".stripMargin
 }

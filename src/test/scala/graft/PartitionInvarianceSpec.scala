@@ -47,4 +47,19 @@ class PartitionInvarianceSpec extends SparkSpec with Matchers {
       withClue(s"$name: ") { run(name, 3) shouldBe run(name, 13) }
     }
   }
+
+  test("lane results are identical with AQE disabled") {
+    // AQE coalesces/replans at runtime — a second physical-plan axis the
+    // conventions must be invariant to
+    val sample = Seq("q103_label_centroids", "q187_embedding_standardize",
+      "q193_power_iteration", "q52_minhash_lsh_neardup", "q189_segment_em_train")
+    sample.foreach { name =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "7")
+      val noAqe = QueryRegistry.queries(name)(ss, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      withClue(s"$name: ") { noAqe shouldBe run(name, 7) }
+    }
+  }
 }
