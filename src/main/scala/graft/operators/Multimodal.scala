@@ -69,6 +69,41 @@ object Multimodal {
       .toDF("id", "media")
   }
 
+  /** Video payload whose FRAME CONTENT is keyed by `id % classes` instead of
+    * the id itself: geometry (w, h, c) and frame seeds derive from the class
+    * key, frame COUNT still from the id — so two videos in one class share
+    * their overlapping frame indices byte-for-byte while differing in
+    * length. This is the planted ground truth for cross-video duplicate
+    * detection: which pairs share frames is pure id arithmetic the oracle
+    * recomputes without ever seeing a byte. */
+  def synthKeyedPayload(id: Long, classes: Int): Array[Byte] = {
+    val key = id % classes
+    val (w, h, c) = (8 + (key % 17).toInt, 8 + (key % 13).toInt, 1 + (key % 3).toInt)
+    val nf = 1 + (id % 5).toInt
+    val frameSize = w * h * c
+    val out = java.nio.ByteBuffer.allocate(HeaderLen + nf * frameSize)
+    out.put(Magic.getBytes("US-ASCII"))
+    out.putInt(2); out.putInt(w); out.putInt(h); out.putInt(c); out.putInt(nf)
+    var f = 0
+    while (f < nf) {
+      val rng = new java.util.Random(key * 1000003L + f)
+      val frame = new Array[Byte](frameSize)
+      rng.nextBytes(frame)
+      out.put(frame)
+      f += 1
+    }
+    out.array()
+  }
+
+  /** [[attachMedia]] twin over [[synthKeyedPayload]]. */
+  def attachKeyedMedia(ids: DataFrame, idCol: String, classes: Int): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map(id => Media(id, synthKeyedPayload(id, classes))))
+      .toDF("id", "media")
+  }
+
   // ---- expression-level header access (no codec, codegen'd) ----
 
   /** Big-endian int32 at 1-based byte position `pos` of a binary column. */

@@ -132,8 +132,45 @@ object MultimodalQueries {
       |  cast(sum(frame_bytes) AS BIGINT) AS total_frame_bytes
       |FROM perdoc GROUP BY nf ORDER BY n_frames""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** Cross-video duplicate-FRAME detection — the multimodal member of the
+    * dedup family: every frame of every video payload is checksummed by a
+    * pure expression (no codec, no byte ever leaves the scan stage except
+    * as an 8-byte hash), identical frames meet in a content-keyed
+    * equi-join, and pairs aggregate shared-frame counts. Fan-out per hash
+    * bucket is bounded by the duplicate-class size — the LSH-band
+    * argument, here with EXACT content keys. The payloads plant the
+    * ground truth by construction ([[Multimodal.synthKeyedPayload]]:
+    * frame content keyed by doc_id % 40, frame count by doc_id), so the
+    * oracle derives every expected pair and its shared count
+    * min(nf_a, nf_b) from id arithmetic alone — a hash match certifies
+    * real binary frame extraction + hashing end-to-end. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = table(spark, dir, "documents")
+      .filter($"doc_id" % 3 === 2).select($"doc_id")
+    val m = Multimodal.attachKeyedMedia(vids, "doc_id", classes = 40)
+    val fh = m.select($"id",
+      explode(Multimodal.sampledFrameChecksums($"media", 1)).as("h"))
+    fh.as("x").join(fh.as("y"), $"x.h" === $"y.h" && $"x.id" < $"y.id")
+      .groupBy($"x.id".as("doc_a"), $"y.id".as("doc_b"))
+      .agg(countDistinct($"x.h").as("n_shared"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val multimodalNearDupOracle: String =
+    """WITH v AS (
+      |  SELECT doc_id, doc_id % 40 AS k, 1 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  cast(least(a.nf, b.nf) AS BIGINT) AS n_shared
+      |FROM v a JOIN v b ON a.k = b.k AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q80_multimodal_meta", meta, Some(metaOracle)),
     Q("q81_multimodal_features", features, Some(featuresOracle)),
-    Q("q82_frame_sample", frameSample, Some(frameSampleOracle)))
+    Q("q82_frame_sample", frameSample, Some(frameSampleOracle)),
+    Q("q200_multimodal_neardup", multimodalNearDup, Some(multimodalNearDupOracle)))
 }
