@@ -144,7 +144,14 @@ object MultimodalQueries {
     * frame content keyed by doc_id % 40, frame count by doc_id), so the
     * oracle derives every expected pair and its shared count
     * min(nf_a, nf_b) from id arithmetic alone — a hash match certifies
-    * real binary frame extraction + hashing end-to-end. */
+    * real binary frame extraction + hashing end-to-end.
+    *
+    * Output is ALL duplicate pairs, so it grows quadratically in the
+    * duplicate-class size (sf1 rehearsal: 3.46 M pairs in 4.1 s warm —
+    * linear time per output row). At corpus scale the production form
+    * collapses classes to connected components / canonical
+    * representatives instead of enumerating pairs — exactly
+    * [[graft.operators.Dedup.connectedComponents]]'s q55 argument. */
   def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vids = table(spark, dir, "documents")
