@@ -79,38 +79,106 @@ object VectorOps {
     * drift). */
   def powerIteration(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ex = centeredRows(embs, idCol, vecCol)
+    val (v, lambda) =
+      leadingDirection(ex, idCol, startVector(ex, alternate = false), iters, None)
+    v.crossJoin(broadcast(lambda))
+      .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+      .orderBy(col("dim"))
+  }
+
+  /** Top TWO principal directions: PC1 as [[powerIteration]], then PC2 by
+    * ORTHOGONAL DEFLATION — the same iteration with each un-normalized
+    * step re-projected off PC1 (u ← u − (u·v₁)v₁) before normalizing, so
+    * the iterate converges in the orthogonal complement without ever
+    * materializing a deflated matrix. PC2 starts from the exact
+    * alternating ±⅛ vector (the all-⅛ start lives mostly inside PC1's
+    * span). Returns (pc, dim, loading, lambda) — same fold-exactness
+    * contract as [[powerIteration]]: the whole two-component trajectory
+    * hash-matches the oracle's unrolled replay. */
+  def topTwoComponents(
+      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
+    val ex = centeredRows(embs, idCol, vecCol)
+    val (v1, l1) =
+      leadingDirection(ex, idCol, startVector(ex, alternate = false), iters, None)
+    val (v2, l2) =
+      leadingDirection(ex, idCol, startVector(ex, alternate = true), iters, Some(v1))
+    def out(pc: Int, v: DataFrame, l: DataFrame) =
+      v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
+        round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+    out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
+  }
+
+  /** Mean-centered (idCol, dim, xc) rows — ordered-fold means. */
+  private def centeredRows(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex0 = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
-    def fold(items: org.apache.spark.sql.Column) =
-      aggregate(sort_array(items), lit(0.0), (a, s) => a + s.getField("t"))
     val means = ex0.groupBy(col("dim"))
-      .agg(fold(collect_list(struct(col(idCol), col("x").as("t")))).as("sx"),
+      .agg(tFold(collect_list(struct(col(idCol), col("x").as("t")))).as("sx"),
         count(lit(1)).cast("double").as("n"))
       .select(col("dim"), (col("sx") / col("n")).as("mean"))
-    val ex = ex0.join(broadcast(means), Seq("dim"))
+    ex0.join(broadcast(means), Seq("dim"))
       .select(col(idCol), col("dim"), (col("x") - col("mean")).as("xc"))
+  }
 
-    var v = means.select(col("dim"), lit(0.125).as("v"))
+  /** Exact start vector over the dims of `ex`: all ⅛, or alternating ±⅛. */
+  private def startVector(ex: DataFrame, alternate: Boolean): DataFrame = {
+    val dims = ex.select(col("dim")).distinct()
+    if (alternate)
+      dims.select(col("dim"),
+        when(col("dim") % 2 === 0, 0.125).otherwise(-0.125).as("v"))
+    else dims.select(col("dim"), lit(0.125).as("v"))
+  }
+
+  /** Ordered left-to-right IEEE fold of struct items by their first field. */
+  private def tFold(items: org.apache.spark.sql.Column) =
+    aggregate(sort_array(items), lit(0.0), (a, s) => a + s.getField("t"))
+
+  /** `iters` power-iteration rounds from `v0`; when `orthoTo` is given,
+    * every un-normalized step is re-projected off that unit direction
+    * before normalizing. Returns the UNROUNDED (dim, v) direction and the
+    * single-row (nrm) of the final step. */
+  private def leadingDirection(
+      ex: DataFrame, idCol: String, v0: DataFrame, iters: Int,
+      orthoTo: Option[DataFrame]): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var v = v0
     var lambda: DataFrame = null
     for (_ <- 1 to iters) {
       val s = ex.join(broadcast(v), Seq("dim"))
         .select(col(idCol), struct(col("dim"), (col("xc") * col("v")).as("t")).as("item"))
-        .groupBy(col(idCol)).agg(fold(collect_list(col("item"))).as("s"))
-      val u = ex.join(s, Seq(idCol))
+        .groupBy(col(idCol)).agg(tFold(collect_list(col("item"))).as("s"))
+      var u = ex.join(s, Seq(idCol))
         .select(col("dim"),
           struct(col(idCol), (col("s") * col("xc")).as("t")).as("item"))
-        .groupBy(col("dim")).agg(fold(collect_list(col("item"))).as("u"))
+        .groupBy(col("dim")).agg(tFold(collect_list(col("item"))).as("u"))
+      orthoTo.foreach { v1 =>
+        val dot = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
+          .select(struct(col("dim"), (col("u") * col("v1")).as("t")).as("item"))
+          .agg(tFold(collect_list(col("item"))).as("dt"))
+        u = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
+          .crossJoin(broadcast(dot))
+          .select(col("dim"), (col("u") - col("dt") * col("v1")).as("u"))
+      }
       lambda = u
         .select(struct(col("dim"), (col("u") * col("u")).as("t")).as("item"))
-        .agg(sqrt(fold(collect_list(col("item")))).as("nrm"))
+        .agg(sqrt(tFold(collect_list(col("item")))).as("nrm"))
       v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
+      // materialize the d-row direction (and 1-row norm) each round — a
+      // bounded pull that CUTS the lineage: left lazy, every iteration
+      // re-derives all prior subtrees (u is referenced by dot/ortho/norm/v,
+      // each reference duplicating the tree → combinatorial plan growth by
+      // round 3 of the deflated run). Values are unchanged — the pull is
+      // after the exact folds.
+      val spark = ex.sparkSession
+      v = spark.createDataFrame(
+        java.util.Arrays.asList(v.collect(): _*), v.schema)
+      lambda = spark.createDataFrame(
+        java.util.Arrays.asList(lambda.collect(): _*), lambda.schema)
     }
-    v.crossJoin(broadcast(lambda))
-      .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
-      .orderBy(col("dim"))
+    (v, lambda)
   }
 
   /** JL projection to `k` dimensions: (idCol, j, y) where

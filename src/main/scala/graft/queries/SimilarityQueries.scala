@@ -800,6 +800,75 @@ object SimilarityQueries {
        |FROM v3 CROSS JOIN n3 ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q201
+  /** Top-2 principal components by power iteration + ORTHOGONAL DEFLATION
+    * ([[VectorOps.topTwoComponents]]): PC2 iterates with every
+    * un-normalized step re-projected off PC1 (u ← u − (u·v₁)v₁) — the
+    * orthogonal complement without a deflated matrix — from the exact
+    * alternating ±⅛ start. Both components' full trajectories (loadings
+    * AND λ estimates) hash-match the oracle's CTE-unrolled replay. */
+  def topTwoPcsLane(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.topTwoComponents(table(spark, dir, "embeddings"), "vec_id", "embedding",
+      iters = 3)
+
+  val topTwoPcsOracle: String = {
+    def fold(expr: String, ord: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list($expr ORDER BY $ord)), (a, b) -> a + b)"
+    def iter1(k: Int, vPrev: String): String =
+      s"""s$k AS MATERIALIZED (
+         |  SELECT vec_id, ${fold("xc * v", "dim")} AS s
+         |  FROM exc JOIN $vPrev USING (dim) GROUP BY vec_id
+         |), u$k AS MATERIALIZED (
+         |  SELECT dim, ${fold("s * xc", "vec_id")} AS u
+         |  FROM exc JOIN s$k USING (vec_id) GROUP BY dim
+         |), n$k AS MATERIALIZED (
+         |  SELECT sqrt(${fold("u * u", "dim")}) AS nrm FROM u$k
+         |), v$k AS MATERIALIZED (
+         |  SELECT dim, u / nrm AS v FROM u$k CROSS JOIN n$k
+         |)""".stripMargin
+    def iter2(k: Int, vPrev: String): String =
+      s"""t$k AS MATERIALIZED (
+         |  SELECT vec_id, ${fold("xc * v", "dim")} AS s
+         |  FROM exc JOIN $vPrev USING (dim) GROUP BY vec_id
+         |), w$k AS MATERIALIZED (
+         |  SELECT dim, ${fold("s * xc", "vec_id")} AS u
+         |  FROM exc JOIN t$k USING (vec_id) GROUP BY dim
+         |), dt$k AS MATERIALIZED (
+         |  SELECT ${fold(s"w$k.u * v3.v", "dim")} AS dt
+         |  FROM w$k JOIN v3 USING (dim)
+         |), wo$k AS MATERIALIZED (
+         |  SELECT w$k.dim, w$k.u - dt * v3.v AS u
+         |  FROM w$k JOIN v3 USING (dim) CROSS JOIN dt$k
+         |), m$k AS MATERIALIZED (
+         |  SELECT sqrt(${fold("u * u", "dim")}) AS nrm FROM wo$k
+         |), z$k AS MATERIALIZED (
+         |  SELECT dim, u / nrm AS v FROM wo$k CROSS JOIN m$k
+         |)""".stripMargin
+    val pc1 = (1 to 3).map(i => iter1(i, if (i == 1) "v0" else s"v${i - 1}"))
+    val pc2 = (1 to 3).map(i => iter2(i, if (i == 1) "z0" else s"z${i - 1}"))
+    s"""WITH ex0 AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    cast(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), means AS (
+       |  SELECT dim, ${fold("x", "vec_id")} / count(*)::DOUBLE AS mean
+       |  FROM ex0 GROUP BY dim
+       |), exc AS MATERIALIZED (
+       |  SELECT vec_id, ex0.dim, x - mean AS xc FROM ex0 JOIN means USING (dim)
+       |), v0 AS (
+       |  SELECT dim, 0.125::DOUBLE AS v FROM means
+       |), ${pc1.mkString(", ")}, z0 AS (
+       |  SELECT dim, CASE WHEN dim % 2 = 0 THEN 0.125::DOUBLE ELSE -0.125::DOUBLE END AS v
+       |  FROM means
+       |), ${pc2.mkString(", ")}
+       |SELECT 1 AS pc, dim, round(v, 6) AS loading, round(nrm, 6) AS lambda
+       |FROM v3 CROSS JOIN n3
+       |UNION ALL
+       |SELECT 2 AS pc, dim, round(v, 6) AS loading, round(nrm, 6) AS lambda
+       |FROM z3 CROSS JOIN m3
+       |ORDER BY pc, dim""".stripMargin
+  }
+
   /** Farthest-point-sampling diversity coreset (greedy k-center) — k = 8
     * maximally-spread embedding rows. The oracle replays the greedy loop
     * exactly with a recursive CTE: same lowest-id seed, same left-to-right
@@ -985,6 +1054,7 @@ object SimilarityQueries {
     Q("q188_jl_projection", jlProjection, Some(jlProjectionOracle)),
     Q("q192_rbo_agreement", rboAgreement, Some(rboAgreementOracle)),
     Q("q193_power_iteration", powerIterationLane, Some(powerIterationOracle)),
+    Q("q201_top_two_pcs", topTwoPcsLane, Some(topTwoPcsOracle)),
     Q("q177_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     Q("q60_knn_bruteforce", knnBrute, Some(knnBruteOracle)),
     Q("q61_knn_lsh", knnLsh, Some(knnLshOracle)),

@@ -108,6 +108,32 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     (0 until d).filter(_ != 2).foreach(j => math.abs(out(j)) should be < 0.15)
   }
 
+  test("topTwoComponents: unit, orthogonal, lambda-ordered; planted dirs found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val d = 8
+    // dominant variance on dim 2, second on dim 5, noise elsewhere
+    val vecs = (1L to 250L).map { id =>
+      val v = Array.fill(d)(rnd.nextFloat() * 0.1f - 0.05f)
+      v(2) = rnd.nextFloat() * 10f - 5f
+      v(5) = rnd.nextFloat() * 4f - 2f
+      (id, v)
+    }
+    val out = VectorOps.topTwoComponents(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val pc1 = out.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val pc2 = out.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    val l1 = out.find(_._1 == 1).get._4
+    val l2 = out.find(_._1 == 2).get._4
+    math.abs(pc1.map(x => x * x).sum - 1.0) should be < 1e-4
+    math.abs(pc2.map(x => x * x).sum - 1.0) should be < 1e-4
+    math.abs(pc1.zip(pc2).map { case (a, b) => a * b }.sum) should be < 1e-3
+    l1 should be > l2
+    math.abs(pc1(2)) should be > 0.99
+    math.abs(pc2(5)) should be > 0.99
+  }
+
   test("jlProject drops vectors whose length differs from the declared dim") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
