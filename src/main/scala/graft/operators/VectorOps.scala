@@ -79,9 +79,12 @@ object VectorOps {
     * drift). */
   def powerIteration(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
+    // single-component run stays fully LAZY (one action at the end): the
+    // subtree duplication is a bounded 2^iters here, cheaper than per-round
+    // materializing actions — only the deflated run needs those
     val ex = centeredRows(embs, idCol, vecCol)
-    val (v, lambda) =
-      leadingDirection(ex, idCol, startVector(ex, alternate = false), iters, None)
+    val (v, lambda) = leadingDirection(ex, idCol,
+      startVector(ex, alternate = false), iters, None, materializeEachRound = false)
     v.crossJoin(broadcast(lambda))
       .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
       .orderBy(col("dim"))
@@ -98,15 +101,17 @@ object VectorOps {
     * hash-matches the oracle's unrolled replay. */
   def topTwoComponents(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
-    val ex = centeredRows(embs, idCol, vecCol)
-    val (v1, l1) =
-      leadingDirection(ex, idCol, startVector(ex, alternate = false), iters, None)
-    val (v2, l2) =
-      leadingDirection(ex, idCol, startVector(ex, alternate = true), iters, Some(v1))
-    def out(pc: Int, v: DataFrame, l: DataFrame) =
-      v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
-        round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
-    out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
+    val ex = centeredRows(embs, idCol, vecCol).persist() // see powerIteration
+    try {
+      val (v1, l1) = leadingDirection(ex, idCol,
+        startVector(ex, alternate = false), iters, None, materializeEachRound = true)
+      val (v2, l2) = leadingDirection(ex, idCol,
+        startVector(ex, alternate = true), iters, Some(v1), materializeEachRound = true)
+      def out(pc: Int, v: DataFrame, l: DataFrame) =
+        v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
+          round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+      out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
+    } finally ex.unpersist(blocking = false)
   }
 
   /** Mean-centered (idCol, dim, xc) rows — ordered-fold means. */
@@ -142,7 +147,7 @@ object VectorOps {
     * single-row (nrm) of the final step. */
   private def leadingDirection(
       ex: DataFrame, idCol: String, v0: DataFrame, iters: Int,
-      orthoTo: Option[DataFrame]): (DataFrame, DataFrame) = {
+      orthoTo: Option[DataFrame], materializeEachRound: Boolean): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var v = v0
     var lambda: DataFrame = null
@@ -166,17 +171,29 @@ object VectorOps {
         .select(struct(col("dim"), (col("u") * col("u")).as("t")).as("item"))
         .agg(sqrt(tFold(collect_list(col("item")))).as("nrm"))
       v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
-      // materialize the d-row direction (and 1-row norm) each round — a
+      if (materializeEachRound) {
+      // materialize the d-row direction (and 1-row norm) each round — ONE
       // bounded pull that CUTS the lineage: left lazy, every iteration
       // re-derives all prior subtrees (u is referenced by dot/ortho/norm/v,
       // each reference duplicating the tree → combinatorial plan growth by
       // round 3 of the deflated run). Values are unchanged — the pull is
       // after the exact folds.
       val spark = ex.sparkSession
+      val rows = v.crossJoin(broadcast(lambda)).collect() // d rows
       v = spark.createDataFrame(
-        java.util.Arrays.asList(v.collect(): _*), v.schema)
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
       lambda = spark.createDataFrame(
-        java.util.Arrays.asList(lambda.collect(): _*), lambda.schema)
+        java.util.Arrays.asList(org.apache.spark.sql.Row(rows.head.get(2))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nrm",
+            org.apache.spark.sql.types.DoubleType))))
+      }
     }
     (v, lambda)
   }

@@ -809,7 +809,7 @@ object SimilarityQueries {
     * AND λ estimates) hash-match the oracle's CTE-unrolled replay. */
   def topTwoPcsLane(spark: SparkSession, dir: String): DataFrame =
     VectorOps.topTwoComponents(table(spark, dir, "embeddings"), "vec_id", "embedding",
-      iters = 3)
+      iters = 2)
 
   val topTwoPcsOracle: String = {
     def fold(expr: String, ord: String): String =
@@ -834,18 +834,18 @@ object SimilarityQueries {
          |  SELECT dim, ${fold("s * xc", "vec_id")} AS u
          |  FROM exc JOIN t$k USING (vec_id) GROUP BY dim
          |), dt$k AS MATERIALIZED (
-         |  SELECT ${fold(s"w$k.u * v3.v", "dim")} AS dt
-         |  FROM w$k JOIN v3 USING (dim)
+         |  SELECT ${fold(s"w$k.u * v2.v", "dim")} AS dt
+         |  FROM w$k JOIN v2 USING (dim)
          |), wo$k AS MATERIALIZED (
-         |  SELECT w$k.dim, w$k.u - dt * v3.v AS u
-         |  FROM w$k JOIN v3 USING (dim) CROSS JOIN dt$k
+         |  SELECT w$k.dim, w$k.u - dt * v2.v AS u
+         |  FROM w$k JOIN v2 USING (dim) CROSS JOIN dt$k
          |), m$k AS MATERIALIZED (
          |  SELECT sqrt(${fold("u * u", "dim")}) AS nrm FROM wo$k
          |), z$k AS MATERIALIZED (
          |  SELECT dim, u / nrm AS v FROM wo$k CROSS JOIN m$k
          |)""".stripMargin
-    val pc1 = (1 to 3).map(i => iter1(i, if (i == 1) "v0" else s"v${i - 1}"))
-    val pc2 = (1 to 3).map(i => iter2(i, if (i == 1) "z0" else s"z${i - 1}"))
+    val pc1 = (1 to 2).map(i => iter1(i, if (i == 1) "v0" else s"v${i - 1}"))
+    val pc2 = (1 to 2).map(i => iter2(i, if (i == 1) "z0" else s"z${i - 1}"))
     s"""WITH ex0 AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
        |    cast(unnest(embedding) AS DOUBLE) AS x
@@ -862,10 +862,10 @@ object SimilarityQueries {
        |  FROM means
        |), ${pc2.mkString(", ")}
        |SELECT 1 AS pc, dim, round(v, 6) AS loading, round(nrm, 6) AS lambda
-       |FROM v3 CROSS JOIN n3
+       |FROM v2 CROSS JOIN n2
        |UNION ALL
        |SELECT 2 AS pc, dim, round(v, 6) AS loading, round(nrm, 6) AS lambda
-       |FROM z3 CROSS JOIN m3
+       |FROM z2 CROSS JOIN m2
        |ORDER BY pc, dim""".stripMargin
   }
 
