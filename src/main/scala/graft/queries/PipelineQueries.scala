@@ -1604,7 +1604,10 @@ object PipelineQueries {
     Q("q115_hist_quantiles", histQuantiles, Some(histQuantilesOracle)),
     Q("q181_logreg_train", logregTrain, Some(logregTrainOracle)),
     Q("q182_logreg_score", logregScore, Some(logregScoreOracle)),
-    Q("q199_classifier_eval", classifierEval, Some(classifierEvalOracle)))
+    Q("q199_classifier_eval", classifierEval, Some(classifierEvalOracle)),
+    Q("q202_roc_auc", rocAuc, Some(rocAucOracle)),
+    Q("q203_chi2_tokens", chiSquaredTokens, Some(chiSquaredTokensOracle)),
+    Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -1767,4 +1770,213 @@ object PipelineQueries {
        |  round(tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0.0), 6) AS recall,
        |  round(2.0 * tp::DOUBLE / nullif((2.0 * tp + fp + fn)::DOUBLE, 0.0), 6) AS f1
        |FROM conf ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  /** Exact tie-aware ROC AUC over the q182 classifier margins — the
+    * threshold-free companion to q199's fixed-threshold sweep, via the
+    * Mann–Whitney rank-sum identity: AUC·P·N = Σ_s pos_s·(neg_below_s +
+    * neg_s/2) over distinct scores s (ties contribute half, exactly the
+    * mid-rank convention). Everything is integer until the final division:
+    * the numerator is accumulated ×2 in longs, so `auc` and `gini`
+    * (= 2·AUC − 1, from the same integers) are single exact-int ratios —
+    * hash-stable without any float-sum convention. Scale shape: the margin
+    * table is the q182 shuffle budget; the groupBy(m) collapse is map-side
+    * combinable; the one unpartitioned window runs over the DISTINCT-score
+    * table (≤ |docs| rows, typically far fewer) — the standard distributed
+    * AUC reshape, with a score-histogram fallback if distinct scores ever
+    * rivaled the corpus. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val wdf = graft.operators.LogReg.trainWeights(
+      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
+    val feats = graft.operators.LogReg.features(
+      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
+    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+      .select($"m", ($"lang" === "en").cast("long").as("y"))
+    aucOf(scored)
+  }
+
+  /** Rank-sum AUC core over a (m: score, y: 0/1 long) frame — see [[rocAuc]]
+    * for the identity and the scale argument. Factored so the tie-handling
+    * can be pinned on hand-computed fixtures in `PipelineLanesSpec`. */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val byScore = scored.groupBy($"m")
+      .agg(sum($"y").as("pos"), (count(lit(1)) - sum($"y")).as("neg"))
+    val w = Window.orderBy($"m").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
+    ranked
+      .agg(
+        sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum($"pos" * (lit(2L) * $"neg_below" + $"neg")).as("num2"))
+      .select(
+        $"n_pos", $"n_neg", $"n_scores",
+        round($"num2".cast("double") /
+          (lit(2.0) * ($"n_pos" * $"n_neg").cast("double")), 6).as("auc"),
+        round(($"num2" - ($"n_pos" * $"n_neg")).cast("double") /
+          ($"n_pos" * $"n_neg").cast("double"), 6).as("gini"))
+  }
+
+  val rocAucOracle: String =
+    s"""WITH ${logregCtes(3)}, score AS (
+       |  SELECT db.doc_id, cast(sum(cast(w.w * db.c AS DECIMAL(30,10))) AS DOUBLE) AS m
+       |  FROM db JOIN w3 w USING (b) GROUP BY db.doc_id
+       |), lab AS (
+       |  SELECT s.m, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM score s JOIN documents d USING (doc_id)
+       |), byscore AS (
+       |  SELECT m, cast(sum(y) AS BIGINT) AS pos,
+       |    cast(count(*) - sum(y) AS BIGINT) AS neg
+       |  FROM lab GROUP BY m
+       |), ranked AS (
+       |  SELECT pos, neg,
+       |    coalesce(sum(neg) OVER (ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM byscore
+       |), agg AS (
+       |  SELECT cast(sum(pos) AS BIGINT) AS n_pos, cast(sum(neg) AS BIGINT) AS n_neg,
+       |    cast(count(*) AS BIGINT) AS n_scores,
+       |    cast(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS num2
+       |  FROM ranked
+       |)
+       |SELECT n_pos, n_neg, n_scores,
+       |  round(num2::DOUBLE / (2.0 * (n_pos * n_neg)::DOUBLE), 6) AS auc,
+       |  round((num2 - (n_pos * n_neg))::DOUBLE / (n_pos * n_neg)::DOUBLE, 6) AS gini
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Chi-squared token–class association — the classical feature-selection
+    * ranking (which tokens are most predictive of lang=='en'): per token,
+    * the 2×2 presence/class contingency table (A=en docs with token,
+    * B=other docs with token, C/D their complements) and
+    * χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)). All eight cell/margin
+    * counts are exact longs; the χ² expression is evaluated in DOUBLE with
+    * a textually identical operation tree in both engines (the q124
+    * argument — (AD−BC)² can exceed 2^53, so cross-engine equality comes
+    * from identical IEEE op order, not exactness), and the ranking + token
+    * tie-break is therefore identical too. Scale shape: one explode +
+    * distinct + groupBy(token) shuffle (df-bounded fan-in), a broadcast
+    * singleton for the class margins, and everything downstream is
+    * vocabulary-sized; the df floor drops the long hapax tail before the
+    * top-k sort. */
+  def chiSquaredTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val pres = docs
+      .select($"doc_id", ($"lang" === "en").cast("long").as("en"),
+        explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .distinct()
+    val tot = docs.agg(
+      sum(($"lang" === "en").cast("long")).as("n_en"), count(lit(1)).as("n_all"))
+    val counts = pres.groupBy($"token")
+      .agg(sum($"en").as("a"), (count(lit(1)) - sum($"en")).as("b"))
+    val adbc = $"a".cast("double") * $"d".cast("double") -
+      $"b".cast("double") * $"c".cast("double")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("c", $"n_en" - $"a")
+      .withColumn("d", $"n_all" - $"n_en" - $"b")
+      .filter(($"a" + $"b") >= 30)
+      .withColumn("chi2",
+        ($"n_all".cast("double") * (adbc * adbc)) /
+          ((($"a" + $"b").cast("double") * ($"c" + $"d").cast("double")) *
+            (($"a" + $"c").cast("double") * ($"b" + $"d").cast("double"))))
+      .orderBy($"chi2".desc, $"token")
+      .limit(30)
+      .select($"token", $"a".as("df_en"), $"b".as("df_other"),
+        round($"chi2", 4).as("chi2"))
+  }
+
+  val chiSquaredTokensOracle: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+      |    tok AS token
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok) u
+      |  WHERE length(tok) > 0
+      |), tot AS (
+      |  SELECT cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |    cast(count(*) AS BIGINT) AS n_all
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, cast(sum(en) AS BIGINT) AS a,
+      |    cast(count(*) - sum(en) AS BIGINT) AS b
+      |  FROM pres GROUP BY token
+      |), sc AS (
+      |  SELECT token, a, b, n_en - a AS c, n_all - n_en - b AS d, n_all
+      |  FROM counts CROSS JOIN tot
+      |  WHERE a + b >= 30
+      |), chi AS (
+      |  SELECT token, a, b,
+      |    (n_all::DOUBLE *
+      |      ((a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE) *
+      |       (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE))) /
+      |    (((a + b)::DOUBLE * (c + d)::DOUBLE) *
+      |     ((a + c)::DOUBLE * (b + d)::DOUBLE)) AS chi2
+      |  FROM sc
+      |)
+      |SELECT token, a AS df_en, b AS df_other, round(chi2, 4) AS chi2
+      |FROM chi ORDER BY chi2 DESC, token LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** Cohen's-kappa agreement audit between two deterministic rule
+    * "annotators" (A: n_chars ≥ 300; B: whitespace-token count ≥ 55 —
+    * both median-centered so the confusion cells are populated), grouped
+    * by source: the inter-annotator-reliability check every labeling /
+    * quality-rubric pipeline runs before trusting a rule ensemble. Per
+    * source, the 2×2 agreement table and κ = (p_o − p_e)/(1 − p_e) with
+    * both probabilities left as exact integer rationals over n²
+    * (p_e·n² = (n11+n10)(n11+n01) + (n01+n00)(n10+n00)), so κ is a single
+    * exact-long ratio — n ≤ per-source count keeps n² far inside long
+    * range. Scale shape: one map-side predicate pass + one
+    * groupBy(source); output is |sources| rows. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rated = table(spark, dir, "documents").select(
+      $"source",
+      ($"n_chars" >= 300).cast("long").as("ra"),
+      (size(TextFunctions.tokens($"text")) >= 55).cast("long").as("rb"))
+    val conf = rated.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"ra" * $"rb").as("n11"),
+      sum($"ra" * (lit(1L) - $"rb")).as("n10"),
+      sum((lit(1L) - $"ra") * $"rb").as("n01"),
+      sum((lit(1L) - $"ra") * (lit(1L) - $"rb")).as("n00"))
+    val peN2 = ($"n11" + $"n10") * ($"n11" + $"n01") +
+      ($"n01" + $"n00") * ($"n10" + $"n00")
+    conf.select(
+        $"source", $"n", $"n11", $"n10", $"n01", $"n00",
+        round(($"n11" + $"n00").cast("double") / $"n".cast("double"), 6).as("po"),
+        round(peN2.cast("double") / ($"n" * $"n").cast("double"), 6).as("pe"),
+        round((($"n11" + $"n00") * $"n" - peN2).cast("double") /
+          nullif(($"n" * $"n" - peN2).cast("double"), lit(0.0)), 6).as("kappa"))
+      .orderBy($"source")
+  }
+
+  val kappaAgreementOracle: String =
+    """WITH rated AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 55
+      |      THEN 1 ELSE 0 END AS rb
+      |  FROM documents
+      |), conf AS (
+      |  SELECT source, cast(count(*) AS BIGINT) AS n,
+      |    cast(sum(ra * rb) AS BIGINT) AS n11,
+      |    cast(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+      |    cast(sum((1 - ra) * rb) AS BIGINT) AS n01,
+      |    cast(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      |  FROM rated GROUP BY source
+      |)
+      |SELECT source, n, n11, n10, n01, n00,
+      |  round((n11 + n00)::DOUBLE / n::DOUBLE, 6) AS po,
+      |  round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))::DOUBLE
+      |    / (n * n)::DOUBLE, 6) AS pe,
+      |  round(((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE
+      |    / nullif((n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 0.0), 6) AS kappa
+      |FROM conf ORDER BY source""".stripMargin
 }

@@ -139,4 +139,34 @@ class PipelineLanesSpec extends SparkSpec with Matchers {
     // covered_mass + oov_mass is the same total on every row
     rows.map(r => r.getLong(2) + r.getLong(3)).distinct.length shouldBe 1
   }
+
+  test("aucOf: rank-sum AUC handles ties with the mid-rank convention") {
+    import spark.implicits._
+    // P=2, N=2; pos@2.0 vs negs {1.0 win, 2.0 tie=0.5} = 1.5; pos@3.0 = 2.0
+    // -> AUC = 3.5/4 = 0.875, gini = 0.75 (hand-computed pair count).
+    val tied = Seq((1.0, 0L), (2.0, 1L), (2.0, 0L), (3.0, 1L)).toDF("m", "y")
+    val r = PipelineQueries.aucOf(tied).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((2L, 2L, 3L))
+    r.getDouble(3) shouldBe 0.875
+    r.getDouble(4) shouldBe 0.75
+    // perfect separation -> 1.0; a single shared score -> exactly chance
+    val sep = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)).toDF("m", "y")
+    PipelineQueries.aucOf(sep).collect().head.getDouble(3) shouldBe 1.0
+    val flat = Seq((5.0, 0L), (5.0, 1L), (5.0, 0L), (5.0, 1L)).toDF("m", "y")
+    PipelineQueries.aucOf(flat).collect().head.getDouble(3) shouldBe 0.5
+  }
+
+  test("kappaAgreement: constant annotators -> pe=1, kappa NULL (nullif edge)") {
+    // every fixture doc is short on both axes (n_chars < 300, tokens < 55),
+    // so both rules vote 0 everywhere: po=1, pe=1, kappa must be NULL --
+    // the agreement-by-chance degenerate case the nullif convention guards.
+    val rows = PipelineQueries.kappaAgreement(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getLong(1) shouldBe r.getLong(5) // n == n00
+      r.getDouble(6) shouldBe 1.0        // po
+      r.getDouble(7) shouldBe 1.0        // pe
+      r.isNullAt(8) shouldBe true        // kappa
+    }
+  }
 }
