@@ -1607,7 +1607,8 @@ object PipelineQueries {
     Q("q199_classifier_eval", classifierEval, Some(classifierEvalOracle)),
     Q("q202_roc_auc", rocAuc, Some(rocAucOracle)),
     Q("q203_chi2_tokens", chiSquaredTokens, Some(chiSquaredTokensOracle)),
-    Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)))
+    Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)),
+    Q("q205_reliability_bins", reliabilityBins, Some(reliabilityBinsOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -1921,6 +1922,67 @@ object PipelineQueries {
       |)
       |SELECT token, a AS df_en, b AS df_other, round(chi2, 4) AS chi2
       |FROM chi ORDER BY chi2 DESC, token LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** Calibration reliability diagram over the trained classifier — the
+    * third leg of the evaluation suite (q199 operating point, q202
+    * discrimination, this calibration): per predicted-probability decile
+    * bin, the count, mean confidence, empirical positive rate, and their
+    * absolute gap (the per-bin ECE contribution). p reuses the training
+    * sigmoid convention exactly — round(σ(m), 8) absorbs the one
+    * transcendental's ulp (the q181 argument) — so binning (floor(p·10)
+    * clamped to 9) cuts identically cross-engine; mean confidence goes
+    * through the decimal-cast order-free sum (8-dp p values are exact in
+    * decimal(30,10)), and acc/gap are computed from the ROUNDED conf/acc
+    * pair so every derived value is a deterministic function of
+    * identical doubles. Scale shape: the q182 margin shuffle, then ≤10
+    * rows. */
+  def reliabilityBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val wdf = graft.operators.LogReg.trainWeights(
+      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
+    val feats = graft.operators.LogReg.features(
+      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
+    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+      .select(round(lit(1.0) / (lit(1.0) + exp(-$"m")), 8).as("p"),
+        ($"lang" === "en").cast("long").as("y"))
+    scored
+      .withColumn("bin", least(floor($"p" * 10), lit(9L)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        round(sum($"p".cast("decimal(30,10)")).cast("double"), 4).as("sum_p"))
+      .select($"bin", $"n", $"n_pos",
+        round($"sum_p" / $"n".cast("double"), 6).as("conf"),
+        round($"n_pos".cast("double") / $"n".cast("double"), 6).as("acc"))
+      .select($"bin", $"n", $"n_pos", $"conf", $"acc",
+        round(abs($"conf" - $"acc"), 6).as("gap"))
+      .orderBy($"bin")
+  }
+
+  val reliabilityBinsOracle: String =
+    s"""WITH ${logregCtes(3)}, score AS (
+       |  SELECT db.doc_id, cast(sum(cast(w.w * db.c AS DECIMAL(30,10))) AS DOUBLE) AS m
+       |  FROM db JOIN w3 w USING (b) GROUP BY db.doc_id
+       |), pr AS (
+       |  SELECT round(1.0 / (1.0 + exp(-(s.m))), 8) AS p,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM score s JOIN documents d USING (doc_id)
+       |), agg AS (
+       |  SELECT cast(least(floor(p * 10), 9) AS BIGINT) AS bin,
+       |    cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS n_pos,
+       |    round(cast(sum(cast(p AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_p
+       |  FROM pr GROUP BY 1
+       |), c AS (
+       |  SELECT bin, n, n_pos,
+       |    round(sum_p / n::DOUBLE, 6) AS conf,
+       |    round(n_pos::DOUBLE / n::DOUBLE, 6) AS acc
+       |  FROM agg
+       |)
+       |SELECT bin, n, n_pos, conf, acc, round(abs(conf - acc), 6) AS gap
+       |FROM c ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------- q204
   /** Cohen's-kappa agreement audit between two deterministic rule
