@@ -69,6 +69,72 @@ object TextQueries {
     s"""SELECT lang, ${TextFunctions.langIdSql("text")} AS detected, count(*) AS n_docs
        |FROM documents GROUP BY 1, 2 ORDER BY lang, detected""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Multi-class classification report for the q42 language-ID heuristic —
+    * the per-class grading step the binary q199 sweep can't express: per
+    * language, support (true count), predicted (detection count), tp, and
+    * precision/recall/F1 as single exact-integer ratios (precision NULL
+    * when the class is never predicted, the q199 nullif convention; F1 in
+    * its direct 2tp/(support+predicted) form so no rounded value is
+    * composed). Classes are the FULL OUTER union of true and predicted
+    * labels, so a hallucinated detection (predicted but never true) still
+    * gets a row with support 0. Scale shape: one corpus pass builds the
+    * |langs|²-bounded confusion table, which is then MATERIALIZED by a
+    * bounded pull (the VectorOps lineage-cut idiom — left lazy, the three
+    * derived aggregates would each re-run the corpus langId scan; measured
+    * 31 s vs 2 s at sf1); every join after that is over ≤ |langs| rows of
+    * a local relation. */
+  def langIdReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confRaw = table(spark, dir, "documents")
+      .select($"lang", TextFunctions.langId($"text").as("detected"))
+      .groupBy($"lang", $"detected")
+      .agg(count(lit(1)).as("n"))
+    val conf = spark.createDataFrame(
+      java.util.Arrays.asList(confRaw.collect(): _*), confRaw.schema)
+    val support = conf.groupBy($"lang".as("cls")).agg(sum($"n").as("support"))
+    val predicted = conf.groupBy($"detected".as("cls")).agg(sum($"n").as("predicted"))
+    val tp = conf.filter($"lang" === $"detected")
+      .select($"lang".as("cls"), $"n".as("tp"))
+    support.join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(
+        $"cls",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"predicted", lit(0L)).as("predicted"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .select($"cls", $"support", $"predicted", $"tp",
+        round($"tp".cast("double") /
+          nullif($"predicted".cast("double"), lit(0.0)), 6).as("precision"),
+        round($"tp".cast("double") /
+          nullif($"support".cast("double"), lit(0.0)), 6).as("recall"),
+        round(lit(2.0) * $"tp".cast("double") /
+          nullif(($"support" + $"predicted").cast("double"), lit(0.0)), 6).as("f1"))
+      .orderBy($"cls")
+  }
+
+  val langIdReportOracle: String =
+    s"""WITH conf AS (
+       |  SELECT lang, ${TextFunctions.langIdSql("text")} AS detected,
+       |    cast(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2
+       |), sup AS (
+       |  SELECT lang AS cls, cast(sum(n) AS BIGINT) AS support FROM conf GROUP BY 1
+       |), pred AS (
+       |  SELECT detected AS cls, cast(sum(n) AS BIGINT) AS predicted FROM conf GROUP BY 1
+       |), tpc AS (
+       |  SELECT lang AS cls, n AS tp FROM conf WHERE lang = detected
+       |), cls AS (
+       |  SELECT coalesce(s.cls, p.cls) AS cls,
+       |    coalesce(s.support, 0) AS support, coalesce(p.predicted, 0) AS predicted
+       |  FROM sup s FULL OUTER JOIN pred p ON s.cls = p.cls
+       |)
+       |SELECT c.cls, c.support, c.predicted, coalesce(t.tp, 0) AS tp,
+       |  round(coalesce(t.tp, 0)::DOUBLE / nullif(c.predicted::DOUBLE, 0.0), 6) AS precision,
+       |  round(coalesce(t.tp, 0)::DOUBLE / nullif(c.support::DOUBLE, 0.0), 6) AS recall,
+       |  round(2.0 * coalesce(t.tp, 0)::DOUBLE / nullif((c.support + c.predicted)::DOUBLE, 0.0), 6) AS f1
+       |FROM cls c LEFT JOIN tpc t USING (cls) ORDER BY cls""".stripMargin
+
   /** Content fingerprints: md5 of normalized text + order-sensitive rolling
     * hash (the rolling hash has no cross-engine twin — verified by the
     * ScalaTest suite instead, so this query exposes only the md5 side). */
@@ -507,5 +573,6 @@ object TextQueries {
     Q("q121_inverted_index", invertedIndex, Some(invertedIndexOracle)),
     Q("q124_collocations", collocations, Some(collocationsOracle)),
     Q("q131_explode_outer", explodeOuter, Some(explodeOuterOracle)),
-    Q("q132_regexp_extract_all", regexpExtractAll, Some(regexpExtractAllOracle)))
+    Q("q132_regexp_extract_all", regexpExtractAll, Some(regexpExtractAllOracle)),
+    Q("q206_langid_report", langIdReport, Some(langIdReportOracle)))
 }
