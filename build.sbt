@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt default behaviors broke that in every round so far
+// (BENCH_r*.json `parsed: null`): forked-run output is piped through the
+// logger (an `[info] ` prefix on the JSON line), and sbt appends a
+// `[success] Total time: ...` line after the program exits. Send forked
+// output straight to stdout and suppress the success banner so Bench's
+// total line is the absolute last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,9 +105,13 @@ object SegmentEm {
   /** One E+M round over the dict: Viterbi-segment every distinct word
     * under `scores` (broadcast), re-count pieces weighted by word counts.
     * Returns (p, c) — pieces actually used this round. */
-  def emRound(wf: DataFrame, scores: Map[String, Long], maxLen: Int): DataFrame = {
-    val spark = wf.sparkSession
-    val bc = spark.sparkContext.broadcast(scores)
+  def emRound(wf: DataFrame, scores: Map[String, Long], maxLen: Int): DataFrame =
+    roundCounts(wf, wf.sparkSession.sparkContext.broadcast(scores), maxLen)
+
+  private def roundCounts(
+      wf: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+      maxLen: Int): DataFrame = {
     val segment = udf((w: String) => viterbi(w, bc.value, maxLen))
     wf.select(explode(segment(col("word"))).as("p"), col("wc"))
       .groupBy(col("p")).agg(sum(col("wc")).cast("long").as("c"))
@@ -132,19 +136,26 @@ object SegmentEm {
       .filter(length(col("p")) === 1 || col("c") >= minSeedCount)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    val spark = docs.sparkSession
     var scores = seed
-    var counts: DataFrame = null
+    var lastRound: Array[(String, Long)] = Array.empty
     for (_ <- 1 to rounds) {
-      counts = emRound(wf, scores, maxLen)
+      val bc = spark.sparkContext.broadcast(scores)
+      // one vocab-bounded collect per round — next round's scores AND (on
+      // the last round) the output rows; re-evaluating the lazy counts
+      // frame for the ranked output would re-run the whole E+M round
+      lastRound = roundCounts(wf, bc, maxLen).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      bc.destroy() // each round's dict is dead once its counts are in hand
       // next round's scores: used pieces at their new counts; unused
       // multi-char pieces drop out, single chars floor to 1 in viterbi
-      scores = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      scores = lastRound.toMap
     }
-    counts
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("p"))))
-      .filter(col("rank") <= topK)
-      .select(col("rank"), col("p").as("piece"), col("c").as("cnt"))
-      .orderBy(col("rank"))
+    // ranked output straight from the already-collected final round
+    // (vocab-bounded driver sort — no second cluster pass)
+    val ranked = lastRound.sortBy { case (p, c) => (-c, p) }.take(topK)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+    import spark.implicits._
+    ranked.toSeq.toDF("rank", "piece", "cnt").orderBy(col("rank"))
   }
 }

@@ -1,9 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
+
+/** Corpus-sum convention for the vector-moment operators: how a per-group
+  * floating-point reduction is computed.
+  *
+  *  - [[SumMode.ExactFold]] — ordered left-to-right IEEE double fold over a
+  *    `sort_array(collect_list(...))` of the group. Bit-exact in Spark AND
+  *    DuckDB by construction (the q103 float convention), which is what
+  *    lets the verify oracle hash-match arbitrary-float moments. The
+  *    per-group collect is UNBOUNDED — this mode exists for the oracle SF
+  *    and must not run against a 100 TB corpus.
+  *  - [[SumMode.PlaneSums]] — plain `sum(...)` double aggregation:
+  *    partial-agg map-side combine, bounded state per group, whole-stage
+  *    codegen. Summation order is partition-dependent, so results carry
+  *    last-ulp drift vs the fold (≈1e-15 relative) — the documented,
+  *    accepted trade at scale. This is the 100 TB default.
+  *
+  * `SumModePlanSpec` pins both halves of the contract: PlaneSums plans
+  * contain no `collect_list`/`sort_array`, and the two modes agree within
+  * the operators' 6-dp output granularity at the verify SF.
+  */
+sealed trait SumMode
+object SumMode {
+  case object ExactFold extends SumMode
+  case object PlaneSums extends SumMode
+}
 
 /** Whole-corpus vector feature engineering: per-dimension standardization
   * (z-scores under corpus moments) and Johnson–Lindenstrauss random
@@ -11,16 +36,47 @@ import graft.functions.Hashing
   * random projections: E[y·y'] preserves inner products at k ≪ d with
   * nothing heavier than sign flips and adds).
   *
-  * Cross-engine float conventions (the q103 lesson, see
-  * [[graft.queries.SimilarityQueries.labelCentroids]]): arbitrary float
-  * inputs cannot ride the decimal-sum trick, so every corpus sum here is an
-  * ORDERED left-to-right IEEE double fold — exact in both engines by
+  * Cross-engine float conventions (the q103 lesson, see [[labelMeans]]):
+  * arbitrary float inputs cannot ride the decimal-sum trick, so under the
+  * default [[SumMode.ExactFold]] every corpus sum here is an ORDERED
+  * left-to-right IEEE double fold — exact in both engines by
   * construction — and derived quantities are computed with textually
-  * identical expressions. The JL sign matrix is [[Hashing.mix64]] of
+  * identical expressions. At corpus scale pass [[SumMode.PlaneSums]]
+  * instead: plain partial-agg sums, no per-group collect, last-ulp order
+  * drift accepted. The JL sign matrix is [[Hashing.mix64]] of
   * (dimension, output column), which the DuckDB oracle replays bit-for-bit
   * via its hugeint twin.
   */
 object VectorOps {
+
+  /** Group-sum of `t` under `mode`: ordered fold by `ord` (exact, q103
+    * convention) or plain partial-agg double sum (scale). Usable wherever
+    * an aggregate expression is (groupBy.agg or global agg). */
+  private def foldSum(mode: SumMode, ord: Column, t: Column): Column = mode match {
+    case SumMode.ExactFold =>
+      aggregate(sort_array(collect_list(struct(ord.as("o"), t.as("t")))),
+        lit(0.0), (a, s) => a + s.getField("t"))
+    case SumMode.PlaneSums => sum(t)
+  }
+
+  /** Per-label embedding centroids (the q103 operator): explode to
+    * (label, dim, x), reduce each (label, dim) group under `mode`, return
+    * (label, dim, mean, n). One shuffle of labels × d groups; the d×labels
+    * stats frame is always tiny. ExactFold is the verify convention
+    * (DuckDB replays the vec_id-ordered fold bit-for-bit); PlaneSums is
+    * the corpus-scale shape — bounded state, map-side combine. */
+  def labelMeans(
+      embs: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+    val ex = embs
+      .select(col(idCol), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    ex.groupBy(col("label"), col("dim"))
+      .agg(foldSum(sumMode, col(idCol), col("x")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), (col("sx") / col("n")).as("mean"), col("n"))
+  }
 
   /** Per-dimension corpus z-scores: (idCol, dim, z) with
     * z = (x − mean_dim) / sd_dim rounded to 6 dp; sd is the population
@@ -30,25 +86,38 @@ object VectorOps {
     * ratios do).
     *
     * Scale shape: one explode to (dim, x) and ONE shuffle into d groups.
-    * The ordered-fold moments collect each dimension's column — unbounded
-    * per group at corpus scale; there, swap the fold for plain double sums
-    * (partial-agg map-side, last-ulp order drift accepted) exactly as the
-    * q103 caveat prescribes. The d-row stats frame broadcasts back onto
-    * the exploded corpus, so the transform itself is map-side. */
-  def standardize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * Under ExactFold the moments collect each dimension's column —
+    * unbounded per group, verify-SF only; under PlaneSums they are plain
+    * double sums (partial-agg map-side, last-ulp order drift accepted)
+    * exactly as the q103 caveat prescribes. The d-row stats frame
+    * broadcasts back onto the exploded corpus, so the transform itself is
+    * map-side in both modes. */
+  def standardize(
+      embs: DataFrame, idCol: String, vecCol: String,
+      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
     val ex = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
-    val stats = ex.groupBy(col("dim"))
-      .agg(
-        sort_array(collect_list(struct(col(idCol), col("x")))).as("xs"),
-        count(lit(1)).cast("double").as("n"))
-      .select(col("dim"),
-        aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")).as("sx"),
-        aggregate(col("xs"), lit(0.0),
-          (a, s) => a + s.getField("x") * s.getField("x")).as("sxx"),
-        col("n"))
+    val stats = (sumMode match {
+      case SumMode.ExactFold =>
+        // one collect per group, folded twice (sx, sxx) — collecting twice
+        // would double the per-group state for no exactness gain
+        ex.groupBy(col("dim"))
+          .agg(
+            sort_array(collect_list(struct(col(idCol), col("x")))).as("xs"),
+            count(lit(1)).cast("double").as("n"))
+          .select(col("dim"),
+            aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")).as("sx"),
+            aggregate(col("xs"), lit(0.0),
+              (a, s) => a + s.getField("x") * s.getField("x")).as("sxx"),
+            col("n"))
+      case SumMode.PlaneSums =>
+        ex.groupBy(col("dim"))
+          .agg(sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            count(lit(1)).cast("double").as("n"))
+    })
       .select(col("dim"), (col("sx") / col("n")).as("mean"),
         sqrt(greatest(
           col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
@@ -60,31 +129,32 @@ object VectorOps {
 
   /** Top principal direction of the mean-centered corpus by POWER
     * ITERATION (the PCA workhorse at matrix sizes where covariance
-    * materialization — d² ordered folds — is the wrong shape): iterate
+    * materialization — d² folds — is the wrong shape): iterate
     * v ← X'ᵀ(X'v) / ‖X'ᵀ(X'v)‖ from the exact all-⅛ start vector,
     * without ever materializing d×d. Returns (dim, loading, lambda) —
     * the unit loading vector after `iters` rounds and ‖u‖ of the final
     * un-normalized step (the Rayleigh-style estimate of the top scatter
     * eigenvalue).
     *
-    * Every corpus reduction (per-dim mean, per-row score x'·v, per-dim
-    * re-projection Σᵢ sᵢx'ᵢ, the norm) is an ORDERED left-to-right fold
-    * (the q103 float convention), and the start vector and normalization
-    * are exact/textually-identical expressions — so a 3-iteration
-    * TRAJECTORY hash-matches the oracle, not just a converged direction.
-    * Scale shape: each iteration is two skinny shuffles over (id, dim, x)
-    * rows — a d-row broadcast join for the scores, an id-keyed join for
-    * the re-projection; per-group ordered collects carry the same
-    * corpus-scale caveat as q103 (swap for plain sums, accept last-ulp
-    * drift). */
+    * Under ExactFold every corpus reduction (per-dim mean, per-row score
+    * x'·v, per-dim re-projection Σᵢ sᵢx'ᵢ, the norm) is an ORDERED
+    * left-to-right fold (the q103 float convention), and the start vector
+    * and normalization are exact/textually-identical expressions — so a
+    * 3-iteration TRAJECTORY hash-matches the oracle, not just a converged
+    * direction. Under PlaneSums the same reductions are plain partial-agg
+    * sums — the corpus-scale shape. Scale shape: each iteration is two
+    * skinny shuffles over (id, dim, x) rows — a d-row broadcast join for
+    * the scores, an id-keyed join for the re-projection. */
   def powerIteration(
-      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
+      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
+      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
     // single-component run stays fully LAZY (one action at the end): the
     // subtree duplication is a bounded 2^iters here, cheaper than per-round
     // materializing actions — only the deflated run needs those
-    val ex = centeredRows(embs, idCol, vecCol)
+    val ex = centeredRows(embs, idCol, vecCol, sumMode)
     val (v, lambda) = leadingDirection(ex, idCol,
-      startVector(ex, alternate = false), iters, None, materializeEachRound = false)
+      startVector(ex, alternate = false), iters, None,
+      materializeEachRound = false, sumMode)
     v.crossJoin(broadcast(lambda))
       .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
       .orderBy(col("dim"))
@@ -96,17 +166,20 @@ object VectorOps {
     * the iterate converges in the orthogonal complement without ever
     * materializing a deflated matrix. PC2 starts from the exact
     * alternating ±⅛ vector (the all-⅛ start lives mostly inside PC1's
-    * span). Returns (pc, dim, loading, lambda) — same fold-exactness
-    * contract as [[powerIteration]]: the whole two-component trajectory
-    * hash-matches the oracle's unrolled replay. */
+    * span). Returns (pc, dim, loading, lambda) — under ExactFold the same
+    * fold-exactness contract as [[powerIteration]]: the whole
+    * two-component trajectory hash-matches the oracle's unrolled replay. */
   def topTwoComponents(
-      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
-    val ex = centeredRows(embs, idCol, vecCol).persist() // see powerIteration
+      embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
+      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+    val ex = centeredRows(embs, idCol, vecCol, sumMode).persist() // see powerIteration
     try {
       val (v1, l1) = leadingDirection(ex, idCol,
-        startVector(ex, alternate = false), iters, None, materializeEachRound = true)
+        startVector(ex, alternate = false), iters, None,
+        materializeEachRound = true, sumMode)
       val (v2, l2) = leadingDirection(ex, idCol,
-        startVector(ex, alternate = true), iters, Some(v1), materializeEachRound = true)
+        startVector(ex, alternate = true), iters, Some(v1),
+        materializeEachRound = true, sumMode)
       def out(pc: Int, v: DataFrame, l: DataFrame) =
         v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
           round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
@@ -114,14 +187,15 @@ object VectorOps {
     } finally ex.unpersist(blocking = false)
   }
 
-  /** Mean-centered (idCol, dim, xc) rows — ordered-fold means. */
-  private def centeredRows(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Mean-centered (idCol, dim, xc) rows — per-dim means under `mode`. */
+  private def centeredRows(
+      embs: DataFrame, idCol: String, vecCol: String, sumMode: SumMode): DataFrame = {
     val ex0 = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
     val means = ex0.groupBy(col("dim"))
-      .agg(tFold(collect_list(struct(col(idCol), col("x").as("t")))).as("sx"),
+      .agg(foldSum(sumMode, col(idCol), col("x")).as("sx"),
         count(lit(1)).cast("double").as("n"))
       .select(col("dim"), (col("sx") / col("n")).as("mean"))
     ex0.join(broadcast(means), Seq("dim"))
@@ -137,39 +211,33 @@ object VectorOps {
     else dims.select(col("dim"), lit(0.125).as("v"))
   }
 
-  /** Ordered left-to-right IEEE fold of struct items by their first field. */
-  private def tFold(items: org.apache.spark.sql.Column) =
-    aggregate(sort_array(items), lit(0.0), (a, s) => a + s.getField("t"))
-
   /** `iters` power-iteration rounds from `v0`; when `orthoTo` is given,
     * every un-normalized step is re-projected off that unit direction
     * before normalizing. Returns the UNROUNDED (dim, v) direction and the
     * single-row (nrm) of the final step. */
   private def leadingDirection(
       ex: DataFrame, idCol: String, v0: DataFrame, iters: Int,
-      orthoTo: Option[DataFrame], materializeEachRound: Boolean): (DataFrame, DataFrame) = {
+      orthoTo: Option[DataFrame], materializeEachRound: Boolean,
+      sumMode: SumMode): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var v = v0
     var lambda: DataFrame = null
     for (_ <- 1 to iters) {
       val s = ex.join(broadcast(v), Seq("dim"))
-        .select(col(idCol), struct(col("dim"), (col("xc") * col("v")).as("t")).as("item"))
-        .groupBy(col(idCol)).agg(tFold(collect_list(col("item"))).as("s"))
+        .groupBy(col(idCol))
+        .agg(foldSum(sumMode, col("dim"), col("xc") * col("v")).as("s"))
       var u = ex.join(s, Seq(idCol))
-        .select(col("dim"),
-          struct(col(idCol), (col("s") * col("xc")).as("t")).as("item"))
-        .groupBy(col("dim")).agg(tFold(collect_list(col("item"))).as("u"))
+        .groupBy(col("dim"))
+        .agg(foldSum(sumMode, col(idCol), col("s") * col("xc")).as("u"))
       orthoTo.foreach { v1 =>
         val dot = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
-          .select(struct(col("dim"), (col("u") * col("v1")).as("t")).as("item"))
-          .agg(tFold(collect_list(col("item"))).as("dt"))
+          .agg(foldSum(sumMode, col("dim"), col("u") * col("v1")).as("dt"))
         u = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
           .crossJoin(broadcast(dot))
           .select(col("dim"), (col("u") - col("dt") * col("v1")).as("u"))
       }
       lambda = u
-        .select(struct(col("dim"), (col("u") * col("u")).as("t")).as("item"))
-        .agg(sqrt(tFold(collect_list(col("item")))).as("nrm"))
+        .agg(sqrt(foldSum(sumMode, col("dim"), col("u") * col("u"))).as("nrm"))
       v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
       if (materializeEachRound) {
       // materialize the d-row direction (and 1-row norm) each round — ONE
@@ -180,6 +248,9 @@ object VectorOps {
       // after the exact folds.
       val spark = ex.sparkSession
       val rows = v.crossJoin(broadcast(lambda)).collect() // d rows
+      require(rows.nonEmpty,
+        "power iteration over empty input: zero embedding rows (or empty " +
+          "vectors) reached leadingDirection — nothing to decompose")
       v = spark.createDataFrame(
         java.util.Arrays.asList(rows.map(r =>
           org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),

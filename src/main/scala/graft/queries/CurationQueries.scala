@@ -644,7 +644,19 @@ object CurationQueries {
     * argmaxes with HUGEINT products, so the full EM trajectory — not
     * just the final counts — is what the hash certifies. The engine side
     * is the O(len·maxLen) DP, fuzz-proven equal to enumeration in
-    * `SegmentEmSpec`. */
+    * `SegmentEmSpec`.
+    *
+    * ORACLE SCALE BOUND (tighter than "bounded at oracle scale"
+    * suggests): the all-single-char path's HUGEINT product is
+    * Π count(char) over the word — it overflows HUGEINT (~1.7e38) once
+    * Σ_chars log10(count) > 38, i.e. words of length L with per-char
+    * corpus counts ~10^(38/L): at counts ~1e5 that is L > 7. sf0.01
+    * (~2e4 char occurrences max) clears this with >2× headroom; a verify
+    * SF much past sf0.1 would NOT, and the failure mode is a DuckDB
+    * overflow error in the oracle, not a wrong engine answer. The engine
+    * BigInt is unbounded — only the oracle's replay has this ceiling. If
+    * the verify SF ever rises, prune enumeration paths already worse
+    * than the DP bound or cap the oracle's count magnitudes. */
   def segmentEmTrain(spark: SparkSession, dir: String): DataFrame = {
     SegmentEm.train(table(spark, dir, "documents").select(col("text")), "text")
   }

@@ -292,14 +292,11 @@ object SimilarityQueries {
     * and accept last-ulp partial-agg drift. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "embeddings")
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "x")))
-      .groupBy($"label", $"dim")
-      .agg(sort_array(collect_list(struct($"vec_id", $"x".cast("double").as("x")))).as("xs"),
-        count(lit(1)).as("n"))
-      .withColumn("mean",
-        aggregate($"xs", lit(0.0), (a, s) => a + s.getField("x")) / $"n")
-      .select($"label", $"dim", $"mean", $"n")
+    // ExactFold is the verify convention; the 100 TB path is the same call
+    // with SumMode.PlaneSums (plain partial-agg sums — see SumModePlanSpec)
+    graft.operators.VectorOps
+      .labelMeans(table(spark, dir, "embeddings"), "vec_id", "label", "embedding",
+        graft.operators.SumMode.ExactFold)
       .orderBy($"label", $"dim")
   }
 

@@ -41,7 +41,15 @@ object AvroHadoop {
       case other => throw new IllegalArgumentException(
         s"AvroHadoop supports flat primitive columns, got ${other.catalogString}")
     }
+    // Field names are interpolated into schema JSON — reject anything
+    // outside Avro's name rule up front (a quote/dot/dash would otherwise
+    // surface later as an opaque Schema.Parser error), matching the loud
+    // unsupported-dtype guard above.
+    val avroName = "[A-Za-z_][A-Za-z0-9_]*".r
     val fields = schema.fields.map { f =>
+      require(avroName.matches(f.name),
+        s"AvroHadoop column name '${f.name}' is not a legal Avro name " +
+          "([A-Za-z_][A-Za-z0-9_]*); rename the column before writing")
       s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"],"default":null}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
