@@ -24,17 +24,39 @@ package graft.operators
   *  - testdata dirs are immutable during a process's lifetime (the driver
   *    regenerates them only between runs), so no invalidation is needed.
   *
-  * `computeIfAbsent` also guarantees one training run even if two lanes
-  * race for the same artifact from different threads.
+  * Two lanes racing for the same artifact still get exactly one training
+  * run: the map holds a per-key future claimed with `putIfAbsent`, the
+  * claiming thread runs `compute` OUTSIDE any map lock (a
+  * `computeIfAbsent` compute would hold the bin lock for the whole Spark
+  * training job, stalling unrelated keys in the same bin and deadlocking
+  * on re-entry), and losers block on the winner's future. A failed compute
+  * removes its future before propagating, so a later call retries instead
+  * of replaying the failure.
   */
 object ArtifactStore {
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[AnyRef]]()
 
   /** The artifact for (kind, dir), computing (and caching) it on first
     * use. `compute` must be deterministic and bounded (see object doc). */
-  def cached[T <: AnyRef](kind: String, dir: String)(compute: => T): T =
-    memo.computeIfAbsent((kind, dir), _ => compute).asInstanceOf[T]
+  def cached[T <: AnyRef](kind: String, dir: String)(compute: => T): T = {
+    val key = (kind, dir)
+    val mine = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val prior = memo.putIfAbsent(key, mine)
+    if (prior ne null) prior.join().asInstanceOf[T]
+    else {
+      val v =
+        try compute
+        catch {
+          case e: Throwable =>
+            memo.remove(key, mine)
+            mine.completeExceptionally(e)
+            throw e
+        }
+      mine.complete(v)
+      v
+    }
+  }
 
   /** Test hook: drop every cached artifact (e.g. to measure a cold run). */
   private[graft] def clear(): Unit = memo.clear()

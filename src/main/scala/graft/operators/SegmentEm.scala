@@ -152,10 +152,33 @@ object SegmentEm {
       scores = lastRound.toMap
     }
     // ranked output straight from the already-collected final round
-    // (vocab-bounded driver sort — no second cluster pass)
-    val ranked = lastRound.sortBy { case (p, c) => (-c, p) }.take(topK)
+    // (vocab-bounded driver sort — no second cluster pass). Ties break on
+    // UTF-8 BYTES, not Java String order: the cross-engine convention is
+    // UTF8String/DuckDB binary collation, and UTF-16 code-unit order
+    // diverges from it for supplementary code points vs U+E000–U+FFFF.
+    val ranked = lastRound
+      .sortWith { case ((p1, c1), (p2, c2)) =>
+        c1 > c2 || (c1 == c2 && utf8Less(p1, p2)) }
+      .take(topK)
       .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
     import spark.implicits._
     ranked.toSeq.toDF("rank", "piece", "cnt").orderBy(col("rank"))
+  }
+
+  /** Unsigned-byte UTF-8 lexicographic order (= code-point order = Spark
+    * UTF8String / DuckDB VARCHAR binary collation) — the driver-side twin
+    * of the engines' string comparison, for tie-breaks that must rank the
+    * same way a cluster-side Window.orderBy would. */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 }

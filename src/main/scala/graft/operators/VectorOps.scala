@@ -18,7 +18,12 @@ import graft.functions.Hashing
   *    partial-agg map-side combine, bounded state per group, whole-stage
   *    codegen. Summation order is partition-dependent, so results carry
   *    last-ulp drift vs the fold (≈1e-15 relative) — the documented,
-  *    accepted trade at scale. This is the 100 TB default.
+  *    accepted trade at scale. This is the 100 TB mode.
+  *
+  * There is deliberately NO default: the r10 API defaulted to ExactFold,
+  * which contradicted its own scaladoc — a caller reaching for the operator
+  * bare at corpus scale silently got the unbounded per-group collect. Every
+  * caller now states which contract it wants.
   *
   * `SumModePlanSpec` pins both halves of the contract: PlaneSums plans
   * contain no `collect_list`/`sort_array`, and the two modes agree within
@@ -67,7 +72,7 @@ object VectorOps {
     * the corpus-scale shape — bounded state, map-side combine. */
   def labelMeans(
       embs: DataFrame, idCol: String, labelCol: String, vecCol: String,
-      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+      sumMode: SumMode): DataFrame = {
     val ex = embs
       .select(col(idCol), col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -94,7 +99,7 @@ object VectorOps {
     * map-side in both modes. */
   def standardize(
       embs: DataFrame, idCol: String, vecCol: String,
-      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+      sumMode: SumMode): DataFrame = {
     val ex = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -147,7 +152,14 @@ object VectorOps {
     * the scores, an id-keyed join for the re-projection. */
   def powerIteration(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
-      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+      sumMode: SumMode): DataFrame = {
+    // the lazy path never reaches leadingDirection's materializing guard,
+    // so probe the input here — a limit-1 job (first valid row short-
+    // circuits the scan), loud on zero rows / all-empty vectors
+    require(!embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0).isEmpty,
+      "power iteration over empty input: zero embedding rows (or empty " +
+        "vectors) — nothing to decompose")
     // single-component run stays fully LAZY (one action at the end): the
     // subtree duplication is a bounded 2^iters here, cheaper than per-round
     // materializing actions — only the deflated run needs those
@@ -171,7 +183,7 @@ object VectorOps {
     * two-component trajectory hash-matches the oracle's unrolled replay. */
   def topTwoComponents(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
-      sumMode: SumMode = SumMode.ExactFold): DataFrame = {
+      sumMode: SumMode): DataFrame = {
     val ex = centeredRows(embs, idCol, vecCol, sumMode).persist() // see powerIteration
     try {
       val (v1, l1) = leadingDirection(ex, idCol,

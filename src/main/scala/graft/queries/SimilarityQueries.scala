@@ -764,7 +764,7 @@ object SimilarityQueries {
     * the oracle's CTE-unrolled replay. */
   def powerIterationLane(spark: SparkSession, dir: String): DataFrame =
     VectorOps.powerIteration(table(spark, dir, "embeddings"), "vec_id", "embedding",
-      iters = 3)
+      iters = 3, sumMode = graft.operators.SumMode.ExactFold)
 
   val powerIterationOracle: String = {
     def fold(expr: String, ord: String): String =
@@ -806,7 +806,7 @@ object SimilarityQueries {
     * AND λ estimates) hash-match the oracle's CTE-unrolled replay. */
   def topTwoPcsLane(spark: SparkSession, dir: String): DataFrame =
     VectorOps.topTwoComponents(table(spark, dir, "embeddings"), "vec_id", "embedding",
-      iters = 2)
+      iters = 2, sumMode = graft.operators.SumMode.ExactFold)
 
   val topTwoPcsOracle: String = {
     def fold(expr: String, ord: String): String =
@@ -987,7 +987,8 @@ object SimilarityQueries {
     * convention (q103); zero-variance dims are NULL by the nullif guard.
     */
   def embeddingStandardize(spark: SparkSession, dir: String): DataFrame = {
-    VectorOps.standardize(table(spark, dir, "embeddings"), "vec_id", "embedding")
+    VectorOps.standardize(table(spark, dir, "embeddings"), "vec_id", "embedding",
+        graft.operators.SumMode.ExactFold)
       .orderBy(col("vec_id"), col("dim"))
   }
 

@@ -82,9 +82,15 @@ object StreamingQueries {
     Files.createTempDirectory(ckptRoot, name)
 
   private def dropCkpt(p: java.nio.file.Path): Unit =
-    try Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => Files.deleteIfExists(f))
-    catch { case _: java.io.IOException => () } // scratch cleanup is best-effort
+    // best-effort scratch cleanup: traversal failures surface as
+    // UncheckedIOException (a RuntimeException, not IOException), so catch
+    // NonFatal; the walk stream holds directory handles — close it.
+    try {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Stream the events parquet as a file stream — same ts normalization as
     * the batch QueryRegistry.events helper (long nanos / TIMESTAMP_NTZ /

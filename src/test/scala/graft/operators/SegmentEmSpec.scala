@@ -80,4 +80,21 @@ class SegmentEmSpec extends SparkSpec with Matchers {
     val cnts = out.map(_.getLong(2)).toSeq
     cnts.zip(cnts.drop(1)).foreach { case (a, b) => a should be >= b }
   }
+
+  test("utf8Less ranks by UTF-8 bytes where Java String order diverges") {
+    // U+1F600 (surrogate pair D83D DE00; UTF-8 F0 9F 98 80) vs U+E000
+    // (UTF-8 EE 80 80): Java compareTo says the emoji sorts FIRST
+    // (0xD83D < 0xE000), the engines' binary collation says it sorts LAST
+    // (0xF0 > 0xEE) — the tie-break must follow the engines.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    emoji.compareTo(pua) should be < 0 // the divergence this guards against
+    SegmentEm.utf8Less(pua, emoji) shouldBe true
+    SegmentEm.utf8Less(emoji, pua) shouldBe false
+    // agreement on the common case: ASCII + prefix rule
+    SegmentEm.utf8Less("ab", "b") shouldBe true
+    SegmentEm.utf8Less("ab", "abc") shouldBe true
+    SegmentEm.utf8Less("abc", "ab") shouldBe false
+    SegmentEm.utf8Less("ab", "ab") shouldBe false
+  }
 }

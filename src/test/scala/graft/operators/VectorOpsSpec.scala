@@ -18,7 +18,8 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     import spark.implicits._
     val d = 8
     val vecs = randomVecs(200, d, 42L)
-    val out = VectorOps.standardize(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val out = VectorOps.standardize(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        SumMode.ExactFold)
       .collect().map(r => (r.getInt(1), r.getDouble(2)))
     out.length shouldBe 200 * d
     out.groupBy(_._1).foreach { case (_, zs) =>
@@ -35,7 +36,8 @@ class VectorOpsSpec extends SparkSpec with Matchers {
       (1L, Array(1.0f, 5.0f)),
       (2L, Array(2.0f, 5.0f)),
       (3L, Array(3.0f, 5.0f)))
-    val out = VectorOps.standardize(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val out = VectorOps.standardize(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        SumMode.ExactFold)
       .collect()
     out.filter(_.getInt(1) == 1).forall(_.isNullAt(2)) shouldBe true
     out.filter(_.getInt(1) == 0).forall(!_.isNullAt(2)) shouldBe true
@@ -85,7 +87,8 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     val expected = (0 until d).map(j => (j,
       BigDecimal(vv(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
 
-    val got = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val got = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        sumMode = SumMode.ExactFold)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     got.map(r => (r._1, r._2)).toMap shouldBe expected
     got.map(_._3).distinct.length shouldBe 1
@@ -102,7 +105,8 @@ class VectorOpsSpec extends SparkSpec with Matchers {
       v(2) = rnd.nextFloat() * 10f - 5f
       (id, v)
     }
-    val out = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val out = VectorOps.powerIteration(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        sumMode = SumMode.ExactFold)
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
     math.abs(out(2)) should be > 0.99
     (0 until d).filter(_ != 2).foreach(j => math.abs(out(j)) should be < 0.15)
@@ -120,7 +124,7 @@ class VectorOpsSpec extends SparkSpec with Matchers {
       (id, v)
     }
     val out = VectorOps.topTwoComponents(vecs.toDF("vec_id", "embedding"),
-        "vec_id", "embedding")
+        "vec_id", "embedding", sumMode = SumMode.ExactFold)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
     val pc1 = out.filter(_._1 == 1).sortBy(_._2).map(_._3)
     val pc2 = out.filter(_._1 == 2).sortBy(_._2).map(_._3)
