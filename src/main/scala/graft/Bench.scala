@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.ArtifactStore
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +29,30 @@ object Bench {
     // of judge adjudication time; medians absorb exactly that spike class.
     // Set =1 for a quick driver-identical single shot while iterating.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Trained-artifact accounting: the ArtifactStore memo gives lanes the
+    // deployed train-once shape, but combined with median-of-reps it also
+    // HID training cost from the record entirely — rep 1 of the first
+    // consumer lane paid it, reps 2+ replayed the cache, and the median
+    // discarded the slow rep. So the bench pays each shared artifact's
+    // cold training cost HERE, once, recorded as its own train_* entry
+    // inside the total: per-lane times measure the lane's real
+    // incremental (warm-artifact) cost in EVERY rep, and the one-time
+    // cost stays visible instead of vanishing between reps. Single-shot
+    // by design — a one-time cost has no steady state to median over.
+    ArtifactStore.clear()
+    val trainers =
+      queries.PipelineQueries.artifactTrainers ++
+        queries.CurationQueries.artifactTrainers ++
+        queries.SimilarityQueries.artifactTrainers
+    val trainResults = trainers.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      val ok = try { f(spark, sfDir); true }
+               catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      LaneReset(spark)
+      name -> (if (ok) dt else -1.0)
+    }
+    val laneResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // A failed query must be visible as -1, not recorded as a fast run.
@@ -42,6 +68,7 @@ object Bench {
                else times.sorted.apply((times.size - 1) / 2)
       name -> dt
     }
+    val results = trainResults ++ laneResults
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map first (human/archive record)...
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -35,24 +35,20 @@ import graft.functions.VectorOps
   */
 object KMeans {
 
-  /** Cluster assignments after `rounds` assignment rounds (with a centroid
-    * update between consecutive rounds — `rounds = 2` means assign → update
-    * → assign). Returns (id, cluster, dist): the member's cluster id in
-    * [0, k) keyed by seed order, and its squared-L2 distance to that
-    * centroid. Rows with NULL vectors (or a dimension that matches no
-    * centroid) are dropped — a vector that cannot be scored is not a
-    * cluster member.
-    */
-  def assignments(
+  /** The trained coarse model on its own: centroids after `rounds - 1`
+    * update rounds (the centroids that `assignments(k, rounds)` scores its
+    * final assignment against). Bounded — k × dim doubles — which is what
+    * makes it an [[ArtifactStore]]/persistence candidate: train once, ship
+    * the table, every consumer calls [[assignWith]]. */
+  def trainCentroids(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): Seq[(Int, Array[Double])] = {
     require(k >= 1, s"kmeans: k must be >= 1, got $k")
     require(rounds >= 1, s"kmeans: rounds must be >= 1, got $rounds")
-    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
+    val rows = prep(df, idCol, vecCol)
 
     // Deterministic seeding: cluster i = the i-th lowest-id vector with no
     // NULL elements (a seed must be scoreable against every row — a NULL
@@ -71,20 +67,6 @@ object KMeans {
           }.toArray
       }
 
-    def assigned: DataFrame = {
-      // argmin over k codegen'd squared-L2 distances, tie-break on cluster
-      // id: array_sort on struct(d, cluster) is field-lexicographic, so
-      // element 0 is exactly row_number() OVER (ORDER BY d, cid) = 1.
-      val scored = centroids.map { case (cid, c) =>
-        struct(VectorOps.sqDist(col("v"), typedlit(c.toSeq)).as("d"),
-          lit(cid).as("cluster"))
-      }
-      rows.withColumn("best", array_sort(array(scored: _*)).getItem(0))
-        .select(col("id"), col("v"),
-          col("best.cluster").as("cluster"), col("best.d").as("dist"))
-        .filter(col("dist").isNotNull)
-    }
-
     for (_ <- 1 until rounds) {
       // Centroid update: mean per (cluster, dim), folding members in id
       // order so the double sum is reproducible cross-engine. One shuffle
@@ -92,7 +74,7 @@ object KMeans {
       // bounded driver pull and assemble into vectors driver-side (a second
       // per-cluster shuffle just to collect_list dims would be pure
       // overhead at any scale).
-      val cells = assigned
+      val cells = assignedFrame(rows, centroids)
         .select(col("id"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(
@@ -107,8 +89,54 @@ object KMeans {
         cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       }.toSeq.sortBy(_._1)
     }
+    centroids
+  }
 
-    assigned.select(col("id"), col("cluster"), col("dist"))
+  /** Score `df` against an already-trained centroid table — the consumer
+    * half of train-once: one map-side pass (centroids ride as plan
+    * literals), no training jobs. Returns (id, cluster, dist). */
+  def assignWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    assignedFrame(prep(df, idCol, vecCol), centroids)
+      .select(col("id"), col("cluster"), col("dist"))
+
+  /** Cluster assignments after `rounds` assignment rounds (with a centroid
+    * update between consecutive rounds — `rounds = 2` means assign → update
+    * → assign): [[trainCentroids]] + [[assignWith]] in one call. Returns
+    * (id, cluster, dist): the member's cluster id in [0, k) keyed by seed
+    * order, and its squared-L2 distance to that centroid. Rows with NULL
+    * vectors (or a dimension that matches no centroid) are dropped — a
+    * vector that cannot be scored is not a cluster member.
+    */
+  def assignments(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int): DataFrame =
+    assignWith(df, idCol, vecCol, trainCentroids(df, idCol, vecCol, k, rounds))
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+
+  /** (id, v, cluster, dist) under `centroids`: argmin over k codegen'd
+    * squared-L2 distances, tie-break on cluster id — array_sort on
+    * struct(d, cluster) is field-lexicographic, so element 0 is exactly
+    * row_number() OVER (ORDER BY d, cid) = 1. */
+  private def assignedFrame(
+      rows: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(VectorOps.sqDist(col("v"), typedlit(c.toSeq)).as("d"),
+        lit(cid).as("cluster"))
+    }
+    rows.withColumn("best", array_sort(array(scored: _*)).getItem(0))
+      .select(col("id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.d").as("dist"))
+      .filter(col("dist").isNotNull)
   }
 
   /** SemDeDup: cluster, then mark within-cluster near-duplicates. A row is
@@ -127,8 +155,19 @@ object KMeans {
       vecCol: String,
       k: Int,
       rounds: Int,
+      threshold: Double): DataFrame =
+    semDeDupWith(df, idCol, vecCol,
+      trainCentroids(df, idCol, vecCol, k, rounds), threshold)
+
+  /** [[semDeDup]] against an already-trained centroid table (the
+    * train-once consumer form — see [[assignWith]]). */
+  def semDeDupWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Array[Double])],
       threshold: Double): DataFrame = {
-    val asg = assignments(df, idCol, vecCol, k, rounds)
+    val asg = assignWith(df, idCol, vecCol, centroids)
     val members = asg.join(
         df.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
     val a = members.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))

@@ -1572,6 +1572,14 @@ object PipelineQueries {
       |FROM p LEFT JOIN sh USING (source_a, source_b)
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Bench hook (see [[graft.Bench]]): the shared trained artifact this
+    * module memoizes, exposed so the bench can pay and RECORD its cold
+    * training cost once, explicitly, instead of letting the memo hide it
+    * inside whichever lane happens to run first. */
+  val artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "train_logreg_weights" -> ((s: SparkSession, d: String) => {
+      enWeightRows(s, d); () }))
+
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
     Q("q153_training_shards", trainingShards, Some(trainingShardsOracle)),

@@ -516,6 +516,18 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
+  /** Train-once memo of the k-means coarse model (k × dim doubles — see
+    * [[graft.operators.ArtifactStore]]): q147/q148/q209 all need the SAME
+    * trained centroids; the first lane to run pays the Lloyd update
+    * round(s), the rest score against the cached table. Sound because
+    * training is fully deterministic (lowest-id seeding, ordered mean
+    * folds) and the artifact is k × dim by construction. */
+  private def kmeansCentroidsCached(
+      spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    graft.operators.ArtifactStore.cached("kmeans_k8_r2", dir)(
+      graft.operators.KMeans.trainCentroids(
+        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2))
+
   /** Deterministic Lloyd's k-means over the corpus embeddings (k=8, two
     * assignment rounds) — the clustering stage of SemDeDup-style curation.
     * Assignment is map-side (centroids ride as plan literals into codegen'd
@@ -523,8 +535,9 @@ object SimilarityQueries {
     * oracle unrolls both rounds, so every membership and distance is
     * hash-checked cross-engine. */
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.KMeans.assignments(
-        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2)
+    graft.operators.KMeans.assignWith(
+        table(spark, dir, "embeddings"), "vec_id", "embedding",
+        kmeansCentroidsCached(spark, dir))
       .select(col("id").as("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
       .orderBy(col("vec_id"))
 
@@ -539,9 +552,9 @@ object SimilarityQueries {
     * — the property that makes semantic dedup affordable at corpus scale —
     * and keep-lowest-id makes the survivor set deterministic. */
   def semDeDupPrune(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.KMeans.semDeDup(
+    graft.operators.KMeans.semDeDupWith(
         table(spark, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, rounds = 2, threshold = 0.35)
+        kmeansCentroidsCached(spark, dir), threshold = 0.35)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dropped"), 1)).as("n_dropped"))
@@ -558,6 +571,52 @@ object SimilarityQueries {
        |  count(dr.id_b) AS n_dropped
        |FROM a1 a LEFT JOIN dropped dr ON dr.id_b = a.vec_id
        |GROUP BY a.cid ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** Centroid-artifact PERSISTENCE round trip (the q207/q208 pattern for
+    * the k-means coarse model): the trained k × dim centroid table written
+    * through the repo's own fixedwidth sink and read back as the lane's
+    * answer, while the oracle re-derives the centroids from the corpus by
+    * replaying the Lloyd update (the `up` means of the shared k-means CTE
+    * chain). Equality certifies that a persisted coarse quantizer reloads
+    * value-identically — the deployment step that lets a 100 TB pipeline
+    * train cluster centroids once and ship them to every assignment /
+    * SemDeDup / IVF consumer. Elements are round(·, 8) doubles carried as
+    * decimal(12,8) (the q207 losslessness argument: the cast rounds to the
+    * 8-dp value the double already represents, and the read-back cast
+    * restores the identical bit pattern); strictWidth makes an element
+    * ≥ 1000 a loud write error. Scale shape: the artifact is k × dim rows —
+    * IO is trivially bounded; the lane's cost is the (memoized) training. */
+  private val centroidsLayout = Seq(
+    graft.sources.fixedwidth.FieldSpec("cluster", "int", 0, 4),
+    graft.sources.fixedwidth.FieldSpec("dim", "int", 4, 4),
+    graft.sources.fixedwidth.FieldSpec("c", "decimal(12,8)", 8, 16))
+
+  def centroidsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "kmeans_centroids_fw")
+    val fieldsOpt =
+      graft.sources.fixedwidth.FixedWidthOptions.renderFields(centroidsLayout)
+    kmeansCentroidsCached(spark, dir)
+      .flatMap { case (cid, c) =>
+        c.zipWithIndex.map { case (x, d) => (cid, d, x) } }
+      .toDF("cluster", "dim", "c")
+      .select($"cluster", $"dim", round($"c", 8).cast("decimal(12,8)").as("c"))
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .select($"cluster", $"dim", $"c".cast("double").as("c"))
+      .orderBy($"cluster", $"dim")
+  }
+
+  /** The oracle replays seeding + one Lloyd update from the corpus — the
+    * `up` CTE of the shared k-means chain IS the rounds=2 centroid table. */
+  val centroidsArtifactOracle: String =
+    s"""WITH ${kmeansCte(8)}
+       |SELECT cast(cid AS INT) AS cluster, cast(dim AS INT) AS dim,
+       |  round(m, 8) AS c
+       |FROM up ORDER BY cluster, dim""".stripMargin
 
   // ---------------------------------------------------------------- q157
   /** Hybrid retrieval via reciprocal-rank fusion — the standard RAG
@@ -1046,6 +1105,14 @@ object SimilarityQueries {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  /** Bench hook (see [[graft.Bench]]): the shared trained artifact this
+    * module memoizes, exposed so the bench can pay and RECORD its cold
+    * training cost once, explicitly, instead of letting the memo hide it
+    * inside whichever lane happens to run first. */
+  val artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "train_kmeans_centroids" -> ((s: SparkSession, d: String) => {
+      kmeansCentroidsCached(s, d); () }))
+
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
     Q("q187_embedding_standardize", embeddingStandardize, Some(embeddingStandardizeOracle)),
@@ -1068,6 +1135,7 @@ object SimilarityQueries {
     Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)),
     Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
     Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
+    Q("q209_centroids_artifact", centroidsArtifact, Some(centroidsArtifactOracle)),
     Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     Q("q174_neardup_bucketed_auto", nearDupsBucketedAuto, Some(nearDupsBucketedAutoOracle)))
 }
