@@ -54,6 +54,11 @@ object SumMode {
   */
 object VectorOps {
 
+  /** Bound for the per-round direction pull: d rows — no real embedding
+    * family approaches this, and [[BoundedPull]] turns a violation into a
+    * loud error instead of a driver OOM. */
+  private val MaxPulledDims = 1 << 16
+
   /** Group-sum of `t` under `mode`: ordered fold by `ord` (exact, q103
     * convention) or plain partial-agg double sum (scale). Usable wherever
     * an aggregate expression is (groupBy.agg or global agg). */
@@ -252,30 +257,19 @@ object VectorOps {
         .agg(sqrt(foldSum(sumMode, col("dim"), col("u") * col("u"))).as("nrm"))
       v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
       if (materializeEachRound) {
-      // materialize the d-row direction (and 1-row norm) each round — ONE
-      // bounded pull that CUTS the lineage: left lazy, every iteration
-      // re-derives all prior subtrees (u is referenced by dot/ortho/norm/v,
-      // each reference duplicating the tree → combinatorial plan growth by
-      // round 3 of the deflated run). Values are unchanged — the pull is
-      // after the exact folds.
-      val spark = ex.sparkSession
-      val rows = v.crossJoin(broadcast(lambda)).collect() // d rows
-      require(rows.nonEmpty,
-        "power iteration over empty input: zero embedding rows (or empty " +
-          "vectors) reached leadingDirection — nothing to decompose")
-      v = spark.createDataFrame(
-        java.util.Arrays.asList(rows.map(r =>
-          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("dim",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.DoubleType))))
-      lambda = spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(rows.head.get(2))),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("nrm",
-            org.apache.spark.sql.types.DoubleType))))
+        // materialize the d-row direction (and 1-row norm) each round —
+        // ONE bounded pull that CUTS the lineage: left lazy, every
+        // iteration re-derives all prior subtrees (u is referenced by
+        // dot/ortho/norm/v, each reference duplicating the tree →
+        // combinatorial plan growth by round 3 of the deflated run).
+        // Values are unchanged — the pull is after the exact folds.
+        val pulled = BoundedPull(v.crossJoin(broadcast(lambda)),
+          maxRows = MaxPulledDims, what = "power-iteration direction (d rows)")
+        require(pulled.take(1).nonEmpty, // local relation — a driver-side peek
+          "power iteration over empty input: zero embedding rows (or empty " +
+            "vectors) reached leadingDirection — nothing to decompose")
+        v = pulled.select(col("dim"), col("v"))
+        lambda = pulled.select(col("nrm")).limit(1)
       }
     }
     (v, lambda)

@@ -80,7 +80,8 @@ object TextQueries {
     * labels, so a hallucinated detection (predicted but never true) still
     * gets a row with support 0. Scale shape: one corpus pass builds the
     * |langs|²-bounded confusion table, which is then MATERIALIZED by a
-    * bounded pull (the VectorOps lineage-cut idiom — left lazy, the three
+    * bounded pull (the shared [[graft.operators.BoundedPull]]
+    * helper — left lazy, the three
     * derived aggregates would each re-run the corpus langId scan; measured
     * 31 s vs 2 s at sf1); every join after that is over ≤ |langs| rows of
     * a local relation. */
@@ -90,8 +91,8 @@ object TextQueries {
       .select($"lang", TextFunctions.langId($"text").as("detected"))
       .groupBy($"lang", $"detected")
       .agg(count(lit(1)).as("n"))
-    val conf = spark.createDataFrame(
-      java.util.Arrays.asList(confRaw.collect(): _*), confRaw.schema)
+    val conf = graft.operators.BoundedPull(confRaw,
+      maxRows = 1 << 16, what = "langId confusion table (|langs|^2 rows)")
     val support = conf.groupBy($"lang".as("cls")).agg(sum($"n").as("support"))
     val predicted = conf.groupBy($"detected".as("cls")).agg(sum($"n").as("predicted"))
     val tp = conf.filter($"lang" === $"detected")
