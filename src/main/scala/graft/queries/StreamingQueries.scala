@@ -38,12 +38,34 @@ object StreamingQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val ckpt = freshCkpt(name)
-    val q = build(ss).writeStream
+    val t0 = System.nanoTime()
+    val built = build(ss)
+    val t1 = System.nanoTime()
+    val q = built.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
+    val t2 = System.nanoTime()
     q.awaitTermination()
+    // SPARK_GRAFT_STREAM_PROFILE: dump where the lane's wall-clock went —
+    // build (DataFrame construction incl. any batch-side schema reads),
+    // start (stream thread + offset-log init), drain (micro-batch
+    // execution), plus Spark's own per-batch durationMs split. Diagnostic
+    // only; no effect on results.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")) {
+      val t3 = System.nanoTime()
+      def ms(a: Long, b: Long) = (b - a) / 1e6.toLong
+      System.err.println(s"[stream-profile] $name wall: build=${ms(t0, t1)}ms " +
+        s"start=${ms(t1, t2)}ms drain=${ms(t2, t3)}ms")
+      q.recentProgress.foreach { p =>
+        val durs = p.durationMs
+        val keys = durs.keySet().toArray(Array.empty[String]).sortBy(k => -durs.get(k))
+        System.err.println(s"[stream-profile] $name batch=${p.batchId} " +
+          s"rows=${p.numInputRows} " +
+          keys.map(k => s"$k=${durs.get(k)}").mkString(" "))
+      }
+    }
     if (requireSingleBatch) {
       // The drained-stream == batch-oracle claim for watermarked append-mode
       // queries relies on all input landing in ONE micro-batch: if the file
