@@ -692,23 +692,47 @@ object CurationQueries {
     * is the O(len·maxLen) DP, fuzz-proven equal to enumeration in
     * `SegmentEmSpec`.
     *
-    * ORACLE SCALE BOUND (tighter than "bounded at oracle scale"
-    * suggests): the all-single-char path's HUGEINT product is
-    * Π count(char) over the word — it overflows HUGEINT (~1.7e38) once
-    * Σ_chars log10(count) > 38, i.e. words of length L with per-char
-    * corpus counts ~10^(38/L): at counts ~1e5 that is L > 7. sf0.01
-    * (~2e4 char occurrences max) clears this with >2× headroom; a verify
-    * SF much past sf0.1 would NOT, and the failure mode is a DuckDB
-    * overflow error in the oracle, not a wrong engine answer. The engine
-    * BigInt is unbounded — only the oracle's replay has this ceiling. If
-    * the verify SF ever rises, prune enumeration paths already worse
-    * than the DP bound or cap the oracle's count magnitudes. */
+    * ORACLE SCALE BOUND, now DP-PRUNED (r11): unpruned, the
+    * all-single-char path's HUGEINT product Π count(char) overflowed
+    * INT128 at sf0.1 (measured). The oracle now computes each word's
+    * minimal piece count first (`mseg`/`minp`, a product-free BFS) and
+    * enumerates only paths that can finish at that optimum — the argmax
+    * order (ntok ASC first) makes this value-preserving, and products
+    * multiply at most minp factors of (mostly multi-char, smaller)
+    * counts. Verified passing at sf0.1 (engine vs pruned oracle,
+    * hash-exact); the remaining ceiling is a word whose MINIMAL
+    * segmentation is many rare-substring-free chars with huge per-char
+    * counts — loud DuckDB overflow again if ever hit, never a wrong
+    * engine answer. The engine BigInt is unbounded. */
   def segmentEmTrain(spark: SparkSession, dir: String): DataFrame = {
     SegmentEm.train(table(spark, dir, "documents").select(col("text")), "text")
   }
 
   val segmentEmTrainOracle: String = {
-    def seg(name: String, vocab: String): String =
+    // DP-BOUND PRUNING (the r10 VERDICT item): enumerate ONLY paths that
+    // can still finish within the word's minimal piece count. The argmax
+    // order is (ntok ASC, prod DESC, path ASC), so non-minimal paths never
+    // win — but unpruned they were still ENUMERATED, and the all-single-
+    // char path's Π count(char) overflowed HUGEINT at sf0.1 (measured:
+    // INT128 overflow after 0.4 s). `mseg` is a piece-count-only BFS with
+    // UNION dedup (≤ len² distinct (pos, ntok) rows per word, no products),
+    // `minp` is its per-word optimum, and the enumerating CTE extends a
+    // prefix only while ntok stays below it — products now multiply at
+    // most minp factors, which is what lifts the verify-scale ceiling.
+    def minPieces(msegName: String, minpName: String, vocab: String): String =
+      s"""$msegName AS (
+         |  SELECT word, 1 AS pos, 0 AS ntok FROM wf
+         |  UNION
+         |  SELECT s.word, s.pos + length(v.p), s.ntok + 1
+         |  FROM $msegName s JOIN $vocab v
+         |    ON s.pos + length(v.p) - 1 <= length(s.word)
+         |   AND v.p = substring(s.word, s.pos, length(v.p))
+         |  WHERE s.pos <= length(s.word)
+         |), $minpName AS (
+         |  SELECT word, min(ntok) AS m FROM $msegName
+         |  WHERE pos = length(word) + 1 GROUP BY word
+         |)""".stripMargin
+    def seg(name: String, vocab: String, minpName: String): String =
       s"""$name AS (
          |  SELECT word, 1 AS pos, 1::HUGEINT AS prod, 0 AS ntok, '' AS path FROM wf
          |  UNION ALL
@@ -717,6 +741,7 @@ object CurationQueries {
          |  FROM $name s JOIN $vocab v
          |    ON s.pos + length(v.p) - 1 <= length(s.word)
          |   AND v.p = substring(s.word, s.pos, length(v.p))
+         |  JOIN $minpName m ON m.word = s.word AND s.ntok < m.m
          |  WHERE s.pos <= length(s.word)
          |)""".stripMargin
     def best(name: String, segName: String): String =
@@ -751,7 +776,8 @@ object CurationQueries {
        |  ) GROUP BY 1
        |), v0 AS (
        |  SELECT p, c FROM subs WHERE length(p) = 1 OR c >= 2
-       |), ${seg("seg1", "v0")}, ${best("best1", "seg1")}, ${cnt("c1", "best1", "HUGEINT")},
+       |), ${minPieces("mseg1", "minp1", "v0")},
+       |${seg("seg1", "v0", "minp1")}, ${best("best1", "seg1")}, ${cnt("c1", "best1", "HUGEINT")},
        |v1 AS (
        |  SELECT p, c FROM c1 WHERE length(p) > 1
        |  UNION ALL
@@ -760,7 +786,8 @@ object CurationQueries {
        |        FROM wf CROSS JOIN LATERAL (
        |          SELECT unnest(generate_series(1, length(word))) AS i) i) a
        |  LEFT JOIN c1 ON a.p = c1.p AND length(c1.p) = 1
-       |), ${seg("seg2", "v1")}, ${best("best2", "seg2")}, c2 AS (
+       |), ${minPieces("mseg2", "minp2", "v1")},
+       |${seg("seg2", "v1", "minp2")}, ${best("best2", "seg2")}, c2 AS (
        |  SELECT piece, cast(sum(wc) AS BIGINT) AS cnt FROM (
        |    SELECT b.word, unnest(string_split(substring(b.path, 2), chr(1))) AS piece
        |    FROM best2 b
