@@ -1617,7 +1617,8 @@ object PipelineQueries {
     Q("q203_chi2_tokens", chiSquaredTokens, Some(chiSquaredTokensOracle)),
     Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)),
     Q("q205_reliability_bins", reliabilityBins, Some(reliabilityBinsOracle)),
-    Q("q207_weights_artifact", weightsArtifact, Some(weightsArtifactOracle)))
+    Q("q207_weights_artifact", weightsArtifact, Some(weightsArtifactOracle)),
+    Q("q210_sketch_artifact", sketchArtifact, Some(sketchArtifactOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -2096,4 +2097,84 @@ object PipelineQueries {
   /** Same answer as q181: the round trip is value-preserving, so the
     * corpus-derived trajectory replay IS the expected read-back table. */
   val weightsArtifactOracle: String = logregTrainOracle
+
+  // ---------------------------------------------------------------- q210
+  /** Mergeable-SKETCH persistence (the q207/q208/q209 artifact pattern for
+    * sketch state): per-source HLL register tables — the sketch's
+    * mergeable state, ≤ 2^p rows per source — written through the repo's
+    * own fixedwidth sink, read back, and consumed BOTH ways a deployment
+    * does: per-shard estimates straight from the reloaded registers, and
+    * the all-corpus union estimate from a `max(rho)` merge of every
+    * shard's reloaded table. The oracle re-derives registers, merge, fold
+    * and estimates from the corpus, so equality certifies the full
+    * sketch-shard-then-merge contract: at 100 TB each shard sketches its
+    * partition ONCE, ships a ≤ 2^p-row artifact, and any union of shards
+    * is estimable forever without rescanning a byte. Widths: source ≤ 8
+    * chars (src0..src19), bucket < 2^p, rho ≤ 64−p+1 — strictWidth makes
+    * any drift loud. */
+  private val sketchLayout = Seq(
+    FieldSpec("source", "string", 0, 8),
+    FieldSpec("bucket", "long", 8, 6),
+    FieldSpec("rho", "long", 14, 4))
+
+  def sketchArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 8
+    val out = QueryRegistry.scratch(dir, "hll_regs_fw")
+    val toks = table(spark, dir, "documents")
+      .select($"source", explode(TextFunctions.tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    val fieldsOpt = FixedWidthOptions.renderFields(sketchLayout)
+    Cardinality.hllRegisters(toks, Seq("source"), $"token", p)
+      .select($"source", $"_bucket".as("bucket"), $"_rho".as("rho"))
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .select($"source", $"bucket".as("_bucket"), $"rho".as("_rho"))
+    val perSource = Cardinality.estimateFromRegisters(back, Seq("source"), p)
+      .select($"source".as("scope"), $"n_used", $"hll_est")
+    val union = Cardinality.estimateFromRegisters(
+        back.groupBy($"_bucket").agg(max($"_rho").as("_rho")), Seq.empty, p)
+      .select(lit("__all__").as("scope"), $"n_used", $"hll_est")
+    perSource.unionByName(union).orderBy($"scope")
+  }
+
+  val sketchArtifactOracle: String = {
+    val p = 8
+    val m = 1 << p
+    val bucket = s"(h // ${1L << (64 - p)})"
+    val w = s"((h * $m) % 18446744073709551616::HUGEINT)"
+    val rho = s"least(CASE WHEN $w = 0 THEN 64 ELSE 64 - length(bin($w)) END, ${64 - p}) + 1"
+    def fold(est: String) =
+      s"""count(*) AS n_used, round(${Cardinality.alphaM2(p)} / list_reduce(
+         |    list_prepend(($m - count(*))::DOUBLE, list(pow(2.0, -rho) ORDER BY bucket)),
+         |    (a, b) -> a + b), 4) AS $est""".stripMargin
+    s"""WITH t AS (
+       |  SELECT DISTINCT source,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents
+       |), tok AS (
+       |  SELECT source, token FROM t WHERE length(token) > 0
+       |), th AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM tok)
+       |), rows_ AS (
+       |  SELECT tok.source, cast($bucket AS BIGINT) AS bucket, cast($rho AS BIGINT) AS rho
+       |  FROM tok JOIN th USING (token)
+       |), regs AS (
+       |  SELECT source, bucket, max(rho) AS rho FROM rows_ GROUP BY 1, 2
+       |), per_src AS (
+       |  SELECT source AS scope, ${fold("hll_est")}
+       |  FROM regs GROUP BY source
+       |), merged AS (
+       |  SELECT bucket, max(rho) AS rho FROM regs GROUP BY bucket
+       |), uni AS (
+       |  SELECT '__all__' AS scope, ${fold("hll_est")} FROM merged
+       |)
+       |SELECT scope, cast(n_used AS BIGINT) AS n_used, hll_est FROM per_src
+       |UNION ALL
+       |SELECT scope, cast(n_used AS BIGINT) AS n_used, hll_est FROM uni
+       |ORDER BY scope""".stripMargin
+  }
 }
