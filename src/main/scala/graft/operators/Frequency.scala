@@ -25,7 +25,19 @@ import graft.functions.Hashing
 object Frequency {
 
   /** The d×2^wBits cell counts of the items' multiset: (d, bucket, n). */
-  def cmsCells(items: DataFrame, itemCol: Column, depth: Int, wBits: Int): DataFrame = {
+  def cmsCells(items: DataFrame, itemCol: Column, depth: Int, wBits: Int): DataFrame =
+    cmsCellsBy(items, Seq.empty, itemCol, depth, wBits)
+
+  /** Per-group cell tables: groupCols + (d, bucket, n) — the SHARD form of
+    * [[cmsCells]]. Cell counts are plain counts, so cells of any set of
+    * groups merge by `SUM(n)` per (d, bucket) — additivity is the CMS merge
+    * property (where HLL registers merge by max), and it is what lets a
+    * sharded deployment sketch each shard once, persist the ≤ d·2^wBits-row
+    * tables, and answer point queries over any shard union without
+    * rescanning (the q211 artifact lane). */
+  def cmsCellsBy(
+      items: DataFrame, groupCols: Seq[String], itemCol: Column,
+      depth: Int, wBits: Int): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
     require(wBits >= 4 && wBits <= 24, s"wBits must be in [4,24], got $wBits")
     val h = Hashing.hash64Col(itemCol)
@@ -33,8 +45,8 @@ object Frequency {
       struct(lit(j).as("d"),
         pmod(Hashing.mix64At(h, lit(j)), lit(1L << wBits)).as("bucket"))
     }: _*)
-    items.select(explode(cells).as("_c"))
-      .groupBy(col("_c.d").as("d"), col("_c.bucket").as("bucket"))
+    items.select(groupCols.map(col) :+ explode(cells).as("_c"): _*)
+      .groupBy(groupCols.map(col) :+ col("_c.d").as("d") :+ col("_c.bucket").as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
 

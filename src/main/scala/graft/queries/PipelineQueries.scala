@@ -1618,7 +1618,8 @@ object PipelineQueries {
     Q("q204_kappa_agreement", kappaAgreement, Some(kappaAgreementOracle)),
     Q("q205_reliability_bins", reliabilityBins, Some(reliabilityBinsOracle)),
     Q("q207_weights_artifact", weightsArtifact, Some(weightsArtifactOracle)),
-    Q("q210_sketch_artifact", sketchArtifact, Some(sketchArtifactOracle)))
+    Q("q210_sketch_artifact", sketchArtifact, Some(sketchArtifactOracle)),
+    Q("q211_cms_artifact", cmsArtifact, Some(cmsArtifactOracle)))
 
   // ---------------------------------------------------------------- q181
   /** Logistic-regression TRAINING ([[graft.operators.LogReg]]): 3 rounds of
@@ -2176,5 +2177,83 @@ object PipelineQueries {
        |UNION ALL
        |SELECT scope, cast(n_used AS BIGINT) AS n_used, hll_est FROM uni
        |ORDER BY scope""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** CMS-cell artifact persistence — q210's ADDITIVE sibling: HLL
+    * registers merge by max, Count-Min cells merge by SUM (count
+    * additivity), and together they cover both sketch-merge algebras a
+    * sharded pipeline uses. Per-source cell tables (≤ d·2^wBits rows per
+    * shard REGARDLESS of corpus size) go through the fixedwidth sink;
+    * the lane reloads every shard's table, sum-merges per (d, bucket),
+    * and answers the q49-style point queries (top-10 exact tokens + the
+    * never-seen probe) from the MERGED reloaded sketch. The oracle builds
+    * the whole-corpus cells directly — equality is precisely the claim
+    * "shard sketches, persisted and summed, answer like one corpus-wide
+    * sketch". wBits=12 keeps each shard's artifact ≤ 16384 rows and
+    * forces real collisions through the round trip. */
+  private val cmsLayout = Seq(
+    FieldSpec("source", "string", 0, 8),
+    FieldSpec("d", "int", 8, 2),
+    FieldSpec("bucket", "long", 10, 6),
+    FieldSpec("n", "long", 16, 10))
+
+  def cmsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val wBits = 12
+    val out = QueryRegistry.scratch(dir, "cms_cells_fw")
+    val toks = table(spark, dir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val fieldsOpt = FixedWidthOptions.renderFields(cmsLayout)
+    Frequency.cmsCellsBy(toks, Seq("source"), $"token", depth, wBits)
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    val merged = spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .groupBy($"d", $"bucket").agg(sum($"n").as("n"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"token").limit(10)
+    val probes = top.unionByName(Seq((UnseenProbe, 0L)).toDF("token", "n_exact"))
+    Frequency.cmsEstimate(probes, "token", merged, depth, wBits)
+      .orderBy($"n_exact".desc, $"token")
+  }
+
+  val cmsArtifactOracle: String = {
+    val m = DuckHashSql.mix64Sql("h", "d")
+    val w = 1 << 12
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+       |), tok AS (
+       |  SELECT token FROM t WHERE length(token) > 0
+       |), th AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM tok)
+       |), keyed AS (
+       |  SELECT tok.token, d.d, cast(($m % $w) AS BIGINT) AS bucket
+       |  FROM tok JOIN th USING (token)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |), cells AS (
+       |  SELECT d, bucket, count(*) AS n FROM keyed GROUP BY d, bucket
+       |), top AS (
+       |  SELECT * FROM (
+       |    SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+       |    ORDER BY n_exact DESC, token LIMIT 10
+       |  )
+       |  UNION ALL
+       |  SELECT '$UnseenProbe' AS token, 0 AS n_exact
+       |), toph AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM top)
+       |), probe AS (
+       |  SELECT top.token, top.n_exact, d.d, cast(($m % $w) AS BIGINT) AS bucket
+       |  FROM top JOIN toph USING (token)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |)
+       |SELECT p.token, p.n_exact, min(coalesce(c.n, 0)) AS cms_est
+       |FROM probe p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |GROUP BY p.token, p.n_exact
+       |ORDER BY n_exact DESC, token""".stripMargin
   }
 }
