@@ -2081,7 +2081,12 @@ object PipelineQueries {
     FieldSpec("bucket", "int", 0, 4),
     FieldSpec("weight", "decimal(12,8)", 4, 16))
 
-  def weightsArtifact(spark: SparkSession, dir: String): DataFrame = {
+  /** The q207 persistence path as a reusable step: train-once weights →
+    * fixedwidth sink → read back as (bucket, weight). Consumers that want
+    * the DEPLOYED model (the artifact, not the in-process memo) load
+    * through here — q207 hash-checks the round trip, q212 serves a stream
+    * from it. */
+  private[queries] def persistedWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = QueryRegistry.scratch(dir, "logreg_weights_fw")
     val fieldsOpt = FixedWidthOptions.renderFields(weightsLayout)
@@ -2092,12 +2097,51 @@ object PipelineQueries {
       .mode("overwrite").save(out)
     spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
       .select($"bucket", $"weight".cast("double").as("weight"))
-      .orderBy($"bucket")
+  }
+
+  /** Bucket-indexed weight vector (0..2^6 = bias) from the PERSISTED
+    * artifact — the bounded (65-double) driver pull a serving process
+    * does once at startup. */
+  private[queries] def persistedWeightVector(spark: SparkSession, dir: String): Array[Double] = {
+    val rows = persistedWeights(spark, dir).collect()
+    val arr = Array.fill(65)(0.0)
+    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    arr
+  }
+
+  def weightsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    persistedWeights(spark, dir).orderBy($"bucket")
   }
 
   /** Same answer as q181: the round trip is value-preserving, so the
     * corpus-derived trajectory replay IS the expected read-back table. */
   val weightsArtifactOracle: String = logregTrainOracle
+
+  /** Oracle for the q212 streaming artifact-serving lane (the lane lives
+    * in [[StreamingQueries]]; the oracle lives here with the shared
+    * training-trajectory CTEs): re-derive the q181 weights from the
+    * corpus, then score every document by the ORDER-FREE decimal sum of
+    * its token-occurrence weights + bias — exactly the per-token fold the
+    * stream computes, exact in decimal(30,10) because weights are
+    * round(·,8) doubles (the LogReg determinism argument), so partial-agg
+    * vs fold order cannot drift it. */
+  val streamArtifactScoreOracle: String =
+    s"""WITH ${logregCtes(3)}, toks2 AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents
+       |), terms AS (
+       |  SELECT doc_id, (${DuckHashSql.hash64Sql("tok")} // ${1L << 58}) AS b
+       |  FROM toks2
+       |), msum AS (
+       |  SELECT t.doc_id, sum(cast(w.w AS DECIMAL(30,10))) AS s
+       |  FROM terms t JOIN w3 w USING (b) GROUP BY t.doc_id
+       |), wb AS (SELECT w FROM w3 WHERE b = 64)
+       |SELECT m.doc_id,
+       |  round(cast(m.s + cast(wb.w AS DECIMAL(30,10)) AS DOUBLE), 6) AS margin,
+       |  (m.s + cast(wb.w AS DECIMAL(30,10))) > 0 AS pred_en
+       |FROM msum m CROSS JOIN wb
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q210
   /** Mergeable-SKETCH persistence (the q207/q208/q209 artifact pattern for

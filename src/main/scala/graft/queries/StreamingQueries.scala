@@ -857,7 +857,43 @@ object StreamingQueries {
        |ORDER BY e.window_start, e."user"""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q212
+  /** Train-offline / serve-online: the PERSISTED q207 weight artifact
+    * (fixedwidth file, not the in-process memo) is loaded once — a 65-
+    * double driver pull, exactly what a serving process does at startup —
+    * and a document STREAM is scored entirely map-side: per doc one
+    * decimal(30,10) fold over token-occurrence weights plus the bias.
+    * No shuffle, no state store, append mode — the classifier-serving
+    * shape at any corpus size. The decimal fold is ORDER-FREE-exact
+    * (round(·,8) weights, the LogReg determinism argument), so the
+    * drained stream hash-matches the oracle's batch re-derivation of the
+    * same per-token sum under the replayed training trajectory. */
+  def streamArtifactScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hashing, TextFunctions}
+    val w = PipelineQueries.persistedWeightVector(spark, dir)
+    val wLit = typedlit(w.toSeq)
+    runToMemory(spark, "stream_artifact_score", "append") { ss =>
+      val schema = table(ss, dir, "documents").schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          aggregate(col("toks"),
+            lit(w(64)).cast("decimal(30,10)"),
+            (acc, t) => (acc + element_at(wLit,
+              (shiftrightunsigned(Hashing.hash64Col(t), 58) + lit(1L)).cast("int"))
+              .cast("decimal(30,10)")).cast("decimal(30,10)"))
+            .as("m"))
+        .select(col("doc_id"),
+          round(col("m").cast("double"), 6).as("margin"),
+          (col("m") > lit(0).cast("decimal(30,10)")).as("pred_en"))
+    }
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q212_stream_artifact_score", streamArtifactScore,
+      Some(PipelineQueries.streamArtifactScoreOracle)),
     Q("q195_stream_cms", streamCms, Some(streamCmsOracle)),
     Q("q180_stream_hist_quantiles", streamHistQuantiles, Some(streamHistQuantilesOracle)),
     Q("q178_stream_neardup", streamNearDup, Some(streamNearDupOracle)),
