@@ -106,4 +106,24 @@ object LogReg {
       w.toDF("b", "weight").select($"b".cast("int").as("bucket"), $"weight")
     } finally db.unpersist(blocking = false)
   }
+
+  /** SERVING-side margin of a raw token array under a bucket-indexed
+    * weight vector (index 2^logBuckets = bias): one decimal(30,10) fold
+    * over token-occurrence weights plus the bias — a pure map-side
+    * projection (the weights enter the plan as one array literal), no
+    * explode, no shuffle, usable identically over a batch frame or a
+    * stream (q212). Exactly equal to the training-side
+    * Σ_b (w_b · c_b) decimal margin: weights are round(·,8) doubles, so
+    * per-occurrence decimal terms sum to the same exact value in any
+    * order or grouping (the LogReg determinism argument). */
+  def marginExpr(toks: Column, w: IndexedSeq[Double], logBuckets: Int): Column = {
+    require(w.length == (1 << logBuckets) + 1,
+      s"logreg: weight vector must have 2^$logBuckets + 1 entries, got ${w.length}")
+    val wLit = typedlit(w)
+    aggregate(toks,
+      lit(w(1 << logBuckets)).cast("decimal(30,10)"),
+      (acc, t) => (acc + element_at(wLit,
+        (shiftrightunsigned(Hashing.hash64Col(t), 64 - logBuckets) + lit(1L)).cast("int"))
+        .cast("decimal(30,10)")).cast("decimal(30,10)"))
+  }
 }

@@ -869,21 +869,15 @@ object StreamingQueries {
     * drained stream hash-matches the oracle's batch re-derivation of the
     * same per-token sum under the replayed training trajectory. */
   def streamArtifactScore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Hashing, TextFunctions}
+    import graft.functions.TextFunctions
     val w = PipelineQueries.persistedWeightVector(spark, dir)
-    val wLit = typedlit(w.toSeq)
     runToMemory(spark, "stream_artifact_score", "append") { ss =>
       val schema = table(ss, dir, "documents").schema
       ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          aggregate(col("toks"),
-            lit(w(64)).cast("decimal(30,10)"),
-            (acc, t) => (acc + element_at(wLit,
-              (shiftrightunsigned(Hashing.hash64Col(t), 58) + lit(1L)).cast("int"))
-              .cast("decimal(30,10)")).cast("decimal(30,10)"))
-            .as("m"))
+          graft.operators.LogReg.marginExpr(
+            TextFunctions.tokens(col("text")), w.toIndexedSeq, logBuckets = 6).as("m"))
         .select(col("doc_id"),
           round(col("m").cast("double"), 6).as("margin"),
           (col("m") > lit(0).cast("decimal(30,10)")).as("pred_en"))

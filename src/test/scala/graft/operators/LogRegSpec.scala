@@ -106,6 +106,40 @@ class LogRegSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("marginExpr equals the training-side bucket-count margin, and plans map-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = corpus()
+    val wdf = LogReg.trainWeights(docs, "doc_id", "text", col("y") === 1, 6, 2, 0.1)
+      .collect()
+    val w = Array.fill(65)(0.0)
+    wdf.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    // training-side margin: per-(doc,bucket) counts × weights, decimal sum
+    val feats = docs
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .select($"doc_id",
+        shiftrightunsigned(graft.functions.Hashing.hash64Col($"tok"), 58).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .unionByName(docs.select($"doc_id", lit(64L).as("b"), lit(1L).as("c")))
+    val trainSide = feats
+      .join(broadcast(wdf.toSeq.map(r => (r.getInt(0).toLong, r.getDouble(1)))
+        .toDF("b", "w")), "b")
+      .groupBy($"doc_id")
+      .agg(sum(($"w" * $"c").cast("decimal(30,10)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    // serving-side: one map-side fold per doc, no explode, no shuffle
+    val serve = docs.select($"doc_id",
+      LogReg.marginExpr(graft.functions.TextFunctions.tokens($"text"), w.toIndexedSeq, 6).as("m"))
+    val serveRows = serve.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    serveRows.keySet shouldBe trainSide.keySet
+    serveRows.foreach { case (id, m) =>
+      withClue(s"doc $id") { m.compareTo(trainSide(id)) shouldBe 0 }
+    }
+    // plan pin: the serving projection is one map-side pass — no Exchange
+    val plan = serve.queryExecution.executedPlan.toString
+    plan.contains("Exchange") shouldBe false
+  }
+
   test("parameter validation") {
     an[IllegalArgumentException] should be thrownBy
       LogReg.trainWeights(corpus(), "doc_id", "text", col("y") === 1, 6, 0, 0.1)
