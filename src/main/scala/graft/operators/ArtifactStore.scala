@@ -37,14 +37,26 @@ object ArtifactStore {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.CompletableFuture[AnyRef]]()
 
+  /** Keys THIS thread is currently computing — a same-key re-entrant
+    * `cached` call would otherwise join its own incomplete future and hang
+    * forever; a loud error beats a silent deadlock. (Different-key
+    * re-entry is fine: no lock is held during compute.) */
+  private val inFlight = ThreadLocal.withInitial(
+    () => new java.util.HashSet[(String, String)]())
+
   /** The artifact for (kind, dir), computing (and caching) it on first
     * use. `compute` must be deterministic and bounded (see object doc). */
   def cached[T <: AnyRef](kind: String, dir: String)(compute: => T): T = {
     val key = (kind, dir)
     val mine = new java.util.concurrent.CompletableFuture[AnyRef]()
     val prior = memo.putIfAbsent(key, mine)
-    if (prior ne null) prior.join().asInstanceOf[T]
-    else {
+    if (prior ne null) {
+      require(!inFlight.get().contains(key),
+        s"ArtifactStore: re-entrant compute of $key from inside its own " +
+          "trainer — this would deadlock on the key's own future")
+      prior.join().asInstanceOf[T]
+    } else {
+      inFlight.get().add(key)
       val v =
         try compute
         catch {
@@ -53,6 +65,7 @@ object ArtifactStore {
             mine.completeExceptionally(e)
             throw e
         }
+        finally inFlight.get().remove(key)
       mine.complete(v)
       v
     }

@@ -42,4 +42,20 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers {
       calls.get() shouldBe 1
     } finally pool.shutdown()
   }
+
+  test("same-key re-entrant compute fails loudly instead of deadlocking") {
+    val kind = s"spec4-${System.nanoTime()}"
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.cached(kind, "/dir/d") {
+        ArtifactStore.cached(kind, "/dir/d")("inner"): String
+      }
+    }
+    e.getMessage should include("re-entrant")
+    // the failed compute was evicted — a later call retries cleanly
+    ArtifactStore.cached(kind, "/dir/d")("retry") shouldBe "retry"
+    // different-key re-entry stays legal (no lock held during compute)
+    ArtifactStore.cached(s"$kind-outer", "/dir/d") {
+      ArtifactStore.cached(s"$kind-inner", "/dir/d")("ok")
+    } shouldBe "ok"
+  }
 }
