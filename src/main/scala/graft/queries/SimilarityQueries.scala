@@ -592,7 +592,12 @@ object SimilarityQueries {
     graft.sources.fixedwidth.FieldSpec("dim", "int", 4, 4),
     graft.sources.fixedwidth.FieldSpec("c", "decimal(12,8)", 8, 16))
 
-  def centroidsArtifact(spark: SparkSession, dir: String): DataFrame = {
+  /** The q209 persistence path as a reusable step: memoized training →
+    * round(·,8) through the fixedwidth sink → read back as
+    * (cluster, dim, c double). q209 hash-checks this round trip; q213
+    * serves a stream from it. */
+  private[queries] def persistedCentroidTable(
+      spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = QueryRegistry.scratch(dir, "kmeans_centroids_fw")
     val fieldsOpt =
@@ -607,7 +612,23 @@ object SimilarityQueries {
       .mode("overwrite").save(out)
     spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
       .select($"cluster", $"dim", $"c".cast("double").as("c"))
-      .orderBy($"cluster", $"dim")
+  }
+
+  /** The PERSISTED coarse model as centroid vectors — the bounded
+    * (k × dim doubles) pull a serving process does at startup. Values are
+    * the artifact's round(·,8) elements, NOT the in-process full-precision
+    * memo: a consumer of the deployed model sees exactly what the file
+    * carries. */
+  private[queries] def persistedCentroidVectors(
+      spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    persistedCentroidTable(spark, dir).collect()
+      .groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+
+  def centroidsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    persistedCentroidTable(spark, dir).orderBy($"cluster", $"dim")
   }
 
   /** The oracle replays seeding + one Lloyd update from the corpus — the
@@ -617,6 +638,31 @@ object SimilarityQueries {
        |SELECT cast(cid AS INT) AS cluster, cast(dim AS INT) AS dim,
        |  round(m, 8) AS c
        |FROM up ORDER BY cluster, dim""".stripMargin
+
+  /** Oracle for the q213 streaming centroid-serving lane (the lane lives
+    * in [[StreamingQueries]]; the oracle here with the shared k-means
+    * CTEs): every embedding assigned to its nearest centroid FROM THE
+    * PERSISTED ARTIFACT — i.e. the round(·,8) values the file carries
+    * (`cr`), not the full-precision update means. q209 proves the file's
+    * values equal `round(m, 8)` exactly, so replaying the assignment
+    * under `cr` is replaying the deployed model. Same squared-L2
+    * element-order fold and (d, cid) tie-break as the q147 chain. */
+  val streamCentroidAssignOracle: String = {
+    def sq(e: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), j -> ($e[j] - $c[j]) * ($e[j] - $c[j])))"
+    s"""WITH ${kmeansCte(8)},
+       |cr AS (
+       |  SELECT cid, list(round(m, 8) ORDER BY dim) AS c FROM up GROUP BY cid
+       |), af AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM (SELECT x.vec_id, i.cid, ${sq("x.e", "i.c")} AS d
+       |          FROM ex x CROSS JOIN cr i)
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id, cast(cid AS INT) AS cluster, round(d, 6) AS dist
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q157
   /** Hybrid retrieval via reciprocal-rank fusion — the standard RAG

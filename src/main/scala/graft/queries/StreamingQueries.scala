@@ -885,7 +885,34 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q213
+  /** Streaming centroid ASSIGNMENT from the persisted artifact — the
+    * embedding-side twin of q212 and the last link of the k-means chain
+    * (q147 trains → q209 persists → q213 serves): the deployed coarse
+    * model is loaded once (k × dim doubles, exactly the file's round(·,8)
+    * values), and an embedding STREAM is assigned entirely map-side —
+    * centroids ride as plan literals into k codegen'd squared-L2 folds +
+    * an argmin, append mode, no shuffle, no state. The oracle replays the
+    * assignment under the SAME rounded artifact values (`cr`), so the
+    * drained stream hash-matches what batch scoring of the deployed model
+    * produces. */
+  def streamCentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = SimilarityQueries.persistedCentroidVectors(spark, dir)
+    runToMemory(spark, "stream_centroid_assign", "append") { ss =>
+      val schema = table(ss, dir, "embeddings").schema
+      graft.operators.KMeans.assignWith(
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir),
+          "vec_id", "embedding", cents)
+        .select(col("id").as("vec_id"), col("cluster"),
+          round(col("dist"), 6).as("dist"))
+    }
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q213_stream_centroid_assign", streamCentroidAssign,
+      Some(SimilarityQueries.streamCentroidAssignOracle)),
     Q("q212_stream_artifact_score", streamArtifactScore,
       Some(PipelineQueries.streamArtifactScoreOracle)),
     Q("q195_stream_cms", streamCms, Some(streamCmsOracle)),
