@@ -52,6 +52,10 @@ object Bench {
       LaneReset(spark)
       name -> (if (ok) dt else -1.0)
     }
+    // Keys the registered trainers populated: compared against the memo
+    // AFTER the lane sweep to catch an unregistered ArtifactStore.cached
+    // site (see the coverage check below the sweep).
+    val trainedKeys = ArtifactStore.keys()
     val laneResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -68,8 +72,26 @@ object Bench {
                else times.sorted.apply((times.size - 1) / 2)
       name -> dt
     }
+    // Trainer-coverage check: any artifact key memoized DURING the lane
+    // sweep came from a `cached` site no registered trainer covers — its
+    // cold training cost hid inside the first consumer lane's rep 1 and
+    // the median then discarded it (the exact round-10 accounting bug the
+    // train_* entries exist to prevent). Fail loudly rather than record a
+    // silently-wrong artifact.
+    val unregistered = ArtifactStore.keys() -- trainedKeys
+    if (unregistered.nonEmpty) {
+      spark.stop()
+      sys.error("[bench] artifact keys trained inside the lane sweep but " +
+        s"absent from the trainer registry: ${unregistered.mkString(", ")} — " +
+        "register a trainer in the module's artifactTrainers so the cold " +
+        "cost is accounted as a train_* entry")
+    }
     val results = trainResults ++ laneResults
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A failed lane/trainer records the -1.0 sentinel; summing it would
+    // silently SHRINK the total by 1 s per failure. Exclude sentinels from
+    // the headline number and surface the count instead.
+    val failures = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Full per-query map first (human/archive record)...
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -92,15 +114,16 @@ object Bench {
       if (len + e.length + 1 < budget) { kept += e; len += e.length + 1 }
       else cut = true
     }
-    val note = if (kept.size < results.size)
-      s""","queries_shown":${kept.size},"queries_total":${results.size}""" else ""
+    val note = (if (kept.size < results.size)
+      s""","queries_shown":${kept.size},"queries_total":${results.size}""" else "") +
+      (if (failures > 0) s""","failures":$failures""" else "")
     val totalLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$note,"sf":"$sfDir"}"""
     // Sidecar copy (full per-query map, not tail-budgeted): a parse-proof
     // artifact next to the build regardless of how the runner decorates
     // stdout. The stdout total line stays the primary driver contract.
     try java.nio.file.Files.write(java.nio.file.Path.of("bench.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failures":$failures,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
     // AFTER spark.stop(): no Spark shutdown chatter can land after this line.

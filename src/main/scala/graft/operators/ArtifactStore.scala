@@ -30,8 +30,12 @@ package graft.operators
   * `computeIfAbsent` compute would hold the bin lock for the whole Spark
   * training job, stalling unrelated keys in the same bin and deadlocking
   * on re-entry), and losers block on the winner's future. A failed compute
-  * removes its future before propagating, so a later call retries instead
-  * of replaying the failure.
+  * removes its future before propagating, so a LATER call retries instead
+  * of replaying the failure; waiters already blocked on the failed future
+  * DO observe that failure (they cannot retry — the winner's attempt was
+  * the attempt they joined), rethrown with the winner's original exception
+  * (the `CompletionException` wrapper `join` adds is unwrapped so winner
+  * and waiters see the same type).
   */
 object ArtifactStore {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
@@ -54,7 +58,14 @@ object ArtifactStore {
       require(!inFlight.get().contains(key),
         s"ArtifactStore: re-entrant compute of $key from inside its own " +
           "trainer — this would deadlock on the key's own future")
-      prior.join().asInstanceOf[T]
+      try prior.join().asInstanceOf[T]
+      catch {
+        // rethrow the winner's ORIGINAL exception: join wraps it in
+        // CompletionException, which would make waiters see a different
+        // type than the thread whose compute actually failed
+        case e: java.util.concurrent.CompletionException if e.getCause ne null =>
+          throw e.getCause
+      }
     } else {
       inFlight.get().add(key)
       val v =
@@ -73,4 +84,14 @@ object ArtifactStore {
 
   /** Test hook: drop every cached artifact (e.g. to measure a cold run). */
   private[graft] def clear(): Unit = memo.clear()
+
+  /** Test/bench hook: the artifact kinds currently memoized. Bench uses it
+    * to assert its registered trainer list covers every `cached` site a
+    * lane sweep exercises — an unregistered artifact would otherwise hide
+    * its cold training cost inside the first consumer lane's rep 1 (and
+    * the median would then discard it from the record entirely). */
+  private[graft] def keys(): Set[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    memo.keySet().asScala.toSet
+  }
 }

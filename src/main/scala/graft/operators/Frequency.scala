@@ -40,6 +40,11 @@ object Frequency {
       depth: Int, wBits: Int): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
     require(wBits >= 4 && wBits <= 24, s"wBits must be in [4,24], got $wBits")
+    // the sketch's own output columns — a group column reusing one would
+    // produce ambiguous/duplicate columns downstream, silently
+    require(groupCols.intersect(Seq("d", "bucket", "n")).isEmpty,
+      s"group columns ${groupCols.mkString(", ")} collide with the sketch's " +
+        "reserved output names (d, bucket, n) — alias the group column first")
     val h = Hashing.hash64Col(itemCol)
     val cells = array((0 until depth).map { j =>
       struct(lit(j).as("d"),

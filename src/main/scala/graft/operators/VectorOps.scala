@@ -160,7 +160,10 @@ object VectorOps {
       sumMode: SumMode): DataFrame = {
     // the lazy path never reaches leadingDirection's materializing guard,
     // so probe the input here — a limit-1 job (first valid row short-
-    // circuits the scan), loud on zero rows / all-empty vectors
+    // circuits the scan), loud on zero rows / all-empty vectors. This is
+    // the ONLY probe site: topTwoComponents (materializeEachRound = true)
+    // relies on the in-loop take(1) guard instead, so the deflated path
+    // never pays a duplicate probe job
     require(!embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         size(col(vecCol)) > 0).isEmpty,
       "power iteration over empty input: zero embedding rows (or empty " +

@@ -43,6 +43,42 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers {
     } finally pool.shutdown()
   }
 
+  test("waiters on a failing winner see the winner's original exception type") {
+    val kind = s"spec5-${System.nanoTime()}"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val boom = new RuntimeException("trainer failed")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val winner = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = ArtifactStore.cached(kind, "/dir/e") {
+          started.countDown(); release.await(); throw boom
+        }
+      })
+      started.await() // waiter joins only AFTER the winner claimed the key
+      val waiter = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = ArtifactStore.cached(kind, "/dir/e")("never-computed")
+      })
+      Thread.sleep(50) // let the waiter block on the winner's future
+      release.countDown()
+      val we = intercept[java.util.concurrent.ExecutionException] { winner.get() }
+      we.getCause shouldBe theSameInstanceAs(boom)
+      // the waiter replays the SAME original exception, not a
+      // CompletionException wrapper (the documented waiter-replay contract)
+      val e = intercept[java.util.concurrent.ExecutionException] { waiter.get() }
+      e.getCause shouldBe theSameInstanceAs(boom)
+      // the failed compute was evicted — a later call retries cleanly
+      ArtifactStore.cached(kind, "/dir/e")("retry") shouldBe "retry"
+    } finally pool.shutdown()
+  }
+
+  test("keys() reflects exactly the memoized (kind, dir) pairs") {
+    val kind = s"spec6-${System.nanoTime()}"
+    ArtifactStore.keys() should not contain ((kind, "/dir/f"))
+    ArtifactStore.cached(kind, "/dir/f")("v")
+    ArtifactStore.keys() should contain((kind, "/dir/f"))
+  }
+
   test("same-key re-entrant compute fails loudly instead of deadlocking") {
     val kind = s"spec4-${System.nanoTime()}"
     val e = intercept[IllegalArgumentException] {
