@@ -632,8 +632,12 @@ object Similarity {
     * cost — stays CONSTANT as the corpus grows; recall for true near-dups
     * (cosine → 1) stays high since their per-table collision probability
     * (1 − θ/π)^planes degrades only polynomially in planes while bucket
-    * density drops exponentially. Fixed `planes` remains the replayable
-    * configuration the q64 oracle pins.
+    * density drops exponentially. Both registered lanes (q64 occupancy=16,
+    * q174 occupancy=32) run auto mode since r12; their oracles replay the
+    * banding at the planes constant auto resolves at the verify SF
+    * (`AutoPlanesGuardSpec` guards the boundary). Fixed `planes`
+    * (autoPlanesOccupancy=0) stays available for replayable pinned
+    * configurations on bounded inputs.
     */
   /** The plane count [[cosineNearDupsBucketed]] resolves under auto mode
     * for a corpus of `n` vectors: enough planes to hold expected bucket

@@ -165,20 +165,32 @@ object SimilarityQueries {
   /** Embedding near-dups over the FULL table via SRP-bucket candidates +
     * exact cosine — the scale path (q62 stays as the bounded all-pairs
     * exactness kernel). Oracle replicates bucket generation from the same
-    * literal hyperplanes, so the candidate set itself is cross-checked. */
+    * literal hyperplanes, so the candidate set itself is cross-checked.
+    *
+    * AUTO-SIZED since r12: this lane originally pinned planes=6, and the
+    * r11 sf1 rehearsal measured the documented n²/2^planes blow-up (101.7 s,
+    * 91× for 10× data — 25% of the whole suite in one lane). It now runs
+    * the same `autoPlanesOccupancy` scale knob as q174 at a TIGHTER
+    * occupancy target (16 vs q174's 32 — higher recall, ~2× the candidate
+    * pairs), so the two lanes pin the knob at two operating points. At the
+    * verify SF (≤512 vectors) auto resolves planes=5, which the oracle's
+    * literal-hyperplane CTE replays exactly; `AutoPlanesGuardSpec` guards
+    * the boundary for BOTH lanes. */
   def nearDupsBucketed(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupsBucketed(table(spark, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 6)
+        "vec_id", "embedding", threshold = 0.35, dim = 64, tables = 16, planes = 5,
+        autoPlanesOccupancy = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q64's AUTO-SIZED sibling — the 100 TB configuration. Fixed planes fix
-    * the bucket space, so occupancy and pair cost grow n²/2^planes (the
-    * sf1 rehearsal measured q64 at 185× for 10× data — every bucket 10×
+  /** q64's looser-occupancy sibling (32 vs 16) — fewer candidate pairs,
+    * lower recall, same scale law. Fixed planes fix the bucket space, so
+    * occupancy and pair cost grow n²/2^planes (the sf1 rehearsals measured
+    * the then-fixed-planes q64 at 91–185× for 10× data — every bucket 10×
     * denser, none degenerate). `autoPlanesOccupancy` counts the corpus and
     * raises planes to ceil(log2(n/32)) so expected occupancy stays
     * constant: at the verify SF (500 vectors) that resolves to planes=4 —
     * which the oracle's literal-hyperplane CTE replays exactly — while at
-    * sf0.1/sf1 the same lane self-sizes to 6/10+ planes and its rehearsal
+    * sf0.1/sf1 the same lane self-sizes to 8/11+ planes and its rehearsal
     * ratio stays ~linear. (The oracle SQL is the auto-sizing EVALUATED at
     * n=500; it is correct for any n ≤ 512 and regenerates per-SF beyond.) */
   def nearDupsBucketedAuto(spark: SparkSession, dir: String): DataFrame =
@@ -200,7 +212,7 @@ object SimilarityQueries {
        |FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
   val nearDupsBucketedOracle: String =
-    s"""WITH ${srpBandedCte(tables = 16, planes = 6, dim = 64, whereClause = "")},
+    s"""WITH ${srpBandedCte(tables = 16, planes = 5, dim = 64, whereClause = "")},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |    a.embedding AS e_a, b.embedding AS e_b
