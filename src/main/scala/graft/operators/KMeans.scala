@@ -27,11 +27,14 @@ import graft.functions.VectorOps
   *
   * Determinism, for the cross-engine oracle: seeds are the k lowest ids
   * (not random), distance folds are left-to-right element order, argmin
-  * tie-breaks on (distance, cluster id), and centroid means fold members in
-  * id order — every step replays identically in DuckDB SQL. At corpus scale
-  * swap the ordered centroid fold for a plain double sum and accept
-  * last-ulp partial-agg drift (same note as SimilarityQueries'
-  * labelCentroids).
+  * tie-breaks on (distance, cluster id), and — under [[SumMode.ExactFold]]
+  * — centroid means fold members in id order, so every step replays
+  * identically in DuckDB SQL. At corpus scale pass [[SumMode.PlaneSums]]
+  * instead: the update means become plain partial-agg double sums (bounded
+  * per-group state, map-side combine, no per-(cluster, dim) member
+  * collect) with last-ulp summation-order drift accepted — the same
+  * two-mode contract as [[VectorOps]], pinned by `SumModePlanSpec`-style
+  * tests in `KMeansSpec`.
   */
 object KMeans {
 
@@ -45,7 +48,8 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      rounds: Int): Seq[(Int, Array[Double])] = {
+      rounds: Int,
+      sumMode: SumMode): Seq[(Int, Array[Double])] = {
     require(k >= 1, s"kmeans: k must be >= 1, got $k")
     require(rounds >= 1, s"kmeans: rounds must be >= 1, got $rounds")
     val rows = prep(df, idCol, vecCol)
@@ -68,21 +72,12 @@ object KMeans {
       }
 
     for (_ <- 1 until rounds) {
-      // Centroid update: mean per (cluster, dim), folding members in id
-      // order so the double sum is reproducible cross-engine. One shuffle
-      // of (cluster, dim) cells; the k x dim mean cells come back as ONE
-      // bounded driver pull and assemble into vectors driver-side (a second
-      // per-cluster shuffle just to collect_list dims would be pure
-      // overhead at any scale).
-      val cells = assignedFrame(rows, centroids)
-        .select(col("id"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(
-          sort_array(collect_list(struct(col("id"), col("x").cast("double").as("x")))).as("xs"),
-          count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"),
-          (aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) / col("n")).as("m"))
-        .collect()
+      // Centroid update: mean per (cluster, dim) under `sumMode`. One
+      // shuffle of (cluster, dim) cells; the k x dim mean cells come back
+      // as ONE bounded driver pull and assemble into vectors driver-side
+      // (a second per-cluster shuffle just to collect_list dims would be
+      // pure overhead at any scale).
+      val cells = updateCells(assignedFrame(rows, centroids), sumMode).collect()
       // Clusters that lost every member simply disappear (same in the SQL
       // oracle: the update GROUP BY has no row for them).
       centroids = cells.groupBy(_.getInt(0)).map { case (cid, rs) =>
@@ -90,6 +85,32 @@ object KMeans {
       }.toSeq.sortBy(_._1)
     }
     centroids
+  }
+
+  /** The Lloyd update's (cluster, dim, m) mean cells for one assigned
+    * round, under the corpus-sum convention:
+    * [[SumMode.ExactFold]] folds members in id order (the oracle-replayable
+    * verify convention — per-group collect, unbounded state);
+    * [[SumMode.PlaneSums]] is a plain partial-agg double sum / count
+    * (bounded state, map-side combine — the 100 TB mode). Exposed to
+    * `KMeansSpec` so the PlaneSums plan can be pinned collect_list-free. */
+  private[operators] def updateCells(
+      assigned: DataFrame, sumMode: SumMode): DataFrame = {
+    val ex = assigned
+      .select(col("id"), col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    sumMode match {
+      case SumMode.ExactFold =>
+        ex.groupBy(col("cluster"), col("dim"))
+          .agg(
+            sort_array(collect_list(struct(col("id"), col("x")))).as("xs"),
+            count(lit(1)).as("n"))
+          .select(col("cluster"), col("dim"),
+            (aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) / col("n")).as("m"))
+      case SumMode.PlaneSums =>
+        ex.groupBy(col("cluster"), col("dim"))
+          .agg((sum(col("x")) / count(lit(1))).as("m"))
+    }
   }
 
   /** Score `df` against an already-trained centroid table — the consumer
@@ -116,8 +137,9 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      rounds: Int): DataFrame =
-    assignWith(df, idCol, vecCol, trainCentroids(df, idCol, vecCol, k, rounds))
+      rounds: Int,
+      sumMode: SumMode): DataFrame =
+    assignWith(df, idCol, vecCol, trainCentroids(df, idCol, vecCol, k, rounds, sumMode))
 
   private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -155,9 +177,10 @@ object KMeans {
       vecCol: String,
       k: Int,
       rounds: Int,
-      threshold: Double): DataFrame =
+      threshold: Double,
+      sumMode: SumMode): DataFrame =
     semDeDupWith(df, idCol, vecCol,
-      trainCentroids(df, idCol, vecCol, k, rounds), threshold)
+      trainCentroids(df, idCol, vecCol, k, rounds, sumMode), threshold)
 
   /** [[semDeDup]] against an already-trained centroid table (the
     * train-once consumer form — see [[assignWith]]). */

@@ -298,16 +298,40 @@ object Similarity {
   }
 
   /** @param kmeansIters optional Lloyd refinement rounds for the coarse
-    *   quantizer: assign every corpus vector to its nearest centroid
-    *   (map-side, broadcast centroids), recompute each cell's element-wise
-    *   mean via the [[graft.functions.VectorMean]] Aggregator (map-side
-    *   partial sums — the shuffle carries O(cells × dim) doubles, not
-    *   O(N) vectors), collect the nlist × dim means to the driver. Default
-    *   0 keeps the deterministic hash-sample centroids, which the DuckDB
+    *   quantizer, on the relational KMeans path: assignment is one
+    *   map-side pass of codegen'd cosine folds against the nlist centroid
+    *   LITERALS (argmax via array_sort on struct(-cos, cell) — the same
+    *   plan shape as `KMeans.assignWith`, no `mapPartitions`, no UDAF),
+    *   the update is a plain partial-agg mean per (cell, dim) — the
+    *   shuffle carries O(cells × dim) cells, not O(N) vectors — and the
+    *   nlist × dim means come back as one bounded driver pull. Default 0
+    *   keeps the deterministic hash-sample centroids, which the DuckDB
     *   oracle reproduces exactly (double-sum order inside a refinement
     *   mean is partition-dependent, so refined centroids are adaptive but
     *   not bit-reproducible cross-engine — the classic trade). Empty cells
     *   keep their previous centroid. */
+  /** One Lloyd refinement round's (cell, dim, m) mean cells, on the
+    * relational KMeans path: every corpus row scores the centroid LITERALS
+    * with the codegen'd cosine fold and takes the argmax via array_sort on
+    * struct(-cos, cell) — tie-break to the lowest cell, a NULL cosine
+    * (zero norm / mismatched dims) coerced to the same -2.0 sentinel
+    * `nearestCellsIn` uses, so both assignment paths pick identical cells.
+    * The update is a plain partial-agg mean per (cell, dim) — bounded
+    * state, map-side combine, no `mapPartitions`, no UDAF (`IvfPlanSpec`
+    * pins the shape). */
+  private[operators] def refineCells(
+      rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scored = cents.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
+      struct(
+        (-coalesce(cosine(col("vec"), typedlit(c.toSeq)), lit(-2.0))).as("negcos"),
+        lit(ci).as("cell"))
+    }
+    rows.withColumn("best", array_sort(array(scored: _*)).getItem(0))
+      .select(col("best.cell").as("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"))
+  }
+
   def knnApproxIvf(
       corpus: DataFrame,
       queries: DataFrame,
@@ -332,19 +356,14 @@ object Similarity {
       .as[Array[Float]]
       .collect()
       .map(_.map(_.toDouble))
-    val dim = cents.headOption.map(_.length).getOrElse(0)
 
     var iter = 0
     while (iter < kmeansIters && cents.nonEmpty) {
+      val updated = refineCells(typed.toDF("id", "vec"), cents).collect()
+        .groupBy(_.getInt(0)).map { case (ci, rs) =>
+          ci -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
       val cur = cents
-      val assignedVecs = typed
-        .mapPartitions(_.map { case (_, vec) => (nearestCellsIn(vec, cur, 1)(0), vec) })
-        .toDF("cell", "vec")
-      val mean = udaf(new graft.functions.VectorMean(dim))
-      val updated = assignedVecs.groupBy(col("cell")).agg(mean(col("vec")).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
       cents = Array.tabulate(cur.length)(ci => updated.getOrElse(ci, cur(ci)))
       iter += 1
     }

@@ -538,7 +538,11 @@ object SimilarityQueries {
       spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
     graft.operators.ArtifactStore.cached("kmeans_k8_r2", dir)(
       graft.operators.KMeans.trainCentroids(
-        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2))
+        table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2,
+        // the verify convention: the oracle CTE replays the id-ordered
+        // update fold; PlaneSums is the corpus-scale knob (KMeansSpec
+        // pins plan + agreement)
+        sumMode = graft.operators.SumMode.ExactFold))
 
   /** Deterministic Lloyd's k-means over the corpus embeddings (k=8, two
     * assignment rounds) — the clustering stage of SemDeDup-style curation.

@@ -29,7 +29,7 @@ class KMeansSpec extends SparkSpec with Matchers {
 
   test("planted clusters come back pure and deterministic") {
     val df = planted()
-    val out = KMeans.assignments(df, "id", "v", k = 3, rounds = 3)
+    val out = KMeans.assignments(df, "id", "v", k = 3, rounds = 3, SumMode.ExactFold)
       .join(df, Seq("id"))
       .select(col("planted"), col("cluster"))
       .collect()
@@ -39,15 +39,15 @@ class KMeansSpec extends SparkSpec with Matchers {
     byPlanted.values.foreach(_.size shouldBe 1)
     byPlanted.values.toSeq.distinct.size shouldBe 3
 
-    val again = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 3)
+    val again = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 3, SumMode.ExactFold)
       .orderBy("id").collect().toSeq
-    val first = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 3)
+    val first = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 3, SumMode.ExactFold)
       .orderBy("id").collect().toSeq
     again shouldBe first
   }
 
   test("seeding is lowest-id: with rounds=1 each seed row lands in its own cluster") {
-    val out = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 1)
+    val out = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 1, SumMode.ExactFold)
       .filter(col("id").isin(0L, 1L, 2L)) // the three lowest ids = the seeds
       .orderBy("id").collect()
     // each seed IS its cluster's centroid in round 1: own cluster, distance 0
@@ -63,7 +63,7 @@ class KMeansSpec extends SparkSpec with Matchers {
       (3L, None),
       (4L, Some(Array(0.0f, 1.0f))))
       .toDF("id", "v")
-    val out = KMeans.assignments(df, "id", "v", k = 2, rounds = 2)
+    val out = KMeans.assignments(df, "id", "v", k = 2, rounds = 2, SumMode.ExactFold)
     out.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 4L)
   }
 
@@ -74,7 +74,7 @@ class KMeansSpec extends SparkSpec with Matchers {
       (2L, Array[java.lang.Float](10.0f, 0.0f)),
       (3L, Array[java.lang.Float](0.0f, 10.0f)))
       .toDF("id", "v")
-    val out = KMeans.assignments(df, "id", "v", k = 2, rounds = 2)
+    val out = KMeans.assignments(df, "id", "v", k = 2, rounds = 2, SumMode.ExactFold)
       .orderBy("id").collect()
     // row 1 is dropped (NULL distance), rows 2 and 3 seed clusters 0 and 1
     out.map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
@@ -82,7 +82,7 @@ class KMeansSpec extends SparkSpec with Matchers {
   }
 
   test("assignment stage is map-side: no Exchange in the assignments plan") {
-    val plan = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 2)
+    val plan = KMeans.assignments(planted(), "id", "v", k = 3, rounds = 2, SumMode.ExactFold)
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
@@ -97,7 +97,7 @@ class KMeansSpec extends SparkSpec with Matchers {
       (21L, Array(0.0f, 10.0f, 0.002f)), // near-dup of 20 -> dropped
       (30L, Array(0.0f, 0.0f, 10.0f)))
       .toDF("id", "v")
-    val out = KMeans.semDeDup(df, "id", "v", k = 3, rounds = 2, threshold = 0.99)
+    val out = KMeans.semDeDup(df, "id", "v", k = 3, rounds = 2, threshold = 0.99, SumMode.ExactFold)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getBoolean(3)))
     out.toSeq shouldBe Seq(
@@ -111,7 +111,7 @@ class KMeansSpec extends SparkSpec with Matchers {
       (2L, Array(0.0f, 10.0f)))
       .toDF("id", "v")
     // one cluster (k=1) but cosine 0 < threshold -> nobody dropped
-    val out = KMeans.semDeDup(df, "id", "v", k = 1, rounds = 1, threshold = 0.5)
+    val out = KMeans.semDeDup(df, "id", "v", k = 1, rounds = 1, threshold = 0.5, SumMode.ExactFold)
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
     out shouldBe Set((1L, false), (2L, false))
   }
@@ -158,7 +158,7 @@ class KMeansSpec extends SparkSpec with Matchers {
       val rounds = 1 + rng.nextInt(3)
       val rows = (0 until n).map(i => (i.toLong, Array.fill(dim)(rng.nextFloat() * 10 - 5)))
       val expected = refKMeans(rows, k, rounds)
-      val got = KMeans.assignments(rows.toDF("id", "v"), "id", "v", k, rounds)
+      val got = KMeans.assignments(rows.toDF("id", "v"), "id", "v", k, rounds, SumMode.ExactFold)
         .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
       withClue(s"trial $trial (n=$n dim=$dim k=$k rounds=$rounds): ") {
         got shouldBe expected
@@ -175,8 +175,51 @@ class KMeansSpec extends SparkSpec with Matchers {
       .toDF("id", "v")
     // k=3 seeds on ids 1,2,3; after one update rows 1,2 merge toward their
     // shared direction — rounds=3 must not fail if a cluster empties
-    val out = KMeans.assignments(df, "id", "v", k = 3, rounds = 3)
+    val out = KMeans.assignments(df, "id", "v", k = 3, rounds = 3, SumMode.ExactFold)
     out.count() shouldBe 3L
     out.select("cluster").distinct().count() should be <= 3L
+  }
+
+  test("PlaneSums update cells plan with NO per-group collect (plain partial-agg mean)") {
+    val assigned = KMeans.assignWith(planted(), "id", "v",
+        KMeans.trainCentroids(planted(), "id", "v", k = 3, rounds = 1, SumMode.ExactFold))
+      .join(planted().select(col("id"), col("v")), Seq("id"))
+    val df = KMeans.updateCells(assigned, SumMode.PlaneSums)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    withClue(p) {
+      p should not include "collect_list"
+      p should not include "sort_array"
+      p should include("HashAggregate")
+    }
+    val pe = KMeans.updateCells(assigned, SumMode.ExactFold)
+      .queryExecution.executedPlan.toString
+    withClue(pe) { pe should include("collect_list") }
+  }
+
+  test("SumMode agreement: PlaneSums centroids match ExactFold within 1e-9 relative") {
+    val df = planted()
+    def train(mode: SumMode) =
+      KMeans.trainCentroids(df, "id", "v", k = 3, rounds = 3, mode).toMap
+    val exact = train(SumMode.ExactFold)
+    val plain = train(SumMode.PlaneSums)
+    plain.keySet shouldBe exact.keySet
+    exact.size should be > 0
+    for ((cid, ec) <- exact) {
+      val pc = plain(cid)
+      pc.length shouldBe ec.length
+      for (d <- ec.indices) {
+        val rel = math.abs(ec(d) - pc(d)) / math.max(math.abs(ec(d)), 1e-30)
+        withClue(s"cluster $cid dim $d exact=${ec(d)} plain=${pc(d)}: ") {
+          rel should be <= 1e-9
+        }
+      }
+    }
+    // and the assignments those centroids induce agree exactly on planted data
+    val ae = KMeans.assignWith(df, "id", "v", exact.toSeq.sortBy(_._1))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ap = KMeans.assignWith(df, "id", "v", plain.toSeq.sortBy(_._1))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ap shouldBe ae
   }
 }

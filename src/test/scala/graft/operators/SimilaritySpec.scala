@@ -92,6 +92,28 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be >= 0.9
   }
 
+  test("IVF Lloyd refinement plans relationally: no object operators, no per-group collect") {
+    // the unified KMeans-path refinement (r11 verdict item): codegen'd
+    // cosine folds against centroid literals + a plain partial-agg mean —
+    // a mapPartitions/UDAF round would show as MapPartitions /
+    // DeserializeToObject / ObjectHashAggregate in the executed plan
+    val cents = corpus.orderBy("vec_id").limit(4)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val rows = corpus.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<float>").as("vec"))
+    val df = Similarity.refineCells(rows, cents)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    withClue(p) {
+      p should not include "MapPartitions"
+      p should not include "DeserializeToObject"
+      p should not include "ObjectHashAggregate"
+      p should not include "collect_list"
+      p should include("HashAggregate")
+    }
+  }
+
   test("SRP buckets: expression form and JVM fast path agree, deterministically") {
     import spark.implicits._
     val exprBuckets = corpus.orderBy("vec_id")
