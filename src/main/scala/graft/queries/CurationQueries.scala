@@ -974,6 +974,44 @@ object CurationQueries {
       .orderBy($"lang")
   }
 
+  /** q215 — [[quantileAdmissionApprox]] under the driver gate (the q214
+    * pattern): the exact admission columns plus the deterministic
+    * agreement verdict — per-language admitted counts within 10% relative
+    * (the `QuantileAdmissionPlanSpec` gate; the sketch boundary differs
+    * from exact only at score ties / sketch error, and at accuracy 10000
+    * the cutoff is effectively exact at any per-lang volume) — which the
+    * oracle pins to literal TRUE. The absolute-1 slack keeps a one-doc
+    * boundary language from failing on its only possible discretization
+    * step. Any drift of the approx mode past tolerance flips the boolean
+    * and fails the gate. */
+  def quantileAdmissionAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = quantileAdmission(spark, dir)
+    val approx = quantileAdmissionApprox(spark, dir)
+      .select($"lang", $"n_admitted".as("a_admitted"))
+    exact.join(approx, "lang")
+      .select($"lang", $"n_admitted", $"min_score", $"sum_ids",
+        (abs($"a_admitted" - $"n_admitted").cast("double") <=
+          greatest($"n_admitted".cast("double") * 0.10, lit(1.0)))
+          .as("admitted_within_10pct"))
+      .orderBy($"lang")
+  }
+
+  val quantileAdmissionAgreementOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |      cast(greatest(length(text), 1) AS DOUBLE), 6) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang, score,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS pr
+      |  FROM s
+      |)
+      |SELECT lang, count(*) AS n_admitted, round(min(score), 6) AS min_score,
+      |  cast(sum(doc_id) AS BIGINT) AS sum_ids, TRUE AS admitted_within_10pct
+      |FROM r WHERE pr <= 0.75 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Token-budget epoch planning: given a total training-token budget and
     * per-source mixture weights, compute each source's repeat factor
@@ -1368,6 +1406,8 @@ object CurationQueries {
     Q("q144_padding_waste", paddingWaste, Some(paddingWasteOracle)),
     Q("q149_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Q("q150_quantile_admission", quantileAdmission, Some(quantileAdmissionOracle)),
+    Q("q215_quantile_admission_agreement", quantileAdmissionAgreement,
+      Some(quantileAdmissionAgreementOracle)),
     Q("q151_mixture_epochs", mixtureEpochs, Some(mixtureEpochsOracle)),
     Q("q152_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
     Q("q156_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitOracle)),

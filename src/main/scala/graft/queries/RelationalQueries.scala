@@ -773,13 +773,17 @@ object RelationalQueries {
       .orderBy($"col_name")
   }
 
-  val profileAuditOracle: String = {
+  /** The exact profile's UNION-ALL branches, shared by the q125 oracle and
+    * the q214 agreement oracle. */
+  private val profileAuditBranches: String = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
-    val branches = cols.map(c =>
+    cols.map(c =>
       s"SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct FROM lineitem")
-    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      .mkString("\nUNION ALL\n")
   }
+
+  val profileAuditOracle: String = profileAuditBranches + "\nORDER BY col_name"
 
   /** The 100 TB mode of [[profileAudit]]: identical output shape, but
     * `n_distinct` is HLL++-approximate (`approx_count_distinct`, rsd 2%).
@@ -805,6 +809,39 @@ object RelationalQueries {
     row.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
       .orderBy($"col_name")
   }
+
+  /** q214 — [[profileAuditApprox]] under the driver gate. A hash oracle
+    * cannot check an HLL++ estimate directly (DuckDB cannot replay Spark's
+    * sketch), so the lane's OUTPUT is the deterministic agreement verdict:
+    * the exact profile columns plus two booleans — null counts identical
+    * (they are exact in both modes) and the approximate distinct within
+    * 10% relative of exact (HLL++ rsd 2%, the `ProfileAuditPlanSpec`
+    * gate) — which the oracle pins to literal TRUE. approx_count_distinct
+    * is deterministic (register max-merge is order-free), so the booleans
+    * hash stably; any future drift of the approx mode past tolerance flips
+    * a boolean and fails the gate. Cost: both modes' single scans — this
+    * lane exists to certify the 100 TB mode a user would actually run. */
+  def profileAuditAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = profileAudit(spark, dir)
+    val approx = profileAuditApprox(spark, dir)
+      .select($"col_name", $"n_nulls".as("a_nulls"), $"n_distinct".as("a_distinct"))
+    exact.join(approx, "col_name")
+      .select($"col_name", $"n_nulls", $"n_distinct",
+        ($"a_nulls" === $"n_nulls").as("nulls_exact"),
+        (abs($"a_distinct" - $"n_distinct").cast("double") <=
+          greatest($"n_distinct".cast("double") * 0.10, lit(1.0)))
+          .as("distinct_within_10pct"))
+      .orderBy($"col_name")
+  }
+
+  val profileAuditAgreementOracle: String =
+    s"""WITH ex AS (
+       |$profileAuditBranches
+       |)
+       |SELECT col_name, n_nulls, n_distinct,
+       |  TRUE AS nulls_exact, TRUE AS distinct_within_10pct
+       |FROM ex ORDER BY col_name""".stripMargin
 
   /** Retention cohort analysis: users grouped by first-seen week, activity
     * counted per (cohort, active week), retention = active/cohort-size as an
@@ -1877,6 +1914,8 @@ object RelationalQueries {
     Q("q122_triangle_count", triangleCount, Some(triangleCountOracle)),
     Q("q123_winsorize", winsorize, Some(winsorizeOracle)),
     Q("q125_profile_audit", profileAudit, Some(profileAuditOracle)),
+    Q("q214_profile_audit_agreement", profileAuditAgreement,
+      Some(profileAuditAgreementOracle)),
     Q("q127_retention_cohorts", retentionCohorts, Some(retentionCohortsOracle)),
     Q("q128_share_of_total", shareOfTotal, Some(shareOfTotalOracle)),
     Q("q129_value_windows", valueWindows, Some(valueWindowsOracle)),
