@@ -588,6 +588,39 @@ object SimilarityQueries {
        |FROM a1 a LEFT JOIN dropped dr ON dr.id_b = a.vec_id
        |GROUP BY a.cid ORDER BY cluster""".stripMargin
 
+  /** q216 — the [[graft.operators.KMeans]] PlaneSums (100 TB) training
+    * mode under the driver gate (the q214/q217 agreement pattern): train
+    * the SAME (k=8, rounds=2) model under both update-fold modes and
+    * output the ExactFold centroid cells plus a deterministic agreement
+    * boolean — |m_exact − m_plain| ≤ 1e-9 relative per (cluster, dim),
+    * the `KMeansSpec` bound (the two modes differ only by double
+    * summation order inside each cluster's member fold). The oracle
+    * replays the ExactFold Lloyd update (the shared k-means CTE's `up`
+    * means) and pins the boolean to TRUE. Both trainings are the bounded
+    * k × dim pulls; the ExactFold side rides the `kmeans_k8_r2` memo. */
+  def kmeansPlaneSumsAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = kmeansCentroidsCached(spark, dir)
+    val plain = graft.operators.KMeans.trainCentroids(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2,
+      sumMode = graft.operators.SumMode.PlaneSums).toMap
+    exact.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (m, d) =>
+        val agree = plain.get(cid).filter(_.length > d).map(_(d)).exists(p =>
+          math.abs(m - p) / math.max(math.abs(m), 1e-30) <= 1e-9)
+        (cid, d, m, agree)
+      }
+    }.toDF("cluster", "dim", "m_raw", "within_tol")
+      .select($"cluster", $"dim", round($"m_raw", 6).as("m"), $"within_tol")
+      .orderBy($"cluster", $"dim")
+  }
+
+  val kmeansPlaneSumsAgreementOracle: String =
+    s"""WITH ${kmeansCte(8)}
+       |SELECT cast(cid AS INT) AS cluster, cast(dim AS INT) AS dim,
+       |  round(m, 6) AS m, TRUE AS within_tol
+       |FROM up ORDER BY cluster, dim""".stripMargin
+
   // ---------------------------------------------------------------- q209
   /** Centroid-artifact PERSISTENCE round trip (the q207/q208 pattern for
     * the k-means coarse model): the trained k × dim centroid table written
@@ -1113,7 +1146,9 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("dim"))
   }
 
-  val embeddingStandardizeOracle: String =
+  /** The exact-fold standardize CTE chain, shared by the q187 oracle and
+    * the q217 agreement oracle. */
+  private val standardizeCte: String =
     """WITH ex AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
       |    cast(unnest(embedding) AS DOUBLE) AS x
@@ -1130,10 +1165,46 @@ object SimilarityQueries {
       |  SELECT dim, sx / n AS mean,
       |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0::DOUBLE)) AS sd
       |  FROM moments
-      |)
-      |SELECT e.vec_id, e.dim, round((e.x - s.mean) / nullif(s.sd, 0.0::DOUBLE), 6) AS z
-      |FROM ex e JOIN stats s USING (dim)
-      |ORDER BY vec_id, dim""".stripMargin
+      |)""".stripMargin
+
+  val embeddingStandardizeOracle: String =
+    s"""$standardizeCte
+       |SELECT e.vec_id, e.dim, round((e.x - s.mean) / nullif(s.sd, 0.0::DOUBLE), 6) AS z
+       |FROM ex e JOIN stats s USING (dim)
+       |ORDER BY vec_id, dim""".stripMargin
+
+  /** q217 — the [[VectorOps.standardize]] PlaneSums (100 TB) mode under
+    * the driver gate, by the q214 agreement pattern: the lane runs BOTH
+    * sum modes and outputs the ExactFold z-scores plus a deterministic
+    * agreement boolean — NULL iff NULL (zero-variance dims agree on
+    * NULL), otherwise |z_exact − z_plain| within one 6-dp ulp (the
+    * `SumModePlanSpec` bound for rounded columns; partial-agg summation
+    * order shifts last ulps only, and the rounded values can straddle at
+    * most one rounding boundary). The oracle replays the ExactFold side
+    * and pins the boolean to literal TRUE, so PlaneSums drift past the
+    * bound fails the gate. */
+  def standardizeAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val exact = VectorOps.standardize(embs, "vec_id", "embedding",
+      graft.operators.SumMode.ExactFold)
+    val plain = VectorOps.standardize(embs, "vec_id", "embedding",
+        graft.operators.SumMode.PlaneSums)
+      .select(col("vec_id"), col("dim"), col("z").as("z_plain"))
+    exact.join(plain, Seq("vec_id", "dim"))
+      .select(col("vec_id"), col("dim"), col("z"),
+        when(col("z").isNull || col("z_plain").isNull,
+          col("z").isNull && col("z_plain").isNull)
+          .otherwise(abs(col("z") - col("z_plain")) <= lit(1.000001e-6))
+          .as("within_tol"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val standardizeAgreementOracle: String =
+    s"""$standardizeCte
+       |SELECT e.vec_id, e.dim, round((e.x - s.mean) / nullif(s.sd, 0.0::DOUBLE), 6) AS z,
+       |  TRUE AS within_tol
+       |FROM ex e JOIN stats s USING (dim)
+       |ORDER BY vec_id, dim""".stripMargin
 
   // ---------------------------------------------------------------- q188
   /** Johnson–Lindenstrauss ±1 random projection to k=8 dims (Achlioptas
@@ -1178,6 +1249,9 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
     Q("q187_embedding_standardize", embeddingStandardize, Some(embeddingStandardizeOracle)),
+    Q("q217_standardize_agreement", standardizeAgreement, Some(standardizeAgreementOracle)),
+    Q("q216_kmeans_planesums_agreement", kmeansPlaneSumsAgreement,
+      Some(kmeansPlaneSumsAgreementOracle)),
     Q("q188_jl_projection", jlProjection, Some(jlProjectionOracle)),
     Q("q192_rbo_agreement", rboAgreement, Some(rboAgreementOracle)),
     Q("q193_power_iteration", powerIterationLane, Some(powerIterationOracle)),
