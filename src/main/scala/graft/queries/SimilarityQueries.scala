@@ -171,8 +171,10 @@ object SimilarityQueries {
     * r11 sf1 rehearsal measured the documented n²/2^planes blow-up (101.7 s,
     * 91× for 10× data — 25% of the whole suite in one lane). It now runs
     * the same `autoPlanesOccupancy` scale knob as q174 at a TIGHTER
-    * occupancy target (16 vs q174's 32 — higher recall, ~2× the candidate
-    * pairs), so the two lanes pin the knob at two operating points. At the
+    * occupancy target (16 vs q174's 32): one more plane, so buckets hold
+    * half the members — roughly half the candidate pairs, cheaper, at
+    * slightly lower recall (sf1 measured: q64 37.5k pairs vs q174's
+    * 58.1k) — and the two lanes pin the knob at two operating points. At the
     * verify SF (≤512 vectors) auto resolves planes=5, which the oracle's
     * literal-hyperplane CTE replays exactly; `AutoPlanesGuardSpec` guards
     * the boundary for BOTH lanes. */
@@ -182,8 +184,9 @@ object SimilarityQueries {
         autoPlanesOccupancy = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q64's looser-occupancy sibling (32 vs 16) — fewer candidate pairs,
-    * lower recall, same scale law. Fixed planes fix the bucket space, so
+  /** q64's looser-occupancy sibling (32 vs 16) — denser buckets, ~2× the
+    * candidate pairs, higher recall, same scale law. Fixed planes fix the
+    * bucket space, so
     * occupancy and pair cost grow n²/2^planes (the sf1 rehearsals measured
     * the then-fixed-planes q64 at 91–185× for 10× data — every bucket 10×
     * denser, none degenerate). `autoPlanesOccupancy` counts the corpus and
