@@ -1578,7 +1578,9 @@ object PipelineQueries {
     * inside whichever lane happens to run first. */
   val artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "train_logreg_weights" -> ((s: SparkSession, d: String) => {
-      enWeightRows(s, d); () }))
+      enWeightRows(s, d); () }),
+    "train_cms_lookup" -> ((s: SparkSession, d: String) => {
+      persistedCmsLookup(s, d); () }))
 
   def all: Seq[Q] = Seq(
     Q("q45_redact_pii", redactPii, Some(redactPiiOracle)),
@@ -2242,25 +2244,60 @@ object PipelineQueries {
     FieldSpec("bucket", "long", 10, 6),
     FieldSpec("n", "long", 16, 10))
 
-  def cmsArtifact(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWBits = 12
+  /** q218's rarity gate: a token OCCURRENCE counts as rare when the
+    * corpus CMS estimates its token seen fewer than this many times (CMS
+    * only over-counts, so "rare under CMS" implies truly rare). */
+  private[queries] val CmsRareThreshold = 3
+
+  /** The q211 round-trip step, shared with the q218 serving memo: write
+    * the per-source CMS cell tables through the fixedwidth sink, read
+    * them back, and SUM-merge per (d, bucket) — the reloaded corpus-wide
+    * sketch (≤ d·2^wBits rows regardless of corpus size). */
+  private def cmsMergedReloaded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val depth = 4
-    val wBits = 12
     val out = QueryRegistry.scratch(dir, "cms_cells_fw")
     val toks = table(spark, dir, "documents")
       .select($"source", explode(TextFunctions.tokens($"text")).as("token"))
       .filter(length($"token") > 0)
     val fieldsOpt = FixedWidthOptions.renderFields(cmsLayout)
-    Frequency.cmsCellsBy(toks, Seq("source"), $"token", depth, wBits)
+    Frequency.cmsCellsBy(toks, Seq("source"), $"token", CmsDepth, CmsWBits)
       .write.format("fixedwidth").option("fields", fieldsOpt)
       .option("strictWidth", "true")
       .mode("overwrite").save(out)
-    val merged = spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
       .groupBy($"d", $"bucket").agg(sum($"n").as("n"))
+  }
+
+  /** The persisted corpus CMS as a SERVING lookup: per depth, a dense
+    * 2^wBits count array (absent cells 0) — the bounded in-memory form a
+    * serving process loads once at startup (d·2^wBits longs; memoized via
+    * [[ArtifactStore]], trainer-registered so the bench pays the cold
+    * build as an explicit train_* entry). */
+  private[queries] def persistedCmsLookup(
+      spark: SparkSession, dir: String): IndexedSeq[Array[Long]] =
+    graft.operators.ArtifactStore.cached("cms_lookup_d4_w12", dir) {
+      val cells = graft.operators.BoundedPull(
+        cmsMergedReloaded(spark, dir),
+        maxRows = CmsDepth << CmsWBits, what = "merged CMS cells").collect()
+      val arrs = IndexedSeq.fill(CmsDepth)(new Array[Long](1 << CmsWBits))
+      cells.foreach { r =>
+        arrs(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+      }
+      arrs
+    }
+
+  def cmsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merged = cmsMergedReloaded(spark, dir)
+    val toks = table(spark, dir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
     val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"token").limit(10)
     val probes = top.unionByName(Seq((UnseenProbe, 0L)).toDF("token", "n_exact"))
-    Frequency.cmsEstimate(probes, "token", merged, depth, wBits)
+    Frequency.cmsEstimate(probes, "token", merged, CmsDepth, CmsWBits)
       .orderBy($"n_exact".desc, $"token")
   }
 
@@ -2299,5 +2336,44 @@ object PipelineQueries {
        |FROM probe p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
        |GROUP BY p.token, p.n_exact
        |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
+  /** q218's oracle: replay the corpus CMS cells (the q211 integer math),
+    * estimate every distinct token, and count per document the token
+    * OCCURRENCES whose estimate is below the rarity threshold. */
+  val streamCmsGateOracle: String = {
+    val m = DuckHashSql.mix64Sql("h", "d")
+    val w = 1 << CmsWBits
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, token FROM t WHERE length(token) > 0
+       |), th AS (
+       |  SELECT token, ${DuckHashSql.hash64Sql("token")} AS h
+       |  FROM (SELECT DISTINCT token FROM tok)
+       |), keyed AS (
+       |  SELECT tok.token, d.d, cast(($m % $w) AS BIGINT) AS bucket
+       |  FROM tok JOIN th USING (token)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |), cells AS (
+       |  SELECT d, bucket, count(*) AS n FROM keyed GROUP BY d, bucket
+       |), est AS (
+       |  SELECT p.token, min(coalesce(c.n, 0)) AS est
+       |  FROM (
+       |    SELECT th.token, d.d, cast(($m % $w) AS BIGINT) AS bucket
+       |    FROM th CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+       |  ) p
+       |  LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |  GROUP BY p.token
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    count(CASE WHEN e.est < $CmsRareThreshold THEN 1 END) AS n_rare
+       |  FROM tok JOIN est e USING (token) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, cast(coalesce(p.n_tok, 0) AS INT) AS n_tok,
+       |  cast(coalesce(p.n_rare, 0) AS INT) AS n_rare
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -910,11 +910,52 @@ object StreamingQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q218
+  /** Streaming rare-token gating from the persisted CMS artifact — the
+    * sketch-algebra member of the serving family (q212 weights, q213
+    * centroids, q218 the merged Count-Min sketch): the reloaded
+    * sum-merged cell tables are loaded ONCE as d dense 2^wBits count
+    * arrays (the bounded in-memory form of the deployed sketch —
+    * `PipelineQueries.persistedCmsLookup`), ride into the plan as d array
+    * LITERALS, and a document stream is gated entirely map-side: per doc,
+    * count token occurrences whose min-over-depth cell count falls below
+    * the rarity threshold — all inside higher-order `filter`/`size` over
+    * the token array, so there is NO explode, NO shuffle, NO state store,
+    * append mode. CMS estimates are deterministic integer math on the
+    * shared splitmix hashes, so the drained stream hash-matches the
+    * oracle's batch replay of sketch build + estimates. */
+  def streamCmsGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hashing, TextFunctions}
+    val lookup = PipelineQueries.persistedCmsLookup(spark, dir)
+    val wMask = lit((1L << PipelineQueries.CmsWBits))
+    def est(t: Column): Column = {
+      val h = Hashing.hash64Col(t)
+      (0 until PipelineQueries.CmsDepth).map { j =>
+        element_at(typedlit(lookup(j).toSeq),
+          (pmod(Hashing.mix64At(h, lit(j)), wMask) + 1).cast("int"))
+      }.reduce(least(_, _))
+    }
+    runToMemory(spark, "stream_cms_gate", "append") { ss =>
+      val schema = table(ss, dir, "documents").schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"),
+          filter(TextFunctions.tokens(col("text")), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          size(filter(col("toks"),
+            t => est(t) < lit(PipelineQueries.CmsRareThreshold.toLong))).as("n_rare"))
+    }
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q213_stream_centroid_assign", streamCentroidAssign,
       Some(SimilarityQueries.streamCentroidAssignOracle)),
     Q("q212_stream_artifact_score", streamArtifactScore,
       Some(PipelineQueries.streamArtifactScoreOracle)),
+    Q("q218_stream_cms_gate", streamCmsGate,
+      Some(PipelineQueries.streamCmsGateOracle)),
     Q("q195_stream_cms", streamCms, Some(streamCmsOracle)),
     Q("q180_stream_hist_quantiles", streamHistQuantiles, Some(streamHistQuantilesOracle)),
     Q("q178_stream_neardup", streamNearDup, Some(streamNearDupOracle)),
