@@ -412,6 +412,35 @@ object Similarity {
     * All chunk distances accumulate left-to-right in doubles, so the DuckDB
     * oracle replays codes, distance tables, and the final sums bit-exactly.
     */
+  /** The closed-form PQ codebook of [[knnProductQuantized]], exposed as a
+    * deployable artifact (the persisted-model lane trains it once and ships
+    * it): the `ksub` corpus vectors with the smallest mix64(id), chunked
+    * into `m` subspaces — `cents(s)(j)(i)` = subspace s, centroid j,
+    * element i. A bounded O(ksub·dim) pull; fully replayable in SQL (no
+    * Lloyd training), which is what lets an oracle hash-check the persisted
+    * file against the corpus. */
+  def pqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("h", graft.functions.Hashing.mix64Col(col("id")))
+      .orderBy(col("h"))
+      .limit(ksub)
+      .select(col("vec")).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m, sample.length, dsub)((s, j, i) => sample(j)(s * dsub + i))
+  }
+
   def knnProductQuantized(
       corpus: DataFrame,
       queries: DataFrame,
@@ -427,17 +456,9 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
 
-    val sample: Array[Array[Double]] = typed.toDF("id", "vec")
-      .withColumn("h", graft.functions.Hashing.mix64Col(col("id")))
-      .orderBy(col("h"))
-      .limit(ksub)
-      .select(col("vec")).as[Array[Float]]
-      .collect().map(_.map(_.toDouble))
-    val dim = sample.headOption.map(_.length).getOrElse(0)
-    require(dim > 0 && dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
     // cents(s)(j)(i): subspace s, centroid j, element i
-    val cents = Array.tabulate(m, sample.length, dsub)((s, j, i) => sample(j)(s * dsub + i))
+    val cents = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    val dsub = cents.headOption.map(_.head.length).getOrElse(0)
     val bCents = spark.sparkContext.broadcast(cents)
 
     def chunkD2(c: Array[Array[Array[Double]]], vec: Array[Float], s: Int, j: Int): Double = {

@@ -716,6 +716,124 @@ object SimilarityQueries {
        |FROM af ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+  /** PQ-codebook artifact persistence (the q209 pattern for the product
+    * quantizer): the closed-form m=8 × ksub=16 codebook of the q111 PQ-ADC
+    * lane — cents(s)(j)(i), 1024 doubles — written through the repo's own
+    * fixedwidth sink and read back as the lane's answer, while the oracle
+    * re-derives every element from the corpus (the mix64-smallest sample,
+    * chunked). Equality certifies that a persisted product quantizer
+    * reloads value-identically — the deployment step that lets a 100 TB
+    * pipeline build the codebook once and ship it to every encoder (q220
+    * serves a stream from this file). Elements are round(·,8) doubles as
+    * decimal(12,8) (the q207/q209 losslessness argument); strictWidth makes
+    * an element ≥ 1000 a loud write error. Scale shape: the artifact is
+    * m·ksub·dsub rows regardless of corpus size; the codebook pull is the
+    * bounded O(ksub·dim) collect. */
+  private[queries] val PqM = 8
+  private[queries] val PqKsub = 16
+  private val pqLayout = Seq(
+    graft.sources.fixedwidth.FieldSpec("s", "int", 0, 2),
+    graft.sources.fixedwidth.FieldSpec("j", "int", 2, 2),
+    graft.sources.fixedwidth.FieldSpec("i", "int", 4, 2),
+    graft.sources.fixedwidth.FieldSpec("c", "decimal(12,8)", 6, 16))
+
+  /** Train-once memo of the codebook (see [[graft.operators.ArtifactStore]];
+    * `train_pq_codebook` is trainer-registered so the bench pays the cold
+    * build explicitly). Deterministic: the mix64 sample order is total. */
+  private def pqCodebookCached(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    graft.operators.ArtifactStore.cached("pq_codebook_m8_k16", dir)(
+      Similarity.pqCodebook(
+        table(spark, dir, "embeddings"), "vec_id", "embedding", PqM, PqKsub))
+
+  /** The q219 persistence path as a reusable step: memoized codebook →
+    * round(·,8) through the fixedwidth sink → read back as
+    * (s, j, i, c double). q219 hash-checks this round trip; q220 encodes a
+    * stream from it. */
+  private[queries] def persistedPqCodebookTable(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = QueryRegistry.scratch(dir, "pq_codebook_fw")
+    val fieldsOpt =
+      graft.sources.fixedwidth.FixedWidthOptions.renderFields(pqLayout)
+    pqCodebookCached(spark, dir).zipWithIndex.flatMap { case (subs, s) =>
+      subs.zipWithIndex.flatMap { case (cent, j) =>
+        cent.zipWithIndex.map { case (x, i) => (s, j, i, x) } }
+    }.toSeq.toDF("s", "j", "i", "c")
+      .select($"s", $"j", $"i", round($"c", 8).cast("decimal(12,8)").as("c"))
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("strictWidth", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .select($"s", $"j", $"i", $"c".cast("double").as("c"))
+  }
+
+  /** The PERSISTED codebook as cents(s)(j)(i) — the bounded pull a serving
+    * encoder does at startup. Values are the artifact's round(·,8)
+    * elements, NOT the in-process full-precision memo: a consumer of the
+    * deployed model sees exactly what the file carries (the q213
+    * convention). */
+  private[queries] def persistedPqCodebook(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = persistedPqCodebookTable(spark, dir).collect()
+    val dsub = rows.iterator.map(_.getInt(2)).max + 1
+    val cb = Array.fill(PqM, PqKsub, dsub)(0.0)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    cb
+  }
+
+  def pqCodebookArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    persistedPqCodebookTable(spark, dir).orderBy($"s", $"j", $"i")
+  }
+
+  /** The oracle replays the whole codebook from the corpus: the
+    * mix64-smallest ksub vectors, chunked into m subspaces of dsub=8
+    * elements (1-based DuckDB indexing: element s·8+i+1 is cents(s)(j)(i)). */
+  val pqCodebookArtifactOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
+    s"""WITH cents AS (
+       |  SELECT embedding AS c_emb, row_number() OVER (ORDER BY $h) - 1 AS j
+       |  FROM embeddings QUALIFY j < $PqKsub
+       |)
+       |SELECT cast(sub.s AS INT) AS s, cast(c.j AS INT) AS j, cast(ii.i AS INT) AS i,
+       |  round(c.c_emb[sub.s * 8 + ii.i + 1]::DOUBLE, 8) AS c
+       |FROM cents c
+       |CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s) sub
+       |CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+       |ORDER BY s, j, i""".stripMargin
+  }
+
+  /** Oracle for the q220 streaming PQ-encode lane (the lane lives in
+    * [[StreamingQueries]]; the oracle here with the shared sample CTE):
+    * every corpus vector encoded against the PERSISTED codebook — i.e. the
+    * round(·,8) values the file carries (`cb`), not the full-precision
+    * sample. q219 proves the file's values equal `round(elem, 8)` exactly,
+    * so replaying the per-subspace argmin under `cb` is replaying the
+    * deployed encoder. Same left-to-right chunk-distance fold and
+    * ties-to-smallest-j rule as the q111 chain. */
+  val streamPqEncodeOracle: String = {
+    val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
+    s"""WITH cents AS (
+       |  SELECT embedding AS c_emb, row_number() OVER (ORDER BY $h) - 1 AS j
+       |  FROM embeddings QUALIFY j < $PqKsub
+       |), cb AS (
+       |  SELECT sub.s, c.j, list_transform(generate_series(1, 8), i ->
+       |    round(c.c_emb[sub.s * 8 + i]::DOUBLE, 8)) AS cc
+       |  FROM cents c CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s) sub
+       |), cd AS (
+       |  SELECT e.vec_id, cb.s, cb.j,
+       |    list_sum(list_transform(generate_series(1, 8), i ->
+       |      (e.embedding[cb.s * 8 + i]::DOUBLE - cb.cc[i]) *
+       |      (e.embedding[cb.s * 8 + i]::DOUBLE - cb.cc[i]))) AS d2
+       |  FROM embeddings e CROSS JOIN cb
+       |)
+       |SELECT vec_id, cast(s AS INT) AS s, cast(j AS INT) AS code FROM cd
+       |QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1
+       |ORDER BY vec_id, s""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q157
   /** Hybrid retrieval via reciprocal-rank fusion — the standard RAG
     * composition of a dense and a lexical ranker: for each query document
@@ -1247,7 +1365,9 @@ object SimilarityQueries {
     * inside whichever lane happens to run first. */
   val artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "train_kmeans_centroids" -> ((s: SparkSession, d: String) => {
-      kmeansCentroidsCached(s, d); () }))
+      kmeansCentroidsCached(s, d); () }),
+    "train_pq_codebook" -> ((s: SparkSession, d: String) => {
+      pqCodebookCached(s, d); () }))
 
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
@@ -1275,6 +1395,7 @@ object SimilarityQueries {
     Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
     Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
     Q("q209_centroids_artifact", centroidsArtifact, Some(centroidsArtifactOracle)),
+    Q("q219_pq_codebook_artifact", pqCodebookArtifact, Some(pqCodebookArtifactOracle)),
     Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     Q("q174_neardup_bucketed_auto", nearDupsBucketedAuto, Some(nearDupsBucketedAutoOracle)))
 }

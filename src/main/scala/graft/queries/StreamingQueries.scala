@@ -949,9 +949,48 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q220
+  /** Streaming PQ ENCODE from the persisted codebook — the quantizer
+    * member of the serving family (q212 weights, q213 centroids, q218 the
+    * merged CMS; q220 the product quantizer): the deployed codebook is
+    * loaded once (m·ksub·dsub doubles, exactly the file's round(·,8)
+    * values — `SimilarityQueries.persistedPqCodebook`), its per-subspace
+    * centroids ride as plan literals into m·ksub codegen'd squared-L2
+    * folds over `slice`d chunks, and an embedding STREAM is encoded
+    * entirely map-side: per subspace an argmin (array_sort on struct(d, j)
+    * — ties to the smallest j, the q111 rule), append mode, no shuffle, no
+    * state store. This is the vector-compression deploy loop a 100 TB
+    * pipeline runs continuously: 4·dim bytes in, m codes out, the file
+    * bounds the model. The oracle replays the argmin under the SAME
+    * rounded artifact values, so the drained stream hash-matches batch
+    * encoding of the deployed model. */
+  def streamPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cb = SimilarityQueries.persistedPqCodebook(spark, dir)
+    runToMemory(spark, "stream_pq_encode", "append") { ss =>
+      val schema = table(ss, dir, "embeddings").schema
+      val codes = cb.indices.map { s =>
+        val dsub = cb(s).head.length
+        val chunk = slice(col("embedding"), s * dsub + 1, dsub)
+        val scored = cb(s).indices.map { j =>
+          struct(
+            graft.functions.VectorOps.sqDist(chunk, typedlit(cb(s)(j).toSeq)).as("d"),
+            lit(j).as("j"))
+        }
+        array_sort(array(scored: _*)).getItem(0).getField("j")
+      }
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(array(codes: _*)).as(Seq("s", "code")))
+    }
+      .orderBy(col("vec_id"), col("s"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q213_stream_centroid_assign", streamCentroidAssign,
       Some(SimilarityQueries.streamCentroidAssignOracle)),
+    Q("q220_stream_pq_encode", streamPqEncode,
+      Some(SimilarityQueries.streamPqEncodeOracle)),
     Q("q212_stream_artifact_score", streamArtifactScore,
       Some(PipelineQueries.streamArtifactScoreOracle)),
     Q("q218_stream_cms_gate", streamCmsGate,
