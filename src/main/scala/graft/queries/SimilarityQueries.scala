@@ -437,6 +437,61 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q221
+  /** ANN recall audit — the quality-evaluation loop a deployed ANN index
+    * needs: recall@10 of the IVF (q63 config) and PQ-ADC (q111 config)
+    * indexes against the exact brute-force top-10 (q60), per query. Both
+    * engines rerun all three rankers deterministically, so the recall
+    * numbers themselves are hash-checkable — this is an OPERATOR (index
+    * quality audit), not a test. Scale shape: the audit runs on a sampled
+    * query panel (here vec_id < 5 — at 100 TB a fixed few-hundred-query
+    * sample), so the exact side is one bounded map-side corpus pass per
+    * audit and the approximate sides cost what production queries cost;
+    * the join/aggregate touches ≤ panel·k rows. The oracle composes the
+    * three lanes' full oracle CTE chains as derived tables and replays the
+    * same left-join hit counting. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val embs = table(spark, dir, "embeddings")
+    val qs = embs.filter(col("vec_id") < 5)
+    val exact = Similarity
+      .knnBruteForce(embs, qs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hit"),
+          round(col("n_hit") / 10.0, 6).as("recall"))
+    val ivf = Similarity.knnApproxIvf(embs, qs, "vec_id", "embedding",
+      k = 10, nlist = 32, nprobe = 8)
+    val pq = Similarity.knnProductQuantized(embs, qs, "vec_id", "embedding",
+      k = 10, m = 8, ksub = 16)
+    recallOf("ivf", ivf).unionByName(recallOf("pq", pq))
+      .orderBy(col("method"), col("query_id"))
+  }
+
+  lazy val annRecallAuditOracle: String =
+    s"""WITH exact_t AS (
+       |  SELECT query_id, neighbor_id FROM ($knnBruteOracle)
+       |), ivf_t AS (
+       |  SELECT query_id, neighbor_id FROM ($knnIvfOracle)
+       |), pq_t AS (
+       |  SELECT query_id, neighbor_id FROM ($knnPqOracle)
+       |), rec AS (
+       |  SELECT 'ivf' AS method, e.query_id, count(i.neighbor_id) AS n_hit
+       |  FROM exact_t e LEFT JOIN ivf_t i USING (query_id, neighbor_id)
+       |  GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'pq' AS method, e.query_id, count(p.neighbor_id) AS n_hit
+       |  FROM exact_t e LEFT JOIN pq_t p USING (query_id, neighbor_id)
+       |  GROUP BY 2
+       |)
+       |SELECT method, query_id, cast(n_hit AS BIGINT) AS n_hit,
+       |  round(n_hit / 10.0, 6) AS recall
+       |FROM rec ORDER BY method, query_id""".stripMargin
+
   /** Semantic (embedding-level) benchmark decontamination — the paraphrase
     * complement to q47's verbatim shingle semi-join: docs whose embedding
     * lands within cosine 0.3 of ANY benchmark vector are flagged, counted
@@ -1389,6 +1444,7 @@ object SimilarityQueries {
     Q("q89_filtered_knn", filteredKnn, Some(filteredKnnOracle)),
     Q("q103_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     Q("q111_knn_pq", knnPq, Some(knnPqOracle)),
+    Q("q221_ann_recall_audit", annRecallAudit, Some(annRecallAuditOracle)),
     Q("q126_knn_ivfpq", knnIvfPq, Some(knnIvfPqOracle)),
     Q("q145_semantic_decontam", semanticDecontam, Some(semanticDecontamOracle)),
     Q("q146_hard_negatives", hardNegativeMining, Some(hardNegativeMiningOracle)),
