@@ -43,7 +43,8 @@ object Bench {
     val trainers =
       queries.PipelineQueries.artifactTrainers ++
         queries.CurationQueries.artifactTrainers ++
-        queries.SimilarityQueries.artifactTrainers
+        queries.SimilarityQueries.artifactTrainers ++
+        queries.DedupQueries.artifactTrainers
     val trainResults = trainers.map { case (name, f) =>
       val t0 = System.nanoTime()
       val ok = try { f(spark, sfDir); true }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.operators.Dedup
 import QueryRegistry.table
 
 /** Structured Streaming over the `events` table and the fixedwidth source
@@ -986,7 +987,150 @@ object StreamingQueries {
       .orderBy(col("vec_id"), col("s"))
   }
 
+  // ---------------------------------------------------------------- q223
+  /** Streaming Bloom ADMISSION GATE from the persisted filter — the
+    * exact-dedup member of the serving family (q212 weights, q213
+    * centroids, q218 the merged CMS, q220 the PQ codebook; q223 the
+    * membership sketch): the q222 bit file is loaded once as a dense 2^14
+    * boolean array (memoized, trainer-registered), rides the plan as ONE
+    * array literal, and a document stream is gated entirely map-side —
+    * per doc, `maybe_seen` iff all 4 probe bits of its rolling fingerprint
+    * are set. No explode, no shuffle, no state, append mode. This is the
+    * ingest front door at 100 TB: the even-half corpus is indexed, a
+    * "false" here is PROOF the document is new (Bloom filters have no
+    * false negatives), and only the "true" residue pays q99's exact
+    * anti-join. Deterministic splitmix integer math → the drained stream
+    * hash-matches the oracle's batch replay of build + probes. */
+  def streamBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val bits = DedupQueries.persistedBloomLookup(spark, dir)
+    val m = DedupQueries.BloomBits
+    runToMemory(spark, "stream_bloom_gate", "append") { ss =>
+      val schema = table(ss, dir, "documents").schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), Hashing.rollingHash(col("text")).as("fp"))
+        .select(col("doc_id"),
+          (0 until DedupQueries.BloomK).map(i =>
+            element_at(typedlit(bits.toSeq),
+              (pmod(Hashing.mix64At(col("fp"), lit(i)), lit(m.toLong)) + 1)
+                .cast("int")))
+            .reduce(_ && _).as("maybe_seen"))
+    }
+      .orderBy(col("doc_id"))
+  }
+
+  val streamBloomGateOracle: String = {
+    val m = DedupQueries.BloomBits
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${DuckHashSql.rollingHashSql("text")} AS fp FROM documents
+       |), bits AS (
+       |  SELECT DISTINCT cast((${DuckHashSql.mix64Sql("fp", "k")}) % $m AS BIGINT) AS bit_idx
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+       |  WHERE doc_id % 2 = 0
+       |), probe AS (
+       |  SELECT doc_id, cast((${DuckHashSql.mix64Sql("fp", "k")}) % $m AS BIGINT) AS bit_idx
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+       |)
+       |SELECT p.doc_id, bool_and(b.bit_idx IS NOT NULL) AS maybe_seen
+       |FROM probe p LEFT JOIN bits b USING (bit_idx)
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q225
+  /** Streaming NEAR-DUP SERVING against the persisted q224 band index —
+    * the deployed incremental-dedup loop: arrivals (the odd-doc_id half)
+    * compute their MinHash band hashes MAP-SIDE in the stream (the q52
+    * primitive-loop sketch), probe the storage-resident index via a
+    * stream-static equi-join on (band_idx, band_hash), and the drained
+    * candidate hits are confirmed batch-side with exact Jaccard over the
+    * gram sets (the q52 verification kernel) — candidates only, never
+    * corpus × arrivals. Per arrival: n_cand indexed docs sharing ≥ 1 band,
+    * n_dup of them at Jaccard ≥ 0.5. At 100 TB the index is a bucketed
+    * table joined on its band key (broadcast when a batch's band set is
+    * small); arrivals never see each other — only the index — so the
+    * answer is independent of micro-batch split, which is what lets the
+    * oracle replay it as one batch join. */
+  def streamNearDupServe(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
+    val (sl, nh, nb) =
+      (DedupQueries.IdxShingle, DedupQueries.IdxHashes, DedupQueries.IdxBands)
+    val drained = runToMemory(spark, "stream_neardup_serve", "append") { ss =>
+      import ss.implicits._
+      val schema = table(ss, dir, "documents").schema
+      val arrivals = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 1 && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val (gh, _, bh) = Dedup.sketchOf(text, sl, nh, nb)
+          if (gh.isEmpty) Iterator.empty
+          else bh.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
+        })
+        .toDF("doc_id", "band_idx", "band_hash")
+      val idx = ss.read.format("fixedwidth")
+        .option("fields", DedupQueries.idxFields).load(idxPath)
+        .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_hash"))
+      arrivals.join(idx, Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("idx_id"))
+    }
+    // Batch-side confirmation on the drained candidate hits (the q75/q178
+    // post-aggregation pattern): distinct pairs, exact Jaccard over the
+    // sorted gram sets, per-arrival rollup, zeros for arrivals with no hit.
+    val docs = table(spark, dir, "documents")
+    val sk = Dedup.minhashSketches(docs, "doc_id", "text", sl, nh, nb)
+    val scored = drained.distinct()
+      .join(sk.select(col("id").as("doc_id"), col("gh").as("g_p"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(sk.select(col("id").as("idx_id"), col("gh").as("g_i"))
+        .hint("shuffle_hash"), "idx_id")
+      .select(col("doc_id"),
+        graft.functions.SetOps.sortedJaccard(col("g_p"), col("g_i")).as("jac"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(col("jac") >= 0.5, 1)).as("n_dup"))
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val streamNearDupServeOracle: String =
+    s"""WITH ${DuckHashSql.minhashPairsCtes(
+            DedupQueries.IdxShingle, DedupQueries.IdxHashes,
+            DedupQueries.IdxBands, 0.5)},
+       |idx AS (
+       |  SELECT doc_id, band_idx, band_hash FROM banded WHERE doc_id % 2 = 0
+       |), prb AS (
+       |  SELECT doc_id, band_idx, band_hash FROM banded WHERE doc_id % 2 = 1
+       |), cpairs AS (
+       |  SELECT DISTINCT p.doc_id, i.doc_id AS idx_id
+       |  FROM prb p JOIN idx i
+       |    ON p.band_idx = i.band_idx AND p.band_hash = i.band_hash
+       |), scored AS (
+       |  SELECT c.doc_id,
+       |    round(cast(len(list_intersect(sp.gh, si.gh)) AS DOUBLE) /
+       |      (len(sp.gh) + len(si.gh) - len(list_intersect(sp.gh, si.gh))), 6) AS jac
+       |  FROM cpairs c
+       |  JOIN sk sp ON sp.doc_id = c.doc_id
+       |  JOIN sk si ON si.doc_id = c.idx_id
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_cand,
+       |    count(CASE WHEN jac >= 0.5 THEN 1 END) AS n_dup
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_cand, 0) AS n_cand,
+       |  coalesce(p.n_dup, 0) AS n_dup
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q223_stream_bloom_gate", streamBloomGate, Some(streamBloomGateOracle)),
+    Q("q225_stream_neardup_serve", streamNearDupServe,
+      Some(streamNearDupServeOracle)),
     Q("q213_stream_centroid_assign", streamCentroidAssign,
       Some(SimilarityQueries.streamCentroidAssignOracle)),
     Q("q220_stream_pq_encode", streamPqEncode,
