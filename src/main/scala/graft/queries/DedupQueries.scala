@@ -221,7 +221,9 @@ object DedupQueries {
     Q("q172_prefix_jaccard_join", prefixJaccardJoin, Some(prefixJaccardJoinOracle)),
     Q("q222_bloom_artifact", bloomArtifact, Some(bloomArtifactOracle)),
     Q("q224_minhash_index_artifact", minhashIndexArtifact,
-      Some(minhashIndexArtifactOracle)))
+      Some(minhashIndexArtifactOracle)),
+    Q("q226_minhash_index_refresh", minhashIndexRefresh,
+      Some(minhashIndexRefreshOracle)))
 
   // ------------------------------------------------------------ q222/q223
   /** Bloom-filter membership artifact — the 100 TB form of q99's "known
@@ -351,6 +353,40 @@ object DedupQueries {
        |SELECT doc_id, cast(band_idx AS INT) AS band_idx,
        |  ${DuckHashSql.signedSql("band_hash")} AS band_hash
        |FROM banded WHERE doc_id % 2 = 0
+       |ORDER BY doc_id, band_idx""".stripMargin
+
+  /** q226: band-index REFRESH — the maintenance loop of the q224/q225
+    * deployment: arrivals (the odd half) are sketched and their band rows
+    * MERGED with the reloaded prior index into a new index generation,
+    * written back through the fixedwidth sink and reloaded. The oracle
+    * re-derives the FULL-corpus index from scratch, so equality is
+    * precisely the refresh-correctness claim: incremental maintenance
+    * (prior artifact + delta) equals a full rebuild — which is what lets a
+    * 100 TB deployment never re-sketch its corpus. Append-only merge, no
+    * shuffle beyond the arrivals' own sketch write. */
+  def minhashIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val prior = spark.read.format("fixedwidth").option("fields", idxFields)
+      .load(persistedMinhashIndexPath(spark, dir))
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val arrivals = Dedup.minhashSketches(
+        table(spark, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", IdxShingle, IdxHashes, IdxBands)
+      .select(col("id").as("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val out = QueryRegistry.scratch(dir, "minhash_idx_v2_fw")
+    prior.unionByName(arrivals)
+      .write.format("fixedwidth").option("fields", idxFields)
+      .option("strictWidth", "true").mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", idxFields).load(out)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
+  val minhashIndexRefreshOracle: String =
+    s"""WITH ${DuckHashSql.minhashPairsCtes(IdxShingle, IdxHashes, IdxBands, 0.5)}
+       |SELECT doc_id, cast(band_idx AS INT) AS band_idx,
+       |  ${DuckHashSql.signedSql("band_hash")} AS band_hash
+       |FROM banded
        |ORDER BY doc_id, band_idx""".stripMargin
 
   /** Trained-artifact registry for the bench's explicit train_* accounting
