@@ -1077,8 +1077,17 @@ object StreamingQueries {
     // Batch-side confirmation on the drained candidate hits (the q75/q178
     // post-aggregation pattern): distinct pairs, exact Jaccard over the
     // sorted gram sets, per-arrival rollup, zeros for arrivals with no hit.
+    // Gram sets are computed ONLY for docs that appear in a candidate pair
+    // (left-semi against the drained ids) — at 100 TB the confirmation
+    // stage touches candidates, never the corpus; a production index would
+    // additionally persist the indexed side's gram sets next to the band
+    // rows so even this recompute is arrivals-only.
     val docs = table(spark, dir, "documents")
-    val sk = Dedup.minhashSketches(docs, "doc_id", "text", sl, nh, nb)
+    val pairIds = drained.select(col("doc_id"))
+      .union(drained.select(col("idx_id").as("doc_id"))).distinct()
+    val sk = Dedup.minhashSketches(
+      docs.join(pairIds, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", sl, nh, nb)
     val scored = drained.distinct()
       .join(sk.select(col("id").as("doc_id"), col("gh").as("g_p"))
         .hint("shuffle_hash"), "doc_id")
