@@ -313,20 +313,26 @@ object Similarity {
   /** One Lloyd refinement round's (cell, dim, m) mean cells, on the
     * relational KMeans path: every corpus row scores the centroid LITERALS
     * with the codegen'd cosine fold and takes the argmax via array_sort on
-    * struct(-cos, cell) — tie-break to the lowest cell, a NULL cosine
-    * (zero norm / mismatched dims) coerced to the same -2.0 sentinel
-    * `nearestCellsIn` uses, so both assignment paths pick identical cells.
-    * The update is a plain partial-agg mean per (cell, dim) — bounded
-    * state, map-side combine, no `mapPartitions`, no UDAF (`IvfPlanSpec`
-    * pins the shape). */
+    * struct(-cos, cell) — tie-break to the lowest cell, a zero-norm
+    * vector's NULL cosine coerced to the -2.0 sentinel `nearestCellsIn`
+    * also produces (both paths then tie to cell 0, so the two assignment
+    * rules stay identical). Vectors whose LENGTH differs from the centroid
+    * dim are EXCLUDED from the update: the codegen'd dot is NULL on a
+    * length mismatch while `nearestCellsIn` partial-folds over the common
+    * prefix, so folding them in would both skew a ragged mean and land
+    * them in a cell the final assignment disagrees with. The update is a
+    * plain partial-agg mean per (cell, dim) — bounded state, map-side
+    * combine, no `mapPartitions`, no UDAF (`IvfPlanSpec` pins the shape). */
   private[operators] def refineCells(
       rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     val scored = cents.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
       struct(
         (-coalesce(cosine(col("vec"), typedlit(c.toSeq)), lit(-2.0))).as("negcos"),
         lit(ci).as("cell"))
     }
-    rows.withColumn("best", array_sort(array(scored: _*)).getItem(0))
+    rows.filter(size(col("vec")) === dim)
+      .withColumn("best", array_sort(array(scored: _*)).getItem(0))
       .select(col("best.cell").as("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg(avg(col("x").cast("double")).as("m"))

@@ -246,18 +246,28 @@ object DedupQueries {
   private[queries] val BloomK = 4
   private val bloomLayout = Seq(FieldSpec("bit_idx", "long", 0, 5))
 
+  /** The k probe bit positions of a fingerprint column — the ONE place the
+    * probe math lives: build (persistedBloomPath) and serve (q223's gate)
+    * both call this, so they cannot drift apart and silently break the
+    * no-false-negative guarantee the family rests on. Power-of-two modulus
+    * keeps Spark's signed pmod bit-identical to the oracle's unsigned %. */
+  private[queries] def bloomProbes(fp: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until BloomK).map(i =>
+      pmod(graft.functions.Hashing.mix64At(fp, lit(i)), lit(BloomBits.toLong)))
+
   /** Write-once (memoized) Bloom bit table through the fixedwidth sink;
     * returns the artifact path. The cached value is the bounded path string;
-    * the file itself is the deployed artifact (≤ 2^14 tiny rows). */
+    * the file itself is the deployed artifact (≤ 2^14 tiny rows). The lane
+    * family is DEFINED over non-NULL text (same rule as the sketch lanes:
+    * a NULL document has no fingerprint) — filtered identically here, in
+    * the q223 stream, and in both oracles. */
   private[queries] def persistedBloomPath(spark: SparkSession, dir: String): String =
     ArtifactStore.cached("bloom_m14_k4_path", dir) {
       val out = QueryRegistry.scratch(dir, "bloom_bits_fw")
       table(spark, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 2 === 0 && col("text").isNotNull)
         .select(graft.functions.Hashing.rollingHash(col("text")).as("fp"))
-        .select(explode(array((0 until BloomK).map(i =>
-          pmod(graft.functions.Hashing.mix64At(col("fp"), lit(i)),
-            lit(BloomBits.toLong))): _*)).as("bit_idx"))
+        .select(explode(array(bloomProbes(col("fp")): _*)).as("bit_idx"))
         .distinct()
         .write.format("fixedwidth")
         .option("fields", FixedWidthOptions.renderFields(bloomLayout))
@@ -296,7 +306,7 @@ object DedupQueries {
   val bloomArtifactOracle: String =
     s"""WITH fp AS (
        |  SELECT ${DuckHashSql.rollingHashSql("text")} AS fp
-       |  FROM documents WHERE doc_id % 2 = 0
+       |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
        |)
        |SELECT DISTINCT cast((${DuckHashSql.mix64Sql("fp", "k")}) % $BloomBits AS BIGINT) AS bit_idx
        |FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks

@@ -664,8 +664,12 @@ object SimilarityQueries {
       sumMode = graft.operators.SumMode.PlaneSums).toMap
     exact.flatMap { case (cid, c) =>
       c.zipWithIndex.map { case (m, d) =>
+        // relative bound with an absolute floor: a near-zero mean (member
+        // components cancelling) would otherwise divide a last-ulp
+        // summation-order difference by a tiny |m| and flake the gate —
+        // the q215 greatest(rel, abs) convention
         val agree = plain.get(cid).filter(_.length > d).map(_(d)).exists(p =>
-          math.abs(m - p) / math.max(math.abs(m), 1e-30) <= 1e-9)
+          math.abs(m - p) <= math.max(1e-9 * math.abs(m), 1e-12))
         (cid, d, m, agree)
       }
     }.toDF("cluster", "dim", "m_raw", "within_tol")
@@ -725,13 +729,16 @@ object SimilarityQueries {
     * (k × dim doubles) pull a serving process does at startup. Values are
     * the artifact's round(·,8) elements, NOT the in-process full-precision
     * memo: a consumer of the deployed model sees exactly what the file
-    * carries. */
+    * carries. Memoized — q209 still measures the persistence round trip
+    * each rep, but the q213 serving reps must not rewrite the artifact. */
   private[queries] def persistedCentroidVectors(
       spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
-    persistedCentroidTable(spark, dir).collect()
-      .groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }.toSeq.sortBy(_._1)
+    graft.operators.ArtifactStore.cached("kmeans_centroid_file_values", dir) {
+      persistedCentroidTable(spark, dir).collect()
+        .groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }.toSeq.sortBy(_._1)
+    }
 
   def centroidsArtifact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -828,15 +835,21 @@ object SimilarityQueries {
     * encoder does at startup. Values are the artifact's round(·,8)
     * elements, NOT the in-process full-precision memo: a consumer of the
     * deployed model sees exactly what the file carries (the q213
-    * convention). */
+    * convention). Memoized (the q219 lane still measures the full
+    * persistence round trip each rep — its job — but serving reps must
+    * not rewrite the artifact); j/i dimensions are sized FROM THE FILE,
+    * never padded to PqKsub: a corpus smaller than ksub must not grow
+    * phantom all-zero centroids the oracle's sample can never encode to. */
   private[queries] def persistedPqCodebook(
-      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val rows = persistedPqCodebookTable(spark, dir).collect()
-    val dsub = rows.iterator.map(_.getInt(2)).max + 1
-    val cb = Array.fill(PqM, PqKsub, dsub)(0.0)
-    rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-    cb
-  }
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    graft.operators.ArtifactStore.cached("pq_codebook_file_values", dir) {
+      val rows = persistedPqCodebookTable(spark, dir).collect()
+      val dsub = rows.iterator.map(_.getInt(2)).max + 1
+      val ksub = rows.iterator.map(_.getInt(1)).max + 1
+      val cb = Array.fill(PqM, ksub, dsub)(0.0)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cb
+    }
 
   def pqCodebookArtifact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1358,7 +1371,12 @@ object SimilarityQueries {
     * order shifts last ulps only, and the rounded values can straddle at
     * most one rounding boundary). The oracle replays the ExactFold side
     * and pins the boolean to literal TRUE, so PlaneSums drift past the
-    * bound fails the gate. */
+    * bound fails the gate. Bound caveat: NULL-iff-NULL assumes a dim is
+    * either truly constant (variance exactly cancels under BOTH fold
+    * orders — the driver's generators produce no near-constant dims) or
+    * has non-negligible variance; a dataset with variance within one ulp
+    * of zero could clamp sd to 0 under one mode only, which would need a
+    * shared variance floor in `VectorOps.standardize` to tolerate. */
   def standardizeAgreement(spark: SparkSession, dir: String): DataFrame = {
     val embs = table(spark, dir, "embeddings")
     val exact = VectorOps.standardize(embs, "vec_id", "embedding",
@@ -1419,10 +1437,14 @@ object SimilarityQueries {
     * training cost once, explicitly, instead of letting the memo hide it
     * inside whichever lane happens to run first. */
   val artifactTrainers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    // each trainer drives the SERVING pull, which transitively populates
+    // every memo key on its chain (training + persisted file values) — the
+    // bench's trainer-coverage assertion holds only if no cached key first
+    // appears inside the lane sweep
     "train_kmeans_centroids" -> ((s: SparkSession, d: String) => {
-      kmeansCentroidsCached(s, d); () }),
+      persistedCentroidVectors(s, d); () }),
     "train_pq_codebook" -> ((s: SparkSession, d: String) => {
-      pqCodebookCached(s, d); () }))
+      persistedPqCodebook(s, d); () }))
 
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),

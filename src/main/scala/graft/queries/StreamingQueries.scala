@@ -940,8 +940,12 @@ object StreamingQueries {
       val schema = table(ss, dir, "documents").schema
       ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // NULL text null-propagates through tokens() and size() would then
+        // emit -1/NULL where the oracle's LEFT JOIN emits 0 — coalesce to
+        // the empty token array so a NULL-text doc counts (0, 0)
         .select(col("doc_id"),
-          filter(TextFunctions.tokens(col("text")), t => length(t) > 0).as("toks"))
+          coalesce(filter(TextFunctions.tokens(col("text")), t => length(t) > 0),
+            array().cast("array<string>")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).as("n_tok"),
           size(filter(col("toks"),
@@ -1004,17 +1008,15 @@ object StreamingQueries {
   def streamBloomGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
     val bits = DedupQueries.persistedBloomLookup(spark, dir)
-    val m = DedupQueries.BloomBits
     runToMemory(spark, "stream_bloom_gate", "append") { ss =>
       val schema = table(ss, dir, "documents").schema
       ss.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("text").isNotNull) // the family's non-NULL-text rule
         .select(col("doc_id"), Hashing.rollingHash(col("text")).as("fp"))
         .select(col("doc_id"),
-          (0 until DedupQueries.BloomK).map(i =>
-            element_at(typedlit(bits.toSeq),
-              (pmod(Hashing.mix64At(col("fp"), lit(i)), lit(m.toLong)) + 1)
-                .cast("int")))
+          DedupQueries.bloomProbes(col("fp")).map(p =>
+            element_at(typedlit(bits.toSeq), (p + 1).cast("int")))
             .reduce(_ && _).as("maybe_seen"))
     }
       .orderBy(col("doc_id"))
@@ -1023,7 +1025,8 @@ object StreamingQueries {
   val streamBloomGateOracle: String = {
     val m = DedupQueries.BloomBits
     s"""WITH fp AS (
-       |  SELECT doc_id, ${DuckHashSql.rollingHashSql("text")} AS fp FROM documents
+       |  SELECT doc_id, ${DuckHashSql.rollingHashSql("text")} AS fp
+       |  FROM documents WHERE text IS NOT NULL
        |), bits AS (
        |  SELECT DISTINCT cast((${DuckHashSql.mix64Sql("fp", "k")}) % $m AS BIGINT) AS bit_idx
        |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks

@@ -21,7 +21,7 @@ class ServingIndexSpec extends SparkSpec with Matchers {
     val bits = DedupQueries.persistedBloomLookup(spark, dir)
     bits.length shouldBe DedupQueries.BloomBits
     val fps = QueryRegistry.table(spark, dir, "documents")
-      .filter(col("doc_id") % 2 === 0)
+      .filter(col("doc_id") % 2 === 0 && col("text").isNotNull)
       .select(graft.functions.Hashing.rollingHash(col("text")).as("fp"))
       .collect().map(_.getLong(0))
     fps should not be empty
