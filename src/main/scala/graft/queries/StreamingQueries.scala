@@ -1054,27 +1054,37 @@ object StreamingQueries {
     * small); arrivals never see each other — only the index — so the
     * answer is independent of micro-batch split, which is what lets the
     * oracle replay it as one batch join. */
+  /** The arrival half's (doc_id, band_idx, band_hash) rows as a STREAM —
+    * map-side primitive-loop sketches (the q52 kernel), shared by the
+    * serving probe (q225) and the index-append maintenance lane (q227) so
+    * the two cannot drift from the persisted index's own band math. */
+  private def arrivalBandRows(
+      ss: SparkSession, dir: String): DataFrame = {
+    import ss.implicits._
+    val (sl, nh, nb) =
+      (DedupQueries.IdxShingle, DedupQueries.IdxHashes, DedupQueries.IdxBands)
+    val schema = table(ss, dir, "documents").schema
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 2 === 1 && col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val (gh, _, bh) = Dedup.sketchOf(text, sl, nh, nb)
+        if (gh.isEmpty) Iterator.empty
+        else bh.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
+      })
+      .toDF("doc_id", "band_idx", "band_hash")
+  }
+
   def streamNearDupServe(spark: SparkSession, dir: String): DataFrame = {
     val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
     val (sl, nh, nb) =
       (DedupQueries.IdxShingle, DedupQueries.IdxHashes, DedupQueries.IdxBands)
     val drained = runToMemory(spark, "stream_neardup_serve", "append") { ss =>
-      import ss.implicits._
-      val schema = table(ss, dir, "documents").schema
-      val arrivals = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter(col("doc_id") % 2 === 1 && col("text").isNotNull)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          val (gh, _, bh) = Dedup.sketchOf(text, sl, nh, nb)
-          if (gh.isEmpty) Iterator.empty
-          else bh.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
-        })
-        .toDF("doc_id", "band_idx", "band_hash")
       val idx = ss.read.format("fixedwidth")
         .option("fields", DedupQueries.idxFields).load(idxPath)
         .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_hash"))
-      arrivals.join(idx, Seq("band_idx", "band_hash"))
+      arrivalBandRows(ss, dir).join(idx, Seq("band_idx", "band_hash"))
         .select(col("doc_id"), col("idx_id"))
     }
     // Batch-side confirmation on the drained candidate hits (the q75/q178
@@ -1139,10 +1149,49 @@ object StreamingQueries {
        |WHERE d.doc_id % 2 = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+  /** STREAMING index maintenance — q226's deployed form: the arrival
+    * stream's band rows land in a DELTA directory through the repo's own
+    * fixedwidth sink (the q119 foreachBatch append pattern), and the
+    * lane's answer is prior index ∪ reloaded delta, which the oracle pins
+    * equal to a from-scratch full-corpus rebuild. Batching-independent by
+    * construction: each band row is a pure function of its own document,
+    * so the delta's CONTENT is identical however AvailableNow splits the
+    * files — only file layout varies, and the union reads it back order-
+    * free. This is the ingestion loop a 100 TB near-dup service actually
+    * runs: sketch arrivals once, append their rows beside the index,
+    * never re-touch the corpus. */
+  def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
+    val fieldsOpt = DedupQueries.idxFields
+    val delta = Files.createTempDirectory("graft-idx-delta").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("strictWidth", "true").mode("append").save(delta)
+    val ckpt = freshCkpt("idxappend")
+    val q = arrivalBandRows(ss, dir)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropCkpt(ckpt)
+    val prior = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(idxPath).select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val appended = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(delta).select(col("doc_id"), col("band_idx"), col("band_hash"))
+    prior.unionByName(appended)
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q223_stream_bloom_gate", streamBloomGate, Some(streamBloomGateOracle)),
     Q("q225_stream_neardup_serve", streamNearDupServe,
       Some(streamNearDupServeOracle)),
+    Q("q227_stream_index_append", streamIndexAppend,
+      Some(DedupQueries.minhashIndexRefreshOracle)),
     Q("q213_stream_centroid_assign", streamCentroidAssign,
       Some(SimilarityQueries.streamCentroidAssignOracle)),
     Q("q220_stream_pq_encode", streamPqEncode,
