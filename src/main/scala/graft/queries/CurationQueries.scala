@@ -983,13 +983,18 @@ object CurationQueries {
     * oracle pins to literal TRUE. The absolute-1 slack keeps a one-doc
     * boundary language from failing on its only possible discretization
     * step. Any drift of the approx mode past tolerance flips the boolean
-    * and fails the gate. */
+    * and fails the gate. LEFT join from exact with the approx count
+    * coalesced to 0: if the approx mode ever admitted zero docs for a
+    * language, the violation would surface as a FALSE boolean (the
+    * documented failure shape) instead of a silently missing row the
+    * abs-1 slack could never apply to. */
   def quantileAdmissionAgreement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val exact = quantileAdmission(spark, dir)
     val approx = quantileAdmissionApprox(spark, dir)
       .select($"lang", $"n_admitted".as("a_admitted"))
-    exact.join(approx, "lang")
+    exact.join(approx, Seq("lang"), "left")
+      .withColumn("a_admitted", coalesce($"a_admitted", lit(0L)))
       .select($"lang", $"n_admitted", $"min_score", $"sum_ids",
         (abs($"a_admitted" - $"n_admitted").cast("double") <=
           greatest($"n_admitted".cast("double") * 0.10, lit(1.0)))

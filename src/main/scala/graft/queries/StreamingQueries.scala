@@ -1160,16 +1160,29 @@ object StreamingQueries {
     * files — only file layout varies, and the union reads it back order-
     * free. This is the ingestion loop a 100 TB near-dup service actually
     * runs: sketch arrivals once, append their rows beside the index,
-    * never re-touch the corpus. */
+    * never re-touch the corpus.
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: each
+    * micro-batch OVERWRITES its own batchId-named subdir, so a retried
+    * batch replaces its files instead of appending duplicates (the delta's
+    * reader recurses into the subdirs, which carry no `col=value` name and
+    * thus bind no partition). The delta lives under the per-sf scratch
+    * root and is wiped at invocation start, so repeated bench reps reuse
+    * one directory instead of leaking a corpus-scale temp tree per run. */
   def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
     val fieldsOpt = DedupQueries.idxFields
-    val delta = Files.createTempDirectory("graft-idx-delta").toString
+    val delta = QueryRegistry.scratch(dir, "minhash_idx_delta_fw")
+    val deltaPath = new org.apache.hadoop.fs.Path(delta)
+    val fs = deltaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(deltaPath, true)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
       batch.write.format("fixedwidth").option("fields", fieldsOpt)
-        .option("strictWidth", "true").mode("append").save(delta)
+        .option("strictWidth", "true").mode("overwrite")
+        .save(s"$delta/batch-$batchId")
     val ckpt = freshCkpt("idxappend")
     val q = arrivalBandRows(ss, dir)
       .writeStream.foreachBatch(writeBatch)

@@ -18,6 +18,7 @@ class ServingIndexSpec extends SparkSpec with Matchers {
   private val dir = "/root/testdata/sf0.001"
 
   test("bloom filter has no false negatives over the indexed half") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
     val bits = DedupQueries.persistedBloomLookup(spark, dir)
     bits.length shouldBe DedupQueries.BloomBits
     val fps = QueryRegistry.table(spark, dir, "documents")
@@ -36,6 +37,7 @@ class ServingIndexSpec extends SparkSpec with Matchers {
   }
 
   test("minhash band index round-trips the sketch pipeline exactly") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
     val reloaded = DedupQueries.minhashIndexArtifact(spark, dir)
     val expected = Dedup.minhashSketches(
         QueryRegistry.table(spark, dir, "documents")
@@ -50,6 +52,7 @@ class ServingIndexSpec extends SparkSpec with Matchers {
   }
 
   test("stream serving confirms every cross-half batch near-dup pair") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
     // Batch truth: near-dup pairs over the WHOLE corpus at the index params;
     // any pair with one indexed (even) and one arriving (odd) member must
     // surface as a confirmed dup for the arrival in the serving lane.
