@@ -57,22 +57,54 @@ object Bench {
     // AFTER the lane sweep to catch an unregistered ArtifactStore.cached
     // site (see the coverage check below the sweep).
     val trainedKeys = ArtifactStore.keys()
-    val laneResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Purity sentinel: the same tiny calibration lane timed at sweep
+    // start, middle, and end. Three rounds running, a contended host
+    // inflated recorded lane medians up to 6x and the judge+builder spent
+    // an adjudication cycle separating host drift from code motion
+    // (q201/q193 r10, the streaming family r11, q155/train_* r12). The
+    // sentinel makes purity part of the record itself: identical constant
+    // work drifting >1.3x across the sweep can only be the HOST, so a
+    // `contended:true` flag reads as "discount this record" without any
+    // out-of-band A/B. MIN-of-5 per checkpoint, not median: a one-rep GC
+    // or JIT transient inflates individual reps at any SF, but only
+    // SUSTAINED competing load raises the floor of five back-to-back
+    // identical runs — which is exactly the condition the flag exists to
+    // catch.
+    def runSentinel(): Double = {
+      val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        // A failed query must be visible as -1, not recorded as a fast run.
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop state a query persisted/cached/checkpointed so later queries
-        // aren't taxed by another query's memory footprint (see LaneReset).
-        LaneReset(spark)
-        if (ok) dt else -1.0
+        sentinelLane(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = if (times.contains(-1.0)) -1.0
-               else times.sorted.apply((times.size - 1) / 2)
-      name -> dt
+      ts.min
     }
+    sentinelLane(spark, sfDir) // untimed: first-touch codegen/scan init
+    val sentinelStart = runSentinel()
+    def sweep(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // A failed query must be visible as -1, not recorded as a fast run.
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Drop state a query persisted/cached/checkpointed so later queries
+          // aren't taxed by another query's memory footprint (see LaneReset).
+          LaneReset(spark)
+          if (ok) dt else -1.0
+        }
+        val dt = if (times.contains(-1.0)) -1.0
+                 else times.sorted.apply((times.size - 1) / 2)
+        name -> dt
+      }
+    val allLanes = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (firstHalf, secondHalf) = allLanes.splitAt(allLanes.size / 2)
+    val firstResults = sweep(firstHalf)
+    val sentinelMid = runSentinel()
+    val laneResults = firstResults ++ sweep(secondHalf)
+    val sentinelEnd = runSentinel()
+    val sentinelTimes = Seq(sentinelStart, sentinelMid, sentinelEnd)
+    val contended = sentinelTimes.max / sentinelTimes.min > 1.3
     // Trainer-coverage check: any artifact key memoized DURING the lane
     // sweep came from a `cached` site no registered trainer covers — its
     // cold training cost hid inside the first consumer lane's rep 1 and
@@ -118,18 +150,20 @@ object Bench {
       if (len + e.length + 1 < budget) { kept += e; len += e.length + 1 }
       else cut = true
     }
+    val sentinelJson =
+      s""""sentinel_times":[${sentinelTimes.map(r3).mkString(",")}],"contended":$contended"""
     val note = (if (kept.size < results.size)
       s""","queries_shown":${kept.size},"queries_total":${results.size}""" else "") +
       (if (failures > 0) s""","failures":$failures""" else "") +
       (if (unregistered.nonEmpty)
         s""","unregistered_artifacts":${unregistered.size}""" else "")
     val totalLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$note,$sentinelJson,"sf":"$sfDir"}"""
     // Sidecar copy (full per-query map, not tail-budgeted): a parse-proof
     // artifact next to the build regardless of how the runner decorates
     // stdout. The stdout total line stays the primary driver contract.
     try java.nio.file.Files.write(java.nio.file.Path.of("bench.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failures":$failures,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failures":$failures,$sentinelJson,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
     // AFTER spark.stop(): no Spark shutdown chatter can land after this line.
@@ -137,6 +171,24 @@ object Bench {
     // the coverage violation still fails the run — but only after the
     // record is written
     if (unregistered.nonEmpty) sys.exit(3)
+  }
+
+  /** The purity-sentinel calibration lane: a fixed pure-CPU aggregate
+    * (range → mod → sum, whole-stage codegen, one task per core, no I/O,
+    * no shuffle of note). It computes no registered query's answer and
+    * reads no input data — the work is IDENTICAL at every scale factor,
+    * so drift across the sweep measures the HOST's available CPU, not the
+    * code and not the filesystem cache. A parquet-scan variant was tried
+    * first and rejected: at small SFs it is a single ~100 ms task whose
+    * timing is dominated by scheduler-latency jitter, which false-flagged
+    * idle runs. */
+  private def sentinelLane(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cores = spark.sparkContext.defaultParallelism
+    spark.range(0L, 512L * 1000 * 1000, 1L, cores)
+      .agg(sum(pmod(org.apache.spark.sql.functions.col("id"), lit(7L))))
+      .collect()
+    ()
   }
 
   /** Untimed warmup: one-time JVM/codegen/machinery init costs otherwise
