@@ -778,6 +778,87 @@ object SimilarityQueries {
        |FROM af ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- q228/q229
+  /** IVF ASSIGNMENT-INDEX artifact — the coarse-quantizer member of the
+    * index-maintenance family (the q224/q226/q227 MinHash pattern applied
+    * to the k-means/IVF chain): the (vec_id, cluster) inverted-list table
+    * of the even-vec_id corpus half, every row a MAP-SIDE argmin against
+    * the PERSISTED centroid artifact's round(·,8) values (the q213
+    * serving convention — the deployed model is the file, not the
+    * in-process memo), written once through the repo's own fixedwidth
+    * sink. Unlike the bounded centroid artifact the index is CORPUS-SIZED
+    * by design (one row per indexed vector); only the path string is
+    * memoized. */
+  private val ivfIdxLayout = Seq(
+    graft.sources.fixedwidth.FieldSpec("vec_id", "long", 0, 8),
+    graft.sources.fixedwidth.FieldSpec("cluster", "int", 8, 2))
+  private[queries] def ivfIdxFields: String =
+    graft.sources.fixedwidth.FixedWidthOptions.renderFields(ivfIdxLayout)
+
+  private[queries] def persistedIvfIndexPath(
+      spark: SparkSession, dir: String): String =
+    graft.operators.ArtifactStore.cached("ivf_assign_index", dir) {
+      val out = QueryRegistry.scratch(dir, "ivf_idx_fw")
+      graft.operators.KMeans.assignWith(
+          table(spark, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", persistedCentroidVectors(spark, dir))
+        .select(col("id").as("vec_id"), col("cluster"))
+        .write.format("fixedwidth").option("fields", ivfIdxFields)
+        .option("strictWidth", "true").mode("overwrite").save(out)
+      out
+    }
+
+  /** q228: IVF assignment-index REFRESH — the maintenance loop the
+    * centroid chain was missing (q147 trains, q209 persists, q213 serves,
+    * this lane keeps the inverted lists current): arrivals (the odd half)
+    * are assigned map-side against the SAME persisted centroids and
+    * MERGED with the reloaded prior index into a new index generation,
+    * written back through the fixedwidth sink and reloaded. The oracle
+    * re-derives the FULL-corpus assignment from scratch under the
+    * artifact's round(·,8) centroid values, so equality is precisely the
+    * refresh-correctness claim: incremental maintenance (prior + delta)
+    * equals a full rebuild — a 100 TB ANN service never re-assigns its
+    * corpus when vectors arrive. Sound because assignment is a pure
+    * per-row function of a FIXED model generation; a centroid retrain is
+    * a NEW artifact and a new index (the q209 chain), never an in-place
+    * mutation of this one. */
+  def ivfIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val prior = spark.read.format("fixedwidth").option("fields", ivfIdxFields)
+      .load(persistedIvfIndexPath(spark, dir))
+      .select(col("vec_id"), col("cluster"))
+    val arrivals = graft.operators.KMeans.assignWith(
+        table(spark, dir, "embeddings").filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", persistedCentroidVectors(spark, dir))
+      .select(col("id").as("vec_id"), col("cluster"))
+    val out = QueryRegistry.scratch(dir, "ivf_idx_v2_fw")
+    prior.unionByName(arrivals)
+      .write.format("fixedwidth").option("fields", ivfIdxFields)
+      .option("strictWidth", "true").mode("overwrite").save(out)
+    spark.read.format("fixedwidth").option("fields", ivfIdxFields).load(out)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared by q228 (batch refresh) and q229 (streaming append): the
+    * full-corpus re-assignment under the persisted model's round(·,8)
+    * values — the q213 chain minus the dist column. */
+  val ivfIndexRefreshOracle: String = {
+    def sq(e: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), j -> ($e[j] - $c[j]) * ($e[j] - $c[j])))"
+    s"""WITH ${kmeansCte(8)},
+       |cr AS (
+       |  SELECT cid, list(round(m, 8) ORDER BY dim) AS c FROM up GROUP BY cid
+       |), af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM (SELECT x.vec_id, i.cid, ${sq("x.e", "i.c")} AS d
+       |          FROM ex x CROSS JOIN cr i)
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id, cast(cid AS INT) AS cluster
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q219
   /** PQ-codebook artifact persistence (the q209 pattern for the product
     * quantizer): the closed-form m=8 × ksub=16 codebook of the q111 PQ-ADC
@@ -1444,7 +1525,9 @@ object SimilarityQueries {
     "train_kmeans_centroids" -> ((s: SparkSession, d: String) => {
       persistedCentroidVectors(s, d); () }),
     "train_pq_codebook" -> ((s: SparkSession, d: String) => {
-      persistedPqCodebook(s, d); () }))
+      persistedPqCodebook(s, d); () }),
+    "train_ivf_index" -> ((s: SparkSession, d: String) => {
+      persistedIvfIndexPath(s, d); () }))
 
   def all: Seq[Q] = Seq(
     Q("q176_fps_coreset", fpsCoreset, Some(fpsCoresetOracle)),
@@ -1473,6 +1556,7 @@ object SimilarityQueries {
     Q("q147_kmeans_clusters", kmeansClusters, Some(kmeansClustersOracle)),
     Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
     Q("q209_centroids_artifact", centroidsArtifact, Some(centroidsArtifactOracle)),
+    Q("q228_ivf_index_refresh", ivfIndexRefresh, Some(ivfIndexRefreshOracle)),
     Q("q219_pq_codebook_artifact", pqCodebookArtifact, Some(pqCodebookArtifactOracle)),
     Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     Q("q174_neardup_bucketed_auto", nearDupsBucketedAuto, Some(nearDupsBucketedAutoOracle)))

@@ -1199,12 +1199,63 @@ object StreamingQueries {
       .orderBy(col("doc_id"), col("band_idx"))
   }
 
+  // ---------------------------------------------------------------- q229
+  /** STREAMING IVF index maintenance — q228's deployed form, and the
+    * vector twin of q227: the arrival stream's (vec_id, cluster)
+    * assignment rows are computed MAP-SIDE against the persisted centroid
+    * artifact (the q213 serving convention: the model is the file's
+    * round(·,8) values, loaded once as plan literals — no shuffle, no
+    * state) and land in a DELTA directory through the repo's own
+    * fixedwidth sink; the lane's answer is prior index ∪ reloaded delta,
+    * which the oracle pins equal to a from-scratch full-corpus
+    * re-assignment. Exactly-once under foreachBatch's at-least-once
+    * contract and rep-safe scratch reuse via the q227 batchId-subdir
+    * overwrite pattern. Batching-independent by construction: each
+    * assignment is a pure function of its own vector under a FIXED model
+    * generation. */
+  def streamIvfAssignAppend(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = SimilarityQueries.persistedIvfIndexPath(spark, dir)
+    val cents = SimilarityQueries.persistedCentroidVectors(spark, dir)
+    val fieldsOpt = SimilarityQueries.ivfIdxFields
+    val delta = QueryRegistry.scratch(dir, "ivf_idx_delta_fw")
+    val deltaPath = new org.apache.hadoop.fs.Path(delta)
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(deltaPath, true)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+      batch.write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("strictWidth", "true").mode("overwrite")
+        .save(s"$delta/batch-$batchId")
+    val ckpt = freshCkpt("ivfappend")
+    val schema = table(ss, dir, "embeddings").schema
+    val q = graft.operators.KMeans.assignWith(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", cents)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropCkpt(ckpt)
+    val prior = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(idxPath).select(col("vec_id"), col("cluster"))
+    val appended = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(delta).select(col("vec_id"), col("cluster"))
+    prior.unionByName(appended).orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q223_stream_bloom_gate", streamBloomGate, Some(streamBloomGateOracle)),
     Q("q225_stream_neardup_serve", streamNearDupServe,
       Some(streamNearDupServeOracle)),
     Q("q227_stream_index_append", streamIndexAppend,
       Some(DedupQueries.minhashIndexRefreshOracle)),
+    Q("q229_stream_ivf_append", streamIvfAssignAppend,
+      Some(SimilarityQueries.ivfIndexRefreshOracle)),
     Q("q213_stream_centroid_assign", streamCentroidAssign,
       Some(SimilarityQueries.streamCentroidAssignOracle)),
     Q("q220_stream_pq_encode", streamPqEncode,

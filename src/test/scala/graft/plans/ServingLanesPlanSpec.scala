@@ -48,4 +48,42 @@ class ServingLanesPlanSpec extends SparkSpec with Matchers {
       p should not include "CartesianProduct"
     }
   }
+
+  test("q228 IVF refresh: map-side assignment, no join/window anywhere") {
+    assume(docsExist)
+    // arrivals are assigned against centroid PLAN LITERALS (k codegen'd
+    // squared-L2 folds + argmin) and merged by union — any Join or Window
+    // appearing here means the assignment stopped being map-side
+    val p = plan(graft.queries.SimilarityQueries.ivfIndexRefresh(spark, sfDir))
+    withClue(p) {
+      p should include("Sort")
+      p should not include "Join"
+      p should not include "Window"
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("q228/q229: incremental index content equals a from-scratch full assignment") {
+    assume(docsExist)
+    // the refresh-correctness claim at the DataFrame level (the driver
+    // oracle pins it cross-engine; this pins it in-process so a refactor
+    // fails fast): prior(even) + arrivals(odd) == assign(ALL) under the
+    // same persisted model generation
+    val got = graft.queries.SimilarityQueries.ivfIndexRefresh(spark, sfDir)
+    // deployed model = the q209 artifact's round(·,8) values, read through
+    // the PUBLIC lane (the same file the refresh assigns against)
+    val cents = graft.queries.SimilarityQueries.centroidsArtifact(spark, sfDir)
+      .collect()
+      .groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    val full = graft.operators.KMeans.assignWith(
+        graft.queries.QueryRegistry.table(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", cents)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"),
+        org.apache.spark.sql.functions.col("cluster"))
+    assert(got.count() == full.count())
+    assert(got.except(full).count() == 0L)
+    assert(full.except(got).count() == 0L)
+  }
 }
