@@ -143,6 +143,7 @@ object CoreQueries {
     moneyFixture(spark, dir)
     poisonFixture(spark, dir)
     partitionedFixture(spark, dir)
+    bz2PartitionedFixture(spark, dir)
     supplierViaCsv(spark, dir)
     supplierViaJsonl(spark, dir)
     supplierViaOrc(spark, dir)
@@ -572,6 +573,73 @@ object CoreQueries {
        |FROM lineitem WHERE l_returnflag = 'R'
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** The q06 partitioned tree with every data file bzip2-compressed — the
+    * marker-guarded compressed twin a 100 TB feed actually looks like
+    * (compressed files inside a Hive-style directory layout). Built by
+    * streaming each plain part file through Hadoop's BZip2Codec; directory
+    * names (the partition bindings) and record bytes are unchanged. */
+  def bz2PartitionedFixture(spark: SparkSession, dir: String): String = {
+    val src = partitionedFixture(spark, dir)
+    val out = QueryRegistry.scratch(dir, "lineitem_fw_part_bz2")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      val conf = spark.sessionState.newHadoopConf()
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(conf)
+      val srcRoot = new java.io.File(src)
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+          val rel = srcRoot.toPath.relativize(f.toPath).toString
+          val dst = new java.io.File(out, rel + ".bz2")
+          dst.getParentFile.mkdirs()
+          val in = new java.io.FileInputStream(f)
+          val os = codec.createOutputStream(new java.io.FileOutputStream(dst))
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { os.write(buf, 0, n); n = in.read(buf) }
+          in.close(); os.close()
+        }
+      walk(srcRoot)
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** Splittable-compressed read under the oracle: the whole bz2 partitioned
+    * tree (multiple `l_returnflag=X` directories, every file compressed)
+    * aggregated per partition value — the reference rejects any codec
+    * (FixedLengthRecordReader.java:147-152); here `allowCompressed=true`
+    * reads .bz2 SPLIT on block boundaries through the phase-1
+    * decompressed-offset index (`Bz2SplitIndex`), and the result must equal
+    * DuckDB's replay from the uncompressed source rows. Directory pruning,
+    * partition-value binding, and the record grid all compose with the
+    * compressed reader because partition values live in both the path and
+    * the record bytes. */
+  def q230(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("fixedwidth")
+      .option("fields", FixedWidthOptions.renderFields(partLayout))
+      .option("allowCompressed", "true")
+      .load(bz2PartitionedFixture(spark, dir))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        min($"l_orderkey").as("min_key"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q230Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  min(l_orderkey) AS min_key,
+       |  count(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Per-record file provenance under the oracle: the `_source_file` DSv2
     * METADATA column (SupportsMetadataColumns — absent from the schema,
     * materialized only when referenced) over the partitioned fixture. The
@@ -710,6 +778,7 @@ object CoreQueries {
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),
     Q("q05_fw_dropmalformed", q05, Some(q05Oracle)),
     Q("q06_fw_partition_pruned", q06, Some(q06Oracle)),
+    Q("q230_fw_bz2_partitioned", q230, Some(q230Oracle)),
     Q("q169_fw_source_file", q169, Some(q169Oracle)),
     Q("q07_fw_countstar_pushdown", q07, Some(q07Oracle)),
     Q("q08_fw_limit_offset", q08, Some(q08Oracle)),

@@ -1,0 +1,140 @@
+package graft.sources.fixedwidth
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.{CodecPool, CompressionCodecFactory, SplittableCompressionCodec}
+import org.apache.spark.sql.SparkSession
+
+/** One indexed bzip2 range: compressed bytes [cStart, cStart+cLen) own the
+  * blocks starting in that range, which decompress to the dLen bytes at
+  * logical (decompressed) offset dStart of the file's record stream. */
+final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
+
+/** Splittable bzip2 support for the fixedwidth source.
+  *
+  * The reference rejects every codec outright
+  * (FixedLengthRecordReader.java:147-152 — "Compressed files not supported");
+  * this source keeps that as the default, reads gzip whole-file under
+  * `allowCompressed=true` (opt-in parity escape), and — because 100 TB feeds
+  * arrive compressed — reads `.bz2` SPLIT, using Hadoop's own
+  * SplittableCompressionCodec machinery.
+  *
+  * The fixed-length wrinkle vs. text: records don't self-delimit, so a
+  * split must know its DECOMPRESSED start offset to find the record grid —
+  * and a bzip2 block's decompressed offset is unknowable without knowing
+  * every prior block's decompressed size. So: a one-time PHASE-1 index pass
+  * decompresses each compressed range once (executor-parallel Spark job —
+  * bzip2 blocks decompress independently, that's what makes the codec
+  * splittable) to measure the ranges' decompressed lengths, a driver-side
+  * prefix sum turns lengths into offsets, and phase 2 (the real scan) reads
+  * each range already knowing its record grid: skip to the first record
+  * start ≥ dStart, read every record starting before dStart+dLen, letting
+  * the stream run past the range end to complete a spanning tail record.
+  * Net cost: the corpus is decompressed twice, both times fully parallel —
+  * the honest floor for record-grid alignment over a block codec with no
+  * self-framing. The index is memoized per (path, length, mtime) for the
+  * life of the JVM.
+  *
+  * Block-boundary semantics (established empirically against Hadoop's
+  * BZip2Codec, see the range-ownership rules below):
+  *  - `createInputStream(in, d, s, e, BYBLOCK)` aligns to the FIRST block
+  *    whose start is ≥ s; ranges tiling [0, fileLen) therefore own disjoint,
+  *    exhaustive block sets under the half-open stop rule.
+  *  - the stream does NOT stop at its end bound — it reads to file EOF;
+  *    stopping is the caller's job.
+  *  - a block transition surfaces as a read() returning EXACTLY 1 byte
+  *    (the new block's first byte) with getPos() flipped to blockStart+1;
+  *    within a block, getPos() is constant.
+  */
+object Bz2SplitIndex {
+
+  private val cache = new ConcurrentHashMap[(String, Long, Long), Seq[Bz2Range]]()
+
+  /** Indexed ranges of one bz2 file, memoized on (path, len, mtime) —
+    * mtime resolved here so a same-size rewrite (scratch fixtures) can't
+    * serve a stale index. `rangeBytes` is the compressed range
+    * granularity; files at most one range wide skip indexing entirely
+    * (the caller reads them whole-file with an unbounded grid — no
+    * phase-1 cost for small files). */
+  def rangesOf(path: String, fileLen: Long, rangeBytes: Long,
+      conf: Configuration): Seq[Bz2Range] = {
+    if (fileLen <= rangeBytes)
+      return Seq(Bz2Range(0L, fileLen, 0L, Long.MaxValue))
+    val mtime = new Path(path).getFileSystem(conf)
+      .getFileStatus(new Path(path)).getModificationTime
+    cache.computeIfAbsent((path, fileLen, mtime), { _ =>
+      val bounds = (0L until fileLen by rangeBytes)
+        .map(s => (s, math.min(rangeBytes, fileLen - s)))
+      // Executor-parallel phase 1: each range decompresses only its own
+      // blocks (plus one overshoot byte at the boundary read). The Hadoop
+      // conf rides along as a plain key-value map — executors in a real
+      // cluster must resolve the same filesystem the driver listed.
+      val confMap: Seq[(String, String)] = {
+        val it = conf.iterator()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      val sc = SparkSession.active.sparkContext
+      val lens = sc.parallelize(bounds, math.min(bounds.size, sc.defaultParallelism))
+        .map { case (s, l) =>
+          val c = new Configuration(false)
+          confMap.foreach { case (k, v) => c.set(k, v) }
+          (s, decompressedLengthOf(path, s, s + l, c))
+        }
+        .collect().sortBy(_._1)
+      var dOff = 0L
+      val out = Seq.newBuilder[Bz2Range]
+      bounds.zip(lens).foreach { case ((s, l), (_, dLen)) =>
+        if (dLen > 0) { out += Bz2Range(s, l, dOff, dLen); dOff += dLen }
+      }
+      out.result()
+    })
+  }
+
+  /** Decompressed byte count of the blocks starting in [s, e) of `path` —
+    * the phase-1 kernel. Runs on executors. */
+  private def decompressedLengthOf(
+      path: String, s: Long, e: Long, conf: Configuration): Long = {
+    val p = new Path(path)
+    val codec = new CompressionCodecFactory(conf).getCodec(p) match {
+      case sp: SplittableCompressionCodec => sp
+      case other => throw new IllegalStateException(
+        s"fixedwidth: $path is not a splittable codec (${other})")
+    }
+    val raw = p.getFileSystem(conf).open(p)
+    val dec = CodecPool.getDecompressor(codec.asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec])
+    try {
+      val in = codec.createInputStream(raw, dec, s, e,
+        SplittableCompressionCodec.READ_MODE.BYBLOCK)
+      // current block = the one the stream aligned to (getPos reports its
+      // start before the first read; 0-start streams report 0)
+      var currentBlock = in.getPos
+      if (s > 0 && currentBlock >= e) { in.close(); return 0L }
+      var lastRawPos = in.getPos
+      var count = 0L
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (in.getPos != lastRawPos) {
+          val newBlock = in.getPos - 1
+          lastRawPos = in.getPos
+          if (newBlock != currentBlock) {
+            // a real block transition (not the aligned block's own +1 flip)
+            require(n == 1, s"fixedwidth bz2: block-boundary read returned " +
+              s"$n bytes (expected 1) at $path pos ${in.getPos} — Hadoop " +
+              "BYBLOCK semantics changed; refusing to mis-index")
+            if (newBlock >= e) { in.close(); return count } // next range's block
+            currentBlock = newBlock
+          }
+        }
+        count += n
+        n = in.read(buf)
+      }
+      in.close()
+      count
+    } finally CodecPool.returnDecompressor(dec)
+  }
+}

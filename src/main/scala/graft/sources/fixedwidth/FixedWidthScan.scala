@@ -741,7 +741,8 @@ object FixedWidthScan {
       if (!opts.allowCompressed)
         throw new IllegalArgumentException(
           s"fixedwidth: compressed input is not supported: $p " +
-            "(reference parity — set allowCompressed=true for a single-partition whole-file read)")
+            "(reference parity — set allowCompressed=true; .bz2 then reads " +
+            "SPLIT on block boundaries, other codecs whole-file)")
     }
     plain.foreach { case (p, len) =>
       if (len % recLen != 0 && !opts.tolerant)
@@ -777,9 +778,24 @@ object FixedWidthScan {
         FileChunk(path, start, math.min(aligned, usable - start), compressed = false)
       }
     }
-    // Compressed ⇒ not splittable (reference FixedLengthInputFormat.java:
-    // 371-380): one whole-file chunk, decompressed by the reader.
-    val gzChunks = compressed.map { case (p, len) => FileChunk(p, 0L, len, compressed = true) }
+    // Compressed: the reference rejects codecs outright
+    // (FixedLengthRecordReader.java:147-152); under the opt-in escape,
+    // gzip (no block structure) stays one whole-file chunk while bzip2 —
+    // Hadoop's SplittableCompressionCodec — is SPLIT on block boundaries
+    // via the phase-1 decompressed-offset index (Bz2SplitIndex), so a
+    // 100 TB compressed feed doesn't serialize into per-file readers.
+    // Compressed range granularity: the plain-file target scaled by a
+    // conservative 1:4 compression guess (granularity only — ownership
+    // and grid math are exact), floored at 128 KiB (~1.5 bzip2 blocks).
+    val bz2RangeBytes = math.max(128L * 1024, target / 4)
+    val conf = session.sessionState.newHadoopConf()
+    val gzChunks = compressed.flatMap { case (p, len) =>
+      if (p.toLowerCase.endsWith(".bz2"))
+        Bz2SplitIndex.rangesOf(p, len, bz2RangeBytes, conf).map(r =>
+          FileChunk(p, r.cStart, r.cLen, compressed = true,
+            dStart = r.dStart, dLen = r.dLen))
+      else Seq(FileChunk(p, 0L, len, compressed = true))
+    }
 
     // Pack chunks into partitions up to the target size (greedy, listing
     // order) — a million small files must NOT become a million partitions.
@@ -802,12 +818,16 @@ object FixedWidthScan {
   }
 }
 
-/** One record-aligned byte range of one file. `compressed` chunks cover the
-  * whole file; `length` is then the on-disk (compressed) size. `hosts` are
-  * the HDFS block hosts of the range (empty on non-located filesystems). */
+/** One record-aligned byte range of one file. `compressed` chunks with
+  * `dStart < 0` cover the whole file (gzip path; `length` is the on-disk
+  * compressed size); `compressed` chunks with `dStart >= 0` are SPLIT
+  * bzip2 ranges — [start, start+length) in compressed bytes, owning the
+  * blocks that decompress to the `dLen` logical bytes at decompressed
+  * offset `dStart` (see [[Bz2SplitIndex]]). `hosts` are the HDFS block
+  * hosts of the range (empty on non-located filesystems). */
 final case class FileChunk(
     filePath: String, start: Long, length: Long, compressed: Boolean,
-    hosts: Seq[String] = Nil)
+    hosts: Seq[String] = Nil, dStart: Long = -1L, dLen: Long = -1L)
 
 /** A packed set of independently record-aligned chunks (serialized driver →
   * executor; the Spark analog of a packed `FilePartition`). */
@@ -874,6 +894,7 @@ final class ChunkedRecordStream(
   private var rawIn: org.apache.hadoop.fs.FSDataInputStream = null
   private var compIn: java.io.InputStream = null
   private var curCompressed = false
+  private var curDecompressor: org.apache.hadoop.io.compress.Decompressor = null
   private var curPath: String = ""
   private var end = 0L
   private var pos = 0L // byte offset in the current file (uncompressed/logical)
@@ -892,6 +913,10 @@ final class ChunkedRecordStream(
   def close(): Unit = {
     if (compIn != null) { compIn.close(); compIn = null }
     if (rawIn != null) { rawIn.close(); rawIn = null }
+    if (curDecompressor != null) {
+      org.apache.hadoop.io.compress.CodecPool.returnDecompressor(curDecompressor)
+      curDecompressor = null
+    }
   }
 
   private def openNextChunk(): Boolean = {
@@ -904,13 +929,40 @@ final class ChunkedRecordStream(
     curCompressed = c.compressed
     curPath = c.filePath
     curPathUtf8 = c.filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (c.compressed) {
+    if (c.compressed && c.dStart >= 0L) {
+      // split bzip2 range: BYBLOCK stream aligned to the range's first
+      // block; the record grid comes from the phase-1 index (dStart/dLen —
+      // see Bz2SplitIndex). Skip to the first record start ≥ dStart, own
+      // every record STARTING before dStart+dLen; the stream reads past
+      // the range's blocks transparently, which is exactly what completes
+      // a tail record spanning into the next range's blocks.
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
+      codec match {
+        case sp: org.apache.hadoop.io.compress.SplittableCompressionCodec =>
+          curDecompressor = org.apache.hadoop.io.compress.CodecPool.getDecompressor(codec)
+          compIn = sp.createInputStream(rawIn, curDecompressor, c.start, c.start + c.length,
+            org.apache.hadoop.io.compress.SplittableCompressionCodec.READ_MODE.BYBLOCK)
+        case _ => throw new IllegalArgumentException(
+          s"fixedwidth: ${c.filePath} planned as a split codec but no splittable Hadoop codec resolves")
+      }
+      end = if (c.dLen == Long.MaxValue) Long.MaxValue else c.dStart + c.dLen
+      val misalign = c.dStart % recLen
+      val skip = if (misalign == 0L) 0L else recLen - misalign
+      pos = c.dStart + skip
+      var toSkip = skip
+      val scratch = new Array[Byte](recLen)
+      while (toSkip > 0) {
+        val r = compIn.read(scratch, 0, math.min(toSkip, recLen.toLong).toInt)
+        if (r < 0) toSkip = 0 // EOF inside the head fragment: range owns nothing
+        else toSkip -= r
+      }
+    } else if (c.compressed) {
       val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
       if (codec == null)
         throw new IllegalArgumentException(s"fixedwidth: no Hadoop codec for ${c.filePath}")
       compIn = codec.createInputStream(rawIn)
       pos = 0L
-      end = Long.MaxValue // compressed: bounded by stream EOF, not byte range
+      end = Long.MaxValue // compressed whole-file: bounded by stream EOF
     } else {
       rawIn.seek(c.start)
       pos = c.start
@@ -928,6 +980,9 @@ final class ChunkedRecordStream(
 
   private def fetchFromChunk(buf: Array[Byte]): Boolean =
     if (curCompressed) {
+      // split bz2 ranges bound `end` to their owned record starts (gzip
+      // whole-file chunks set Long.MaxValue — EOF-bounded, check is free)
+      if (pos >= end) return false
       var n = 0
       while (n < recLen) {
         val r = compIn.read(buf, n, recLen - n)

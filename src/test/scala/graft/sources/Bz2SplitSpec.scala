@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Splittable bzip2 reads (Bz2SplitIndex + the reader's BYBLOCK branch):
+  * identical records AND identical decompressed offsets vs the plain file
+  * at several split granularities — including granularities that force
+  * records to span bzip2 block and range boundaries — plus the truncation
+  * semantics at a partial tail. The reference rejects codecs outright
+  * (FixedLengthRecordReader.java:147-152); allowCompressed=true is the
+  * opt-in escape, and .bz2 is the splittable member.
+  */
+class Bz2SplitSpec extends SparkSpec with Matchers {
+
+  private val recLen = 17 // deliberately odd so record starts drift across block boundaries
+
+  /** Deterministic pseudo-random records (entropy keeps bzip2's ratio low
+    * enough that one file holds many compressed blocks). */
+  private def record(i: Int): Array[Byte] = {
+    val rnd = new java.util.Random(i * 2654435761L)
+    val b = new Array[Byte](recLen)
+    var j = 0
+    while (j < recLen) { b(j) = ('a' + rnd.nextInt(26)).toByte; j += 1 }
+    System.arraycopy(f"$i%08d".getBytes("US-ASCII"), 0, b, 0, 8)
+    b
+  }
+
+  /** Writes n records plain AND bz2-compressed; returns (plainDir, bz2Dir). */
+  private def fixture(n: Int, extraTailBytes: Int = 0): (String, String) = {
+    val conf = new Configuration()
+    val plainDir = Files.createTempDirectory("graft-bz2-plain").toString
+    val bz2Dir = Files.createTempDirectory("graft-bz2-comp").toString
+    val plain = new java.io.FileOutputStream(s"$plainDir/data.fwb")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val fs = new Path(bz2Dir).getFileSystem(conf)
+    val comp = codec.createOutputStream(fs.create(new Path(bz2Dir, "data.fwb.bz2")))
+    (0 until n).foreach { i => val b = record(i); plain.write(b); comp.write(b) }
+    if (extraTailBytes > 0) {
+      val tail = new Array[Byte](extraTailBytes)
+      java.util.Arrays.fill(tail, 'x'.toByte)
+      plain.write(tail); comp.write(tail)
+    }
+    plain.close(); comp.close()
+    (plainDir, bz2Dir)
+  }
+
+  private def readAll(dir: String, compressed: Boolean): Array[(Long, String)] = {
+    val r = spark.read.format("fixedwidth").option("recordLength", recLen)
+    val df = (if (compressed) r.option("allowCompressed", "true") else r).load(dir)
+    df.select(col("offset"), col("value").cast("string"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
+  }
+
+  test("bz2 read equals plain read (records AND offsets) at 3 split granularities") {
+    // 300k records x 17B = 5.1 MB decompressed -> several ~900 KB bzip2
+    // blocks; pseudo-random payload keeps the compressed file ~2+ MB so
+    // small maxPartitionBytes yields many ranges
+    val (plainDir, bz2Dir) = fixture(300000)
+    val expected = readAll(plainDir, compressed = false)
+    expected.length shouldBe 300000
+    val partCounts = Seq("134217728", "2097152", "524288").map { mpb =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      try {
+        val df = spark.read.format("fixedwidth").option("recordLength", recLen)
+          .option("allowCompressed", "true").load(bz2Dir)
+        val got = df.select(col("offset"), col("value").cast("string"))
+          .collect().map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
+        got should contain theSameElementsInOrderAs expected
+        df.rdd.getNumPartitions
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    withClue(s"partition counts per granularity: $partCounts") {
+      // coarse -> few partitions, fine -> strictly more: proves the file
+      // was actually SPLIT, not re-read whole-file
+      partCounts.last should be > partCounts.head
+      partCounts.last should be > 1
+    }
+  }
+
+  test("partial tail record: PERMISSIVE drops it, FAILFAST errors (split path)") {
+    val (_, bz2Dir) = fixture(150000, extraTailBytes = recLen - 5)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "524288")
+    try {
+      val tolerant = spark.read.format("fixedwidth").option("recordLength", recLen)
+        .option("allowCompressed", "true").option("mode", "PERMISSIVE").load(bz2Dir)
+      tolerant.count() shouldBe 150000
+      val strict = spark.read.format("fixedwidth").option("recordLength", recLen)
+        .option("allowCompressed", "true").load(bz2Dir)
+      val e = intercept[org.apache.spark.SparkException] { strict.count() }
+      e.getMessage should (include("mid-record") or include("not a multiple"))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("phase-1 index tiles the decompressed stream exactly (no gap, no overlap)") {
+    val (plainDir, bz2Dir) = fixture(300000)
+    val plainLen = new java.io.File(s"$plainDir/data.fwb").length()
+    val p = s"$bz2Dir/data.fwb.bz2"
+    val cLen = new java.io.File(p).length()
+    val ranges = graft.sources.fixedwidth.Bz2SplitIndex.rangesOf(
+      p, cLen, 256 * 1024, new Configuration())
+    ranges.length should be > 2
+    // contiguous decompressed coverage summing to the plain length
+    ranges.map(_.dLen).sum shouldBe plainLen
+    ranges.foldLeft(0L) { (expectStart, r) =>
+      r.dStart shouldBe expectStart
+      r.dStart + r.dLen
+    }
+  }
+}
