@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 /** Stage-level profile of the q172 prefix-filter similarity join (dev
-  * tool): attributes the lane's cost to prefix-table build / candidate
-  * generation+aggregation / exact verification, answering the §7.5 open
-  * question "does the candidate aggregation dominate at sf10?". The stage
-  * replica mirrors `Dedup.prefixFilterPairs` (Dedup.scala:180-253) for
-  * attribution only — the lane itself still runs the real operator.
+  * tool): attributes the lane's cost to gram-table build / prefix build /
+  * candidate generation+aggregation / exact verification. The stage
+  * replica mirrors the r13 `Dedup.prefixFilterPairs` (hash-at-entry,
+  * window-fused frequency, stat-driven verify joins) for attribution
+  * only — the lane itself still runs the real operator.
   * Usage: sbt "runMain graft.tools.ProfilePrefix [sfDir]"
   */
 object ProfilePrefix {
@@ -38,10 +38,15 @@ object ProfilePrefix {
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
         .filter(size(col("grams")) > 0)
 
-      // stage replica of prefixFilterPairs for attribution
-      val ge = grams.select(col("doc_id").as("_id"), explode(col("grams")).as("_gram"))
-      val gf = ge.groupBy(col("_gram")).agg(count(lit(1)).as("_f"))
-      val prefixes = ge.join(gf, "_gram")
+      // stage replica of prefixFilterPairs (r13 form) for attribution
+      val g = grams.select(col("doc_id").as("_fid"),
+          array_sort(transform(col("grams"), x => xxhash64(x))).as("_g"))
+        .localCheckpoint(true)
+      time("gram-table build (hash at entry)")(g.count())
+      val ge = g.select(col("_fid").as("_id"), explode(col("_g")).as("_gram"))
+      val prefixes = ge
+        .withColumn("_f", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_gram"))))
         .groupBy(col("_id"))
         .agg(array_sort(collect_list(struct(col("_f"), col("_gram")))).as("_sorted"),
           count(lit(1)).as("_n"))
@@ -69,14 +74,12 @@ object ProfilePrefix {
         .localCheckpoint(true)
       val nCand = time("candidate gen+aggregation")(cand.count())
 
-      val full = grams.select(col("doc_id").as("_fid"),
-          array_sort(transform(col("grams"), g => xxhash64(g))).as("_g"))
-        .localCheckpoint(true)
-      time("verification-table build")(full.count())
-      val nOut = time("exact verification") {
+      // verification reuses the entry gram table (r13: no separate build)
+      val full = g
+      val nOut = time("exact verification (unhinted)") {
         cand
-          .join(full.select(col("_fid").as("id_a"), col("_g").as("_ga")).hint("shuffle_hash"), "id_a")
-          .join(full.select(col("_fid").as("id_b"), col("_g").as("_gb")).hint("shuffle_hash"), "id_b")
+          .join(full.select(col("_fid").as("id_a"), col("_g").as("_ga")), "id_a")
+          .join(full.select(col("_fid").as("id_b"), col("_g").as("_gb")), "id_b")
           .select(col("id_a"), col("id_b"),
             size(col("_ga")).cast("long").as("n_a"),
             size(col("_gb")).cast("long").as("n_b"),
