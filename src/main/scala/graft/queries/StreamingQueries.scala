@@ -1149,6 +1149,40 @@ object StreamingQueries {
        |WHERE d.doc_id % 2 = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared delta-ingestion scaffold for the streaming index-maintenance
+    * lanes (q227 band rows, q229 IVF assignments): wipe the per-sf scratch
+    * delta, drive the arrival stream through the fixedwidth sink with one
+    * OVERWRITTEN batchId-named subdir per micro-batch, and return the
+    * delta path for the prior ∪ delta reload. One home for the
+    * exactly-once contract: a retried micro-batch REPLACES its own subdir
+    * instead of appending duplicates (foreachBatch is at-least-once), the
+    * reader recurses into the subdirs (no `col=value` name → no partition
+    * binding), and the invocation-start wipe keeps bench reps reusing one
+    * directory instead of leaking a corpus-scale temp tree per run. */
+  private def appendDeltaThroughSink(
+      spark: SparkSession, dir: String, deltaTag: String, ckptTag: String,
+      fieldsOpt: String)(arrivals: SparkSession => DataFrame): String = {
+    val delta = QueryRegistry.scratch(dir, deltaTag)
+    val deltaPath = new org.apache.hadoop.fs.Path(delta)
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(deltaPath, true)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+      batch.write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("strictWidth", "true").mode("overwrite")
+        .save(s"$delta/batch-$batchId")
+    val ckpt = freshCkpt(ckptTag)
+    val q = arrivals(ss)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropCkpt(ckpt)
+    delta
+  }
+
   // ---------------------------------------------------------------- q227
   /** STREAMING index maintenance — q226's deployed form: the arrival
     * stream's band rows land in a DELTA directory through the repo's own
@@ -1160,37 +1194,14 @@ object StreamingQueries {
     * files — only file layout varies, and the union reads it back order-
     * free. This is the ingestion loop a 100 TB near-dup service actually
     * runs: sketch arrivals once, append their rows beside the index,
-    * never re-touch the corpus.
-    *
-    * Exactly-once under foreachBatch's at-least-once contract: each
-    * micro-batch OVERWRITES its own batchId-named subdir, so a retried
-    * batch replaces its files instead of appending duplicates (the delta's
-    * reader recurses into the subdirs, which carry no `col=value` name and
-    * thus bind no partition). The delta lives under the per-sf scratch
-    * root and is wiped at invocation start, so repeated bench reps reuse
-    * one directory instead of leaking a corpus-scale temp tree per run. */
+    * never re-touch the corpus. Exactly-once and rep-safe via the shared
+    * [[appendDeltaThroughSink]] scaffold. */
   def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
     val fieldsOpt = DedupQueries.idxFields
-    val delta = QueryRegistry.scratch(dir, "minhash_idx_delta_fw")
-    val deltaPath = new org.apache.hadoop.fs.Path(delta)
-    val fs = deltaPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(deltaPath, true)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
-      batch.write.format("fixedwidth").option("fields", fieldsOpt)
-        .option("strictWidth", "true").mode("overwrite")
-        .save(s"$delta/batch-$batchId")
-    val ckpt = freshCkpt("idxappend")
-    val q = arrivalBandRows(ss, dir)
-      .writeStream.foreachBatch(writeBatch)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    dropCkpt(ckpt)
+    val delta = appendDeltaThroughSink(
+      spark, dir, "minhash_idx_delta_fw", "idxappend", fieldsOpt)(
+      ss => arrivalBandRows(ss, dir))
     val prior = spark.read.format("fixedwidth").option("fields", fieldsOpt)
       .load(idxPath).select(col("doc_id"), col("band_idx"), col("band_hash"))
     val appended = spark.read.format("fixedwidth").option("fields", fieldsOpt)
@@ -1208,39 +1219,24 @@ object StreamingQueries {
     * state) and land in a DELTA directory through the repo's own
     * fixedwidth sink; the lane's answer is prior index ∪ reloaded delta,
     * which the oracle pins equal to a from-scratch full-corpus
-    * re-assignment. Exactly-once under foreachBatch's at-least-once
-    * contract and rep-safe scratch reuse via the q227 batchId-subdir
-    * overwrite pattern. Batching-independent by construction: each
-    * assignment is a pure function of its own vector under a FIXED model
-    * generation. */
+    * re-assignment. Exactly-once and rep-safe via the shared
+    * [[appendDeltaThroughSink]] scaffold. Batching-independent by
+    * construction: each assignment is a pure function of its own vector
+    * under a FIXED model generation. */
   def streamIvfAssignAppend(spark: SparkSession, dir: String): DataFrame = {
     val idxPath = SimilarityQueries.persistedIvfIndexPath(spark, dir)
     val cents = SimilarityQueries.persistedCentroidVectors(spark, dir)
     val fieldsOpt = SimilarityQueries.ivfIdxFields
-    val delta = QueryRegistry.scratch(dir, "ivf_idx_delta_fw")
-    val deltaPath = new org.apache.hadoop.fs.Path(delta)
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(deltaPath, true)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
-      batch.write.format("fixedwidth").option("fields", fieldsOpt)
-        .option("strictWidth", "true").mode("overwrite")
-        .save(s"$delta/batch-$batchId")
-    val ckpt = freshCkpt("ivfappend")
-    val schema = table(ss, dir, "embeddings").schema
-    val q = graft.operators.KMeans.assignWith(
-        ss.readStream.schema(schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-          .filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", cents)
-      .select(col("id").as("vec_id"), col("cluster"))
-      .writeStream.foreachBatch(writeBatch)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    dropCkpt(ckpt)
+    val delta = appendDeltaThroughSink(
+      spark, dir, "ivf_idx_delta_fw", "ivfappend", fieldsOpt) { ss =>
+      val schema = table(ss, dir, "embeddings").schema
+      graft.operators.KMeans.assignWith(
+          ss.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+            .filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", cents)
+        .select(col("id").as("vec_id"), col("cluster"))
+    }
     val prior = spark.read.format("fixedwidth").option("fields", fieldsOpt)
       .load(idxPath).select(col("vec_id"), col("cluster"))
     val appended = spark.read.format("fixedwidth").option("fields", fieldsOpt)

@@ -50,23 +50,34 @@ final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
   */
 object Bz2SplitIndex {
 
-  private val cache = new ConcurrentHashMap[(String, Long, Long), Seq[Bz2Range]]()
+  private val cache = new ConcurrentHashMap[(String, Long, Long, Long), Seq[Bz2Range]]()
 
-  /** Indexed ranges of one bz2 file, memoized on (path, len, mtime) —
-    * mtime resolved here so a same-size rewrite (scratch fixtures) can't
-    * serve a stale index. `rangeBytes` is the compressed range
-    * granularity; files at most one range wide skip indexing entirely
-    * (the caller reads them whole-file with an unbounded grid — no
-    * phase-1 cost for small files). */
-  def rangesOf(path: String, fileLen: Long, rangeBytes: Long,
-      conf: Configuration): Seq[Bz2Range] = {
-    if (fileLen <= rangeBytes)
-      return Seq(Bz2Range(0L, fileLen, 0L, Long.MaxValue))
-    val mtime = new Path(path).getFileSystem(conf)
-      .getFileStatus(new Path(path)).getModificationTime
-    cache.computeIfAbsent((path, fileLen, mtime), { _ =>
-      val bounds = (0L until fileLen by rangeBytes)
-        .map(s => (s, math.min(rangeBytes, fileLen - s)))
+  /** Indexed ranges for a SET of bz2 files — one executor-parallel phase-1
+    * job covers every uncached (file, range) pair across the whole set, so
+    * planning a directory of N large files decompresses the entire tree in
+    * a single pass instead of N sequential per-file jobs. Memoized per
+    * (path, len, mtime, rangeBytes) — mtime so a same-size rewrite
+    * (scratch fixtures) can't serve a stale index, rangeBytes because a
+    * different split setting is a different index (the first read's
+    * granularity must not cap a later, finer read). Files at most one
+    * range wide skip indexing entirely (whole-file read with an unbounded
+    * grid — no phase-1 cost for small files). */
+  def rangesOfAll(files: Seq[(String, Long)], rangeBytes: Long,
+      conf: Configuration): Map[String, Seq[Bz2Range]] = {
+    val (small, big) = files.partition(_._2 <= rangeBytes)
+    val smallOut = small.map { case (p, len) =>
+      p -> Seq(Bz2Range(0L, len, 0L, Long.MaxValue))
+    }
+    val keyed = big.map { case (p, len) =>
+      val mtime = new Path(p).getFileSystem(conf)
+        .getFileStatus(new Path(p)).getModificationTime
+      (p, len, (p, len, mtime, rangeBytes))
+    }
+    val uncached = keyed.filter { case (_, _, k) => !cache.containsKey(k) }
+    if (uncached.nonEmpty) {
+      val bounds = uncached.flatMap { case (p, len, _) =>
+        (0L until len by rangeBytes).map(s => (p, s, math.min(rangeBytes, len - s)))
+      }
       // Executor-parallel phase 1: each range decompresses only its own
       // blocks (plus one overshoot byte at the boundary read). The Hadoop
       // conf rides along as a plain key-value map — executors in a real
@@ -79,20 +90,30 @@ object Bz2SplitIndex {
       }
       val sc = SparkSession.active.sparkContext
       val lens = sc.parallelize(bounds, math.min(bounds.size, sc.defaultParallelism))
-        .map { case (s, l) =>
+        .map { case (p, s, l) =>
           val c = new Configuration(false)
           confMap.foreach { case (k, v) => c.set(k, v) }
-          (s, decompressedLengthOf(path, s, s + l, c))
+          ((p, s), decompressedLengthOf(p, s, s + l, c))
         }
-        .collect().sortBy(_._1)
-      var dOff = 0L
-      val out = Seq.newBuilder[Bz2Range]
-      bounds.zip(lens).foreach { case ((s, l), (_, dLen)) =>
-        if (dLen > 0) { out += Bz2Range(s, l, dOff, dLen); dOff += dLen }
+        .collect().toMap
+      uncached.foreach { case (p, len, key) =>
+        var dOff = 0L
+        val out = Seq.newBuilder[Bz2Range]
+        (0L until len by rangeBytes).foreach { s =>
+          val l = math.min(rangeBytes, len - s)
+          val dLen = lens((p, s))
+          if (dLen > 0) { out += Bz2Range(s, l, dOff, dLen); dOff += dLen }
+        }
+        cache.put(key, out.result())
       }
-      out.result()
-    })
+    }
+    (smallOut ++ keyed.map { case (p, _, k) => p -> cache.get(k) }).toMap
   }
+
+  /** Single-file convenience over [[rangesOfAll]] (specs, small callers). */
+  def rangesOf(path: String, fileLen: Long, rangeBytes: Long,
+      conf: Configuration): Seq[Bz2Range] =
+    rangesOfAll(Seq(path -> fileLen), rangeBytes, conf)(path)
 
   /** Decompressed byte count of the blocks starting in [s, e) of `path` —
     * the phase-1 kernel. Runs on executors. */
@@ -106,35 +127,42 @@ object Bz2SplitIndex {
     }
     val raw = p.getFileSystem(conf).open(p)
     val dec = CodecPool.getDecompressor(codec.asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec])
+    // every exit (return, require failure, IOException mid-range, codec
+    // creation failure) must close the streams — task retries over many
+    // files would otherwise leak executor file descriptors
+    var in: java.io.InputStream = null
     try {
-      val in = codec.createInputStream(raw, dec, s, e,
+      val sin = codec.createInputStream(raw, dec, s, e,
         SplittableCompressionCodec.READ_MODE.BYBLOCK)
+      in = sin
       // current block = the one the stream aligned to (getPos reports its
       // start before the first read; 0-start streams report 0)
-      var currentBlock = in.getPos
-      if (s > 0 && currentBlock >= e) { in.close(); return 0L }
-      var lastRawPos = in.getPos
+      var currentBlock = sin.getPos
+      if (s > 0 && currentBlock >= e) return 0L
+      var lastRawPos = sin.getPos
       var count = 0L
       val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
+      var n = sin.read(buf)
       while (n >= 0) {
-        if (in.getPos != lastRawPos) {
-          val newBlock = in.getPos - 1
-          lastRawPos = in.getPos
+        if (sin.getPos != lastRawPos) {
+          val newBlock = sin.getPos - 1
+          lastRawPos = sin.getPos
           if (newBlock != currentBlock) {
             // a real block transition (not the aligned block's own +1 flip)
             require(n == 1, s"fixedwidth bz2: block-boundary read returned " +
-              s"$n bytes (expected 1) at $path pos ${in.getPos} — Hadoop " +
+              s"$n bytes (expected 1) at $path pos ${sin.getPos} — Hadoop " +
               "BYBLOCK semantics changed; refusing to mis-index")
-            if (newBlock >= e) { in.close(); return count } // next range's block
+            if (newBlock >= e) return count // next range's block
             currentBlock = newBlock
           }
         }
         count += n
-        n = in.read(buf)
+        n = sin.read(buf)
       }
-      in.close()
       count
-    } finally CodecPool.returnDecompressor(dec)
+    } finally {
+      try { if (in != null) in.close() else raw.close() }
+      finally CodecPool.returnDecompressor(dec)
+    }
   }
 }

@@ -789,12 +789,19 @@ object FixedWidthScan {
     // and grid math are exact), floored at 128 KiB (~1.5 bzip2 blocks).
     val bz2RangeBytes = math.max(128L * 1024, target / 4)
     val conf = session.sessionState.newHadoopConf()
-    val gzChunks = compressed.flatMap { case (p, len) =>
-      if (p.toLowerCase.endsWith(".bz2"))
-        Bz2SplitIndex.rangesOf(p, len, bz2RangeBytes, conf).map(r =>
-          FileChunk(p, r.cStart, r.cLen, compressed = true,
-            dStart = r.dStart, dLen = r.dLen))
-      else Seq(FileChunk(p, 0L, len, compressed = true))
+    val (bz2Files, wholeFile) =
+      compressed.partition(_._1.toLowerCase.endsWith(".bz2"))
+    // ONE phase-1 job for the whole file set — per-file jobs would run
+    // serially at plan time and underutilize the cluster on each
+    val bz2Ranges =
+      if (bz2Files.isEmpty) Map.empty[String, Seq[Bz2Range]]
+      else Bz2SplitIndex.rangesOfAll(bz2Files, bz2RangeBytes, conf)
+    val gzChunks = bz2Files.flatMap { case (p, _) =>
+      bz2Ranges(p).map(r =>
+        FileChunk(p, r.cStart, r.cLen, compressed = true,
+          dStart = r.dStart, dLen = r.dLen))
+    } ++ wholeFile.map { case (p, len) =>
+      FileChunk(p, 0L, len, compressed = true)
     }
 
     // Pack chunks into partitions up to the target size (greedy, listing
@@ -805,13 +812,20 @@ object FixedWidthScan {
     val partitions = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val current = scala.collection.mutable.ArrayBuffer.empty[FileChunk]
     var currentBytes = 0L
+    // Packing weight: split bz2 ranges pack by their DECOMPRESSED length
+    // (known exactly from the phase-1 index) — packing by compressed bytes
+    // would hand a partition 4-10x the intended work at bzip2's typical
+    // ratios. Whole-file compressed chunks have no known decompressed size
+    // and keep their on-disk weight.
+    def weight(c: FileChunk): Long =
+      if (c.dStart >= 0L && c.dLen != Long.MaxValue) c.dLen else c.length
     (plainChunks ++ gzChunks).foreach { c =>
-      if (current.nonEmpty && currentBytes + c.length > target) {
+      if (current.nonEmpty && currentBytes + weight(c) > target) {
         partitions += FixedWidthInputPartition(current.toSeq)
         current.clear(); currentBytes = 0L
       }
       current += c
-      currentBytes += c.length
+      currentBytes += weight(c)
     }
     if (current.nonEmpty) partitions += FixedWidthInputPartition(current.toSeq)
     partitions.toArray

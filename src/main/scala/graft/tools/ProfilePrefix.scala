@@ -39,12 +39,15 @@ object ProfilePrefix {
         .filter(size(col("grams")) > 0)
 
       // stage replica of prefixFilterPairs (r13 form) for attribution
-      val g = grams.select(col("doc_id").as("_fid"),
-          array_sort(transform(col("grams"), x => xxhash64(x))).as("_g"))
-        .localCheckpoint(true)
-      time("gram-table build (hash at entry)")(g.count())
+      // NOTE: localCheckpoint(eager=true) runs the job AT the call — the
+      // materialization must sit INSIDE time() or the stage prints ~0s
+      val g = time("gram-table build (hash at entry)") {
+        grams.select(col("doc_id").as("_fid"),
+            array_sort(transform(col("grams"), x => xxhash64(x))).as("_g"))
+          .localCheckpoint(true)
+      }
       val ge = g.select(col("_fid").as("_id"), explode(col("_g")).as("_gram"))
-      val prefixes = ge
+      val prefixes = time("prefix-table build") { ge
         .withColumn("_f", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("_gram"))))
         .groupBy(col("_id"))
@@ -55,7 +58,7 @@ object ProfilePrefix {
         .select(col("_id"), col("_n"), posexplode(expr(
           "transform(slice(_sorted, 1, _p), s -> s._gram)")).as(Seq("_pos", "_gram")))
         .localCheckpoint(true)
-      time("prefix-table build")(prefixes.count())
+      }
 
       val candRaw = prefixes.select(
           col("_id").as("id_a"), col("_n").as("_na"), col("_pos").as("_ia"), col("_gram"))
@@ -64,7 +67,7 @@ object ProfilePrefix {
         .filter(col("id_a") < col("id_b") &&
           col("_na") * tnum <= col("_nb") * tden &&
           col("_nb") * tnum <= col("_na") * tden)
-      val cand = candRaw
+      val cand = time("candidate gen+aggregation") { candRaw
         .groupBy(col("id_a"), col("id_b"))
         .agg(min(col("_ia")).as("_ia"), min(col("_ib")).as("_ib"),
           first(col("_na")).as("_na"), first(col("_nb")).as("_nb"))
@@ -72,7 +75,8 @@ object ProfilePrefix {
           (col("_na") + col("_nb")) * tnum)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(true)
-      val nCand = time("candidate gen+aggregation")(cand.count())
+      }
+      val nCand = cand.count()
 
       // verification reuses the entry gram table (r13: no separate build)
       val full = g
