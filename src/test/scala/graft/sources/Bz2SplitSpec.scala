@@ -99,6 +99,30 @@ class Bz2SplitSpec extends SparkSpec with Matchers {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("mixed directory: plain and bz2 files read together equal the all-plain read") {
+    // the shape a migrating feed actually has — some files compressed,
+    // some not, one directory; plain chunks split on the record grid,
+    // bz2 chunks on block boundaries, packed into shared partitions
+    val n1 = 40000; val n2 = 120000
+    val dir = Files.createTempDirectory("graft-bz2-mixed").toString
+    val plain = new java.io.FileOutputStream(s"$dir/a.fwb")
+    (0 until n1).foreach(i => plain.write(record(i)))
+    plain.close()
+    val conf = new Configuration()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val fs = new Path(dir).getFileSystem(conf)
+    val comp = codec.createOutputStream(fs.create(new Path(dir, "b.fwb.bz2")))
+    (n1 until n1 + n2).foreach(i => comp.write(record(i)))
+    comp.close()
+    val got = spark.read.format("fixedwidth").option("recordLength", recLen)
+      .option("allowCompressed", "true").load(dir)
+      .select(col("value").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    val expected = (0 until n1 + n2).map(i => new String(record(i), "US-ASCII")).sorted
+    got should contain theSameElementsInOrderAs expected
+  }
+
   test("phase-1 index tiles the decompressed stream exactly (no gap, no overlap)") {
     val (plainDir, bz2Dir) = fixture(300000)
     val plainLen = new java.io.File(s"$plainDir/data.fwb").length()
