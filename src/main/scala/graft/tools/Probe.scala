@@ -61,6 +61,13 @@ object Probe {
       Files.write(Paths.get(s"$base/comp.gz"), new Array[Byte](20))
       spark.read.format("fixedwidth").option("recordLength", 10).load(s"$base/comp.gz").count()
     }
+    expectError("compressed-file-bz2") {
+      // the splittable codec is gated by the SAME opt-in as gzip — a .bz2
+      // without allowCompressed must reject (reference parity), never
+      // silently enter the split path
+      Files.write(Paths.get(s"$base/comp.bz2"), new Array[Byte](20))
+      spark.read.format("fixedwidth").option("recordLength", 10).load(s"$base/comp.bz2").count()
+    }
     expectError("nonexistent-path") {
       spark.read.format("fixedwidth").option("recordLength", 10).load(s"$base/nope").count()
     }
