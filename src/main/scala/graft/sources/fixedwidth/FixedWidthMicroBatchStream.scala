@@ -110,7 +110,12 @@ final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: I
   * Because records are fixed-length, `maxRecordsPerTrigger` is EXACT at
   * file granularity (records-per-file = bytes / recordLength, no sampling
   * or estimation), something a delimited format cannot promise without
-  * reading the data. Under `Trigger.AvailableNow`
+  * reading the data. Caveat: for COMPRESSED inputs (allowCompressed) the
+  * on-disk length under-counts records, so record/byte admission caps
+  * become conservative rate heuristics rather than exact — batch
+  * CORRECTNESS is unaffected (partition planning shares the batch scan's
+  * alignedPartitionsOf, including the r13 bz2 split path); only the
+  * per-trigger batch sizing drifts looser. Under `Trigger.AvailableNow`
   * (`SupportsTriggerAvailableNow`) the backlog is SNAPSHOTTED at query
   * start and drained in limit-sized batches; files arriving mid-drain wait
   * for the next query run — Spark file-source parity.
