@@ -45,10 +45,9 @@ object Bench {
     // motivated the sentinel polluted the train_* entries themselves, so a
     // window opening after the trainers would record that exact case as
     // contended:false.
-    // three untimed warms, not one: the start checkpoint runs this early
-    // in JVM life, and C2 needs a few reps before the codegen'd loop hits
-    // steady state — a half-compiled first checkpoint false-flags an idle
-    // run as contended
+    // untimed warms: the raw-thread loop C2-compiles within a couple of
+    // iterations; warms also let the warmup machinery's background
+    // compilation threads drain before the first timed checkpoint
     (1 to 3).foreach(_ => sentinelLane(spark))
     val sentinelStart = runSentinel(spark)
     val trainers =
@@ -68,6 +67,15 @@ object Bench {
     // AFTER the lane sweep to catch an unregistered ArtifactStore.cached
     // site (see the coverage check below the sweep).
     val trainedKeys = ArtifactStore.keys()
+    // In-run variance detector, complementary to the sentinel: the
+    // observed pollution class (r10-r13) is a stretch of lanes whose reps
+    // spike 2-5x — and the lanes run on Spark's LONG-LIVED executor
+    // threads, which share the CPU with competing load in a way a fresh
+    // short probe thread does not (CFS runs low-vruntime burst threads
+    // nearly unimpeded, measured: 16 busy-loops left the thread sentinel
+    // at its idle floor). Rep spread is measured on the lanes themselves,
+    // costs nothing, and is recorded per run for cross-round calibration.
+    val noisyLanes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def sweep(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
@@ -81,18 +89,49 @@ object Bench {
           LaneReset(spark)
           if (ok) dt else -1.0
         }
+        if (reps >= 3 && !times.contains(-1.0)) {
+          // spread over WARM reps only — rep 1 always pays the lane's
+          // plan/codegen cold cost, so including it measures cold-vs-warm
+          // (44 false "noisy" lanes on an idle sf0.001 run), not load
+          val warm = times.tail
+          val spread = warm.max / math.max(warm.min, 1e-9)
+          // only lanes big enough that scheduler jitter can't fake a spike
+          if (warm.min > 0.3 && spread > 2.0)
+            noisyLanes += (name -> math.rint(spread * 100) / 100)
+        }
         val dt = if (times.contains(-1.0)) -1.0
                  else times.sorted.apply((times.size - 1) / 2)
         name -> dt
       }
     val allLanes = SparkEntry.queries.toSeq.sortBy(_._1)
     val (firstHalf, secondHalf) = allLanes.splitAt(allLanes.size / 2)
+    val jvmStatStart = jvmStats()
     val firstResults = sweep(firstHalf)
     val sentinelMid = runSentinel(spark)
+    val jvmStatMid = jvmStats()
     val laneResults = firstResults ++ sweep(secondHalf)
     val sentinelEnd = runSentinel(spark)
+    val jvmStatEnd = jvmStats()
     val sentinelTimes = Seq(sentinelStart, sentinelMid, sentinelEnd)
     val contended = sentinelTimes.max / sentinelTimes.min > 1.3
+    // JVM-state snapshots next to the sentinel checkpoints: the one bench
+    // phenomenon left after the sentinel (see SURVEY §7.5 open item 1) is
+    // big-aggregation lanes running 3-5x slower IN-SUITE than warm
+    // standalone on a sentinel-clean host — JVM-wide state, not load.
+    // Cumulative GC time and heap occupancy at start/mid/end make that
+    // investigable from the record itself.
+    // `noisiest` (per-lane spreads) goes to the SIDECAR only: the stdout
+    // total line rides a ~2000-char driver tail and must never let
+    // diagnostics crowd out the headline fields
+    val noisySidecarJson = {
+      val worst = noisyLanes.sortBy(-_._2).take(5)
+        .map { case (n, s) => s"\"" + n + "\":" + s }.mkString("{", ",", "}")
+      s""""noisiest":$worst,"""
+    }
+    val jvmJson =
+      s""""jvm_gc_ms":[${jvmStatStart._1},${jvmStatMid._1},${jvmStatEnd._1}],""" +
+      s""""jvm_heap_used_mb":[${jvmStatStart._2},${jvmStatMid._2},${jvmStatEnd._2}],""" +
+      s""""noisy_lane_count":${noisyLanes.size}"""
     // Trainer-coverage check: any artifact key memoized DURING the lane
     // sweep came from a `cached` site no registered trainer covers — its
     // cold training cost hid inside the first consumer lane's rep 1 and
@@ -127,7 +166,10 @@ object Bench {
     // the headline number and the lanes that matter always survive the tail.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val byCost = results.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-    val budget = 1600
+    // 1500, not 1600: the sentinel + JVM-stat fields ride the same line
+    // and the driver keeps only the final ~2000 chars — the headline
+    // total and purity fields must never be the part that gets cut
+    val budget = 1500
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var len = 0
     // strict PREFIX of the by-cost ranking: stop at the first entry over
@@ -139,7 +181,7 @@ object Bench {
       else cut = true
     }
     val sentinelJson =
-      s""""sentinel_times":[${sentinelTimes.map(r3).mkString(",")}],"contended":$contended"""
+      s""""sentinel_times":[${sentinelTimes.map(r3).mkString(",")}],"contended":$contended,$jvmJson"""
     val note = (if (kept.size < results.size)
       s""","queries_shown":${kept.size},"queries_total":${results.size}""" else "") +
       (if (failures > 0) s""","failures":$failures""" else "") +
@@ -151,7 +193,7 @@ object Bench {
     // artifact next to the build regardless of how the runner decorates
     // stdout. The stdout total line stays the primary driver contract.
     try java.nio.file.Files.write(java.nio.file.Path.of("bench.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failures":$failures,$sentinelJson,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"failures":$failures,$noisySidecarJson$sentinelJson,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
     // AFTER spark.stop(): no Spark shutdown chatter can land after this line.
@@ -159,6 +201,17 @@ object Bench {
     // the coverage violation still fails the run — but only after the
     // record is written
     if (unregistered.nonEmpty) sys.exit(3)
+  }
+
+  /** (cumulative GC millis across all collectors, heap used MiB) — the
+    * JVM-state snapshot taken beside each sentinel checkpoint. */
+  private def jvmStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / (1024L * 1024L)
+    (gc, heap)
   }
 
   /** Purity sentinel: the same tiny calibration lane timed at sweep start
@@ -182,22 +235,41 @@ object Bench {
     ts.min
   }
 
-  /** The sentinel's calibration lane: a fixed pure-CPU aggregate
-    * (range → mod → sum, whole-stage codegen, one task per core, no I/O,
-    * no shuffle of note). It computes no registered query's answer and
-    * reads no input data — the work is IDENTICAL at every scale factor
-    * (hence no sfDir parameter), so drift across the sweep measures the
-    * HOST's available CPU, not the code and not the filesystem cache. A
-    * parquet-scan variant was tried first and rejected: at small SFs it
-    * is a single ~100 ms task whose timing is dominated by
-    * scheduler-latency jitter, which false-flagged idle runs. */
+  /** The sentinel's calibration lane: a fixed pure-CPU splitmix loop on
+    * one plain JVM thread per core — deliberately NO Spark at all. It
+    * computes no registered query's answer and reads no input data — the
+    * work is IDENTICAL at every scale factor (hence no sfDir parameter),
+    * so drift across the sweep measures the HOST's available CPU, not the
+    * code and not the filesystem cache. Two Spark-based variants were
+    * tried first and rejected: a small parquet scan-agg (single ~100 ms
+    * task dominated by scheduler-latency jitter) and a range→mod→sum
+    * codegen aggregate (the DAG-scheduler/codegen warm state made the
+    * pre-trainer START checkpoint read ~1.35x its mid-sweep floor on an
+    * idle host, false-flagging clean runs). A raw thread loop C2-compiles
+    * in a couple of iterations and carries no framework state. The result
+    * is folded into a volatile sink so the loop cannot be dead-code
+    * eliminated. */
+  @volatile private var sentinelSink: Long = 0L
   private def sentinelLane(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions._
-    val cores = spark.sparkContext.defaultParallelism
-    spark.range(0L, 512L * 1000 * 1000, 1L, cores)
-      .agg(sum(pmod(org.apache.spark.sql.functions.col("id"), lit(7L))))
-      .collect()
-    ()
+    val cores = spark.sparkContext.defaultParallelism.max(1)
+    val perThread = 120L * 1000 * 1000
+    val threads = (0 until cores).map { t =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var acc = 0L
+        var i = 0L
+        while (i < perThread) {
+          x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+          x ^= x >>> 27; x *= 0x94d049bb133111ebL
+          x ^= x >>> 31
+          acc += x
+          i += 1
+        }
+        sentinelSink += acc
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
   }
 
   /** Untimed warmup: one-time JVM/codegen/machinery init costs otherwise
