@@ -1178,8 +1178,14 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    dropCkpt(ckpt)
+    // A failing stream must still release its checkpoint dir and stop the
+    // extra session's query — bench reps retry, and each leaked ckpt is a
+    // directory tree plus a registered streaming query on the shared JVM.
+    try q.awaitTermination()
+    finally {
+      try { if (q.isActive) q.stop() }
+      finally dropCkpt(ckpt)
+    }
     delta
   }
 

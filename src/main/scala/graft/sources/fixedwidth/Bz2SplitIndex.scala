@@ -34,8 +34,8 @@ final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
   * the stream run past the range end to complete a spanning tail record.
   * Net cost: the corpus is decompressed twice, both times fully parallel —
   * the honest floor for record-grid alignment over a block codec with no
-  * self-framing. The index is memoized per (path, length, mtime) for the
-  * life of the JVM.
+  * self-framing. The index is memoized per (path, length, mtime, rangeBytes,
+  * tail fingerprint) for the life of the JVM.
   *
   * Block-boundary semantics (established empirically against Hadoop's
   * BZip2Codec, see the range-ownership rules below):
@@ -50,16 +50,38 @@ final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
   */
 object Bz2SplitIndex {
 
-  private val cache = new ConcurrentHashMap[(String, Long, Long, Long), Seq[Bz2Range]]()
+  private val cache = new ConcurrentHashMap[(String, Long, Long, Long, Long), Seq[Bz2Range]]()
+
+  /** Content fingerprint folded into the cache key: the file's last
+    * ≤16 bytes, which for bzip2 contain the stream footer + COMBINED CRC32
+    * of every block — any same-length rewrite that changes any record
+    * changes this. Costs one positioned read per big file at plan time and
+    * closes the stale-index window a same-length rewrite inside the
+    * filesystem's mtime granularity would otherwise open (a stale index
+    * silently duplicates or drops records instead of erroring). */
+  private def tailFingerprint(p: Path, len: Long, conf: Configuration): Long = {
+    val n = math.min(16L, len).toInt
+    if (n <= 0) return 0L
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val buf = new Array[Byte](n)
+      in.readFully(len - n, buf, 0, n)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = h * 31 + buf(i); i += 1 }
+      h
+    } finally in.close()
+  }
 
   /** Indexed ranges for a SET of bz2 files — one executor-parallel phase-1
     * job covers every uncached (file, range) pair across the whole set, so
     * planning a directory of N large files decompresses the entire tree in
     * a single pass instead of N sequential per-file jobs. Memoized per
-    * (path, len, mtime, rangeBytes) — mtime so a same-size rewrite
-    * (scratch fixtures) can't serve a stale index, rangeBytes because a
-    * different split setting is a different index (the first read's
-    * granularity must not cap a later, finer read). Files at most one
+    * (path, len, mtime, rangeBytes, tailFingerprint) — mtime + the bzip2
+    * footer-CRC fingerprint so a same-size rewrite (scratch fixtures, even
+    * inside mtime granularity) can't serve a stale index, rangeBytes
+    * because a different split setting is a different index (the first
+    * read's granularity must not cap a later, finer read). Files at most one
     * range wide skip indexing entirely (whole-file read with an unbounded
     * grid — no phase-1 cost for small files). */
   def rangesOfAll(files: Seq[(String, Long)], rangeBytes: Long,
@@ -69,9 +91,9 @@ object Bz2SplitIndex {
       p -> Seq(Bz2Range(0L, len, 0L, Long.MaxValue))
     }
     val keyed = big.map { case (p, len) =>
-      val mtime = new Path(p).getFileSystem(conf)
-        .getFileStatus(new Path(p)).getModificationTime
-      (p, len, (p, len, mtime, rangeBytes))
+      val hp = new Path(p)
+      val mtime = hp.getFileSystem(conf).getFileStatus(hp).getModificationTime
+      (p, len, (p, len, mtime, rangeBytes, tailFingerprint(hp, len, conf)))
     }
     val uncached = keyed.filter { case (_, _, k) => !cache.containsKey(k) }
     if (uncached.nonEmpty) {

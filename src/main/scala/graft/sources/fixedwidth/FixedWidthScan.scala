@@ -797,9 +797,19 @@ object FixedWidthScan {
       if (bz2Files.isEmpty) Map.empty[String, Seq[Bz2Range]]
       else Bz2SplitIndex.rangesOfAll(bz2Files, bz2RangeBytes, conf)
     val gzChunks = bz2Files.flatMap { case (p, _) =>
-      bz2Ranges(p).map(r =>
+      val rs = bz2Ranges(p)
+      // total decompressed length, carried per chunk so the reader can
+      // tell the file's genuine trailing fragment from an unexpected
+      // early EOF (stale index / changed BYBLOCK semantics) and fail
+      // loudly on the latter instead of silently dropping a spanning
+      // tail record per range
+      val fileDLen = rs.lastOption match {
+        case Some(last) if last.dLen != Long.MaxValue => last.dStart + last.dLen
+        case _ => -1L
+      }
+      rs.map(r =>
         FileChunk(p, r.cStart, r.cLen, compressed = true,
-          dStart = r.dStart, dLen = r.dLen))
+          dStart = r.dStart, dLen = r.dLen, fileDLen = fileDLen))
     } ++ wholeFile.map { case (p, len) =>
       FileChunk(p, 0L, len, compressed = true)
     }
@@ -841,7 +851,8 @@ object FixedWidthScan {
   * hosts of the range (empty on non-located filesystems). */
 final case class FileChunk(
     filePath: String, start: Long, length: Long, compressed: Boolean,
-    hosts: Seq[String] = Nil, dStart: Long = -1L, dLen: Long = -1L)
+    hosts: Seq[String] = Nil, dStart: Long = -1L, dLen: Long = -1L,
+    fileDLen: Long = -1L)
 
 /** A packed set of independently record-aligned chunks (serialized driver →
   * executor; the Spark analog of a packed `FilePartition`). */
@@ -912,6 +923,11 @@ final class ChunkedRecordStream(
   private var curPath: String = ""
   private var end = 0L
   private var pos = 0L // byte offset in the current file (uncompressed/logical)
+  // total decompressed file length for SPLIT compressed ranges (-1 when
+  // unknown: plain, gzip whole-file, small-bz2 whole-file) — lets the
+  // fetch loop tell the file's genuine trailing fragment from an
+  // unexpected early EOF and fail loudly on the latter
+  private var curFileDLen = -1L
 
   var recordsRead = 0L
 
@@ -943,6 +959,7 @@ final class ChunkedRecordStream(
     curCompressed = c.compressed
     curPath = c.filePath
     curPathUtf8 = c.filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    curFileDLen = -1L
     if (c.compressed && c.dStart >= 0L) {
       // split bzip2 range: BYBLOCK stream aligned to the range's first
       // block; the record grid comes from the phase-1 index (dStart/dLen —
@@ -960,6 +977,7 @@ final class ChunkedRecordStream(
           s"fixedwidth: ${c.filePath} planned as a split codec but no splittable Hadoop codec resolves")
       }
       end = if (c.dLen == Long.MaxValue) Long.MaxValue else c.dStart + c.dLen
+      curFileDLen = if (c.dLen == Long.MaxValue) -1L else c.fileDLen
       val misalign = c.dStart % recLen
       val skip = if (misalign == 0L) 0L else recLen - misalign
       pos = c.dStart + skip
@@ -1001,6 +1019,23 @@ final class ChunkedRecordStream(
       while (n < recLen) {
         val r = compIn.read(buf, n, recLen - n)
         if (r < 0) {
+          // EOF mid-chunk. For a SPLIT range with a known decompressed
+          // file length, the ONLY legitimate mid-record EOF is the file's
+          // genuine trailing fragment (the BYBLOCK stream reads past its
+          // range bound to file EOF, so a spanning tail record always
+          // completes); anything else means the phase-1 index is stale or
+          // Hadoop's BYBLOCK semantics changed — fail loudly instead of
+          // silently dropping records per range (phase 1 has the same
+          // guard as a require on block-boundary reads).
+          if (curFileDLen >= 0L) {
+            val tailFragment = (curFileDLen % recLen).toInt
+            if (pos != curFileDLen - tailFragment || n != tailFragment)
+              throw new java.io.IOException(
+                s"fixedwidth bz2: unexpected EOF at logical offset ${pos + n} " +
+                  s"of $curPath (indexed decompressed length $curFileDLen) — " +
+                  "split index is stale or BYBLOCK semantics changed; refusing " +
+                  "to silently drop records")
+          }
           if (n == 0) return false
           if (opts.tolerant) return false // drop trailing partial record
           truncated()

@@ -123,6 +123,48 @@ class Bz2SplitSpec extends SparkSpec with Matchers {
     got should contain theSameElementsInOrderAs expected
   }
 
+  test("same-length same-mtime rewrite busts the index memo (tail-CRC fingerprint)") {
+    // The memo key is (path, len, mtime, rangeBytes, tail fingerprint);
+    // a rewrite with identical length AND identical mtime — possible
+    // inside coarse filesystem mtime granularity — must still invalidate,
+    // because bzip2's footer carries the combined CRC of every block.
+    val n = 150000
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("graft-bz2-rewrite").toString
+    val p = new Path(dir, "data.fwb.bz2")
+    val fs = p.getFileSystem(conf)
+    def write(seed: Int): Unit = {
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(conf)
+      val out = codec.createOutputStream(fs.create(p, true))
+      (0 until n).foreach(i => out.write(record(i + seed)))
+      out.close()
+    }
+    write(0)
+    val len1 = fs.getFileStatus(p).getLen
+    val r1 = graft.sources.fixedwidth.Bz2SplitIndex.rangesOf(p.toString, len1, 256 * 1024, conf)
+    // rewrite with different content; equalize observable (len, mtime) as
+    // far as the fixture allows — pad to the same length is not possible
+    // for bz2, so only assert when the rewrite happens to match; mtime IS
+    // forced equal, which alone would have served the stale index before
+    val mtime1 = fs.getFileStatus(p).getModificationTime
+    write(7)
+    fs.setTimes(p, mtime1, -1)
+    val len2 = fs.getFileStatus(p).getLen
+    val r2 = graft.sources.fixedwidth.Bz2SplitIndex.rangesOf(p.toString, len2, 256 * 1024, conf)
+    if (len2 == len1) {
+      // same key except the fingerprint: a fresh index must have been built
+      r2.map(_.dLen).sum shouldBe n.toLong * recLen
+      r2 should not be theSameInstanceAs(r1)
+    }
+    // whatever the lengths, the reload must see the NEW records
+    val got = spark.read.format("fixedwidth").option("recordLength", recLen)
+      .option("allowCompressed", "true").load(dir)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).sorted
+    val expected = (0 until n).map(i => new String(record(i + 7), "US-ASCII")).sorted
+    got should contain theSameElementsInOrderAs expected
+  }
+
   test("phase-1 index tiles the decompressed stream exactly (no gap, no overlap)") {
     val (plainDir, bz2Dir) = fixture(300000)
     val plainLen = new java.io.File(s"$plainDir/data.fwb").length()
