@@ -54,7 +54,8 @@ object Bench {
       queries.PipelineQueries.artifactTrainers ++
         queries.CurationQueries.artifactTrainers ++
         queries.SimilarityQueries.artifactTrainers ++
-        queries.DedupQueries.artifactTrainers
+        queries.DedupQueries.artifactTrainers ++
+        queries.RelationalQueries.artifactTrainers
     val trainResults = trainers.map { case (name, f) =>
       val t0 = System.nanoTime()
       val ok = try { f(spark, sfDir); true }
