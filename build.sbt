@@ -36,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM A/B flags (GC logging, collector/metaspace experiments)
+  // without editing the build: SPARK_GRAFT_JAVA_OPTS="-Xlog:gc -XX:..."
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -77,8 +77,18 @@ object Bench {
     // at its idle floor). Rep spread is measured on the lanes themselves,
     // costs nothing, and is recorded per run for cross-round calibration.
     val noisyLanes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Per-lane GC attribution (SURVEY §7.5 open item 1): cumulative GC
+    // millis across the lane's reps, read from the MXBean like the
+    // sweep-level snapshots. The r13 record showed GC climbing 2.3 s →
+    // 222 s across the sweep; this names the lanes that pay it (and the
+    // lanes that CAUSE it, to the extent they are the same — a lane
+    // inheriting a fragmented heap shows high GC without high allocation,
+    // which is exactly the distinction the in-suite-tax investigation
+    // needs in-record). Sidecar-only, like `noisiest`.
+    val laneGcMs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def sweep(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
+        val gc0 = jvmStats()._1
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           // A failed query must be visible as -1, not recorded as a fast run.
@@ -90,6 +100,7 @@ object Bench {
           LaneReset(spark)
           if (ok) dt else -1.0
         }
+        laneGcMs += (name -> (jvmStats()._1 - gc0))
         if (reps >= 3 && !times.contains(-1.0)) {
           // spread over WARM reps only — rep 1 always pays the lane's
           // plan/codegen cold cost, so including it measures cold-vs-warm
@@ -107,12 +118,15 @@ object Bench {
     val allLanes = SparkEntry.queries.toSeq.sortBy(_._1)
     val (firstHalf, secondHalf) = allLanes.splitAt(allLanes.size / 2)
     val jvmStatStart = jvmStats()
+    val jvmDeepStart = jvmDeepStats()
     val firstResults = sweep(firstHalf)
     val sentinelMid = runSentinel(spark)
     val jvmStatMid = jvmStats()
+    val jvmDeepMid = jvmDeepStats()
     val laneResults = firstResults ++ sweep(secondHalf)
     val sentinelEnd = runSentinel(spark)
     val jvmStatEnd = jvmStats()
+    val jvmDeepEnd = jvmDeepStats()
     val sentinelTimes = Seq(sentinelStart, sentinelMid, sentinelEnd)
     val contended = sentinelTimes.max / sentinelTimes.min > 1.3
     // JVM-state snapshots next to the sentinel checkpoints: the one bench
@@ -127,7 +141,12 @@ object Bench {
     val noisySidecarJson = {
       val worst = noisyLanes.sortBy(-_._2).take(5)
         .map { case (n, s) => s"\"" + n + "\":" + s }.mkString("{", ",", "}")
-      s""""noisiest":$worst,"""
+      // top GC payers (millis across the lane's reps) — the per-lane
+      // attribution of the sweep-level jvm_gc_ms climb
+      val gcTop = laneGcMs.sortBy(-_._2).take(10)
+        .map { case (n, g) => s"\"" + n + "\":" + g }.mkString("{", ",", "}")
+      s""""noisiest":$worst,"gc_top_ms":$gcTop,""" +
+        s""""jvm_deep":[$jvmDeepStart,$jvmDeepMid,$jvmDeepEnd],"""
     }
     val jvmJson =
       s""""jvm_gc_ms":[${jvmStatStart._1},${jvmStatMid._1},${jvmStatEnd._1}],""" +
@@ -215,6 +234,27 @@ object Bench {
     (gc, heap)
   }
 
+  /** Deeper JVM-state snapshot for the in-suite-tax investigation
+    * (SURVEY §7.5 open item 1): GC pause COUNT, metaspace + code-cache
+    * occupancy, and live loaded-class count. 230 lanes × fresh codegen
+    * classes each is exactly the kind of JVM-wide state that grows with
+    * sweep position while heap-used stays flat — these four series tell a
+    * metaspace/class-churn story apart from an allocation-rate story. */
+  private def jvmDeepStats(): String = {
+    import scala.jdk.CollectionConverters._
+    val gcN = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionCount, 0L)).sum
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def poolMb(name: String): Long =
+      pools.filter(_.getName.toLowerCase.contains(name))
+        .map(_.getUsage.getUsed).sum / (1024L * 1024L)
+    val classes = java.lang.management.ManagementFactory.getClassLoadingMXBean
+      .getLoadedClassCount
+    s"""{"gc_count":$gcN,"metaspace_mb":${poolMb("metaspace")},""" +
+      s""""codecache_mb":${poolMb("codeheap") max poolMb("code cache")},""" +
+      s""""classes_loaded":$classes}"""
+  }
+
   /** Purity sentinel: the same tiny calibration lane timed at sweep start
     * (before the trainer phase), middle, and end. Three rounds running, a
     * contended host inflated recorded lane medians up to 6x and the
@@ -266,6 +306,10 @@ object Bench {
           acc += x
           i += 1
         }
+        // deliberately racy cross-thread += : this is ONLY a DCE sink (any
+        // written value suffices); a lock/atomic here would serialize the
+        // calibration loop's final writes and add contention the sentinel
+        // exists to measure elsewhere — don't "fix" it
         sentinelSink += acc
       })
     }

@@ -118,10 +118,10 @@ object SimilarityQueries {
 
   /** IVF replicated relationally: the centroid sample is the nlist rows with
     * the smallest signed mix64(vec_id) (hugeint hash twin — same sample as
-    * the Spark driver's collect), cell assignment/probing are rank-1/rank-8
+    * the Spark driver's collect), cell assignment/probing are rank-1/rank-N
     * over the same double cosine fold, then candidate join + per-query
-    * top-k. */
-  val knnIvfOracle: String = {
+    * top-k. Parameterized on nprobe for the q221 recall-vs-cost curve. */
+  private[queries] def knnIvfOracleAt(nprobe: Int): String = {
     val h = DuckHashSql.signedSql(DuckHashSql.mix64Sql("cast(vec_id AS HUGEINT)", "0"))
     s"""WITH cents AS (
        |  SELECT embedding AS c_emb, row_number() OVER (ORDER BY $h) - 1 AS ci
@@ -134,7 +134,7 @@ object SimilarityQueries {
        |  SELECT vec_id AS query_id, embedding AS q_emb, ci AS cell
        |  FROM embeddings CROSS JOIN cents
        |  WHERE vec_id < 5
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "c_emb")} DESC, ci) <= 8
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "c_emb")} DESC, ci) <= $nprobe
        |), sims AS (
        |  SELECT query_id, neighbor_id, ${cosSql("q_emb", "n_emb")} AS cos
        |  FROM cells JOIN probes USING (cell)
@@ -147,6 +147,8 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  val knnIvfOracle: String = knnIvfOracleAt(8)
 
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
@@ -468,21 +470,45 @@ object SimilarityQueries {
       k = 10, nlist = 32, nprobe = 8)
     val pq = Similarity.knnProductQuantized(embs, qs, "vec_id", "embedding",
       k = 10, m = 8, ksub = 16)
-    recallOf("ivf", ivf).unionByName(recallOf("pq", pq))
+    // Multi-probe recall CURVE (r14): the same IVF index probed at
+    // nprobe ∈ {1, 2, 4} — the recall-vs-cost trade a deployed ANN
+    // service actually tunes. Probe selection stays map-side against the
+    // broadcast centroids; only the candidate fan-in changes. Recall is
+    // provably monotone in nprobe (more probes → superset of candidates →
+    // every exact-top-10 member present in the candidate set makes the
+    // approximate top-10), which `IvfNprobeCurveSpec` asserts.
+    val curve = Seq(1, 2, 4).map { np =>
+      recallOf(s"ivf_np$np", Similarity.knnApproxIvf(
+        embs, qs, "vec_id", "embedding", k = 10, nlist = 32, nprobe = np))
+    }
+    (recallOf("ivf", ivf) +: curve :+ recallOf("pq", pq))
+      .reduce(_ unionByName _)
       .orderBy(col("method"), col("query_id"))
   }
 
-  lazy val annRecallAuditOracle: String =
+  lazy val annRecallAuditOracle: String = {
+    val curveCtes = Seq(1, 2, 4).map { np =>
+      s"""ivf_np${np}_t AS (
+         |  SELECT query_id, neighbor_id FROM (${knnIvfOracleAt(np)})
+         |)""".stripMargin
+    }.mkString(", ")
+    val curveRecs = Seq(1, 2, 4).map { np =>
+      s"""SELECT 'ivf_np$np' AS method, e.query_id, count(t.neighbor_id) AS n_hit
+         |  FROM exact_t e LEFT JOIN ivf_np${np}_t t USING (query_id, neighbor_id)
+         |  GROUP BY 2""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH exact_t AS (
        |  SELECT query_id, neighbor_id FROM ($knnBruteOracle)
        |), ivf_t AS (
        |  SELECT query_id, neighbor_id FROM ($knnIvfOracle)
        |), pq_t AS (
        |  SELECT query_id, neighbor_id FROM ($knnPqOracle)
-       |), rec AS (
+       |), $curveCtes, rec AS (
        |  SELECT 'ivf' AS method, e.query_id, count(i.neighbor_id) AS n_hit
        |  FROM exact_t e LEFT JOIN ivf_t i USING (query_id, neighbor_id)
        |  GROUP BY 2
+       |  UNION ALL
+       |  $curveRecs
        |  UNION ALL
        |  SELECT 'pq' AS method, e.query_id, count(p.neighbor_id) AS n_hit
        |  FROM exact_t e LEFT JOIN pq_t p USING (query_id, neighbor_id)
@@ -491,6 +517,7 @@ object SimilarityQueries {
        |SELECT method, query_id, cast(n_hit AS BIGINT) AS n_hit,
        |  round(n_hit / 10.0, 6) AS recall
        |FROM rec ORDER BY method, query_id""".stripMargin
+  }
 
   /** Semantic (embedding-level) benchmark decontamination — the paraphrase
     * complement to q47's verbatim shingle semi-join: docs whose embedding
