@@ -223,6 +223,8 @@ object DedupQueries {
     Q("q224_minhash_index_artifact", minhashIndexArtifact,
       Some(minhashIndexArtifactOracle)),
     Q("q226_minhash_index_refresh", minhashIndexRefresh,
+      Some(minhashIndexRefreshOracle)),
+    Q("q231_minhash_index_compaction", minhashIndexCompaction,
       Some(minhashIndexRefreshOracle)))
 
   // ------------------------------------------------------------ q222/q223
@@ -398,6 +400,47 @@ object DedupQueries {
        |  ${DuckHashSql.signedSql("band_hash")} AS band_hash
        |FROM banded
        |ORDER BY doc_id, band_idx""".stripMargin
+
+  /** q231: band-index COMPACTION — the maintenance step q226/q227 leave
+    * open: a deployed streaming service accumulates MANY delta
+    * generations (q227's batchId subdirs), and every serving read then
+    * pays a multi-directory union plus the small-file tax. Compaction
+    * folds base + N deltas into ONE new base generation through the sink.
+    * The lane materializes the deployed shape first — four delta
+    * generations (the odd-doc arrivals split by doc_id % 8), each written
+    * to its own generation subdir exactly as q227's foreachBatch does —
+    * then compacts base ∪ deltas into a single directory and answers from
+    * the RELOADED compacted generation. The oracle re-derives the
+    * full-corpus index from scratch, so equality is the compaction-
+    * correctness claim: N-generation fold ≡ rebuild, content-identical,
+    * purely IO-reshaping. Append-only union, no shuffle beyond the
+    * arrivals' own sketch writes. */
+  def minhashIndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = persistedMinhashIndexPath(spark, dir)
+    val deltaRoot = QueryRegistry.scratch(dir, "minhash_idx_gens_fw")
+    val rootPath = new org.apache.hadoop.fs.Path(deltaRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // invocation-start wipe: bench reps reuse one directory (the q227
+    // scaffold's convention) instead of leaking generations per run
+    fs.delete(rootPath, true)
+    Seq(1L, 3L, 5L, 7L).foreach { g =>
+      Dedup.minhashSketches(
+          table(spark, dir, "documents").filter(col("doc_id") % 8 === g),
+          "doc_id", "text", IdxShingle, IdxHashes, IdxBands)
+        .select(col("id").as("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(s"$deltaRoot/gen-$g")
+    }
+    def load(path: String) =
+      spark.read.format("fixedwidth").option("fields", idxFields).load(path)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val out = QueryRegistry.scratch(dir, "minhash_idx_compacted_fw")
+    load(base).unionByName(load(deltaRoot)) // reader recurses into gen-* subdirs
+      .write.format("fixedwidth").option("fields", idxFields)
+      .option("strictWidth", "true").mode("overwrite").save(out)
+    load(out).orderBy(col("doc_id"), col("band_idx"))
+  }
 
   /** Trained-artifact registry for the bench's explicit train_* accounting
     * (see Bench): the Bloom lookup (which also writes the bit file) and the

@@ -866,6 +866,41 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q232: IVF-index COMPACTION — the vector twin of q231 and the last
+    * step of the maintenance lifecycle (q228 proves one delta merge ≡
+    * rebuild; a deployed service accumulates MANY q229 batchId-subdir
+    * generations): four delta generations (the odd-vec arrivals split by
+    * vec_id % 8, each assigned MAP-SIDE against the persisted centroid
+    * artifact and written to its own generation subdir) are folded with
+    * the base index into ONE new base generation through the sink. The
+    * oracle re-derives the full-corpus assignment from scratch, so
+    * equality is the compaction-correctness claim: N-generation fold ≡
+    * rebuild — pure IO reshaping under a FIXED model generation. */
+  def ivfIndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = persistedIvfIndexPath(spark, dir)
+    val cents = persistedCentroidVectors(spark, dir)
+    val deltaRoot = QueryRegistry.scratch(dir, "ivf_idx_gens_fw")
+    val rootPath = new org.apache.hadoop.fs.Path(deltaRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true) // invocation-start wipe (q227 convention)
+    Seq(1L, 3L, 5L, 7L).foreach { g =>
+      graft.operators.KMeans.assignWith(
+          table(spark, dir, "embeddings").filter(col("vec_id") % 8 === g),
+          "vec_id", "embedding", cents)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .write.format("fixedwidth").option("fields", ivfIdxFields)
+        .option("strictWidth", "true").mode("overwrite").save(s"$deltaRoot/gen-$g")
+    }
+    def load(path: String) =
+      spark.read.format("fixedwidth").option("fields", ivfIdxFields).load(path)
+        .select(col("vec_id"), col("cluster"))
+    val out = QueryRegistry.scratch(dir, "ivf_idx_compacted_fw")
+    load(base).unionByName(load(deltaRoot)) // reader recurses into gen-* subdirs
+      .write.format("fixedwidth").option("fields", ivfIdxFields)
+      .option("strictWidth", "true").mode("overwrite").save(out)
+    load(out).orderBy(col("vec_id"))
+  }
+
   /** Shared by q228 (batch refresh) and q229 (streaming append): the
     * full-corpus re-assignment under the persisted model's round(·,8)
     * values — the q213 chain minus the dist column. */
@@ -1584,6 +1619,7 @@ object SimilarityQueries {
     Q("q148_semdedup_prune", semDeDupPrune, Some(semDeDupPruneOracle)),
     Q("q209_centroids_artifact", centroidsArtifact, Some(centroidsArtifactOracle)),
     Q("q228_ivf_index_refresh", ivfIndexRefresh, Some(ivfIndexRefreshOracle)),
+    Q("q232_ivf_index_compaction", ivfIndexCompaction, Some(ivfIndexRefreshOracle)),
     Q("q219_pq_codebook_artifact", pqCodebookArtifact, Some(pqCodebookArtifactOracle)),
     Q("q157_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     Q("q174_neardup_bucketed_auto", nearDupsBucketedAuto, Some(nearDupsBucketedAutoOracle)))
