@@ -74,6 +74,40 @@ object CoreQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q233: the framed COMPRESSED write path (FwzFormat) under the oracle —
+    * lineitem encoded through the sink with compression=zstd (record-group
+    * frames + content-size footer, .fwz), read back SPLIT on the frame
+    * grid, and rolled up with the q01 pricing summary; the oracle computes
+    * the same summary from the original parquet, so a single flipped byte
+    * anywhere in the compress→frame→footer→plan→decompress chain flips the
+    * hash. frameBytes=256 KiB keeps even sf0.01 multi-frame (the
+    * FwzRoundTripSpec proves the split invariants at 3 granularities; this
+    * lane proves end-to-end value fidelity at suite scale). */
+  def q233(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    val out = QueryRegistry.scratch(dir, "lineitem_fwz")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(lineitemLayout.map(f => col(f.name)): _*)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("compression", "zstd").option("frameBytes", (256 * 1024).toString)
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** Raw-mode parity query: default offset key + custom key slice, straight
     * out of the (offset, key, value) schema the reference produces. Every
     * aggregate is a pure function of the record count and recordLength=136,
@@ -773,6 +807,7 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
+    Q("q233_fwz_compressed_roundtrip", q233, Some(q01Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),

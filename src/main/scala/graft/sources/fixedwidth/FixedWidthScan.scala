@@ -104,7 +104,7 @@ class FixedWidthScanBuilder(
     val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
     if (!res.exact || opts.dropMalformed) None
-    else if (res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath))) None
+    else if (res.kept.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath))) None
     else if (!opts.tolerant && res.kept.exists(_.getLen % recLen != 0)) None
     else Some(res.kept.map(_.getLen / recLen).sum)
   }
@@ -150,7 +150,7 @@ class FixedWidthScanBuilder(
     val keptPaths = res.kept.map(_.getPath.toString).toSet
     val kept = listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString))
     val recLen = opts.recordLength.toLong
-    if (kept.exists(pf => FixedWidthTable.isCompressed(pf.status.getPath))) return None
+    if (kept.exists(pf => FixedWidthTable.hasOpaqueLength(pf.status.getPath))) return None
     if (!opts.tolerant && kept.exists(_.status.getLen % recLen != 0)) return None
     val lowerNames = fields.map(_.name.toLowerCase)
     if (kept.exists(pf => !lowerNames.forall(pf.partValues.contains))) return None
@@ -182,7 +182,7 @@ class FixedWidthScanBuilder(
     val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
     res.exact && !opts.dropMalformed &&
-      !res.kept.exists(st => FixedWidthTable.isCompressed(st.getPath)) &&
+      !res.kept.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath)) &&
       (opts.tolerant || !res.kept.exists(_.getLen % recLen != 0))
   }
 
@@ -276,7 +276,7 @@ class FixedWidthScanBuilder(
   // have unknown record counts, so their presence disables the push.
   private def canTruncate: Boolean =
     pushed.isEmpty && !opts.dropMalformed &&
-      !listedFiles.exists(pf => FixedWidthTable.isCompressed(pf.status.getPath))
+      !listedFiles.exists(pf => FixedWidthTable.hasOpaqueLength(pf.status.getPath))
 
   override def pushLimit(limit: Int): Boolean =
     if (canTruncate) { limitN = limit.toLong; true } else false
@@ -480,7 +480,7 @@ class FixedWidthScan(
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private lazy val files = prunedFiles
-      private lazy val anyCompressed = files.exists(st => FixedWidthTable.isCompressed(st.getPath))
+      private lazy val anyCompressed = files.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath))
       override def sizeInBytes(): java.util.OptionalLong =
         if (anyCompressed) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(files.map(_.getLen).sum)
@@ -733,7 +733,14 @@ object FixedWidthScan {
       opts: FixedWidthOptions,
       recordRange: Option[(Long, Long)] = None): Array[InputPartition] = {
     val recLen = opts.recordLength.toLong
-    val (compressed, plain) = files.partition { case (p, _) =>
+    // .fwz first: the sink's OWN framed layout (FwzFormat) is always
+    // readable — it is not the foreign-codec compatibility path the
+    // allowCompressed gate exists for, and its footer makes it split
+    // record-aligned with no phase-1 pass
+    val (framedFiles, rest) = files.partition { case (p, _) =>
+      FwzFormat.isFramed(new org.apache.hadoop.fs.Path(p))
+    }
+    val (compressed, plain) = rest.partition { case (p, _) =>
       FixedWidthTable.isCompressed(new org.apache.hadoop.fs.Path(p))
     }
 
@@ -813,6 +820,40 @@ object FixedWidthScan {
     } ++ wholeFile.map { case (p, len) =>
       FileChunk(p, 0L, len, compressed = true)
     }
+    // Framed .fwz files: ONE bounded footer read per file gives the exact
+    // (compressed, decompressed) frame grid — chunks are contiguous frame
+    // runs cut only at record-aligned frame boundaries, packed by their
+    // known decompressed weight. No phase-1 job, no spanning tail records.
+    val fwzChunks = framedFiles.flatMap { case (p, len) =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val footer = FwzFormat.readFooter(path, len, conf)
+      val fileDLen = footer.totalDLen
+      if (fileDLen % recLen != 0 && !opts.tolerant)
+        throw new IllegalArgumentException(
+          s"fixedwidth: fwz decompressed length $fileDLen of $p is not a multiple of " +
+            s"recordLength=$recLen (wrong recordLength, or truncated write; " +
+            "mode=PERMISSIVE/DROPMALFORMED drops the trailing partial record)")
+      val out = Seq.newBuilder[FileChunk]
+      var runStart = -1L; var runDStart = 0L; var cBytes = 0L; var dBytes = 0L
+      footer.frames.foreach { f =>
+        if (runStart < 0) { runStart = f.cOff; runDStart = f.dOff }
+        cBytes += f.cLen; dBytes += f.dLen
+        // cut only where the NEXT chunk would start on the record grid —
+        // writer-produced frames always do; a recordLength-mismatched read
+        // just degrades to coarser chunks and fails the multiple check above
+        if (dBytes >= aligned && (f.dOff + f.dLen) % recLen == 0) {
+          out += FileChunk(p, runStart, cBytes, compressed = true,
+            dStart = runDStart, dLen = dBytes, fileDLen = fileDLen,
+            framedCodec = footer.codec)
+          runStart = -1L; cBytes = 0L; dBytes = 0L
+        }
+      }
+      if (runStart >= 0)
+        out += FileChunk(p, runStart, cBytes, compressed = true,
+          dStart = runDStart, dLen = dBytes, fileDLen = fileDLen,
+          framedCodec = footer.codec)
+      out.result()
+    }
 
     // Pack chunks into partitions up to the target size (greedy, listing
     // order) — a million small files must NOT become a million partitions.
@@ -829,7 +870,7 @@ object FixedWidthScan {
     // and keep their on-disk weight.
     def weight(c: FileChunk): Long =
       if (c.dStart >= 0L && c.dLen != Long.MaxValue) c.dLen else c.length
-    (plainChunks ++ gzChunks).foreach { c =>
+    (plainChunks ++ gzChunks ++ fwzChunks).foreach { c =>
       if (current.nonEmpty && currentBytes + weight(c) > target) {
         partitions += FixedWidthInputPartition(current.toSeq)
         current.clear(); currentBytes = 0L
@@ -852,7 +893,7 @@ object FixedWidthScan {
 final case class FileChunk(
     filePath: String, start: Long, length: Long, compressed: Boolean,
     hosts: Seq[String] = Nil, dStart: Long = -1L, dLen: Long = -1L,
-    fileDLen: Long = -1L)
+    fileDLen: Long = -1L, framedCodec: Byte = -1)
 
 /** A packed set of independently record-aligned chunks (serialized driver →
   * executor; the Spark analog of a packed `FilePartition`). */
@@ -960,7 +1001,20 @@ final class ChunkedRecordStream(
     curPath = c.filePath
     curPathUtf8 = c.filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     curFileDLen = -1L
-    if (c.compressed && c.dStart >= 0L) {
+    if (c.framedCodec >= 0) {
+      // framed .fwz chunk (FwzFormat): a contiguous frame run starting at
+      // a record-aligned decompressed offset — seek, decompress the run
+      // through one continuous stream bounded to its compressed range (the
+      // bound keeps the decompressor from parsing the footer or a later
+      // chunk's frames), and read exactly dLen bytes of records. No skip,
+      // no spanning tail: frame boundaries ARE record boundaries.
+      rawIn.seek(c.start)
+      compIn = FwzFormat.frameRunStream(c.framedCodec,
+        new BoundedInputStream(rawIn, c.length))
+      pos = c.dStart
+      end = c.dStart + c.dLen
+      curFileDLen = c.fileDLen
+    } else if (c.compressed && c.dStart >= 0L) {
       // split bzip2 range: BYBLOCK stream aligned to the range's first
       // block; the record grid comes from the phase-1 index (dStart/dLen —
       // see Bz2SplitIndex). Skip to the first record start ≥ dStart, own

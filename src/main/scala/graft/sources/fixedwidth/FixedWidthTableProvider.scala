@@ -71,6 +71,16 @@ object FixedWidthTable {
     CompressedExts.exists(n.endsWith)
   }
 
+  /** Files whose on-disk length does NOT map 1:1 to records — foreign
+    * compressed files and the sink's own framed .fwz layout — which
+    * disqualifies them from every length-arithmetic shortcut (count-star /
+    * grouped-count / min-max / limit-offset pushdown, exact statistics).
+    * An .fwz footer does carry exact record counts, so those shortcuts
+    * COULD be taught the framed case with one bounded read per file;
+    * deliberately not done until a workload needs it. */
+  def hasOpaqueLength(p: Path): Boolean =
+    isCompressed(p) || FwzFormat.isFramed(p)
+
   def isDataFile(s: FileStatus): Boolean = {
     val n = s.getPath.getName
     s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")

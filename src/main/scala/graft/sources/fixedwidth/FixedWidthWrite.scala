@@ -38,21 +38,44 @@ class FixedWidthWriteBuilder(
 
   private var doTruncate = false
 
-  // Write-side compression stance, stated loudly instead of ignored: the
-  // reference REJECTS compressed input (reference
-  // FixedLengthRecordReader.java:147-152) because record-aligned splitting
-  // needs raw byte offsets; a compressed fixed-width file would also defeat
-  // this source's own reader. Accept 'none'/'uncompressed' (harmless parquet
-  // habit), error on anything else, pointing at the read-side escape hatch.
-  Seq("compression", "codec").foreach { k =>
-    val v = tableOptions.get(k)
-    if (v != null && !Set("none", "uncompressed").contains(v.trim.toLowerCase))
-      throw new IllegalArgumentException(
-        s"fixedwidth: write-side compression is not supported (got '$k'='${v.trim}'): " +
-          "record-aligned splits need uncompressed fixed-width bytes (reference parity, " +
-          "FixedLengthRecordReader.java:147-152). Compress whole files externally and " +
-          "read with allowCompressed=true if needed.")
+  // Write-side compression stance: the reference REJECTS compressed input
+  // (reference FixedLengthRecordReader.java:147-152) because record-aligned
+  // splitting needs byte offsets — and whole-file gzip of fixed-width bytes
+  // would indeed defeat this source's own reader. 'none'/'uncompressed'
+  // stay the default; 'zstd'/'gzip' opt into the FRAMED layout (.fwz,
+  // [[FwzFormat]]): record-multiple frames + a footer of content sizes, so
+  // written data splits record-aligned WITHOUT a phase-1 pass — a layout
+  // this sink owns, not foreign-codec compatibility. Anything else errors.
+  private val framedCodec: Byte = {
+    val v = Seq("compression", "codec").flatMap(k => Option(tableOptions.get(k)))
+      .map(_.trim.toLowerCase).headOption.getOrElse("none")
+    v match {
+      case "none" | "uncompressed" => -1
+      case "zstd" | "gzip" => FwzFormat.codecIdOf(v)
+      case other =>
+        throw new IllegalArgumentException(
+          s"fixedwidth: unsupported write compression '$other': use 'zstd' or 'gzip' " +
+            "for the framed .fwz layout (record-group frames + content-size footer, " +
+            "splits without a phase-1 pass), or 'none' for raw fixed-width bytes " +
+            "(reference parity, FixedLengthRecordReader.java:147-152).")
+    }
   }
+
+  // Target DECOMPRESSED bytes per frame (rounded down to a record multiple,
+  // floored at one record). Smaller frames split finer but compress worse;
+  // 1 MiB ≈ a few thousand records is the sane default for both codecs.
+  private val frameBytes: Long = Option(tableOptions.get("frameBytes")).map { v =>
+    val n = try v.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"fixedwidth: option 'frameBytes' must be a positive integer, got '$v'")
+    }
+    if (n <= 0) throw new IllegalArgumentException(
+      s"fixedwidth: option 'frameBytes' must be > 0, got $n")
+    n
+  }.getOrElse(1L * 1024 * 1024)
+  if (framedCodec < 0 && tableOptions.get("frameBytes") != null)
+    throw new IllegalArgumentException(
+      "fixedwidth: 'frameBytes' requires compression=zstd|gzip (framed layout)")
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
@@ -112,7 +135,7 @@ class FixedWidthWriteBuilder(
       }.getOrElse(0L)
       new FixedWidthBatchWrite(
         path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf), partitionCols,
-        maxRecords)
+        maxRecords, framedCodec, frameBytes)
     }
   }
 }
@@ -134,7 +157,9 @@ class FixedWidthBatchWrite(
     truncate: Boolean,
     conf: SerializableHadoopConf,
     partitionCols: Seq[String] = Nil,
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    framedCodec: Byte = -1,
+    frameBytes: Long = 1L * 1024 * 1024)
     extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString
@@ -151,7 +176,7 @@ class FixedWidthBatchWrite(
     FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
     new FixedWidthDataWriterFactory(
       tempDir.toString, opts, querySchema, conf, partitionCols,
-      maxRecordsPerFile, jobId.replace("-", "").take(8))
+      maxRecordsPerFile, jobId.replace("-", "").take(8), framedCodec, frameBytes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -188,7 +213,9 @@ class FixedWidthDataWriterFactory(
     conf: SerializableHadoopConf,
     partitionCols: Seq[String] = Nil,
     maxRecordsPerFile: Long = 0L,
-    jobTag: String = "")
+    jobTag: String = "",
+    framedCodec: Byte = -1,
+    frameBytes: Long = 1L * 1024 * 1024)
     extends DataWriterFactory {
   // jobTag (first 8 hex of the job UUID) keeps file names unique across
   // APPEND jobs from different sessions: Spark task ids restart from 0 in a
@@ -196,7 +223,8 @@ class FixedWidthDataWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FixedWidthDataWriter(
       tempDir, f"part-$partitionId%05d-$taskId${if (jobTag.isEmpty) "" else s"-$jobTag"}",
-      opts, querySchema, conf.value, partitionCols, maxRecordsPerFile)
+      opts, querySchema, conf.value, partitionCols, maxRecordsPerFile,
+      framedCodec, frameBytes)
 }
 
 class FixedWidthDataWriter(
@@ -206,7 +234,9 @@ class FixedWidthDataWriter(
     querySchema: StructType,
     conf: Configuration,
     partitionCols: Seq[String] = Nil,
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    framedCodec: Byte = -1,
+    frameBytes: Long = 1L * 1024 * 1024)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(tempDir).getFileSystem(conf)
@@ -214,6 +244,14 @@ class FixedWidthDataWriter(
   private val partRender = FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
   private val buf = new Array[Byte](opts.recordLength)
   private var records = 0L
+  private val framed = framedCodec >= 0
+  // frame capacity in whole records (decompressed) — frames are ALWAYS
+  // record multiples, which is what makes every frame boundary a legal
+  // split point with no spanning-record logic
+  private val frameCap: Int = {
+    val recs = math.max(1L, frameBytes / opts.recordLength)
+    math.min(recs, Int.MaxValue / opts.recordLength - 1).toInt * opts.recordLength
+  }
 
   // One open stream per partition directory seen by this task (a task's
   // rows may span many partition values — same as Spark's dynamic
@@ -227,19 +265,45 @@ class FixedWidthDataWriter(
     var inFile = 0L
     var stream: org.apache.hadoop.fs.FSDataOutputStream = null
     val relPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    // framed mode: the current file's pending frame + finished-frame table
+    var frameBuf: Array[Byte] = if (framed) new Array[Byte](frameCap) else null
+    var frameFill = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
   }
   private val dirs = scala.collection.mutable.LinkedHashMap.empty[String, DirState]
 
   private def relPathOf(relDir: String, seq: Int): String = {
-    val name = if (seq == 0) s"$fileStem.fwb" else f"$fileStem-r$seq%04d.fwb"
+    val ext = if (framed) FwzFormat.Extension else ".fwb"
+    val name = if (seq == 0) s"$fileStem$ext" else f"$fileStem-r$seq%04d$ext"
     if (relDir.isEmpty) name else s"$relDir/$name"
   }
 
-  private def streamFor(relDir: String): org.apache.hadoop.fs.FSDataOutputStream = {
+  /** Compress + write the directory's pending frame, if any. */
+  private def flushFrame(st: DirState): Unit = if (st.frameFill > 0) {
+    val c = FwzFormat.compressFrame(framedCodec, st.frameBuf, st.frameFill)
+    st.stream.write(c)
+    st.frames += ((c.length.toLong, st.frameFill.toLong))
+    st.frameFill = 0
+  }
+
+  /** Close the directory's current file — for framed files, flush the tail
+    * frame and append the footer first (a frameless close would leave a
+    * file the reader rejects at plan time, which is the CORRECT failure
+    * mode for a crashed task: commit only renames completed files). */
+  private def closeFile(st: DirState): Unit = if (st.stream != null) {
+    if (framed) {
+      flushFrame(st)
+      FwzFormat.writeFooter(st.stream, framedCodec, st.frames.toSeq)
+      st.frames.clear()
+    }
+    st.stream.close()
+    st.stream = null
+  }
+
+  private def stateFor(relDir: String): DirState = {
     val st = dirs.getOrElseUpdate(relDir, new DirState)
     if (st.stream != null && maxRecordsPerFile > 0 && st.inFile >= maxRecordsPerFile) {
-      st.stream.close()
-      st.stream = null
+      closeFile(st)
       st.seq += 1
       st.inFile = 0L
     }
@@ -249,7 +313,7 @@ class FixedWidthDataWriter(
       st.stream = fs.create(new Path(tempDir, rel), true)
     }
     st.inFile += 1
-    st.stream
+    st
   }
 
   override def write(record: InternalRow): Unit = {
@@ -261,12 +325,17 @@ class FixedWidthDataWriter(
     java.util.Arrays.fill(buf, ' '.toByte)
     var i = 0
     while (i < encoders.length) { encoders(i)(record, buf); i += 1 }
-    streamFor(relDir).write(buf)
+    val st = stateFor(relDir)
+    if (framed) {
+      System.arraycopy(buf, 0, st.frameBuf, st.frameFill, buf.length)
+      st.frameFill += buf.length
+      if (st.frameFill >= frameCap) flushFrame(st)
+    } else st.stream.write(buf)
     records += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    dirs.values.foreach(st => if (st.stream != null) st.stream.close())
+    dirs.values.foreach(closeFile)
     FixedWidthCommitMessage(dirs.values.flatMap(_.relPaths).toSeq, records)
   }
 

@@ -180,9 +180,12 @@ object Probe {
     // Writer compression stance: explicit rejection, not silent ignore
     // (reference parity: FixedLengthRecordReader.java:147-152 rejects
     // compressed INPUT; a compressed fixed-width file can't split).
+    // gzip/zstd now write the framed .fwz layout (r14); a NON-framed codec
+    // still probes the explicit rejection (raw compressed fixed-width
+    // bytes can't record-split — reference parity)
     expectError("write-compression") {
       df.write.format("fixedwidth").option("recordLength", 10)
-        .option("compression", "gzip").mode("overwrite").save(s"$base/comp-out")
+        .option("compression", "snappy").mode("overwrite").save(s"$base/comp-out")
     }
 
     // strictWidth: over-width string values error instead of the default

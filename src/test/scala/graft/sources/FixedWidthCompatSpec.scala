@@ -78,22 +78,34 @@ class FixedWidthCompatSpec extends SparkSpec with Matchers {
     e.getMessage should include("must be set together")
   }
 
-  test("writer rejects compression options explicitly; 'none'/'uncompressed' pass") {
+  test("writer compression contract: zstd/gzip write framed .fwz, others rejected") {
     import spark.implicits._
     val out = tmp()
     val df = (0 until 5).map(i => f"rec$i%06d").toDF("value")
-    for (codec <- Seq("gzip", "snappy", "zstd")) {
+    // non-framed codecs are still rejected loudly (raw compressed
+    // fixed-width bytes can't record-split — reference parity)
+    for (codec <- Seq("snappy", "lz4", "bzip2")) {
       val e = intercept[IllegalArgumentException] {
         df.write.format("fixedwidth").option("recordLength", 10)
           .option("compression", codec).mode("overwrite").save(out)
       }
-      e.getMessage should include("write-side compression is not supported")
+      e.getMessage should include("unsupported write compression")
     }
     val e2 = intercept[IllegalArgumentException] {
       df.write.format("fixedwidth").option("recordLength", 10)
-        .option("codec", "lz4").mode("overwrite").save(out)
+        .option("codec", "deflate").mode("overwrite").save(out)
     }
-    e2.getMessage should include("write-side compression is not supported")
+    e2.getMessage should include("unsupported write compression")
+    // zstd/gzip opt into the framed .fwz layout (r14) and round-trip
+    for (codec <- Seq("zstd", "gzip")) {
+      df.write.format("fixedwidth").option("recordLength", 10)
+        .option("compression", codec).mode("overwrite").save(out)
+      val files = new java.io.File(out).listFiles
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      files.map(_.getName).foreach(_ should endWith(".fwz"))
+      spark.read.format("fixedwidth").option("recordLength", 10).load(out)
+        .count() shouldBe 5
+    }
     // the harmless spellings write fine and round-trip
     df.write.format("fixedwidth").option("recordLength", 10)
       .option("compression", "none").mode("overwrite").save(out)
