@@ -104,9 +104,14 @@ class FixedWidthScanBuilder(
     val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
     if (!res.exact || opts.dropMalformed) None
-    else if (res.kept.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath))) None
-    else if (!opts.tolerant && res.kept.exists(_.getLen % recLen != 0)) None
-    else Some(res.kept.map(_.getLen / recLen).sum)
+    else {
+      // per-file exact counts: length arithmetic for plain files, footer
+      // reads for framed .fwz (count(*) over a compressed feed without
+      // decompressing a byte); any unknowable file disables the push
+      val counts = res.kept.map(
+        FixedWidthTable.exactRecordCount(_, recLen, opts.tolerant, conf))
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
   }
 
   // GROUP BY over partition columns composes with the same trick: one group
@@ -150,17 +155,20 @@ class FixedWidthScanBuilder(
     val keptPaths = res.kept.map(_.getPath.toString).toSet
     val kept = listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString))
     val recLen = opts.recordLength.toLong
-    if (kept.exists(pf => FixedWidthTable.hasOpaqueLength(pf.status.getPath))) return None
-    if (!opts.tolerant && kept.exists(_.status.getLen % recLen != 0)) return None
+    // per-file exact counts (plain length math, framed footer reads);
+    // any unknowable file disables the push
+    val fileCounts = kept.map(pf =>
+      pf -> FixedWidthTable.exactRecordCount(pf.status, recLen, opts.tolerant, conf))
+    if (fileCounts.exists(_._2.isEmpty)) return None
     val lowerNames = fields.map(_.name.toLowerCase)
     if (kept.exists(pf => !lowerNames.forall(pf.partValues.contains))) return None
     try {
       // merge by decoded key; keep the first raw representative per group
       val merged = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Seq[String], Long)]
-      kept.foreach { pf =>
+      fileCounts.foreach { case (pf, cnt) =>
         val raws = lowerNames.map(pf.partValues)
         val key = fields.zip(raws).map { case (f, r) => decodeDirValue(f, r) }
-        val n = pf.status.getLen / recLen
+        val n = cnt.get
         merged.updateWith(key) {
           case Some((rep, c)) => Some((rep, c + n))
           case None => Some((raws, n))
@@ -181,9 +189,12 @@ class FixedWidthScanBuilder(
   private def minMaxPreconditionsOk: Boolean = {
     val res = prunedForPushed()
     val recLen = opts.recordLength.toLong
+    // every kept file must have a KNOWN, NONZERO record count: a directory
+    // value backed only by record-less files (a tolerant trailing-fragment
+    // file, or an empty framed write) must not surface in min/max
     res.exact && !opts.dropMalformed &&
-      !res.kept.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath)) &&
-      (opts.tolerant || !res.kept.exists(_.getLen % recLen != 0))
+      res.kept.forall(st =>
+        FixedWidthTable.exactRecordCount(st, recLen, opts.tolerant, conf).exists(_ > 0L))
   }
 
   private def globalListingAggOf(
@@ -480,13 +491,20 @@ class FixedWidthScan(
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private lazy val files = prunedFiles
-      private lazy val anyCompressed = files.exists(st => FixedWidthTable.hasOpaqueLength(st.getPath))
+      // per-file exact counts (length arithmetic / framed footer reads);
+      // None if ANY file is unknowable (a foreign compressed member) —
+      // report unknown rather than an undercount that would trick
+      // Catalyst into auto-broadcasting an arbitrarily large table
+      private lazy val counts: Option[Long] = {
+        val cs = files.map(st => FixedWidthTable.exactRecordCount(
+          st, opts.recordLength.toLong, opts.tolerant, conf))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+      }
       override def sizeInBytes(): java.util.OptionalLong =
-        if (anyCompressed) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(files.map(_.getLen).sum)
+        counts.fold(java.util.OptionalLong.empty())(n =>
+          java.util.OptionalLong.of(n * opts.recordLength)) // DECOMPRESSED bytes for framed members
       override def numRows(): java.util.OptionalLong =
-        if (anyCompressed) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(files.map(_.getLen / opts.recordLength).sum)
+        counts.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
   override def toBatch: Batch = this
   override def description(): String =

@@ -72,14 +72,32 @@ object FixedWidthTable {
   }
 
   /** Files whose on-disk length does NOT map 1:1 to records — foreign
-    * compressed files and the sink's own framed .fwz layout — which
-    * disqualifies them from every length-arithmetic shortcut (count-star /
-    * grouped-count / min-max / limit-offset pushdown, exact statistics).
-    * An .fwz footer does carry exact record counts, so those shortcuts
-    * COULD be taught the framed case with one bounded read per file;
-    * deliberately not done until a workload needs it. */
+    * compressed files and the sink's own framed .fwz layout. Framed files
+    * still have EXACT record counts (via [[exactRecordCount]]'s footer
+    * read), so the count-star/grouped-count/min-max shortcuts and
+    * statistics stay exact for them; only the limit/offset range planner
+    * keeps this coarse gate (clipping framed chunks to a record range is
+    * unimplemented until a workload needs it). */
   def hasOpaqueLength(p: Path): Boolean =
     isCompressed(p) || FwzFormat.isFramed(p)
+
+  /** Exact record count of a file WITHOUT scanning its data: plain files
+    * by length arithmetic, framed .fwz by footer (two bounded reads —
+    * frames carry content sizes, so `count(*)` over a compressed feed
+    * never decompresses a byte); None for foreign compressed files
+    * (unknowable without decompression) and for files the scan would
+    * reject anyway (let the scan surface the real error). Floors per
+    * file: a trailing fragment under PERMISSIVE yields no record. */
+  def exactRecordCount(
+      st: FileStatus, recLen: Long, tolerant: Boolean,
+      conf: Configuration): Option[Long] =
+    if (FwzFormat.isFramed(st.getPath))
+      scala.util.Try(FwzFormat.readFooter(st.getPath, st.getLen, conf).totalDLen)
+        .toOption
+        .flatMap(d => if (!tolerant && d % recLen != 0) None else Some(d / recLen))
+    else if (isCompressed(st.getPath)) None
+    else if (!tolerant && st.getLen % recLen != 0) None
+    else Some(st.getLen / recLen)
 
   def isDataFile(s: FileStatus): Boolean = {
     val n = s.getPath.getName

@@ -136,12 +136,18 @@ class FwzRoundTripSpec extends SparkSpec with Matchers {
     e2.getMessage should include("frameBytes")
   }
 
-  test("framed files disable length-arithmetic pushdowns but not correctness") {
+  test("count(*) over framed files is answered from footers, no decompression") {
     val dir = Files.createTempDirectory("graft-fwz-agg").toString
     writeFwz(dir, 20000, "zstd", 32 * 1024)
     val r = spark.read.format("fixedwidth").option("fields", fieldsOpt)
       .option("recordLength", recLen).load(dir)
-    r.count() shouldBe 20000
+    val cnt = r.agg(count(lit(1)).as("n"))
+    cnt.collect()(0).getLong(0) shouldBe 20000L
+    // the exactRecordCount footer path keeps the listing-level answer
+    // available for compressed feeds — plan must show the listing scan
+    val p = cnt.queryExecution.executedPlan.toString
+    withClue(p) { p should include("FixedWidthListingAggScan") }
+    // real aggregates still decompress and are correct
     r.agg(sum(col("id"))).collect()(0).getLong(0) shouldBe (19999L * 20000L / 2)
   }
 }
