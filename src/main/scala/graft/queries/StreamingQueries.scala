@@ -525,6 +525,50 @@ object StreamingQueries {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q234 — the q119 sink lane over the FRAMED COMPRESSED layout (r14):
+    * each micro-batch appends .fwz files (zstd record-group frames +
+    * content-size footer, FwzFormat) through the sink, and the drained
+    * directory is read back SPLIT on the frame grid for the same rollup.
+    * Batching-independent for the q119 reason (append-only, row-pure), and
+    * the oracle is the same batch aggregate — so hash equality proves the
+    * compressed write path composes with foreachBatch streaming: every
+    * rolled micro-batch file carries its own valid footer. This is the
+    * shape a 100 TB compressed feed's INGEST actually runs: arrivals land
+    * compressed and splittable, no recompression pass. */
+  def streamToFwz(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.fixedwidth.{FieldSpec, FixedWidthOptions}
+    val layout = Seq(
+      FieldSpec("event_id", "long", 0, 12),
+      FieldSpec("user_id", "long", 12, 8),
+      FieldSpec("value", "double", 20, 25))
+    val fieldsOpt = FixedWidthOptions.renderFields(layout)
+    val out = Files.createTempDirectory("graft-fwz-sink").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("compression", "zstd").option("frameBytes", (64 * 1024).toString)
+        .mode("append").save(out)
+    val ckpt = freshCkpt("fwzsink")
+    val q = eventsStream(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      try { if (q.isActive) q.stop() }
+      finally dropCkpt(ckpt)
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), CoreQueries.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming AS-OF enrichment (feature-store lookup on a stream): each
     * streamed purchase picks up the user's latest prior view — per
     * micro-batch, a batch-mode as-of against the STATIC deduped view table
@@ -1282,5 +1326,6 @@ object StreamingQueries {
     Q("q79_stream_dedup_watermark", streamDedupWatermark, Some(streamDedupWatermarkOracle)),
     Q("q102_stream_hll", streamHll, Some(streamHllOracle)),
     Q("q119_stream_fw_sink", streamToFixedWidth, Some(streamToFixedWidthOracle)),
+    Q("q234_stream_fwz_sink", streamToFwz, Some(streamToFixedWidthOracle)),
     Q("q136_stream_asof_enrich", streamAsofEnrich, Some(streamAsofEnrichOracle)))
 }
