@@ -283,11 +283,13 @@ class FixedWidthScanBuilder(
   // partition instead of ~100k splits. Spark pushes `limit+offset` as the
   // limit when both are present, so the range math composes directly. Only
   // when the raw record stream maps 1:1 to output rows: no pushed filters
-  // (they drop records AFTER the cap) and no DROPMALFORMED; compressed files
-  // have unknown record counts, so their presence disables the push.
+  // (they drop records AFTER the cap) and no DROPMALFORMED. Plain files
+  // clip by length arithmetic and framed .fwz files by their footer grid
+  // (r14 — `df.limit(n)` on a COMPRESSED feed also plans tiny); foreign
+  // compressed files have unknown record counts and disable the push.
   private def canTruncate: Boolean =
     pushed.isEmpty && !opts.dropMalformed &&
-      !listedFiles.exists(pf => FixedWidthTable.hasOpaqueLength(pf.status.getPath))
+      !listedFiles.exists(pf => FixedWidthTable.isCompressed(pf.status.getPath))
 
   override def pushLimit(limit: Int): Boolean =
     if (canTruncate) { limitN = limit.toLong; true } else false
@@ -787,17 +789,36 @@ object FixedWidthScan {
     val target = math.min(maxPartitionBytes, math.max(bytesPerCore, 4L * 1024 * 1024))
     val aligned = math.max(recLen, (target / recLen) * recLen)
 
+    val conf = session.sessionState.newHadoopConf()
+    // footer per framed file, read ONCE here and shared by the record-range
+    // clipping and the chunker below (two bounded reads per file, the
+    // parquet planning shape)
+    val fwzFooters: Map[String, FwzFormat.FwzFooter] = framedFiles.map { case (p, len) =>
+      p -> FwzFormat.readFooter(new org.apache.hadoop.fs.Path(p), len, conf)
+    }.toMap
+
     val (rangeStart, rangeEnd) = recordRange.getOrElse((0L, Long.MaxValue))
-    var recordsBefore = 0L // global record index of the current file's first record
+    // Global record intervals are assigned over the ORIGINAL listing order
+    // — plain and framed files interleave in one index space, so a pushed
+    // [offset, limit) range clips both kinds consistently (foreign
+    // compressed files disable the push before it reaches here, so their
+    // unknowable counts never participate).
+    val clipOf: Map[String, (Long, Long)] = {
+      var recordsBefore = 0L
+      files.map { case (p, len) =>
+        val fileRecords =
+          fwzFooters.get(p).map(_.totalDLen / recLen).getOrElse(len / recLen)
+        val firstRec = math.max(0L, rangeStart - recordsBefore)
+        val lastRec = math.min(fileRecords, rangeEnd - recordsBefore)
+        recordsBefore += fileRecords
+        p -> (firstRec, lastRec)
+      }.toMap
+    }
     val plainChunks = plain.flatMap { case (path, len) =>
       // PERMISSIVE: chunks cover only whole records; the trailing fragment
-      // is never read.
-      val fileRecords = len / recLen
-      // clip to the pushed [offset, limit) record range (whole files drop
-      // out entirely when the range doesn't touch them)
-      val firstRec = math.max(0L, rangeStart - recordsBefore)
-      val lastRec = math.min(fileRecords, rangeEnd - recordsBefore)
-      recordsBefore += fileRecords
+      // is never read. Whole files drop out when the pushed range doesn't
+      // touch them.
+      val (firstRec, lastRec) = clipOf(path)
       val usable = lastRec * recLen
       (firstRec * recLen until usable by aligned).map { start =>
         FileChunk(path, start, math.min(aligned, usable - start), compressed = false)
@@ -813,7 +834,6 @@ object FixedWidthScan {
     // conservative 1:4 compression guess (granularity only — ownership
     // and grid math are exact), floored at 128 KiB (~1.5 bzip2 blocks).
     val bz2RangeBytes = math.max(128L * 1024, target / 4)
-    val conf = session.sessionState.newHadoopConf()
     val (bz2Files, wholeFile) =
       compressed.partition(_._1.toLowerCase.endsWith(".bz2"))
     // ONE phase-1 job for the whole file set — per-file jobs would run
@@ -838,38 +858,50 @@ object FixedWidthScan {
     } ++ wholeFile.map { case (p, len) =>
       FileChunk(p, 0L, len, compressed = true)
     }
-    // Framed .fwz files: ONE bounded footer read per file gives the exact
-    // (compressed, decompressed) frame grid — chunks are contiguous frame
-    // runs cut only at record-aligned frame boundaries, packed by their
-    // known decompressed weight. No phase-1 job, no spanning tail records.
-    val fwzChunks = framedFiles.flatMap { case (p, len) =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val footer = FwzFormat.readFooter(path, len, conf)
+    // Framed .fwz files: the footer's exact (compressed, decompressed)
+    // frame grid plans chunks directly — contiguous frame runs cut only at
+    // record-aligned frame boundaries, packed by their known decompressed
+    // weight, CLIPPED to the pushed record range (a limit/offset on a
+    // compressed feed decompresses only the frames it touches). No phase-1
+    // job, no spanning tail records.
+    val fwzChunks = framedFiles.flatMap { case (p, _) =>
+      val footer = fwzFooters(p)
       val fileDLen = footer.totalDLen
       if (fileDLen % recLen != 0 && !opts.tolerant)
         throw new IllegalArgumentException(
           s"fixedwidth: fwz decompressed length $fileDLen of $p is not a multiple of " +
             s"recordLength=$recLen (wrong recordLength, or truncated write; " +
             "mode=PERMISSIVE/DROPMALFORMED drops the trailing partial record)")
+      // the file's owned decompressed byte range under the pushed clip
+      val (firstRec, lastRec) = clipOf(p)
+      val lo = firstRec * recLen
+      val hi = lastRec * recLen
       val out = Seq.newBuilder[FileChunk]
-      var runStart = -1L; var runDStart = 0L; var cBytes = 0L; var dBytes = 0L
+      var run = List.empty[FwzFormat.FwzFrame] // reversed
+      var cBytes = 0L
+      def flush(): Unit = if (run.nonEmpty) {
+        val frames = run.reverse
+        val dOrigin = frames.head.dOff
+        val dEnd = math.min(hi, run.head.dOff + run.head.dLen)
+        val dStart = math.max(lo, dOrigin)
+        if (dEnd > dStart)
+          out += FileChunk(p, frames.head.cOff, cBytes, compressed = true,
+            dStart = dStart, dLen = dEnd - dStart, fileDLen = fileDLen,
+            framedCodec = footer.codec, dOrigin = dOrigin)
+        run = Nil; cBytes = 0L
+      }
       footer.frames.foreach { f =>
-        if (runStart < 0) { runStart = f.cOff; runDStart = f.dOff }
-        cBytes += f.cLen; dBytes += f.dLen
-        // cut only where the NEXT chunk would start on the record grid —
-        // writer-produced frames always do; a recordLength-mismatched read
-        // just degrades to coarser chunks and fails the multiple check above
-        if (dBytes >= aligned && (f.dOff + f.dLen) % recLen == 0) {
-          out += FileChunk(p, runStart, cBytes, compressed = true,
-            dStart = runDStart, dLen = dBytes, fileDLen = fileDLen,
-            framedCodec = footer.codec)
-          runStart = -1L; cBytes = 0L; dBytes = 0L
+        if (f.dOff + f.dLen > lo && f.dOff < hi) { // frame overlaps the clip
+          run = f :: run
+          cBytes += f.cLen
+          // cut only where the NEXT chunk would start on the record grid —
+          // writer-produced frames always do; a recordLength-mismatched
+          // read just degrades to coarser chunks and fails the check above
+          val owned = math.min(hi, f.dOff + f.dLen) - math.max(lo, run.last.dOff)
+          if (owned >= aligned && (f.dOff + f.dLen) % recLen == 0) flush()
         }
       }
-      if (runStart >= 0)
-        out += FileChunk(p, runStart, cBytes, compressed = true,
-          dStart = runDStart, dLen = dBytes, fileDLen = fileDLen,
-          framedCodec = footer.codec)
+      flush()
       out.result()
     }
 
@@ -911,7 +943,7 @@ object FixedWidthScan {
 final case class FileChunk(
     filePath: String, start: Long, length: Long, compressed: Boolean,
     hosts: Seq[String] = Nil, dStart: Long = -1L, dLen: Long = -1L,
-    fileDLen: Long = -1L, framedCodec: Byte = -1)
+    fileDLen: Long = -1L, framedCodec: Byte = -1, dOrigin: Long = -1L)
 
 /** A packed set of independently record-aligned chunks (serialized driver →
   * executor; the Spark analog of a packed `FilePartition`). */
@@ -1020,18 +1052,33 @@ final class ChunkedRecordStream(
     curPathUtf8 = c.filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     curFileDLen = -1L
     if (c.framedCodec >= 0) {
-      // framed .fwz chunk (FwzFormat): a contiguous frame run starting at
-      // a record-aligned decompressed offset — seek, decompress the run
-      // through one continuous stream bounded to its compressed range (the
-      // bound keeps the decompressor from parsing the footer or a later
-      // chunk's frames), and read exactly dLen bytes of records. No skip,
-      // no spanning tail: frame boundaries ARE record boundaries.
+      // framed .fwz chunk (FwzFormat): a contiguous frame run — seek,
+      // decompress the run through one continuous stream bounded to its
+      // compressed range (the bound keeps the decompressor from parsing
+      // the footer or a later chunk's frames), and read the chunk's owned
+      // records. No spanning tail: frame boundaries are record boundaries.
+      // A pushed limit/offset may clip the owned range INSIDE the run —
+      // the stream decodes from the run's first frame (dOrigin) and the
+      // head [dOrigin, dStart) bytes are discarded here, outside any
+      // record; trailing frame bytes past `end` are simply never read.
       rawIn.seek(c.start)
       compIn = FwzFormat.frameRunStream(c.framedCodec,
         new BoundedInputStream(rawIn, c.length))
       pos = c.dStart
       end = c.dStart + c.dLen
       curFileDLen = c.fileDLen
+      var toSkip = c.dStart - (if (c.dOrigin >= 0L) c.dOrigin else c.dStart)
+      if (toSkip > 0) {
+        val scratch = new Array[Byte](math.min(toSkip, 64L * 1024).toInt)
+        while (toSkip > 0) {
+          val r = compIn.read(scratch, 0, math.min(toSkip, scratch.length.toLong).toInt)
+          if (r < 0)
+            throw new java.io.IOException(
+              s"fixedwidth fwz: EOF while skipping to clipped offset ${c.dStart} " +
+                s"of $curPath — footer grid inconsistent with frame payload")
+          toSkip -= r
+        }
+      }
     } else if (c.compressed && c.dStart >= 0L) {
       // split bzip2 range: BYBLOCK stream aligned to the range's first
       // block; the record grid comes from the phase-1 index (dStart/dLen —

@@ -136,6 +136,35 @@ class FwzRoundTripSpec extends SparkSpec with Matchers {
     e2.getMessage should include("frameBytes")
   }
 
+  test("limit/offset over framed files plans from the footer grid, exact rows") {
+    val dir = Files.createTempDirectory("graft-fwz-limit").toString
+    // single writer task -> one file with a deterministic record order, so
+    // offset N deterministically names record N (the q08 convention)
+    import spark.implicits._
+    (0 until 120000).map(i => (i.toLong, f"p$i%019d")).toDF("id", "payload")
+      .coalesce(1)
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen).option("compression", "zstd")
+      .option("frameBytes", (32 * 1024).toString) // 1k records/frame -> many frames
+      .mode("overwrite").save(dir)
+    def read() = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen).load(dir)
+    // offset+limit landing MID-FRAME both ends: rows must be exactly
+    // [offset, offset+limit) of the write order
+    val got = read().offset(50123).limit(2000).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    got.length shouldBe 2000
+    got.toSeq shouldBe (50123L until 52123L)
+    // and the push is visible in the plan (Spark's own Limit dropped /
+    // scan reports the pushed range)
+    val p = read().offset(50123).limit(2000).queryExecution.executedPlan.toString
+    withClue(p) { p should include("PushedOffset") }
+    // plain limit alone
+    read().limit(7).collect().length shouldBe 7
+    // offset past EOF -> empty, no error
+    read().offset(120000).limit(5).collect().length shouldBe 0
+  }
+
   test("count(*) over framed files is answered from footers, no decompression") {
     val dir = Files.createTempDirectory("graft-fwz-agg").toString
     writeFwz(dir, 20000, "zstd", 32 * 1024)
