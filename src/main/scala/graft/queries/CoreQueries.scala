@@ -805,9 +805,58 @@ object CoreQueries {
       |  count(*) AS n
       |FROM lineitem""".stripMargin
 
+  /** Shared .fwz-with-statistics encoding of lineitem (frameStats on the
+    * selective columns), written once per scale dir — the input fixture for
+    * q235 (batch stats-pruned scan) and q236 (streaming .fwz source).
+    * frameBytes=64 KiB keeps sf0.01 at ~70 frames/file so a selective
+    * predicate has real frames to skip. */
+  private[queries] def lineitemFwzStatsPath(spark: SparkSession, dir: String): String = {
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    val out = QueryRegistry.scratch(dir, "lineitem_fwz_stats")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(lineitemLayout.map(f => col(f.name)): _*)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("compression", "zstd").option("frameBytes", (64 * 1024).toString)
+        .option("frameStats", "l_orderkey,l_returnflag,l_shipdate")
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** q235: fwz per-frame STATISTICS under the oracle (r15, SURVEY §7.5) —
+    * lineitem written framed+zstd with `frameStats`, then read back through
+    * a selective conjunctive predicate (range on the clustered l_orderkey +
+    * equality on l_returnflag). The planner skips every frame whose recorded
+    * min/max exclude the range WITHOUT decompressing it (FwzStats; the
+    * parquet row-group idea applied to compressed fixed-width), and the
+    * oracle computes the same aggregate from the original parquet — so the
+    * hash proves skipped frames were exactly the frames with zero matches.
+    * FwzStatsSpec pins the skip COUNTS; this lane pins end-to-end value
+    * fidelity at suite scale. */
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(lineitemFwzStatsPath(spark, dir))
+      .filter($"l_orderkey" <= 1000L && $"l_returnflag" === "R")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q235Oracle: String =
+    s"""SELECT l_linestatus, count(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey <= 1000 AND l_returnflag = 'R'
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q233_fwz_compressed_roundtrip", q233, Some(q01Oracle)),
+    Q("q235_fwz_stats_pruned_scan", q235, Some(q235Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),

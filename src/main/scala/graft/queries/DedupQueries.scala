@@ -224,6 +224,8 @@ object DedupQueries {
       Some(minhashIndexArtifactOracle)),
     Q("q226_minhash_index_refresh", minhashIndexRefresh,
       Some(minhashIndexRefreshOracle)),
+    Q("q237_compaction_racing_append", minhashCompactionRacingAppend,
+      Some(minhashIndexRefreshOracle)),
     Q("q231_minhash_index_compaction", minhashIndexCompaction,
       Some(minhashIndexRefreshOracle)))
 
@@ -440,6 +442,62 @@ object DedupQueries {
       .write.format("fixedwidth").option("fields", idxFields)
       .option("strictWidth", "true").mode("overwrite").save(out)
     load(out).orderBy(col("doc_id"), col("band_idx"))
+  }
+
+  /** q237: band-index compaction RACING a delta append (r15) — the
+    * concurrency gap q231 leaves open: q231 folds a quiet directory; a
+    * deployed compactor races q227-style arrivals. Here the live index is
+    * a GENERATION-POINTER layout ([[graft.operators.GenerationalIndex]]):
+    * base + three published deltas, compacted into one new base while a
+    * FOURTH delta lands exactly between the compactor's rewrite and its
+    * pointer swap (the `beforeCommit` seam — the worst-case interleaving).
+    * The committed manifest must hold the new base plus ONLY the racing
+    * delta (folded generations out, concurrent arrival preserved), and the
+    * lane answers from the manifest-resolved read. The oracle re-derives
+    * the FULL-corpus index from scratch, so hash equality IS the
+    * exactly-once claim: nothing lost, nothing double-counted, under the
+    * race. GenerationalIndexSpec pins the CAS/abandoned-claim machinery;
+    * this lane pins the end-to-end index content. */
+  def minhashCompactionRacingAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GenerationalIndex
+    val base = persistedMinhashIndexPath(spark, dir)
+    val tmpRoot = QueryRegistry.scratch(dir, "minhash_idx_manifest_fw")
+    val rootPath = new org.apache.hadoop.fs.Path(tmpRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true) // invocation-start wipe (bench reps reuse the dir)
+    val manifestRoot = new org.apache.hadoop.fs.Path(s"$tmpRoot/_pointer")
+    def writeDelta(g: Long): String = {
+      val out = s"$tmpRoot/gen-$g"
+      Dedup.minhashSketches(
+          table(spark, dir, "documents").filter(col("doc_id") % 8 === g),
+          "doc_id", "text", IdxShingle, IdxHashes, IdxBands)
+        .select(col("id").as("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(out)
+      out
+    }
+    def load(path: String) =
+      spark.read.format("fixedwidth").option("fields", idxFields).load(path)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    // publish the deployed shape: base + three delta generations
+    GenerationalIndex.append(fs, manifestRoot, base)
+    Seq(1L, 3L, 5L).foreach(g => GenerationalIndex.append(fs, manifestRoot, writeDelta(g)))
+    // compact them — with gen-7 landing DURING the fold
+    val compacted = s"$tmpRoot/base-v2"
+    GenerationalIndex.compact(
+      fs, manifestRoot, compacted,
+      rewrite = dirs => dirs.map(load).reduce(_ unionByName _)
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(compacted),
+      beforeCommit = () =>
+        GenerationalIndex.append(fs, manifestRoot, writeDelta(7L)))
+    // answer from the manifest-resolved live set (new base + racing delta)
+    val live = GenerationalIndex.read(fs, manifestRoot).dirs
+    require(live.size == 2 && live.contains(compacted),
+      s"q237: manifest should hold [compacted, racing delta], got $live")
+    live.map(load).reduce(_ unionByName _)
+      .orderBy(col("doc_id"), col("band_idx"))
   }
 
   /** Trained-artifact registry for the bench's explicit train_* accounting

@@ -569,6 +569,36 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q236 — the fixedwidth STREAMING SOURCE over the framed compressed
+    * layout (r15): q73 streams FROM plain fixed-width and q234 streams INTO
+    * .fwz; this closes the square by streaming FROM .fwz. Each micro-batch
+    * plans record-aligned chunks from the files' footers exactly like the
+    * batch path (no phase-1 pass), the pushed l_orderkey range reaches the
+    * stream's planner so per-frame statistics skip compressed frames per
+    * micro-batch, and footer-INCOMPLETE files in the watched directory are
+    * excluded at admission until their trailer lands (the partial-file
+    * rule, pinned in FixedWidthStreamingSpec). Oracle: the identical
+    * aggregate from the original parquet — drained stream ≡ batch read. */
+  def fwzStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = CoreQueries.lineitemFwzStatsPath(spark, dir)
+    val fieldsOpt = graft.sources.fixedwidth.FixedWidthOptions
+      .renderFields(CoreQueries.lineitemLayout)
+    runToMemory(spark, "stream_fwz_src", "complete") { ss =>
+      ss.readStream.format("fixedwidth")
+        .option("fields", fieldsOpt)
+        .load(src)
+        .filter(col("l_orderkey") <= 1000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), CoreQueries.dsum(col("l_quantity")).as("sum_qty"))
+    }
+      .orderBy(col("l_returnflag"))
+  }
+
+  val fwzStreamOracle: String =
+    s"""SELECT l_returnflag, count(*) AS n_lines, ${CoreQueries.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_orderkey <= 1000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Streaming AS-OF enrichment (feature-store lookup on a stream): each
     * streamed purchase picks up the user's latest prior view — per
     * micro-batch, a batch-mode as-of against the STATIC deduped view table
@@ -1327,5 +1357,6 @@ object StreamingQueries {
     Q("q102_stream_hll", streamHll, Some(streamHllOracle)),
     Q("q119_stream_fw_sink", streamToFixedWidth, Some(streamToFixedWidthOracle)),
     Q("q234_stream_fwz_sink", streamToFwz, Some(streamToFixedWidthOracle)),
+    Q("q236_stream_fwz_source", fwzStream, Some(fwzStreamOracle)),
     Q("q136_stream_asof_enrich", streamAsofEnrich, Some(streamAsofEnrichOracle)))
 }

@@ -201,11 +201,24 @@ class FixedWidthMicroBatchStream(
     * the pushed filters are not even admitted to the file log — on a
     * date-partitioned streaming feed the checkpoint state stays proportional
     * to the matching partitions. (Pruned-away files also never age into the
-    * seen-set; that is fine because they could never produce rows.) */
+    * seen-set; that is fine because they could never produce rows.)
+    *
+    * Framed `.fwz` files additionally gate on FOOTER COMPLETENESS: a file a
+    * foreign writer is still streaming has no trailer yet (this sink's own
+    * commit protocol renames only completed files, but a watched directory
+    * makes no such promise), and admitting it would crash the batch at plan
+    * time. An incomplete file is simply NOT admitted this trigger — it stays
+    * out of the seen-set, so the stream re-probes it every cycle and picks
+    * it up in the trigger after its footer lands. The footer probe is
+    * memoized per (path, length, mtime), so a completed file pays it once. */
   private def snapshot(): Map[String, Long] =
     FixedWidthTable.pruneFiles(
       FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
-      .kept.map(st => st.getPath.toString -> st.getLen).toMap
+      .kept
+      .filter(st => !FwzFormat.isFramed(st.getPath) ||
+        scala.util.Try(FwzFormat.readFooterCached(
+          st.getPath, st.getLen, st.getModificationTime, conf)).isSuccess)
+      .map(st => st.getPath.toString -> st.getLen).toMap
 
   override def initialOffset(): Offset = FixedWidthStreamOffset(0L)
 
@@ -267,7 +280,9 @@ class FixedWidthMicroBatchStream(
     // listing: replaying a checkpointed batch after a file was deleted must
     // fail loudly at read time, not silently plan without it.
     val files = log.filesInRange(s, e).toSeq.sortBy(_._1)
-    FixedWidthScan.alignedPartitionsOf(files, opts)
+    // pushed filters reach the planner too: fwz per-frame statistics can
+    // skip compressed frames in a streamed batch exactly like a batch scan
+    FixedWidthScan.alignedPartitionsOf(files, opts, None, pushedFilters)
   }
 
   // Pushed filters were fully accepted by the ScanBuilder (no residual), so

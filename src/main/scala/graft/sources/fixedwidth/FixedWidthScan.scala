@@ -609,25 +609,36 @@ class FixedWidthScan(
       if (runtimeFilters.isEmpty) pruneResult
       else FixedWidthTable.pruneFiles(listedFiles, opts, pushedFilters ++ runtimeFilters)
     filesPruned = res.pruned
-    keyedGroups match {
+    // Frame skipping sees pushed AND runtime filters: a join-derived In on a
+    // stats-covered key can skip compressed frames too (always sound — Spark
+    // re-evaluates the join itself).
+    val allFilters = pushedFilters ++ runtimeFilters
+    val pm = new FwzStats.PlanMetrics
+    val parts: Array[InputPartition] = keyedGroups match {
       case Some((_, groups)) =>
         val keptNow = res.kept.map(_.getPath.toString).toSet
         groups.toArray.flatMap { case (key, pfs) =>
           val files = pfs.collect { case pf if keptNow.contains(pf.status.getPath.toString) => pf.status }
-          FixedWidthScan.alignedPartitions(files, opts, conf, None).map { p =>
+          FixedWidthScan.alignedPartitions(files, opts, conf, None, allFilters, pm).map { p =>
             FixedWidthKeyedInputPartition(p.asInstanceOf[FixedWidthInputPartition], key)
           }
         }
       case None =>
-        FixedWidthScan.alignedPartitions(res.kept, opts, conf, recordRange)
+        FixedWidthScan.alignedPartitions(res.kept, opts, conf, recordRange, allFilters, pm)
     }
+    framesSkipped = pm.framesSkipped
+    parts
   }
+  @volatile private var framesSkipped: Long = 0L
 
-  /** Plan-time metric: files skipped by partition-directory pruning (visible
-    * in the SQL UI next to the task-level records/bytes counters). */
+  /** Plan-time metrics: files skipped by partition-directory pruning, and
+    * compressed frames skipped by fwz per-frame statistics (visible in the
+    * SQL UI next to the task-level records/bytes counters). */
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(FixedWidthMetrics.task("fwFilesPruned",
-      if (filesPruned >= 0) filesPruned else pruneResult.pruned))
+    Array(
+      FixedWidthMetrics.task("fwFilesPruned",
+        if (filesPruned >= 0) filesPruned else pruneResult.pruned),
+      FixedWidthMetrics.task("fwFramesSkipped", framesSkipped))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FixedWidthReaderFactory(opts, requiredSchema, new SerializableHadoopConf(conf), pushedFilters)
@@ -692,9 +703,14 @@ object FixedWidthMetrics {
     override def name(): String = "fwFilesPruned"
     override def description(): String = "files skipped by partition-directory pruning"
   }
+  class FramesSkipped extends CustomSumMetric {
+    override def name(): String = "fwFramesSkipped"
+    override def description(): String = "fwz frames skipped by per-frame column statistics"
+  }
 
   def all: Array[CustomMetric] =
-    Array(new RecordsRead, new BytesRead, new RecordsSkipped, new RecordsMalformed, new FilesPruned)
+    Array(new RecordsRead, new BytesRead, new RecordsSkipped, new RecordsMalformed,
+      new FilesPruned, new FramesSkipped)
 
   // NB: parameter must not be called `name` — inside the anonymous class the
   // member `name()` would shadow it and `def name() = name` becomes a
@@ -719,8 +735,12 @@ object FixedWidthScan {
       files: Seq[org.apache.hadoop.fs.FileStatus],
       opts: FixedWidthOptions,
       conf: Configuration = null,
-      recordRange: Option[(Long, Long)] = None): Array[InputPartition] = {
-    val parts = alignedPartitionsOf(files.map(st => st.getPath.toString -> st.getLen), opts, recordRange)
+      recordRange: Option[(Long, Long)] = None,
+      pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      planMetrics: FwzStats.PlanMetrics = null): Array[InputPartition] = {
+    val parts = alignedPartitionsOf(
+      files.map(st => st.getPath.toString -> st.getLen), opts, recordRange,
+      pushedFilters, planMetrics)
     if (conf == null) return parts
     // Attach HDFS block hosts per chunk for executor data locality (same
     // driver-side NN lookups Spark's own file sources do at plan time).
@@ -751,7 +771,9 @@ object FixedWidthScan {
   def alignedPartitionsOf(
       files: Seq[(String, Long)],
       opts: FixedWidthOptions,
-      recordRange: Option[(Long, Long)] = None): Array[InputPartition] = {
+      recordRange: Option[(Long, Long)] = None,
+      pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      planMetrics: FwzStats.PlanMetrics = null): Array[InputPartition] = {
     val recLen = opts.recordLength.toLong
     // .fwz first: the sink's OWN framed layout (FwzFormat) is always
     // readable — it is not the foreign-codec compatibility path the
@@ -794,7 +816,7 @@ object FixedWidthScan {
     // clipping and the chunker below (two bounded reads per file, the
     // parquet planning shape)
     val fwzFooters: Map[String, FwzFormat.FwzFooter] = framedFiles.map { case (p, len) =>
-      p -> FwzFormat.readFooter(new org.apache.hadoop.fs.Path(p), len, conf)
+      p -> FwzFormat.readFooterCachedStat(new org.apache.hadoop.fs.Path(p), len, conf)
     }.toMap
 
     val (rangeStart, rangeEnd) = recordRange.getOrElse((0L, Long.MaxValue))
@@ -890,15 +912,34 @@ object FixedWidthScan {
             framedCodec = footer.codec, dOrigin = dOrigin)
         run = Nil; cBytes = 0L
       }
-      footer.frames.foreach { f =>
+      // Per-frame statistics skipping ([[FwzStats]]): frames whose recorded
+      // min/max prove no record can satisfy the pushed conjunction are cut
+      // out of the runs entirely — never decompressed, never even read.
+      // Gated off under a pushed record range: limit/offset semantics count
+      // RAW records, and dropping frames would shift the grid (the builder
+      // never pushes a range alongside filters, but runtime filters can
+      // arrive independently).
+      val skipper: Option[Int => Boolean] =
+        if (pushedFilters.isEmpty || recordRange.nonEmpty) None
+        else footer.stats.flatMap(FwzStats.compileSkipper(pushedFilters, opts, _))
+      footer.frames.zipWithIndex.foreach { case (f, i) =>
         if (f.dOff + f.dLen > lo && f.dOff < hi) { // frame overlaps the clip
-          run = f :: run
-          cBytes += f.cLen
-          // cut only where the NEXT chunk would start on the record grid —
-          // writer-produced frames always do; a recordLength-mismatched
-          // read just degrades to coarser chunks and fails the check above
-          val owned = math.min(hi, f.dOff + f.dLen) - math.max(lo, run.last.dOff)
-          if (owned >= aligned && (f.dOff + f.dLen) % recLen == 0) flush()
+          // a skipped frame must sit on the record grid on BOTH ends or the
+          // surrounding chunks' dStart/dLen math would split a record
+          // (writer frames always do; this only guards foreign grids)
+          if (skipper.exists(sk => !sk(i)) &&
+              f.dOff % recLen == 0 && (f.dOff + f.dLen) % recLen == 0) {
+            flush() // the gap ends the current contiguous run
+            if (planMetrics != null) planMetrics.framesSkipped += 1
+          } else {
+            run = f :: run
+            cBytes += f.cLen
+            // cut only where the NEXT chunk would start on the record grid —
+            // writer-produced frames always do; a recordLength-mismatched
+            // read just degrades to coarser chunks and fails the check above
+            val owned = math.min(hi, f.dOff + f.dLen) - math.max(lo, run.last.dOff)
+            if (owned >= aligned && (f.dOff + f.dLen) % recLen == 0) flush()
+          }
         }
       }
       flush()
@@ -1072,7 +1113,7 @@ final class ChunkedRecordStream(
         val scratch = new Array[Byte](math.min(toSkip, 64L * 1024).toInt)
         while (toSkip > 0) {
           val r = compIn.read(scratch, 0, math.min(toSkip, scratch.length.toLong).toInt)
-          if (r < 0)
+          if (r <= 0) // r == 0: zstd continuous-mode stall on a dry bounded source
             throw new java.io.IOException(
               s"fixedwidth fwz: EOF while skipping to clipped offset ${c.dStart} " +
                 s"of $curPath — footer grid inconsistent with frame payload")
@@ -1137,23 +1178,35 @@ final class ChunkedRecordStream(
       var n = 0
       while (n < recLen) {
         val r = compIn.read(buf, n, recLen - n)
-        if (r < 0) {
+        if (r <= 0) {
+          // r == 0 is an IO-protocol violation for a blocking stream —
+          // zstd-jni's continuous mode can return it when a BOUNDED source
+          // runs dry mid-frame (e.g. a corrupt .fwz whose per-frame cLens
+          // tile the file but misalign with the actual frame payloads).
+          // Treating it as progress would spin this loop forever inside a
+          // task; fail loudly like any other corruption.
+          if (r == 0)
+            throw new java.io.IOException(
+              s"fixedwidth: decompressor stalled (read 0 bytes) at logical " +
+                s"offset ${pos + n} of $curPath — corrupt compressed chunk")
           // EOF mid-chunk. For a SPLIT range with a known decompressed
           // file length, the ONLY legitimate mid-record EOF is the file's
-          // genuine trailing fragment (the BYBLOCK stream reads past its
-          // range bound to file EOF, so a spanning tail record always
-          // completes); anything else means the phase-1 index is stale or
-          // Hadoop's BYBLOCK semantics changed — fail loudly instead of
-          // silently dropping records per range (phase 1 has the same
-          // guard as a require on block-boundary reads).
+          // genuine trailing fragment (the bz2 BYBLOCK stream reads past
+          // its range bound to file EOF, so a spanning tail record always
+          // completes; fwz frame grids come from the validated footer);
+          // anything else means the phase-1 bz2 index is stale, BYBLOCK
+          // semantics changed, or an fwz frame's payload disagrees with
+          // its footer — fail loudly instead of silently dropping records
+          // per range (phase 1 has the same guard as a require on
+          // block-boundary reads).
           if (curFileDLen >= 0L) {
             val tailFragment = (curFileDLen % recLen).toInt
             if (pos != curFileDLen - tailFragment || n != tailFragment)
               throw new java.io.IOException(
-                s"fixedwidth bz2: unexpected EOF at logical offset ${pos + n} " +
+                s"fixedwidth: unexpected EOF at logical offset ${pos + n} " +
                   s"of $curPath (indexed decompressed length $curFileDLen) — " +
-                  "split index is stale or BYBLOCK semantics changed; refusing " +
-                  "to silently drop records")
+                  "split index/footer is stale or inconsistent with the " +
+                  "compressed payload; refusing to silently drop records")
           }
           if (n == 0) return false
           if (opts.tolerant) return false // drop trailing partial record

@@ -71,16 +71,6 @@ object FixedWidthTable {
     CompressedExts.exists(n.endsWith)
   }
 
-  /** Files whose on-disk length does NOT map 1:1 to records — foreign
-    * compressed files and the sink's own framed .fwz layout. Framed files
-    * still have EXACT record counts (via [[exactRecordCount]]'s footer
-    * read), so the count-star/grouped-count/min-max shortcuts and
-    * statistics stay exact for them; only the limit/offset range planner
-    * keeps this coarse gate (clipping framed chunks to a record range is
-    * unimplemented until a workload needs it). */
-  def hasOpaqueLength(p: Path): Boolean =
-    isCompressed(p) || FwzFormat.isFramed(p)
-
   /** Exact record count of a file WITHOUT scanning its data: plain files
     * by length arithmetic, framed .fwz by footer (two bounded reads —
     * frames carry content sizes, so `count(*)` over a compressed feed
@@ -92,7 +82,8 @@ object FixedWidthTable {
       st: FileStatus, recLen: Long, tolerant: Boolean,
       conf: Configuration): Option[Long] =
     if (FwzFormat.isFramed(st.getPath))
-      scala.util.Try(FwzFormat.readFooter(st.getPath, st.getLen, conf).totalDLen)
+      scala.util.Try(FwzFormat.readFooterCached(
+          st.getPath, st.getLen, st.getModificationTime, conf).totalDLen)
         .toOption
         .flatMap(d => if (!tolerant && d % recLen != 0) None else Some(d / recLen))
     else if (isCompressed(st.getPath)) None

@@ -77,6 +77,19 @@ class FixedWidthWriteBuilder(
     throw new IllegalArgumentException(
       "fixedwidth: 'frameBytes' requires compression=zstd|gzip (framed layout)")
 
+  // Per-frame column statistics (`frameStats=all` or a comma-separated
+  // field subset): the writer records each listed field's min/max per
+  // frame in the footer ([[FwzStats]]), so a later scan's pushed range
+  // predicates skip whole frames without decompressing them — the parquet
+  // row-group statistics idea applied to the framed layout.
+  private val statFields: Seq[FieldSpec] =
+    Option(tableOptions.get("frameStats")).map { v =>
+      if (framedCodec < 0)
+        throw new IllegalArgumentException(
+          "fixedwidth: 'frameStats' requires compression=zstd|gzip (framed layout)")
+      FwzStats.resolveStatFields(v, opts)
+    }.getOrElse(Nil)
+
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
@@ -135,7 +148,7 @@ class FixedWidthWriteBuilder(
       }.getOrElse(0L)
       new FixedWidthBatchWrite(
         path, opts, info.schema(), doTruncate, new SerializableHadoopConf(conf), partitionCols,
-        maxRecords, framedCodec, frameBytes)
+        maxRecords, framedCodec, frameBytes, statFields)
     }
   }
 }
@@ -159,7 +172,8 @@ class FixedWidthBatchWrite(
     partitionCols: Seq[String] = Nil,
     maxRecordsPerFile: Long = 0L,
     framedCodec: Byte = -1,
-    frameBytes: Long = 1L * 1024 * 1024)
+    frameBytes: Long = 1L * 1024 * 1024,
+    statFields: Seq[FieldSpec] = Nil)
     extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString
@@ -176,7 +190,8 @@ class FixedWidthBatchWrite(
     FixedWidthEncoder.partitionRenderers(opts, querySchema, partitionCols)
     new FixedWidthDataWriterFactory(
       tempDir.toString, opts, querySchema, conf, partitionCols,
-      maxRecordsPerFile, jobId.replace("-", "").take(8), framedCodec, frameBytes)
+      maxRecordsPerFile, jobId.replace("-", "").take(8), framedCodec, frameBytes,
+      statFields)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -215,7 +230,8 @@ class FixedWidthDataWriterFactory(
     maxRecordsPerFile: Long = 0L,
     jobTag: String = "",
     framedCodec: Byte = -1,
-    frameBytes: Long = 1L * 1024 * 1024)
+    frameBytes: Long = 1L * 1024 * 1024,
+    statFields: Seq[FieldSpec] = Nil)
     extends DataWriterFactory {
   // jobTag (first 8 hex of the job UUID) keeps file names unique across
   // APPEND jobs from different sessions: Spark task ids restart from 0 in a
@@ -224,7 +240,7 @@ class FixedWidthDataWriterFactory(
     new FixedWidthDataWriter(
       tempDir, f"part-$partitionId%05d-$taskId${if (jobTag.isEmpty) "" else s"-$jobTag"}",
       opts, querySchema, conf.value, partitionCols, maxRecordsPerFile,
-      framedCodec, frameBytes)
+      framedCodec, frameBytes, statFields)
 }
 
 class FixedWidthDataWriter(
@@ -236,7 +252,8 @@ class FixedWidthDataWriter(
     partitionCols: Seq[String] = Nil,
     maxRecordsPerFile: Long = 0L,
     framedCodec: Byte = -1,
-    frameBytes: Long = 1L * 1024 * 1024)
+    frameBytes: Long = 1L * 1024 * 1024,
+    statFields: Seq[FieldSpec] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(tempDir).getFileSystem(conf)
@@ -269,6 +286,9 @@ class FixedWidthDataWriter(
     var frameBuf: Array[Byte] = if (framed) new Array[Byte](frameCap) else null
     var frameFill = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // per-frame column statistics tracker — one per OPEN FILE (reset on
+    // roll: each file's footer describes exactly its own frames)
+    var tracker: FwzStats.Tracker = null
   }
   private val dirs = scala.collection.mutable.LinkedHashMap.empty[String, DirState]
 
@@ -280,6 +300,7 @@ class FixedWidthDataWriter(
 
   /** Compress + write the directory's pending frame, if any. */
   private def flushFrame(st: DirState): Unit = if (st.frameFill > 0) {
+    if (st.tracker != null) st.tracker.frameDone(st.frameBuf, st.frameFill)
     val c = FwzFormat.compressFrame(framedCodec, st.frameBuf, st.frameFill)
     st.stream.write(c)
     st.frames += ((c.length.toLong, st.frameFill.toLong))
@@ -293,8 +314,10 @@ class FixedWidthDataWriter(
   private def closeFile(st: DirState): Unit = if (st.stream != null) {
     if (framed) {
       flushFrame(st)
-      FwzFormat.writeFooter(st.stream, framedCodec, st.frames.toSeq)
+      FwzFormat.writeFooter(st.stream, framedCodec, st.frames.toSeq,
+        Option(st.tracker).map(_.block()))
       st.frames.clear()
+      st.tracker = null
     }
     st.stream.close()
     st.stream = null
@@ -311,6 +334,8 @@ class FixedWidthDataWriter(
       val rel = relPathOf(relDir, st.seq)
       st.relPaths += rel
       st.stream = fs.create(new Path(tempDir, rel), true)
+      if (framed && statFields.nonEmpty)
+        st.tracker = new FwzStats.Tracker(opts, statFields)
     }
     st.inFile += 1
     st

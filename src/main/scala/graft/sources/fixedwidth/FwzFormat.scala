@@ -20,7 +20,7 @@ import org.apache.hadoop.fs.Path
   * frame run decompresses independently — which is exactly what makes a
   * 100 TB compressed feed scan as parallel as an uncompressed one.
   *
-  * Layout:
+  * Layout (version 1):
   * {{{
   *   file    := frame* footer trailer
   *   frame   := one zstd frame | one gzip member   (a record-multiple group)
@@ -32,15 +32,48 @@ import org.apache.hadoop.fs.Path
   * — two bounded reads regardless of file size. Frame payloads are
   * self-framing codecs, so a chunk reader decompresses a frame RUN through
   * one continuous stream without per-frame bookkeeping.
+  *
+  * Layout (version 2 — written only when the writer declares `frameStats`
+  * fields; the parquet row-group-statistics idea applied to this framed
+  * layout, so a pushed range filter can skip whole frames WITHOUT
+  * decompressing them):
+  * {{{
+  *   file    := frame* stats frameTable trailer2
+  *   stats   := csLen: u8 | charsetName (UTF-8) | trimId: u8
+  *            | nFields: int16 BE | fieldEntry*
+  *   fieldEntry := nameLen: u8 | name (UTF-8) | start: int32 BE | width: int32 BE
+  *            | nFrames × { flags: u8 | minBytes[width] | maxBytes[width] }
+  *   frameTable := nFrames × { cLen: int64 BE, dLen: int64 BE }
+  *   trailer2 := statsLen: int32 BE | nFrames: int32 BE | codecId: u8
+  *            | version: u8 = 2 | magic "GFZ1"
+  * }}}
+  * The LAST 10 bytes of trailer2 are laid out exactly like the v1 trailer,
+  * so one tail read dispatches on the version byte. Per-frame min/max are
+  * the RAW FIELD BYTE SLICES of the frame's extreme records, tracked by the
+  * writer under the same decode the reader applies (numeric parse /
+  * trim+charset string decode) — plan time decodes them with the reader's
+  * own parsers, so stats-based skipping can never disagree with the
+  * per-record predicate. `flags`: bit0 = frame has a non-null value (min/
+  * max valid), bit1 = frame has a SQL-NULL (blank numeric field), bit2 =
+  * stats unknown for this frame (tracker bailed; never skip).
   */
 object FwzFormat {
 
   val Extension = ".fwz"
   val Magic: Int = 0x47465A31 // "GFZ1"
   val Version: Byte = 1
+  val VersionStats: Byte = 2
   val CodecZstd: Byte = 0
   val CodecGzip: Byte = 1
   val TrailerLen = 10
+  val TrailerLenV2 = 14
+
+  /** flags bit0: the frame holds at least one non-null value (min/max valid). */
+  val FlagHasValue: Int = 1
+  /** flags bit1: the frame holds at least one SQL NULL (blank numeric field). */
+  val FlagHasNull: Int = 2
+  /** flags bit2: stats unknown for this frame — a skipper must keep it. */
+  val FlagUnknown: Int = 4
 
   def isFramed(p: Path): Boolean = p.getName.toLowerCase.endsWith(Extension)
 
@@ -62,19 +95,45 @@ object FwzFormat {
     * dLen decompressed bytes at logical offset dOff. */
   final case class FwzFrame(cOff: Long, cLen: Long, dOff: Long, dLen: Long)
 
-  final case class FwzFooter(codec: Byte, frames: Seq[FwzFrame]) {
+  /** Per-frame min/max of one declared field, as the raw byte slices of the
+    * frame's extreme records. `flags(i)`/`mins(i)`/`maxs(i)` describe frame i. */
+  final case class FwzFieldStats(
+      name: String, start: Int, width: Int,
+      flags: Array[Byte], mins: Array[Array[Byte]], maxs: Array[Array[Byte]])
+
+  /** The v2 stats block: the string-tracking conventions (charset + trim)
+    * travel with the data so a reader with DIFFERENT string semantics
+    * soundly ignores string-field stats instead of mis-skipping. */
+  final case class FwzStatsBlock(
+      charsetName: String, trimId: Byte, fields: Seq[FwzFieldStats])
+
+  /** trim option ↔ the byte recorded in the stats block. */
+  val TrimIds: Map[String, Byte] =
+    Map("right" -> 0.toByte, "left" -> 1.toByte, "both" -> 2.toByte, "none" -> 3.toByte)
+
+  final case class FwzFooter(
+      codec: Byte, frames: Seq[FwzFrame], stats: Option[FwzStatsBlock] = None) {
     def totalDLen: Long = if (frames.isEmpty) 0L else {
       val l = frames.last; l.dOff + l.dLen
     }
   }
 
-  /** Compress one frame's decompressed bytes with `codec`. zstd level 3 —
-    * the codec's own default, the ratio/speed point a feed writer wants. */
+  /** Compress one frame's decompressed bytes `bytes[0, len)` with `codec`.
+    * zstd level 3 — the codec's own default, the ratio/speed point a feed
+    * writer wants. The zstd branch compresses the prefix IN PLACE via the
+    * length-bounded byte-array call — no ~frameBytes copy of the
+    * uncompressed input on the write hot path (the only copy is of the
+    * smaller compressed output, to size the result exactly). */
   def compressFrame(codec: Byte, bytes: Array[Byte], len: Int): Array[Byte] =
     codec match {
       case CodecZstd =>
-        com.github.luben.zstd.Zstd.compress(
-          java.util.Arrays.copyOf(bytes, len), 3)
+        val dst = new Array[Byte](com.github.luben.zstd.Zstd.compressBound(len.toLong).toInt)
+        val n = com.github.luben.zstd.Zstd.compressByteArray(
+          dst, 0, dst.length, bytes, 0, len, 3)
+        if (com.github.luben.zstd.Zstd.isError(n))
+          throw new java.io.IOException(
+            s"fixedwidth fwz: zstd compression failed: ${com.github.luben.zstd.Zstd.getErrorName(n)}")
+        java.util.Arrays.copyOf(dst, n.toInt)
       case CodecGzip =>
         val bos = new java.io.ByteArrayOutputStream(len / 2 + 64)
         val g = new java.util.zip.GZIPOutputStream(bos)
@@ -94,10 +153,47 @@ object FwzFormat {
         new java.util.zip.GZIPInputStream(in, 64 * 1024) // multi-member capable
     }
 
+  // ---- Footer memoization: the footer is immutable for a given
+  // (path, length, mtime) and is consulted by count-star, grouped-count,
+  // min/max preconditions, estimateStatistics AND split planning — without
+  // the memo one query plan over a directory of framed files paid repeated
+  // driver-side positioned-read round-trips per file (the same reason
+  // Bz2SplitIndex memoizes its phase-1 index). Bounded by total cached
+  // frames; wholesale-cleared past the bound (entries are cheap to rebuild:
+  // two bounded reads).
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FwzFooter]()
+  private val cachedFrames = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val MaxCachedFrames = 4L * 1000 * 1000
+
+  /** [[readFooter]] memoized per (path, length, mtime). */
+  def readFooterCached(path: Path, fileLen: Long, mtime: Long, conf: Configuration): FwzFooter = {
+    val key = (path.toString, fileLen, mtime)
+    val hit = footerCache.get(key)
+    if (hit != null) return hit
+    val f = readFooter(path, fileLen, conf)
+    if (cachedFrames.get() > MaxCachedFrames) {
+      footerCache.clear(); cachedFrames.set(0L)
+    }
+    if (footerCache.putIfAbsent(key, f) == null) cachedFrames.addAndGet(f.frames.length.toLong)
+    f
+  }
+
+  /** [[readFooterCached]] with the mtime resolved by one driver-side stat
+    * call — for callers that only know (path, length), e.g. planning from a
+    * streaming source's recorded state. A stat is far cheaper than the two
+    * positioned footer reads it saves on every repeat. */
+  def readFooterCachedStat(path: Path, fileLen: Long, conf: Configuration): FwzFooter = {
+    val mtime = try path.getFileSystem(conf).getFileStatus(path).getModificationTime
+                catch { case _: java.io.IOException => -1L }
+    readFooterCached(path, fileLen, mtime, conf)
+  }
+
   /** Read and validate a file's footer: two bounded reads (trailer, then
-    * frame table), magic/version/codec checks, and structural consistency
-    * (compressed lengths + footer + trailer must tile the file exactly) so
-    * a truncated or foreign file fails loudly at PLAN time, not mid-scan. */
+    * frame table + stats), magic/version/codec checks, and structural
+    * consistency (compressed lengths + stats + footer + trailer must tile
+    * the file exactly) so a truncated or foreign file fails loudly at PLAN
+    * time, not mid-scan. */
   def readFooter(path: Path, fileLen: Long, conf: Configuration): FwzFooter = {
     require(fileLen >= TrailerLen,
       s"fixedwidth: $path is too short (${fileLen}B) for an fwz trailer")
@@ -113,14 +209,31 @@ object FwzFormat {
       if (magic != Magic)
         throw new IllegalArgumentException(
           s"fixedwidth: $path is not an fwz file (bad magic)")
-      if (version != Version)
+      if (version != Version && version != VersionStats)
         throw new IllegalArgumentException(
-          s"fixedwidth: $path has fwz version $version, this reader supports $Version")
+          s"fixedwidth: $path has fwz version $version, this reader supports " +
+            s"$Version and $VersionStats")
       codecNameOf(codec) // validates
-      require(nFrames >= 0 && TrailerLen + 16L * nFrames <= fileLen,
-        s"fixedwidth: $path fwz trailer claims $nFrames frames, impossible for ${fileLen}B")
+      val trailerLen = if (version == VersionStats) TrailerLenV2 else TrailerLen
+      require(fileLen >= trailerLen,
+        s"fixedwidth: $path is too short (${fileLen}B) for an fwz v$version trailer")
+      val statsLen: Long =
+        if (version != VersionStats) 0L
+        else {
+          val sb = new Array[Byte](4)
+          in.readFully(fileLen - TrailerLenV2, sb, 0, 4)
+          java.nio.ByteBuffer.wrap(sb).getInt.toLong
+        }
+      // 16L·nFrames must fit BOTH the file and an Int-indexed array — a
+      // corrupt trailer claiming ~2^27 frames must fail the validation
+      // below, not overflow the allocation into NegativeArraySizeException.
+      require(nFrames >= 0 && statsLen >= 0 &&
+        16L * nFrames <= Int.MaxValue.toLong - trailerLen &&
+        trailerLen + statsLen + 16L * nFrames <= fileLen,
+        s"fixedwidth: $path fwz trailer claims $nFrames frames + ${statsLen}B stats, " +
+          s"impossible for ${fileLen}B")
       val table = new Array[Byte](16 * nFrames)
-      in.readFully(fileLen - TrailerLen - table.length, table, 0, table.length)
+      in.readFully(fileLen - trailerLen - table.length, table, 0, table.length)
       val tb = java.nio.ByteBuffer.wrap(table)
       var cOff = 0L
       var dOff = 0L
@@ -135,19 +248,103 @@ object FwzFormat {
         cOff += cLen; dOff += dLen
         i += 1
       }
-      require(cOff + table.length + TrailerLen == fileLen,
+      require(cOff + statsLen + table.length + trailerLen == fileLen,
         s"fixedwidth: $path fwz frames cover ${cOff}B but the file holds " +
-          s"${fileLen - table.length - TrailerLen}B of frame data — corrupt or truncated")
-      FwzFooter(codec, frames.result())
+          s"${fileLen - statsLen - table.length - trailerLen}B of frame data — corrupt or truncated")
+      val stats =
+        if (statsLen == 0L) None
+        else {
+          require(statsLen <= Int.MaxValue.toLong,
+            s"fixedwidth: $path fwz stats block too large (${statsLen}B)")
+          val sbuf = new Array[Byte](statsLen.toInt)
+          in.readFully(fileLen - trailerLen - table.length - statsLen, sbuf, 0, sbuf.length)
+          Some(parseStats(path, sbuf, nFrames))
+        }
+      FwzFooter(codec, frames.result(), stats)
     } finally in.close()
   }
 
-  /** Append the footer + trailer for `frames` (written in order) to `out`. */
+  private def parseStats(path: Path, buf: Array[Byte], nFrames: Int): FwzStatsBlock = {
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"fixedwidth: $path fwz stats block corrupt: $why")
+    def utf8(n: Int): String = {
+      if (n < 0 || bb.remaining() < n) fail("string overruns block")
+      val b = new Array[Byte](n); bb.get(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    if (bb.remaining() < 1) fail("empty")
+    val charsetName = utf8(bb.get() & 0xff)
+    if (bb.remaining() < 3) fail("truncated header")
+    val trimId = bb.get()
+    val nFields = bb.getShort.toInt
+    if (nFields < 0) fail(s"negative field count $nFields")
+    val fields = (0 until nFields).map { _ =>
+      if (bb.remaining() < 1) fail("truncated field entry")
+      val name = utf8(bb.get() & 0xff)
+      if (bb.remaining() < 8) fail(s"truncated field entry '$name'")
+      val start = bb.getInt
+      val width = bb.getInt
+      if (start < 0 || width <= 0 || width > 0xffff) fail(s"field '$name' bad range [$start,+$width)")
+      if (bb.remaining().toLong < (1L + 2L * width) * nFrames)
+        fail(s"field '$name' per-frame table overruns block")
+      val flags = new Array[Byte](nFrames)
+      val mins = new Array[Array[Byte]](nFrames)
+      val maxs = new Array[Array[Byte]](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        flags(i) = bb.get()
+        val mn = new Array[Byte](width); bb.get(mn); mins(i) = mn
+        val mx = new Array[Byte](width); bb.get(mx); maxs(i) = mx
+        i += 1
+      }
+      FwzFieldStats(name, start, width, flags, mins, maxs)
+    }
+    if (bb.remaining() != 0) fail(s"${bb.remaining()} trailing bytes")
+    FwzStatsBlock(charsetName, trimId, fields)
+  }
+
+  /** Render a stats block to its on-disk bytes. */
+  private def renderStats(stats: FwzStatsBlock, nFrames: Int): Array[Byte] = {
+    val cs = stats.charsetName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(cs.length <= 255, s"fixedwidth: charset name too long for fwz stats")
+    val entries = stats.fields.map { f =>
+      val name = f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(name.length <= 255, s"fixedwidth: field name '${f.name}' too long for fwz stats")
+      require(f.flags.length == nFrames && f.mins.length == nFrames && f.maxs.length == nFrames,
+        s"fixedwidth: stats for '${f.name}' cover ${f.flags.length} frames, file has $nFrames")
+      (f, name)
+    }
+    val size = 1 + cs.length + 1 + 2 +
+      entries.map { case (f, n) => 1 + n.length + 8 + (1 + 2 * f.width) * nFrames }.sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.put(cs.length.toByte).put(cs).put(stats.trimId).putShort(stats.fields.length.toShort)
+    entries.foreach { case (f, name) =>
+      bb.put(name.length.toByte).put(name).putInt(f.start).putInt(f.width)
+      var i = 0
+      while (i < nFrames) {
+        require(f.mins(i).length == f.width && f.maxs(i).length == f.width,
+          s"fixedwidth: stats slice width mismatch for '${f.name}' frame $i")
+        bb.put(f.flags(i)).put(f.mins(i)).put(f.maxs(i))
+        i += 1
+      }
+    }
+    bb.array()
+  }
+
+  /** Append the footer + trailer for `frames` (written in order) to `out` —
+    * version 1 without stats, version 2 with. */
   def writeFooter(
-      out: java.io.OutputStream, codec: Byte, frames: Seq[(Long, Long)]): Unit = {
-    val bb = java.nio.ByteBuffer.allocate(16 * frames.length + TrailerLen)
+      out: java.io.OutputStream, codec: Byte, frames: Seq[(Long, Long)],
+      stats: Option[FwzStatsBlock] = None): Unit = {
+    val statsBytes = stats.map(renderStats(_, frames.length))
+    statsBytes.foreach(out.write)
+    val trailerLen = if (statsBytes.isDefined) TrailerLenV2 else TrailerLen
+    val bb = java.nio.ByteBuffer.allocate(16 * frames.length + trailerLen)
     frames.foreach { case (cLen, dLen) => bb.putLong(cLen).putLong(dLen) }
-    bb.putInt(frames.length).put(codec).put(Version).putInt(Magic)
+    statsBytes.foreach(s => bb.putInt(s.length))
+    bb.putInt(frames.length).put(codec)
+      .put(if (statsBytes.isDefined) VersionStats else Version).putInt(Magic)
     out.write(bb.array())
   }
 }

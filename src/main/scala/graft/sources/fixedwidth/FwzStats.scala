@@ -1,0 +1,338 @@
+package graft.sources.fixedwidth
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.fixedwidth.FwzFormat.{FlagHasNull, FlagHasValue, FlagUnknown, FwzFieldStats, FwzStatsBlock}
+
+/** Per-frame column statistics for the framed `.fwz` layout — the parquet
+  * row-group min/max idea applied to compressed fixed-width feeds (SURVEY
+  * §7.5): the writer records each declared field's min/max RAW BYTE SLICE
+  * per frame, and the planner skips whole frames a pushed range predicate
+  * can never match, without decompressing a byte of them.
+  *
+  * The soundness contract that makes this safe on foreign-trim readers and
+  * lossy encodes alike: stats are tracked over the bytes AS WRITTEN, parsed
+  * back through the SAME decoders the reader runs ([[AsciiParse]]) — never
+  * over the pre-encode input values. Whatever a reader will decode for a
+  * record, the writer decoded identically when ranking extremes, so
+  * `[decode(min), decode(max)]` always brackets every decoded value in the
+  * frame. String ordering additionally depends on the trim convention and
+  * charset, which therefore travel in the stats block; a reader whose
+  * string semantics differ ignores string-field stats (numeric parses are
+  * trim/charset-independent). Frame skipping is a pure optimization: the
+  * per-record pushed-filter evaluation still runs on every record read, so
+  * a skipped frame is exactly a frame whose records would all have been
+  * filtered out one by one.
+  */
+object FwzStats {
+
+  // ---------------------------------------------------------------- writer
+
+  /** Tracks one open file's per-frame field statistics. One instance per
+    * framed output file; [[frameDone]] once per flushed frame (over the
+    * exact bytes being compressed), [[block]] at file close. */
+  final class Tracker(opts: FixedWidthOptions, statFields: Seq[FieldSpec]) {
+    private val recLen = opts.recordLength
+    private val trimRight = opts.trim == "right" || opts.trim == "both"
+    private val trimLeft = opts.trim == "left" || opts.trim == "both"
+    private val cs = opts.charset
+
+    private final class FieldAcc(val f: FieldSpec) {
+      val flags = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val mins = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val maxs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    }
+    private val accs = statFields.map(new FieldAcc(_)).toArray
+
+    /** Fold one completed frame (`buf[0, len)`, an exact record multiple)
+      * into the per-frame tables. Cost: one typed parse + compare per stat
+      * field per record — write-path only, never on the scan hot path. */
+    def frameDone(buf: Array[Byte], len: Int): Unit = {
+      var ai = 0
+      while (ai < accs.length) {
+        val acc = accs(ai)
+        val f = acc.f
+        var flags = 0
+        var minV: Any = null // Comparable under the field's typed ordering
+        var maxV: Any = null
+        var minB: Array[Byte] = null
+        var maxB: Array[Byte] = null
+        try {
+          var base = 0
+          while (base < len) {
+            val from = base + f.start
+            val until = from + f.len
+            val v: Any = f.ftype match {
+              case "string" =>
+                // decodeString zero-copies UTF8 out of `buf`; clone before
+                // keeping (the next frame reuses the buffer)
+                AsciiParse.decodeString(buf, from, until, trimLeft, trimRight, cs)
+              case _ if AsciiParse.isBlank(buf, from, until) => null
+              case "int" | "date" =>
+                Integer.valueOf(AsciiParse.parseInt(buf, from, until))
+              case "long" | "timestamp" =>
+                java.lang.Long.valueOf(AsciiParse.parseLong(buf, from, until))
+              case "double" =>
+                val d = AsciiParse.parseDouble(buf, from, until).doubleValue()
+                // Catalyst-normalized: -0.0 ranks as 0.0 (a pushed
+                // EqualTo(0.0) must not skip a frame holding only -0.0);
+                // NaN ranks greatest via Double.compare — both matching the
+                // pushed-filter comparator in FixedWidthFilters.
+                java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
+              case FieldSpec.DecimalRe(p, s) =>
+                AsciiParse.parseDecimal(buf, from, until, p.toInt, s.toInt)
+                  .toJavaBigDecimal
+              case _ => throw new NumberFormatException(s"untrackable type ${f.ftype}")
+            }
+            if (v == null) flags |= FlagHasNull
+            else {
+              flags |= FlagHasValue
+              if (minV == null || v.asInstanceOf[Comparable[Any]].compareTo(minV) < 0) {
+                minV = v match {
+                  case u: UTF8String => u.clone()
+                  case other => other
+                }
+                minB = java.util.Arrays.copyOfRange(buf, from, until)
+              }
+              if (maxV == null || v.asInstanceOf[Comparable[Any]].compareTo(maxV) > 0) {
+                maxV = v match {
+                  case u: UTF8String => u.clone()
+                  case other => other
+                }
+                maxB = java.util.Arrays.copyOfRange(buf, from, until)
+              }
+            }
+            base += recLen
+          }
+        } catch {
+          // A slice this writer produced always reparses; reaching here
+          // means an exotic encode path — record "unknown" for the frame
+          // (never skipped) rather than guessing bounds.
+          case _: NumberFormatException =>
+            flags = FlagUnknown
+            minB = null; maxB = null
+        }
+        val zero = new Array[Byte](f.len)
+        acc.flags += flags.toByte
+        acc.mins += (if (minB != null) minB else zero)
+        acc.maxs += (if (maxB != null) maxB else zero)
+        ai += 1
+      }
+    }
+
+    def block(): FwzStatsBlock =
+      FwzStatsBlock(
+        opts.charsetName,
+        FwzFormat.TrimIds(opts.trim),
+        accs.toSeq.map(a => FwzFieldStats(
+          a.f.name, a.f.start, a.f.len,
+          a.flags.toArray, a.mins.toArray, a.maxs.toArray)))
+  }
+
+  /** Resolve + validate a writer's `frameStats` option value against the
+    * declared layout: `all`, or a comma-separated subset of field names. */
+  def resolveStatFields(spec: String, opts: FixedWidthOptions): Seq[FieldSpec] = {
+    if (!opts.typed)
+      throw new IllegalArgumentException(
+        "fixedwidth: 'frameStats' requires a 'fields' layout (raw mode has no typed columns)")
+    val t = spec.trim
+    if (t.equalsIgnoreCase("all")) opts.fields.toSeq
+    else t.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { name =>
+      opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"fixedwidth: 'frameStats' names unknown field '$name' " +
+            s"(declared: ${opts.fields.map(_.name).mkString(", ")})"))
+    }
+  }
+
+  // --------------------------------------------------------------- planner
+
+  /** Mutable plan-time counters surfaced as driver metrics (fwFramesSkipped). */
+  final class PlanMetrics { var framesSkipped: Long = 0L }
+
+  private final case class Pred(eval: Int => Boolean, trivial: Boolean)
+  private val AlwaysTrue = Pred(_ => true, trivial = true)
+
+  /** Compile the pushed conjunction into a per-frame may-match predicate
+    * over `block`'s stats, or None when no filter constrains a covered
+    * field (skipping would test nothing). The predicate is a sound
+    * OVER-approximation: `false` proves no record in the frame satisfies
+    * the full pushed conjunction — exactly the frames the reader would
+    * decompress only to drop record by record. */
+  def compileSkipper(
+      filters: Array[Filter],
+      opts: FixedWidthOptions,
+      block: FwzStatsBlock): Option[Int => Boolean] = {
+    if (filters.isEmpty || block.fields.isEmpty) return None
+
+    // String stats are ordered under the WRITER's trim+charset conventions;
+    // a reader decoding differently must not use them (numeric parses are
+    // convention-independent).
+    val stringStatsValid =
+      FwzFormat.TrimIds.get(opts.trim).contains(block.trimId) &&
+        block.charsetName.equalsIgnoreCase(opts.charsetName)
+    val trimRight = opts.trim == "right" || opts.trim == "both"
+    val trimLeft = opts.trim == "left" || opts.trim == "both"
+    val cs = opts.charset
+
+    /** The stats entry usable for reader field `name`: names match
+      * case-insensitively AND the byte range must be identical — a reader
+      * declaring different offsets reads different bytes than the writer
+      * ranked. */
+    def statOf(name: String): Option[(FieldSpec, FwzFieldStats)] =
+      opts.fields.find(_.name.equalsIgnoreCase(name)).flatMap { fs =>
+        val typeOk =
+          Set("int", "long", "date", "timestamp", "double").contains(fs.ftype) ||
+            FieldSpec.DecimalRe.matches(fs.ftype) ||
+            (fs.ftype == "string" && stringStatsValid)
+        if (!typeOk) None
+        else block.fields.find(b =>
+          b.name.equalsIgnoreCase(fs.name) && b.start == fs.start && b.width == fs.len)
+          .map(fs -> _)
+      }
+
+    /** Decode one stored extreme slice with the READER's own parser —
+      * identical semantics to a record read of those bytes. */
+    def decode(fs: FieldSpec, b: Array[Byte]): Any = fs.ftype match {
+      case "int" | "date" => Integer.valueOf(AsciiParse.parseInt(b, 0, b.length))
+      case "long" | "timestamp" => java.lang.Long.valueOf(AsciiParse.parseLong(b, 0, b.length))
+      case "double" =>
+        val d = AsciiParse.parseDouble(b, 0, b.length).doubleValue()
+        java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
+      case "string" => AsciiParse.decodeString(b, 0, b.length, trimLeft, trimRight, cs)
+      case FieldSpec.DecimalRe(p, s) =>
+        AsciiParse.parseDecimal(b, 0, b.length, p.toInt, s.toInt).toJavaBigDecimal
+      case other => throw new IllegalStateException(s"unreachable stat type $other")
+    }
+
+    /** Convert a pushed literal to the same comparable form [[decode]]
+      * yields — mirroring FixedWidthFilters.cmp's conversions exactly. */
+    def literal(fs: FieldSpec, value: Any): Option[Any] = fs.ftype match {
+      case "int" | "date" =>
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        value match {
+          case d: java.sql.Date        => Some(Integer.valueOf(DateTimeUtils.fromJavaDate(d)))
+          case ld: java.time.LocalDate => Some(Integer.valueOf(DateTimeUtils.localDateToDays(ld)))
+          case n: Number               => Some(Integer.valueOf(n.intValue()))
+          case _                       => None
+        }
+      case "long" | "timestamp" =>
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        value match {
+          case t: java.sql.Timestamp        => Some(java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
+          case inst: java.time.Instant      => Some(java.lang.Long.valueOf(DateTimeUtils.instantToMicros(inst)))
+          case ldt: java.time.LocalDateTime => Some(java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(ldt)))
+          case n: Number                    => Some(java.lang.Long.valueOf(n.longValue()))
+          case _                            => None
+        }
+      case "double" => value match {
+        case n: Number =>
+          val d = n.doubleValue()
+          Some(java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d))
+        case _ => None
+      }
+      case "string" => Some(UTF8String.fromString(value.toString))
+      case FieldSpec.DecimalRe(_, _) => value match {
+        case b: java.math.BigDecimal => Some(b)
+        case b: BigDecimal           => Some(b.bigDecimal)
+        case n: Number               => Some(new java.math.BigDecimal(n.toString))
+        case _                       => None
+      }
+      case _ => None
+    }
+
+    // BigDecimal extremes compare against literals of ANY scale via
+    // compareTo — same numeric-value semantics as the record filter.
+    def cmpVals(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    def unknown(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagUnknown) != 0
+    def hasVal(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasValue) != 0
+    def hasNull(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasNull) != 0
+
+    /** Interval leaf: frame i may hold a value v with test(cmp(v, lit)). */
+    def rangeLeaf(name: String, value: Any)(
+        may: (Any, Any, Any) => Boolean): Pred =
+      statOf(name).flatMap { case (fs, st) =>
+        literal(fs, value).map { lit =>
+          Pred(i => unknown(st, i) ||
+            (hasVal(st, i) && may(decode(fs, st.mins(i)), decode(fs, st.maxs(i)), lit)),
+            trivial = false)
+        }
+      }.getOrElse(AlwaysTrue)
+
+    /** Unsigned-lexicographic compare of `u`'s first `n` BYTES against
+      * prefix `p` (UTF8String order is bytewise, so byte truncation is the
+      * exact parquet truncated-stats compare). */
+    def prefixCmp(u: UTF8String, p: UTF8String): Int = {
+      val ub = u.getBytes
+      val pb = p.getBytes
+      val n = math.min(ub.length, pb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ub(i) & 0xff) - (pb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      // first min(|u|,|p|) bytes equal: if u carries at least |p| bytes its
+      // prefix IS p (0); a shorter u is a strict prefix of p and ranks
+      // below every p-prefixed string (-1)
+      if (ub.length >= pb.length) 0 else -1
+    }
+
+    def compile(f: Filter): Pred = f match {
+      case EqualTo(a, v) => rangeLeaf(a, v)((mn, mx, lit) =>
+        cmpVals(mn, lit) <= 0 && cmpVals(mx, lit) >= 0)
+      case GreaterThan(a, v) => rangeLeaf(a, v)((_, mx, lit) => cmpVals(mx, lit) > 0)
+      case GreaterThanOrEqual(a, v) => rangeLeaf(a, v)((_, mx, lit) => cmpVals(mx, lit) >= 0)
+      case LessThan(a, v) => rangeLeaf(a, v)((mn, _, lit) => cmpVals(mn, lit) < 0)
+      case LessThanOrEqual(a, v) => rangeLeaf(a, v)((mn, _, lit) => cmpVals(mn, lit) <= 0)
+      case In(a, vs) =>
+        statOf(a).flatMap { case (fs, st) =>
+          val lits = vs.map(literal(fs, _))
+          if (lits.exists(_.isEmpty)) None
+          else Some(Pred(i => unknown(st, i) || (hasVal(st, i) && {
+            val mn = decode(fs, st.mins(i))
+            val mx = decode(fs, st.maxs(i))
+            lits.exists(l => cmpVals(mn, l.get) <= 0 && cmpVals(mx, l.get) >= 0)
+          }), trivial = false))
+        }.getOrElse(AlwaysTrue)
+      case IsNull(a) =>
+        statOf(a).map { case (fs, st) =>
+          // string fields decode to "" (never SQL NULL) — IsNull can never
+          // match, matching FixedWidthFilters.isNullPred
+          if (fs.ftype == "string") Pred(i => unknown(st, i), trivial = false)
+          else Pred(i => unknown(st, i) || hasNull(st, i), trivial = false)
+        }.getOrElse(AlwaysTrue)
+      case IsNotNull(a) =>
+        statOf(a).map { case (fs, st) =>
+          if (fs.ftype == "string") AlwaysTrue // strings are never NULL
+          else Pred(i => unknown(st, i) || hasVal(st, i), trivial = false)
+        }.getOrElse(AlwaysTrue)
+      case StringStartsWith(a, v) =>
+        statOf(a).filter(_._1.ftype == "string").map { case (fs, st) =>
+          val p = UTF8String.fromString(v)
+          Pred(i => unknown(st, i) || (hasVal(st, i) && {
+            val mn = decode(fs, st.mins(i)).asInstanceOf[UTF8String]
+            val mx = decode(fs, st.maxs(i)).asInstanceOf[UTF8String]
+            prefixCmp(mn, p) <= 0 && prefixCmp(mx, p) >= 0
+          }), trivial = false)
+        }.getOrElse(AlwaysTrue)
+      case And(l, r) =>
+        val (lp, rp) = (compile(l), compile(r))
+        if (lp.trivial) rp
+        else if (rp.trivial) lp
+        else Pred(i => lp.eval(i) && rp.eval(i), trivial = false)
+      case Or(l, r) =>
+        val (lp, rp) = (compile(l), compile(r))
+        // an unconstrained arm makes the disjunction unconstrained
+        if (lp.trivial || rp.trivial) AlwaysTrue
+        else Pred(i => lp.eval(i) || rp.eval(i), trivial = false)
+      case _ => AlwaysTrue // contains/endsWith and anything else: no interval inference
+    }
+
+    val preds = filters.map(compile).filterNot(_.trivial)
+    if (preds.isEmpty) None
+    else Some(i => preds.forall(_.eval(i)))
+  }
+}

@@ -273,4 +273,52 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     val vals = spark.read.parquet(out).select("value").as[String](org.apache.spark.sql.Encoders.STRING).collect()
     vals.distinct.length shouldBe 70 // every record distinct => nothing replayed
   }
+
+  test("partial .fwz (no trailer yet) is excluded until complete, then delivered once") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-fwz-stage").toString
+    val data = Files.createTempDirectory("graft-fwz-watch").toString
+    val ckpt = Files.createTempDirectory("graft-fwz-watch-ckpt").toString
+    val out = Files.createTempDirectory("graft-fwz-watch-out").toString
+    val fieldsOpt = "id:long:0:10"
+
+    def stageFwz(tag: String, ids: Range): Array[Byte] = {
+      val d = s"$stage/$tag"
+      ids.map(_.toLong).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("compression", "zstd").option("frameBytes", "100")
+        .mode("overwrite").save(d)
+      val f = new java.io.File(d).listFiles.filter(_.getName.endsWith(".fwz")).head
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+
+    def drain(): Long = {
+      val q = spark.readStream.format("fixedwidth").option("fields", fieldsOpt).load(data)
+        .select(col("id"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+
+    val complete = stageFwz("complete", 0 until 500)
+    val partialFull = stageFwz("partial", 500 until 900)
+    java.nio.file.Files.write(java.nio.file.Path.of(data, "a.fwz"), complete)
+    // a foreign writer mid-stream: frames on disk, trailer not yet written —
+    // the conservative cut is half the file, definitely footer-less
+    java.nio.file.Files.write(java.nio.file.Path.of(data, "b.fwz"),
+      java.util.Arrays.copyOf(partialFull, partialFull.length / 2))
+
+    // the stream must SKIP the partial file (not crash, not deliver it)
+    drain() shouldBe 500L
+
+    // trailer lands (the file is now byte-complete): the next trigger
+    // delivers exactly its records — once
+    java.nio.file.Files.write(java.nio.file.Path.of(data, "b.fwz"), partialFull)
+    drain() shouldBe 900L
+    val ids = spark.read.parquet(out).select("id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    ids shouldBe (0L until 900L).toArray
+  }
 }

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.sources.fixedwidth.{FixedWidthInputPartition, FixedWidthOptions, FixedWidthScan, FwzFormat, FwzStats}
+
+/** Per-frame column statistics on the framed .fwz layout (FwzFormat v2 +
+  * FwzStats): the writer records each declared field's min/max raw slice per
+  * frame; the planner skips frames a pushed predicate can never match,
+  * WITHOUT decompressing them. Proven here: (1) skipping is observable (the
+  * plan's frame coverage shrinks, counted by PlanMetrics) and results stay
+  * hash-identical to the stats-less read; (2) absent stats fall back soundly
+  * (zero skips, same results); (3) string stats deactivate under a trim
+  * convention mismatch; (4) null flags drive IsNull/IsNotNull skipping;
+  * (5) the v2 footer round-trips and its corruption fails at plan time. */
+class FwzStatsSpec extends SparkSpec with Matchers {
+
+  private val fieldsOpt = "id:long:0:10,grp:string:10:4,amt:decimal(9,2):14:12"
+  private val recLen = 26
+  private val conf = new Configuration()
+
+  /** 40k records ordered by id (so frames have tight id ranges), 500
+    * records/frame ⇒ 80 frames; grp cycles a00..a07 in 5k-record blocks so
+    * string predicates also cluster; amt = id/100 exact decimal. */
+  private def writeData(dir: String, stats: Option[String], trim: String = "right"): Unit = {
+    import spark.implicits._
+    val df = (0 until 40000).map { i =>
+      (i.toLong, s"a${"%02d".format(i / 5000)}", BigDecimal(i, 2)) // id/100, scale 2
+    }.toDF("id", "grp", "amt")
+      .select(col("id"), col("grp"), col("amt").cast("decimal(9,2)"))
+      .coalesce(1)
+    val w = df.write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen.toString)
+      .option("compression", "zstd")
+      .option("frameBytes", (500 * recLen).toString)
+      .option("trim", trim)
+    stats.fold(w)(s => w.option("frameStats", s)).mode("overwrite").save(dir)
+  }
+
+  private def opts(extra: Map[String, String] = Map.empty): FixedWidthOptions = {
+    import scala.jdk.CollectionConverters._
+    FixedWidthOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      (Map("fields" -> fieldsOpt, "recordLength" -> recLen.toString) ++ extra).asJava))
+  }
+
+  /** Plan the directory's .fwz files under `filters`; returns (covered
+    * decompressed bytes, frames skipped). */
+  private def plan(dir: String, filters: Array[Filter],
+      o: FixedWidthOptions = opts()): (Long, Long) = {
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz"))
+      .map(f => f.getPath -> f.length()).toSeq
+    val pm = new FwzStats.PlanMetrics
+    val parts = FixedWidthScan.alignedPartitionsOf(files, o, None, filters, pm)
+    val covered = parts.flatMap(_.asInstanceOf[FixedWidthInputPartition].chunks)
+      .map(_.dLen).sum
+    (covered, pm.framesSkipped)
+  }
+
+  private def readFiltered(dir: String, cond: org.apache.spark.sql.Column): Seq[(Long, String, java.math.BigDecimal)] =
+    spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen.toString).load(dir)
+      .filter(cond)
+      .select(col("id"), col("grp"), col("amt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+
+  test("range + equality predicates skip frames; results identical to stats-less read") {
+    val withStats = Files.createTempDirectory("graft-fwzstats-on").toString
+    val noStats = Files.createTempDirectory("graft-fwzstats-off").toString
+    writeData(withStats, Some("all"))
+    writeData(noStats, None)
+
+    val fullBytes = 40000L * recLen
+    // long range: id < 2000 touches 4 of 80 frames
+    val (covR, skipR) = plan(withStats, Array(LessThan("id", 2000L)))
+    skipR should be > 60L
+    covR should be < fullBytes / 4
+    // stats-less: zero skips, full coverage
+    val (covN, skipN) = plan(noStats, Array(LessThan("id", 2000L)))
+    skipN shouldBe 0L
+    covN shouldBe fullBytes
+    // equality on the string block
+    val (covS, skipS) = plan(withStats, Array(EqualTo("grp", "a03")))
+    skipS should be > 60L
+    covS should be < fullBytes / 4
+    // decimal range
+    val (covD, skipD) = plan(withStats,
+      Array(GreaterThan("amt", new java.math.BigDecimal("380.00"))))
+    skipD should be > 60L
+    covD should be < fullBytes / 4
+    // In + StartsWith
+    val (_, skipIn) = plan(withStats, Array(In("id", Array(5L, 39999L))))
+    skipIn should be > 70L
+    val (_, skipPre) = plan(withStats, Array(StringStartsWith("grp", "a07")))
+    skipPre should be > 60L
+    // conjunction with an unconstrained arm still skips on the constrained one
+    val (_, skipAnd) = plan(withStats,
+      Array(LessThan("id", 2000L), StringContains("grp", "0")))
+    skipAnd should be > 60L
+    // disjunction with an unconstrained arm must NOT skip
+    val (_, skipOr) = plan(withStats,
+      Array(Or(LessThan("id", 2000L), StringContains("grp", "0"))))
+    skipOr shouldBe 0L
+
+    // end-to-end: every predicate shape returns byte-identical rows on both dirs
+    val conds = Seq(
+      col("id") < 2000L,
+      col("grp") === "a03",
+      col("amt") > lit(new java.math.BigDecimal("380.00")),
+      col("id").isin(5L, 39999L),
+      col("grp").startsWith("a07"),
+      col("id") < 2000L && col("grp").contains("0"),
+      col("id") < 2000L || col("grp").contains("0"),
+      col("id") >= 39000L && col("amt") <= lit(new java.math.BigDecimal("395.50")))
+    conds.foreach { c =>
+      withClue(s"cond $c") { readFiltered(withStats, c) shouldBe readFiltered(noStats, c) }
+    }
+  }
+
+  test("footer v2 round-trips stats and count/statistics shortcuts still work") {
+    val dir = Files.createTempDirectory("graft-fwzstats-footer").toString
+    writeData(dir, Some("id,grp"))
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz")).head
+    val footer = FwzFormat.readFooter(new Path(f.getPath), f.length(), conf)
+    footer.frames.length shouldBe 80
+    footer.totalDLen shouldBe 40000L * recLen
+    val block = footer.stats.get
+    block.fields.map(_.name) shouldBe Seq("id", "grp")
+    block.trimId shouldBe FwzFormat.TrimIds("right")
+    val idStats = block.fields.head
+    idStats.start shouldBe 0
+    idStats.width shouldBe 10
+    // frame 3 holds ids [1500, 2000): raw slices parse back to those bounds
+    new String(idStats.mins(3), "US-ASCII").trim.toLong shouldBe 1500L
+    new String(idStats.maxs(3), "US-ASCII").trim.toLong shouldBe 1999L
+    (idStats.flags(3) & FwzFormat.FlagHasValue) should not be 0
+    (idStats.flags(3) & FwzFormat.FlagHasNull) shouldBe 0
+    // count(*) pushdown still exact on a v2 file
+    spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen.toString).load(dir)
+      .count() shouldBe 40000L
+  }
+
+  test("corrupt stats block fails loudly at plan time") {
+    val dir = Files.createTempDirectory("graft-fwzstats-corrupt").toString
+    writeData(dir, Some("all"))
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz")).head
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      // truncate the stats length in the v2 trailer: statsLen sits 14 bytes
+      // before EOF — halving it breaks the tiling check
+      raf.seek(f.length() - FwzFormat.TrailerLenV2)
+      val statsLen = raf.readInt()
+      raf.seek(f.length() - FwzFormat.TrailerLenV2)
+      raf.writeInt(statsLen / 2)
+    } finally raf.close()
+    // drop the local-FS checksum sidecar: the hand-edit must reach OUR
+    // validation, not Hadoop's CRC check
+    new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      FwzFormat.readFooter(new Path(f.getPath), f.length(), conf)
+    }
+    e.getMessage should include("corrupt")
+  }
+
+  test("trim-convention mismatch deactivates string stats but never numeric ones") {
+    val dir = Files.createTempDirectory("graft-fwzstats-trim").toString
+    writeData(dir, Some("all"), trim = "right")
+    val noneTrim = opts(Map("trim" -> "none"))
+    // string predicate under trim=none: writer tracked under trim=right —
+    // stats must deactivate (values decode with trailing pad spaces here)
+    val (_, skipStr) = plan(dir, Array(EqualTo("grp", "a03 ")), noneTrim)
+    skipStr shouldBe 0L
+    // numeric predicate unaffected by trim conventions
+    val (_, skipNum) = plan(dir, Array(LessThan("id", 2000L)), noneTrim)
+    skipNum should be > 60L
+    // and the trim=none read is still value-correct under the numeric skip
+    val got = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen.toString).option("trim", "none").load(dir)
+      .filter(col("id") < 2000L).count()
+    got shouldBe 2000L
+  }
+
+  test("null flags: IsNull keeps only frames with blanks, IsNotNull skips all-null frames") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fwzstats-null").toString
+    // frames of 100 records; ids [1000, 2000) are NULL — frames 10..19
+    val df = (0 until 4000).map { i =>
+      (if (i >= 1000 && i < 2000) None else Some(i.toLong), s"g${i / 100}")
+    }.toDF("id", "grp").coalesce(1)
+    df.write.format("fixedwidth").option("fields", "id:long:0:10,grp:string:10:4")
+      .option("recordLength", "14").option("compression", "zstd")
+      .option("frameBytes", (100 * 14).toString).option("frameStats", "id")
+      .mode("overwrite").save(dir)
+    val o = FixedWidthOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(
+        Map("fields" -> "id:long:0:10,grp:string:10:4", "recordLength" -> "14")).asJava))
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz"))
+      .map(f => f.getPath -> f.length()).toSeq
+    def planWith(fs: Array[Filter]): Long = {
+      val pm = new FwzStats.PlanMetrics
+      FixedWidthScan.alignedPartitionsOf(files, o, None, fs, pm)
+      pm.framesSkipped
+    }
+    planWith(Array(IsNull("id"))) shouldBe 30L    // 30 all-valued frames skipped
+    planWith(Array(IsNotNull("id"))) shouldBe 10L // 10 all-null frames skipped
+    // values still correct end-to-end
+    val read = spark.read.format("fixedwidth")
+      .option("fields", "id:long:0:10,grp:string:10:4").option("recordLength", "14")
+      .load(dir)
+    read.filter(col("id").isNull).count() shouldBe 1000L
+    read.filter(col("id").isNotNull).count() shouldBe 3000L
+  }
+}
