@@ -110,7 +110,9 @@ final class FixedWidthFileLog(dir: Path, conf: Configuration, compactInterval: I
   * Because records are fixed-length, `maxRecordsPerTrigger` is EXACT at
   * file granularity (records-per-file = bytes / recordLength, no sampling
   * or estimation), something a delimited format cannot promise without
-  * reading the data. Caveat: for COMPRESSED inputs (allowCompressed) the
+  * reading the data — and exact for framed .fwz members too (their cached
+  * footers carry decompressed lengths; r15). Caveat: for FOREIGN
+  * compressed inputs (allowCompressed) the
   * on-disk length under-counts records, so record/byte admission caps
   * become conservative rate heuristics rather than exact — batch
   * CORRECTNESS is unaffected (partition planning shares the batch scan's
@@ -124,11 +126,22 @@ object FixedWidthMicroBatchStream {
   /** Prefix of `files` admissible under `limit`; always at least one file
     * when any are pending (a single file larger than the cap must still make
     * progress — Spark file-source semantics). Pure so the invariants are
-    * property-testable without running a stream. */
+    * property-testable without running a stream.
+    *
+    * `fwzRecords` carries EXACT per-file record counts for framed .fwz
+    * members (from their already-cached footers — admission validated them
+    * anyway): without it, compressed-length ÷ recordLength UNDERCOUNTS a
+    * framed file several-fold and `maxRecordsPerTrigger` would admit that
+    * many times the cap. With it, record admission is exact for .fwz like
+    * it is for plain files, and byte admission weighs the DECOMPRESSED
+    * size (records × recordLength — the work a batch actually does). */
   private[sources] def admissiblePrefix(
       limit: ReadLimit,
       files: Vector[(String, Long)],
-      recordLength: Int): Vector[(String, Long)] = {
+      recordLength: Int,
+      fwzRecords: Map[String, Long] = Map.empty): Vector[(String, Long)] = {
+    def recordsOf(f: (String, Long)): Long =
+      fwzRecords.getOrElse(f._1, f._2 / recordLength)
     // a strict PREFIX under the cap (not best-fit): admission must cut at the
     // first rejected file or batch boundaries would depend on later entries
     def capped(cap: Long, weight: ((String, Long)) => Long): Vector[(String, Long)] = {
@@ -145,10 +158,12 @@ object FixedWidthMicroBatchStream {
     limit match {
       case _: ReadAllAvailable => files
       case l: ReadMaxFiles => files.take(l.maxFiles)
-      case l: ReadMaxRows => capped(l.maxRows, f => f._2 / recordLength)
-      case l: ReadMaxBytes => capped(l.maxBytes, _._2)
+      case l: ReadMaxRows => capped(l.maxRows, recordsOf)
+      case l: ReadMaxBytes => capped(l.maxBytes, f =>
+        if (fwzRecords.contains(f._1)) recordsOf(f) * recordLength else f._2)
       case c: CompositeReadLimit =>
-        c.getReadLimits.foldLeft(files)((acc, l) => admissiblePrefix(l, acc, recordLength))
+        c.getReadLimits.foldLeft(files)((acc, l) =>
+          admissiblePrefix(l, acc, recordLength, fwzRecords))
       case _ => files // ReadMinRows etc.: no deferral semantics for files — admit
     }
   }
@@ -228,8 +243,16 @@ class FixedWidthMicroBatchStream(
   private def freshFiles(): Vector[(String, Long)] =
     snapshot().filterNot { case (p, _) => seen.contains(p) }.toVector.sortBy(_._1)
 
-  private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] =
-    FixedWidthMicroBatchStream.admissiblePrefix(limit, files, opts.recordLength)
+  private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] = {
+    // exact record counts for framed members, from the footers the
+    // completeness gate in snapshot() already read (memoized — no extra IO)
+    val fwzRecords = files.collect {
+      case (p, l) if FwzFormat.isFramed(new Path(p)) =>
+        p -> (scala.util.Try(FwzFormat.readFooterCachedStat(new Path(p), l, conf).totalDLen)
+          .getOrElse(l) / opts.recordLength)
+    }.toMap
+    FixedWidthMicroBatchStream.admissiblePrefix(limit, files, opts.recordLength, fwzRecords)
+  }
 
   private def admit(files: Vector[(String, Long)]): Unit = {
     if (files.nonEmpty) {

@@ -274,6 +274,23 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     vals.distinct.length shouldBe 70 // every record distinct => nothing replayed
   }
 
+  test("maxRecordsPerTrigger is EXACT for .fwz files (footer counts, not compressed length)") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-fwz-admission").toString
+    // 4 framed files × 1000 records of width 10: compressed size is a few
+    // hundred bytes, so len/recordLength would claim ~30 records per file
+    // and admit the whole backlog in one batch — the footer count must
+    // split it into exact 2000-record batches instead
+    (0 until 4).foreach { f =>
+      (0 until 1000).map(i => f"f$f%02dr$i%05d").toDF("value").coalesce(1)
+        .write.format("fixedwidth").option("recordLength", 10)
+        .option("compression", "zstd").mode("append").save(data)
+    }
+    val (rows, batches) = drainCounted(data, Map("maxRecordsPerTrigger" -> "2000"))
+    rows shouldBe 4000L
+    batches shouldBe 2 // 2 files per batch — exact under the record cap
+  }
+
   test("partial .fwz (no trailer yet) is excluded until complete, then delivered once") {
     import spark.implicits._
     val stage = Files.createTempDirectory("graft-fwz-stage").toString
