@@ -163,8 +163,14 @@ object FwzFormat {
   // two bounded reads).
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FwzFooter]()
-  private val cachedFrames = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val MaxCachedFrames = 4L * 1000 * 1000
+  private val cachedWeight = new java.util.concurrent.atomic.AtomicLong(0L)
+  // ~1M weight units ≈ tens of MB: a frame weighs 1, plus 1 per stats
+  // field (a stats entry is ~2×width+1 bytes per frame — comparable to the
+  // FwzFrame itself). Driver-side cache; must never grow with feed size.
+  private val MaxCachedWeight = 1L * 1000 * 1000
+
+  private def weightOf(f: FwzFooter): Long =
+    f.frames.length.toLong * (1L + f.stats.map(_.fields.size).getOrElse(0))
 
   /** [[readFooter]] memoized per (path, length, mtime). */
   def readFooterCached(path: Path, fileLen: Long, mtime: Long, conf: Configuration): FwzFooter = {
@@ -172,10 +178,10 @@ object FwzFormat {
     val hit = footerCache.get(key)
     if (hit != null) return hit
     val f = readFooter(path, fileLen, conf)
-    if (cachedFrames.get() > MaxCachedFrames) {
-      footerCache.clear(); cachedFrames.set(0L)
+    if (cachedWeight.get() > MaxCachedWeight) {
+      footerCache.clear(); cachedWeight.set(0L)
     }
-    if (footerCache.putIfAbsent(key, f) == null) cachedFrames.addAndGet(f.frames.length.toLong)
+    if (footerCache.putIfAbsent(key, f) == null) cachedWeight.addAndGet(weightOf(f))
     f
   }
 
