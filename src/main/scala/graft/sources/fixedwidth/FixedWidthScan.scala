@@ -919,8 +919,22 @@ object FixedWidthScan {
       // RAW records, and dropping frames would shift the grid (the builder
       // never pushes a range alongside filters, but runtime filters can
       // arrive independently).
+      val statsUsable = pushedFilters.nonEmpty && recordRange.isEmpty && footer.stats.isDefined
+      // WHOLE-FILE fast path: evaluate the pushed conjunction against the
+      // footer's lazily-folded per-file envelope first — O(fields) to
+      // discard an entirely out-of-range file, vs the O(frames) per-frame
+      // walk below. On a 10^8-frame feed where most files are wholly in or
+      // out of a date/key range, this is what keeps driver planning
+      // milliseconds instead of minutes (the envelope is cached with the
+      // footer, so its one-time fold amortizes across queries).
+      if (statsUsable && FwzStats.compileSkipper(
+          pushedFilters, opts, footer.stats.get.envelope).exists(sk => !sk(0))) {
+        if (planMetrics != null)
+          planMetrics.framesSkipped += footer.frames.length.toLong
+        Nil
+      } else {
       val skipper: Option[Int => Boolean] =
-        if (pushedFilters.isEmpty || recordRange.nonEmpty) None
+        if (!statsUsable) None
         else footer.stats.flatMap(FwzStats.compileSkipper(pushedFilters, opts, _))
       footer.frames.zipWithIndex.foreach { case (f, i) =>
         if (f.dOff + f.dLen > lo && f.dOff < hi) { // frame overlaps the clip
@@ -944,6 +958,7 @@ object FixedWidthScan {
       }
       flush()
       out.result()
+      }
     }
 
     // Pack chunks into partitions up to the target size (greedy, listing

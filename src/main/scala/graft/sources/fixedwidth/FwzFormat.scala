@@ -41,7 +41,8 @@ import org.apache.hadoop.fs.Path
   *   file    := frame* stats frameTable trailer2
   *   stats   := csLen: u8 | charsetName (UTF-8) | trimId: u8
   *            | nFields: int16 BE | fieldEntry*
-  *   fieldEntry := nameLen: u8 | name (UTF-8) | start: int32 BE | width: int32 BE
+  *   fieldEntry := nameLen: u8 | name (UTF-8) | ftypeLen: u8 | ftype (UTF-8)
+  *            | start: int32 BE | width: int32 BE
   *            | nFrames × { flags: u8 | minBytes[width] | maxBytes[width] }
   *   frameTable := nFrames × { cLen: int64 BE, dLen: int64 BE }
   *   trailer2 := statsLen: int32 BE | nFrames: int32 BE | codecId: u8
@@ -96,16 +97,67 @@ object FwzFormat {
   final case class FwzFrame(cOff: Long, cLen: Long, dOff: Long, dLen: Long)
 
   /** Per-frame min/max of one declared field, as the raw byte slices of the
-    * frame's extreme records. `flags(i)`/`mins(i)`/`maxs(i)` describe frame i. */
+    * frame's extreme records. `flags(i)`/`mins(i)`/`maxs(i)` describe frame
+    * i. `ftype` is the writer's layout type token (`long`, `decimal(9,2)`,
+    * ...): extremes were RANKED under that type's ordering, so a reader
+    * declaring a different type over the same bytes must ignore the entry
+    * (numeric rank does not bound string rank and vice versa). */
   final case class FwzFieldStats(
-      name: String, start: Int, width: Int,
+      name: String, ftype: String, start: Int, width: Int,
       flags: Array[Byte], mins: Array[Array[Byte]], maxs: Array[Array[Byte]])
 
   /** The v2 stats block: the string-tracking conventions (charset + trim)
     * travel with the data so a reader with DIFFERENT string semantics
     * soundly ignores string-field stats instead of mis-skipping. */
   final case class FwzStatsBlock(
-      charsetName: String, trimId: Byte, fields: Seq[FwzFieldStats])
+      charsetName: String, trimId: Byte, fields: Seq[FwzFieldStats]) {
+
+    /** WHOLE-FILE envelope: the per-frame tables folded to one synthetic
+      * frame per field (min of mins, max of maxs, flags OR'd; a single
+      * unknown frame poisons its field to unknown). Lazily computed ONCE
+      * per block — the block lives in the footer cache, so after the first
+      * fold a query pays O(fields) to discard a whole out-of-range file
+      * instead of O(frames): the difference between minutes and
+      * milliseconds of driver planning on a 10^8-frame feed. Self-decoding
+      * via the recorded `ftype` + trim/charset conventions, so the fold
+      * needs no reader options. */
+    lazy val envelope: FwzStatsBlock = FwzStatsBlock(
+      charsetName, trimId,
+      fields.map { f =>
+        val n = f.flags.length
+        var flags = 0
+        var minV: Any = null
+        var maxV: Any = null
+        var minB: Array[Byte] = null
+        var maxB: Array[Byte] = null
+        var i = 0
+        while (i < n && (flags & FlagUnknown) == 0) {
+          val fl = f.flags(i)
+          if ((fl & FlagUnknown) != 0) flags = FlagUnknown
+          else {
+            flags |= fl & (FlagHasValue | FlagHasNull)
+            if ((fl & FlagHasValue) != 0) {
+              try {
+                val mn = FwzStatsDecode.decode(f.ftype, f.mins(i), trimId, charsetName)
+                val mx = FwzStatsDecode.decode(f.ftype, f.maxs(i), trimId, charsetName)
+                if (minV == null || mn.asInstanceOf[Comparable[Any]].compareTo(minV) < 0) {
+                  minV = mn; minB = f.mins(i)
+                }
+                if (maxV == null || mx.asInstanceOf[Comparable[Any]].compareTo(maxV) > 0) {
+                  maxV = mx; maxB = f.maxs(i)
+                }
+              } catch { case _: Exception => flags = FlagUnknown }
+            }
+          }
+          i += 1
+        }
+        val zero = new Array[Byte](f.width)
+        FwzFieldStats(f.name, f.ftype, f.start, f.width,
+          Array(flags.toByte),
+          Array(if (minB != null) minB else zero),
+          Array(if (maxB != null) maxB else zero))
+      })
+  }
 
   /** trim option ↔ the byte recorded in the stats block. */
   val TrimIds: Map[String, Byte] =
@@ -288,6 +340,8 @@ object FwzFormat {
     val fields = (0 until nFields).map { _ =>
       if (bb.remaining() < 1) fail("truncated field entry")
       val name = utf8(bb.get() & 0xff)
+      if (bb.remaining() < 1) fail(s"truncated field entry '$name'")
+      val ftype = utf8(bb.get() & 0xff)
       if (bb.remaining() < 8) fail(s"truncated field entry '$name'")
       val start = bb.getInt
       val width = bb.getInt
@@ -304,7 +358,7 @@ object FwzFormat {
         val mx = new Array[Byte](width); bb.get(mx); maxs(i) = mx
         i += 1
       }
-      FwzFieldStats(name, start, width, flags, mins, maxs)
+      FwzFieldStats(name, ftype, start, width, flags, mins, maxs)
     }
     if (bb.remaining() != 0) fail(s"${bb.remaining()} trailing bytes")
     FwzStatsBlock(charsetName, trimId, fields)
@@ -316,17 +370,21 @@ object FwzFormat {
     require(cs.length <= 255, s"fixedwidth: charset name too long for fwz stats")
     val entries = stats.fields.map { f =>
       val name = f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ftype = f.ftype.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       require(name.length <= 255, s"fixedwidth: field name '${f.name}' too long for fwz stats")
+      require(ftype.length <= 255, s"fixedwidth: type token '${f.ftype}' too long for fwz stats")
       require(f.flags.length == nFrames && f.mins.length == nFrames && f.maxs.length == nFrames,
         s"fixedwidth: stats for '${f.name}' cover ${f.flags.length} frames, file has $nFrames")
-      (f, name)
+      (f, name, ftype)
     }
     val size = 1 + cs.length + 1 + 2 +
-      entries.map { case (f, n) => 1 + n.length + 8 + (1 + 2 * f.width) * nFrames }.sum
+      entries.map { case (f, n, t) => 1 + n.length + 1 + t.length + 8 + (1 + 2 * f.width) * nFrames }.sum
     val bb = java.nio.ByteBuffer.allocate(size)
     bb.put(cs.length.toByte).put(cs).put(stats.trimId).putShort(stats.fields.length.toShort)
-    entries.foreach { case (f, name) =>
-      bb.put(name.length.toByte).put(name).putInt(f.start).putInt(f.width)
+    entries.foreach { case (f, name, ftype) =>
+      bb.put(name.length.toByte).put(name)
+        .put(ftype.length.toByte).put(ftype)
+        .putInt(f.start).putInt(f.width)
       var i = 0
       while (i < nFrames) {
         require(f.mins(i).length == f.width && f.maxs(i).length == f.width,
@@ -353,6 +411,31 @@ object FwzFormat {
       .put(if (statsBytes.isDefined) VersionStats else Version).putInt(Magic)
     out.write(bb.array())
   }
+}
+
+/** Decode one stats extreme slice under the block's RECORDED conventions —
+  * shared by the whole-file envelope fold (no reader in sight) and the
+  * plan-time skipper (whose string-validity gate guarantees the reader's
+  * conventions equal the recorded ones; numeric parses are
+  * convention-independent). Same parsers a record read uses. */
+private[fixedwidth] object FwzStatsDecode {
+  def decode(ftype: String, b: Array[Byte], trimId: Byte, charsetName: String): Any =
+    ftype match {
+      case "int" | "date" => Integer.valueOf(AsciiParse.parseInt(b, 0, b.length))
+      case "long" | "timestamp" => java.lang.Long.valueOf(AsciiParse.parseLong(b, 0, b.length))
+      case "double" =>
+        val d = AsciiParse.parseDouble(b, 0, b.length).doubleValue()
+        java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d) // Catalyst -0.0 normalization
+      case "string" =>
+        val trimRight = trimId == 0 || trimId == 2
+        val trimLeft = trimId == 1 || trimId == 2
+        AsciiParse.decodeString(b, 0, b.length, trimLeft, trimRight,
+          java.nio.charset.Charset.forName(charsetName))
+      case FieldSpec.DecimalRe(p, s) =>
+        AsciiParse.parseDecimal(b, 0, b.length, p.toInt, s.toInt).toJavaBigDecimal
+      case other =>
+        throw new IllegalArgumentException(s"fixedwidth: unknown fwz stats type token '$other'")
+    }
 }
 
 /** Reads at most `limit` bytes from `in` — bounds a frame run so the

@@ -126,7 +126,7 @@ object FwzStats {
         opts.charsetName,
         FwzFormat.TrimIds(opts.trim),
         accs.toSeq.map(a => FwzFieldStats(
-          a.f.name, a.f.start, a.f.len,
+          a.f.name, a.f.ftype, a.f.start, a.f.len,
           a.flags.toArray, a.mins.toArray, a.maxs.toArray)))
   }
 
@@ -172,14 +172,13 @@ object FwzStats {
     val stringStatsValid =
       FwzFormat.TrimIds.get(opts.trim).contains(block.trimId) &&
         block.charsetName.equalsIgnoreCase(opts.charsetName)
-    val trimRight = opts.trim == "right" || opts.trim == "both"
-    val trimLeft = opts.trim == "left" || opts.trim == "both"
-    val cs = opts.charset
 
     /** The stats entry usable for reader field `name`: names match
-      * case-insensitively AND the byte range must be identical — a reader
+      * case-insensitively, the byte range must be identical (a reader
       * declaring different offsets reads different bytes than the writer
-      * ranked. */
+      * ranked), and the RECORDED type must equal the reader's — extremes
+      * were ranked under the writer's type ordering, and numeric rank does
+      * not bound string rank over the same bytes ("9" > "10" as strings). */
     def statOf(name: String): Option[(FieldSpec, FwzFieldStats)] =
       opts.fields.find(_.name.equalsIgnoreCase(name)).flatMap { fs =>
         val typeOk =
@@ -188,23 +187,18 @@ object FwzStats {
             (fs.ftype == "string" && stringStatsValid)
         if (!typeOk) None
         else block.fields.find(b =>
-          b.name.equalsIgnoreCase(fs.name) && b.start == fs.start && b.width == fs.len)
+          b.name.equalsIgnoreCase(fs.name) && b.ftype == fs.ftype &&
+            b.start == fs.start && b.width == fs.len)
           .map(fs -> _)
       }
 
-    /** Decode one stored extreme slice with the READER's own parser —
-      * identical semantics to a record read of those bytes. */
-    def decode(fs: FieldSpec, b: Array[Byte]): Any = fs.ftype match {
-      case "int" | "date" => Integer.valueOf(AsciiParse.parseInt(b, 0, b.length))
-      case "long" | "timestamp" => java.lang.Long.valueOf(AsciiParse.parseLong(b, 0, b.length))
-      case "double" =>
-        val d = AsciiParse.parseDouble(b, 0, b.length).doubleValue()
-        java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
-      case "string" => AsciiParse.decodeString(b, 0, b.length, trimLeft, trimRight, cs)
-      case FieldSpec.DecimalRe(p, s) =>
-        AsciiParse.parseDecimal(b, 0, b.length, p.toInt, s.toInt).toJavaBigDecimal
-      case other => throw new IllegalStateException(s"unreachable stat type $other")
-    }
+    /** Decode one stored extreme slice — via the shared recorded-convention
+      * decoder (the string-validity gate above guarantees the reader's
+      * trim/charset equal the recorded ones; numerics are
+      * convention-independent), so this is identical to a record read of
+      * those bytes. */
+    def decode(fs: FieldSpec, b: Array[Byte]): Any =
+      FwzStatsDecode.decode(fs.ftype, b, block.trimId, block.charsetName)
 
     /** Convert a pushed literal to the same comparable form [[decode]]
       * yields — mirroring FixedWidthFilters.cmp's conversions exactly. */

@@ -95,8 +95,8 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
   }
 
   /** Parse the v2 stats block from the note alone and return
-    * (charset, trimId, fields as (name, start, width, perFrame flags)). */
-  private def foreignStats(path: String): (String, Byte, Seq[(String, Int, Int, Array[Byte])]) = {
+    * (charset, trimId, fields as (name, ftype, start, width, perFrame flags)). */
+  private def foreignStats(path: String): (String, Byte, Seq[(String, String, Int, Int, Array[Byte])]) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
@@ -116,6 +116,7 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
       val nFields = bb.getShort.toInt
       val fields = (0 until nFields).map { _ =>
         val name = str(bb.get() & 0xff)
+        val ftype = str(bb.get() & 0xff)
         val start = bb.getInt
         val width = bb.getInt
         val flags = new Array[Byte](nFrames)
@@ -123,7 +124,7 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
           flags(i) = bb.get()
           bb.position(bb.position() + 2 * width) // skip min+max slices
         }
-        (name, start, width, flags)
+        (name, ftype, start, width, flags)
       }
       require(bb.remaining() == 0, "trailing stats bytes")
       (charset, trimId, fields)
@@ -175,8 +176,8 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
     val (charset, trimId, fields) = foreignStats(fwzFile(dir).getPath)
     charset shouldBe "UTF-8"
     trimId shouldBe 0 // right
-    fields.map(f => (f._1, f._2, f._3)) shouldBe Seq(("id", 0, 8))
+    fields.map(f => (f._1, f._2, f._3, f._4)) shouldBe Seq(("id", "long", 0, 8))
     // every frame holds non-null ids: bit0 set, bit1/bit2 clear
-    fields.head._4.foreach { fl => (fl & 0x7) shouldBe 1 }
+    fields.head._5.foreach { fl => (fl & 0x7) shouldBe 1 }
   }
 }

@@ -188,6 +188,94 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     got shouldBe 2000L
   }
 
+  test("stats compose with partitionBy and file rolling; each file's footer describes itself") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fwzstats-parts").toString
+    // 2 partition dirs × rolling at 5000 records → 2 files per dir, each
+    // with its own tracker generation; ids ordered so frames cluster
+    (0 until 20000).map(i => (i.toLong, if (i % 2 == 0) "ev" else "od"))
+      .toDF("id", "par").coalesce(1)
+      .write.format("fixedwidth").option("fields", "id:long:0:10,par:string:10:2")
+      .option("recordLength", "12").option("compression", "zstd")
+      .option("frameBytes", (500 * 12).toString).option("frameStats", "id")
+      .option("maxRecordsPerFile", "5000")
+      .partitionBy("par")
+      .mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".fwz"))
+    files.length shouldBe 4 // 2 dirs × (5000+5000 roll)
+    files.foreach { f =>
+      val footer = FwzFormat.readFooter(new Path(f.getPath), f.length(), conf)
+      footer.totalDLen shouldBe 5000L * 12 // every rolled file self-describes
+      footer.stats.get.fields.map(_.name) shouldBe Seq("id")
+      footer.stats.get.fields.head.flags.length shouldBe footer.frames.length
+    }
+    // directory pruning composes with frame skipping: a par + id conjunction
+    // reads one partition's files and skips their out-of-range frames;
+    // values must match the unfiltered read filtered post-hoc
+    val read = spark.read.format("fixedwidth")
+      .option("fields", "id:long:0:10,par:string:10:2").option("recordLength", "12")
+      .load(dir)
+    val got = read.filter(col("par") === "od" && col("id") < 1000L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    got shouldBe (1L until 1000L by 2).toArray
+  }
+
+  test("a pushed record range (limit/offset) disables frame skipping") {
+    val dir = Files.createTempDirectory("graft-fwzstats-range").toString
+    writeData(dir, Some("all"))
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz"))
+      .map(f => f.getPath -> f.length()).toSeq
+    val pm = new FwzStats.PlanMetrics
+    // filters + recordRange never coexist from the builder, but runtime
+    // filters can arrive while a range is pushed — the planner must then
+    // keep every frame (the range counts RAW records)
+    FixedWidthScan.alignedPartitionsOf(
+      files, opts(), Some((100L, 5000L)), Array(LessThan("id", 2000L)), pm)
+    pm.framesSkipped shouldBe 0L
+  }
+
+  test("a reader declaring a DIFFERENT type over the same bytes ignores the stats") {
+    val dir = Files.createTempDirectory("graft-fwzstats-type").toString
+    writeData(dir, Some("all"))
+    // same name/offset/width, but id declared as STRING: numeric rank does
+    // not bound string rank ("9" > "10" as strings) — stats must deactivate
+    val asString = opts(Map("fields" -> "id:string:0:10,grp:string:10:4,amt:decimal(9,2):14:12"))
+    val (_, skipped) = plan(dir, Array(EqualTo("id", "42")), asString)
+    skipped shouldBe 0L
+    // and the read itself stays correct (string compare, right-trimmed)
+    spark.read.format("fixedwidth")
+      .option("fields", "id:string:0:10,grp:string:10:4,amt:decimal(9,2):14:12")
+      .option("recordLength", recLen.toString).load(dir)
+      .filter(col("id") === "42").count() shouldBe 1L
+  }
+
+  test("whole-file envelope: an out-of-range FILE is discarded in O(fields), all frames counted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fwzstats-envelope").toString
+    // 4 rolled files of 10k ordered ids → per-file id ranges [0,10k), [10k,20k)...
+    (0 until 40000).map(i => (i.toLong, s"g${i / 5000}")).toDF("id", "grp").coalesce(1)
+      .write.format("fixedwidth").option("fields", "id:long:0:10,grp:string:10:4")
+      .option("recordLength", "14").option("compression", "zstd")
+      .option("frameBytes", (500 * 14).toString).option("frameStats", "id")
+      .option("maxRecordsPerFile", "10000")
+      .mode("overwrite").save(dir)
+    val o = opts(Map("fields" -> "id:long:0:10,grp:string:10:4", "recordLength" -> "14"))
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz"))
+      .map(f => f.getPath -> f.length()).toSeq
+    files should have size 4
+    val pm = new FwzStats.PlanMetrics
+    val parts = FixedWidthScan.alignedPartitionsOf(
+      files, o, None, Array(GreaterThanOrEqual("id", 35000L)), pm)
+    // files 0-2 (60 frames) die on their envelopes; file 3's walk skips its
+    // first 10 frames — every skipped frame counted either way
+    pm.framesSkipped shouldBe 70L
+    val touched = parts.flatMap(_.asInstanceOf[FixedWidthInputPartition].chunks)
+      .map(_.filePath).distinct
+    touched should have size 1
+  }
+
   test("null flags: IsNull keeps only frames with blanks, IsNotNull skips all-null frames") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fwzstats-null").toString
