@@ -31,8 +31,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the retry re-reads the appender's manifest. Readers always see a fully
   * committed set — never a half-folded one.
   *
-  * Commit atomicity leans only on create-exclusive (`FileSystem.create`
-  * with overwrite=false), which HDFS and local FS both give; content lands
+  * Commit atomicity leans only on an atomic create-exclusive claim —
+  * `FileSystem.create(overwrite=false)` on HDFS (a single namenode op) and
+  * POSIX `O_CREAT|O_EXCL` via `File.createNewFile` on `file:` schemes,
+  * because RawLocalFileSystem's own create is a non-atomic
+  * exists-then-create (see [[tryCommit]]); content lands
   * after the claim, so a reader can observe a CLAIMED-but-unwritten
   * manifest — [[read]] treats unparsable manifests as uncommitted and
   * falls back to the highest parsable version; writers bump their
@@ -79,13 +82,30 @@ object GenerationalIndex {
     } catch { case _: Exception => None }
 
   /** Claim + write manifest `version` — false when another writer already
-    * claimed it (the CAS failure; re-read and retry). */
+    * claimed it (the CAS failure; re-read and retry).
+    *
+    * Claim atomicity per scheme: HDFS `create(overwrite=false)` is an
+    * atomic namenode op, but RawLocalFileSystem's is exists-then-create — a
+    * TOCTOU window where two racing committers both "win" and one commit is
+    * silently lost. On `file:` schemes the claim therefore goes through
+    * `java.io.File.createNewFile` (POSIX O_CREAT|O_EXCL — genuinely atomic)
+    * and only the claim winner opens the path for content. Object stores
+    * without atomic create-exclusive need an external lock; out of scope. */
   def tryCommit(fs: FileSystem, root: Path, version: Long, dirs: Seq[String]): Boolean = {
     if (!fs.exists(root)) fs.mkdirs(root)
     val p = manifestPath(root, version)
     val out =
-      try fs.create(p, false) // create-exclusive: the atomic claim
-      catch { case _: java.io.IOException => return false }
+      if ("file".equalsIgnoreCase(fs.getScheme)) {
+        val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
+        val claimed = try local.createNewFile() catch { case _: java.io.IOException => false }
+        if (!claimed) return false
+        // we own the (empty) file; overwrite it with content through the
+        // same FileSystem so checksums/permissions match other writers
+        fs.create(p, true)
+      } else {
+        try fs.create(p, false) // atomic claim on HDFS-like schemes
+        catch { case _: java.io.IOException => return false }
+      }
     val node = mapper.createObjectNode()
     node.put("version", version)
     val arr = node.putArray("dirs")

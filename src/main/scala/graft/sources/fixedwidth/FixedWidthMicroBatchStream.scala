@@ -226,14 +226,43 @@ class FixedWidthMicroBatchStream(
     * out of the seen-set, so the stream re-probes it every cycle and picks
     * it up in the trigger after its footer lands. The footer probe is
     * memoized per (path, length, mtime), so a completed file pays it once. */
-  private def snapshot(): Map[String, Long] =
-    FixedWidthTable.pruneFiles(
+  // Exact record counts of the VALID framed files seen by the latest
+  // snapshot (from the same memoized footer read the completeness gate
+  // pays) — admission reuses them instead of re-stat'ing every file.
+  @volatile private var fwzRecords: Map[String, Long] = Map.empty
+  // One WARN per (path, length): an excluded file must be visible in the
+  // logs — "not yet complete" and "permanently corrupt" are
+  // indistinguishable from outside (the batch path fails LOUDLY on the
+  // same directory), so at least the operator can see what the stream is
+  // waiting on. Bounded: wholesale-cleared if pathological growth.
+  private val fwzWarned = scala.collection.mutable.Set.empty[(String, Long)]
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[FixedWidthMicroBatchStream])
+
+  private def snapshot(): Map[String, Long] = {
+    val meta = Map.newBuilder[String, Long]
+    val kept = FixedWidthTable.pruneFiles(
       FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
       .kept
-      .filter(st => !FwzFormat.isFramed(st.getPath) ||
-        scala.util.Try(FwzFormat.readFooterCached(
-          st.getPath, st.getLen, st.getModificationTime, conf)).isSuccess)
-      .map(st => st.getPath.toString -> st.getLen).toMap
+      .filter { st =>
+        if (!FwzFormat.isFramed(st.getPath)) true
+        else scala.util.Try(FwzFormat.readFooterCached(
+          st.getPath, st.getLen, st.getModificationTime, conf)) match {
+          case scala.util.Success(footer) =>
+            meta += st.getPath.toString -> footer.totalDLen / opts.recordLength
+            true
+          case scala.util.Failure(e) =>
+            if (fwzWarned.size > 10000) fwzWarned.clear()
+            if (fwzWarned.add((st.getPath.toString, st.getLen)))
+              logger.warn(s"fixedwidth stream: excluding framed file ${st.getPath} " +
+                s"(${st.getLen} B) until its footer becomes readable — a file " +
+                "still being written completes on its own; a permanently corrupt " +
+                s"one stays excluded (batch reads of it would fail loudly): $e")
+            false
+        }
+      }
+    fwzRecords = meta.result()
+    kept.map(st => st.getPath.toString -> st.getLen).toMap
+  }
 
   override def initialOffset(): Offset = FixedWidthStreamOffset(0L)
 
@@ -244,14 +273,18 @@ class FixedWidthMicroBatchStream(
     snapshot().filterNot { case (p, _) => seen.contains(p) }.toVector.sortBy(_._1)
 
   private def admissible(limit: ReadLimit, files: Vector[(String, Long)]): Vector[(String, Long)] = {
-    // exact record counts for framed members, from the footers the
-    // completeness gate in snapshot() already read (memoized — no extra IO)
-    val fwzRecords = files.collect {
+    // exact record counts for framed members, carried over from the footer
+    // reads snapshot()'s completeness gate already paid — genuinely no
+    // extra IO here (the stat-resolving fallback covers only a file that
+    // somehow bypassed the snapshot, e.g. an AvailableNow backlog entry
+    // surviving a fwzRecords wipe)
+    val counts = files.collect {
       case (p, l) if FwzFormat.isFramed(new Path(p)) =>
-        p -> (scala.util.Try(FwzFormat.readFooterCachedStat(new Path(p), l, conf).totalDLen)
-          .getOrElse(l) / opts.recordLength)
+        p -> fwzRecords.getOrElse(p,
+          scala.util.Try(FwzFormat.readFooterCachedStat(new Path(p), l, conf).totalDLen)
+            .getOrElse(l) / opts.recordLength)
     }.toMap
-    FixedWidthMicroBatchStream.admissiblePrefix(limit, files, opts.recordLength, fwzRecords)
+    FixedWidthMicroBatchStream.admissiblePrefix(limit, files, opts.recordLength, counts)
   }
 
   private def admit(files: Vector[(String, Long)]): Unit = {

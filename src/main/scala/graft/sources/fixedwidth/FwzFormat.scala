@@ -216,13 +216,16 @@ object FwzFormat {
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FwzFooter]()
   private val cachedWeight = new java.util.concurrent.atomic.AtomicLong(0L)
-  // ~1M weight units ≈ tens of MB: a frame weighs 1, plus 1 per stats
-  // field (a stats entry is ~2×width+1 bytes per frame — comparable to the
-  // FwzFrame itself). Driver-side cache; must never grow with feed size.
-  private val MaxCachedWeight = 1L * 1000 * 1000
+  // Weight ≈ RETAINED BYTES (frames at ~48 B each, stats at their actual
+  // per-frame slice size — a width-2000 stat field retains ~4 KB/frame, so
+  // unit-per-frame accounting would let the "bounded" cache grow to GBs).
+  // 64 MB driver-side; wholesale-cleared past the bound.
+  private val MaxCachedWeight = 64L * 1024 * 1024
 
-  private def weightOf(f: FwzFooter): Long =
-    f.frames.length.toLong * (1L + f.stats.map(_.fields.size).getOrElse(0))
+  private def weightOf(f: FwzFooter): Long = {
+    val statBytes = f.stats.map(_.fields.map(fl => 1L + 2L * fl.width).sum).getOrElse(0L)
+    f.frames.length.toLong * (48L + statBytes)
+  }
 
   /** [[readFooter]] memoized per (path, length, mtime). */
   def readFooterCached(path: Path, fileLen: Long, mtime: Long, conf: Configuration): FwzFooter = {

@@ -130,6 +130,12 @@ object FwzStats {
           a.flags.toArray, a.mins.toArray, a.maxs.toArray)))
   }
 
+  /** Widest field the stats layout supports: parseStats bounds `width` at
+    * 0xffff, so the WRITER must refuse wider fields up front — committing
+    * a file whose own footer the reader then rejects would be the worst
+    * failure mode (write succeeds, every read crashes). */
+  val MaxStatFieldWidth = 0xffff
+
   /** Resolve + validate a writer's `frameStats` option value against the
     * declared layout: `all`, or a comma-separated subset of field names. */
   def resolveStatFields(spec: String, opts: FixedWidthOptions): Seq[FieldSpec] = {
@@ -137,13 +143,22 @@ object FwzStats {
       throw new IllegalArgumentException(
         "fixedwidth: 'frameStats' requires a 'fields' layout (raw mode has no typed columns)")
     val t = spec.trim
-    if (t.equalsIgnoreCase("all")) opts.fields.toSeq
-    else t.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { name =>
-      opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+    val resolved =
+      if (t.equalsIgnoreCase("all")) opts.fields.toSeq
+      else t.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { name =>
+        opts.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"fixedwidth: 'frameStats' names unknown field '$name' " +
+              s"(declared: ${opts.fields.map(_.name).mkString(", ")})"))
+      }
+    resolved.foreach { f =>
+      if (f.len > MaxStatFieldWidth)
         throw new IllegalArgumentException(
-          s"fixedwidth: 'frameStats' names unknown field '$name' " +
-            s"(declared: ${opts.fields.map(_.name).mkString(", ")})"))
+          s"fixedwidth: 'frameStats' field '${f.name}' is ${f.len} bytes wide, " +
+            s"exceeds the stats layout's $MaxStatFieldWidth-byte slice limit " +
+            "(narrow the field or leave it out of frameStats)")
     }
+    resolved
   }
 
   // --------------------------------------------------------------- planner
@@ -153,6 +168,10 @@ object FwzStats {
 
   private final case class Pred(eval: Int => Boolean, trivial: Boolean)
   private val AlwaysTrue = Pred(_ => true, trivial = true)
+
+  /** Memoized sentinel for a stats slice that fails its typed parse (only
+    * reachable via a foreign-written block) — leaves degrade to may-match. */
+  private object Undecodable
 
   /** Compile the pushed conjunction into a per-frame may-match predicate
     * over `block`'s stats, or None when no filter constrains a covered
@@ -192,13 +211,31 @@ object FwzStats {
           .map(fs -> _)
       }
 
-    /** Decode one stored extreme slice — via the shared recorded-convention
-      * decoder (the string-validity gate above guarantees the reader's
-      * trim/charset equal the recorded ones; numerics are
-      * convention-independent), so this is identical to a record read of
-      * those bytes. */
-    def decode(fs: FieldSpec, b: Array[Byte]): Any =
-      FwzStatsDecode.decode(fs.ftype, b, block.trimId, block.charsetName)
+    /** Decoded extreme bounds, memoized per (entry, bound, frame): a
+      * conjunction with several leaves on one field decodes each frame's
+      * bound ONCE, not once per leaf — and one-sided comparisons never
+      * decode the bound they don't test. Decoding goes through the shared
+      * recorded-convention decoder (the string-validity gate above
+      * guarantees the reader's trim/charset equal the recorded ones;
+      * numerics are convention-independent), so it is identical to a
+      * record read of those bytes. A slice that fails the typed parse —
+      * possible only in a foreign-written stats block, since this writer
+      * ranks extremes through the same parser — memoizes as
+      * [[Undecodable]] and the leaf degrades to may-match, mirroring the
+      * envelope fold's degrade-don't-crash contract. */
+    val decodeMemo = scala.collection.mutable.HashMap.empty[(FwzFieldStats, Boolean), Array[AnyRef]]
+    def bound(fs: FieldSpec, st: FwzFieldStats, i: Int, wantMax: Boolean): AnyRef = {
+      val arr = decodeMemo.getOrElseUpdate((st, wantMax), new Array[AnyRef](st.flags.length))
+      var v = arr(i)
+      if (v == null) {
+        val b = if (wantMax) st.maxs(i) else st.mins(i)
+        v = try FwzStatsDecode.decode(fs.ftype, b, block.trimId, block.charsetName)
+              .asInstanceOf[AnyRef]
+            catch { case _: Exception => Undecodable }
+        arr(i) = v
+      }
+      v
+    }
 
     /** Convert a pushed literal to the same comparable form [[decode]]
       * yields — mirroring FixedWidthFilters.cmp's conversions exactly. */
@@ -244,14 +281,18 @@ object FwzStats {
     def hasVal(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasValue) != 0
     def hasNull(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasNull) != 0
 
-    /** Interval leaf: frame i may hold a value v with test(cmp(v, lit)). */
-    def rangeLeaf(name: String, value: Any)(
+    /** Interval leaf: frame i may hold a value v with test(cmp(v, lit)).
+      * Only the bounds the comparison tests are decoded (`needMin`/
+      * `needMax`); an undecodable bound degrades to may-match. */
+    def rangeLeaf(name: String, value: Any, needMin: Boolean, needMax: Boolean)(
         may: (Any, Any, Any) => Boolean): Pred =
       statOf(name).flatMap { case (fs, st) =>
         literal(fs, value).map { lit =>
-          Pred(i => unknown(st, i) ||
-            (hasVal(st, i) && may(decode(fs, st.mins(i)), decode(fs, st.maxs(i)), lit)),
-            trivial = false)
+          Pred(i => unknown(st, i) || (hasVal(st, i) && {
+            val mn: AnyRef = if (needMin) bound(fs, st, i, wantMax = false) else null
+            val mx: AnyRef = if (needMax) bound(fs, st, i, wantMax = true) else null
+            (mn eq Undecodable) || (mx eq Undecodable) || may(mn, mx, lit)
+          }), trivial = false)
         }
       }.getOrElse(AlwaysTrue)
 
@@ -275,20 +316,25 @@ object FwzStats {
     }
 
     def compile(f: Filter): Pred = f match {
-      case EqualTo(a, v) => rangeLeaf(a, v)((mn, mx, lit) =>
+      case EqualTo(a, v) => rangeLeaf(a, v, needMin = true, needMax = true)((mn, mx, lit) =>
         cmpVals(mn, lit) <= 0 && cmpVals(mx, lit) >= 0)
-      case GreaterThan(a, v) => rangeLeaf(a, v)((_, mx, lit) => cmpVals(mx, lit) > 0)
-      case GreaterThanOrEqual(a, v) => rangeLeaf(a, v)((_, mx, lit) => cmpVals(mx, lit) >= 0)
-      case LessThan(a, v) => rangeLeaf(a, v)((mn, _, lit) => cmpVals(mn, lit) < 0)
-      case LessThanOrEqual(a, v) => rangeLeaf(a, v)((mn, _, lit) => cmpVals(mn, lit) <= 0)
+      case GreaterThan(a, v) => rangeLeaf(a, v, needMin = false, needMax = true)(
+        (_, mx, lit) => cmpVals(mx, lit) > 0)
+      case GreaterThanOrEqual(a, v) => rangeLeaf(a, v, needMin = false, needMax = true)(
+        (_, mx, lit) => cmpVals(mx, lit) >= 0)
+      case LessThan(a, v) => rangeLeaf(a, v, needMin = true, needMax = false)(
+        (mn, _, lit) => cmpVals(mn, lit) < 0)
+      case LessThanOrEqual(a, v) => rangeLeaf(a, v, needMin = true, needMax = false)(
+        (mn, _, lit) => cmpVals(mn, lit) <= 0)
       case In(a, vs) =>
         statOf(a).flatMap { case (fs, st) =>
           val lits = vs.map(literal(fs, _))
           if (lits.exists(_.isEmpty)) None
           else Some(Pred(i => unknown(st, i) || (hasVal(st, i) && {
-            val mn = decode(fs, st.mins(i))
-            val mx = decode(fs, st.maxs(i))
-            lits.exists(l => cmpVals(mn, l.get) <= 0 && cmpVals(mx, l.get) >= 0)
+            val mn = bound(fs, st, i, wantMax = false)
+            val mx = bound(fs, st, i, wantMax = true)
+            (mn eq Undecodable) || (mx eq Undecodable) ||
+              lits.exists(l => cmpVals(mn, l.get) <= 0 && cmpVals(mx, l.get) >= 0)
           }), trivial = false))
         }.getOrElse(AlwaysTrue)
       case IsNull(a) =>
@@ -307,9 +353,11 @@ object FwzStats {
         statOf(a).filter(_._1.ftype == "string").map { case (fs, st) =>
           val p = UTF8String.fromString(v)
           Pred(i => unknown(st, i) || (hasVal(st, i) && {
-            val mn = decode(fs, st.mins(i)).asInstanceOf[UTF8String]
-            val mx = decode(fs, st.maxs(i)).asInstanceOf[UTF8String]
-            prefixCmp(mn, p) <= 0 && prefixCmp(mx, p) >= 0
+            val mn = bound(fs, st, i, wantMax = false)
+            val mx = bound(fs, st, i, wantMax = true)
+            (mn eq Undecodable) || (mx eq Undecodable) ||
+              (prefixCmp(mn.asInstanceOf[UTF8String], p) <= 0 &&
+                prefixCmp(mx.asInstanceOf[UTF8String], p) >= 0)
           }), trivial = false)
         }.getOrElse(AlwaysTrue)
       case And(l, r) =>

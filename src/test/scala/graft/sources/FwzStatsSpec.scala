@@ -276,6 +276,33 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     touched should have size 1
   }
 
+  test("foreign stats with an unparsable slice degrade to may-match, never crash planning") {
+    import graft.sources.fixedwidth.FwzFormat.{FlagHasValue, FwzFieldStats, FwzStatsBlock}
+    // frame 0: tested bound (max) is all-blank — this writer never produces
+    // it (extremes are ranked through the parser), but the format is
+    // documented for foreign writers; frame 1: both bounds parse, out of range
+    val st = FwzFieldStats("id", "long", 0, 10,
+      flags = Array(FlagHasValue.toByte, FlagHasValue.toByte),
+      mins = Array("1         ".getBytes("US-ASCII"), "1         ".getBytes("US-ASCII")),
+      maxs = Array("          ".getBytes("US-ASCII"), "50        ".getBytes("US-ASCII")))
+    val block = FwzStatsBlock("UTF-8", 0, Seq(st))
+    val sk = FwzStats.compileSkipper(Array(GreaterThan("id", 100L)), opts(), block)
+    sk.isDefined shouldBe true
+    sk.get(0) shouldBe true  // undecodable max: kept (may-match), no crash
+    sk.get(1) shouldBe false // decodable max 50 < 100: skipped
+    // the whole-file envelope fold degrades the same way: the poisoned
+    // frame marks the field unknown, so the file is never envelope-skipped
+    (block.envelope.fields.head.flags(0) & FwzFormat.FlagUnknown) should not be 0
+  }
+
+  test("frameStats refuses fields wider than the stats layout supports") {
+    val wide = opts(Map("fields" -> "big:string:0:70000", "recordLength" -> "70000"))
+    val e = intercept[IllegalArgumentException] {
+      FwzStats.resolveStatFields("all", wide)
+    }
+    e.getMessage should include("slice limit")
+  }
+
   test("null flags: IsNull keeps only frames with blanks, IsNotNull skips all-null frames") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fwzstats-null").toString
