@@ -858,10 +858,37 @@ object CoreQueries {
        |WHERE l_orderkey <= 1000 AND l_returnflag = 'R'
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** q238: global MIN/MAX answered from fwz FOOTER STATISTICS (r15) — the
+    * min/max twin of the framed count(*) pushdown: over a stats-framed
+    * compressed feed, `SELECT min(key), max(key), min(ts), max(ts),
+    * count(*)` (the feed-freshness question) plans a
+    * FixedWidthListingAggScan that reads ONLY the memoized footers — zero
+    * frames decompressed, zero data IO, at any feed size. Values travel as
+    * the winning records' raw field slices and decode through the same row
+    * decoders a scan uses (FixedWidthTable.decodeSliceValue), so the
+    * oracle's from-parquet aggregate must hash-match bit-exactly. */
+  def q238(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(lineitemFwzStatsPath(spark, dir))
+      .agg(
+        min($"l_orderkey").as("mn_key"), max($"l_orderkey").as("mx_key"),
+        min($"l_shipdate").as("mn_ship"), max($"l_shipdate").as("mx_ship"),
+        count(lit(1)).as("n"))
+  }
+
+  val q238Oracle: String =
+    """SELECT min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+      |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship,
+      |  count(*) AS n
+      |FROM lineitem""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q233_fwz_compressed_roundtrip", q233, Some(q01Oracle)),
     Q("q235_fwz_stats_pruned_scan", q235, Some(q235Oracle)),
+    Q("q238_fwz_stats_minmax", q238, Some(q238Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),

@@ -216,6 +216,49 @@ class FixedWidthScanBuilder(
         Some(listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString)))
       }
 
+    /** Extreme of a stats-covered field over an ALL-FRAMED kept listing,
+      * from the cached footers' whole-file envelopes ([[FwzStats]]): the
+      * min/max twin of the framed count(*) — `SELECT min(ts), max(ts),
+      * count(*)` (the feed-freshness query) over a 100 TB compressed feed
+      * becomes a footer walk with ZERO data IO. Sound because envelope
+      * extremes are the decoded-value extremes of every record (tracked
+      * through the reader's own parsers, type/slice/convention gated by
+      * usableEntry); NULLs never participate (FlagHasValue); an unknown
+      * envelope, a foreign trailing fragment, any plain/foreign member, or
+      * a residual pushed filter disables the push. None = not answerable;
+      * Some(None) = no non-null value anywhere (SQL NULL). */
+    def footerExtremeOf(f: FieldSpec, wantMax: Boolean): Option[Option[Array[Byte]]] = {
+      val res = prunedForPushed()
+      if (!res.exact || opts.dropMalformed) return None
+      val recLen = opts.recordLength.toLong
+      var best: Any = null
+      var bestSlice: Array[Byte] = null
+      res.kept.foreach { st =>
+        if (!FwzFormat.isFramed(st.getPath)) return None
+        val footer =
+          try FwzFormat.readFooterCached(st.getPath, st.getLen, st.getModificationTime, conf)
+          catch { case _: Exception => return None }
+        if (footer.totalDLen % recLen != 0) return None // foreign trailing fragment
+        val block = footer.stats.getOrElse(return None)
+        val entry = FwzStats.usableEntry(opts, block.envelope, f.name)
+          .getOrElse(return None)._2
+        val flags = entry.flags(0)
+        if ((flags & FwzFormat.FlagUnknown) != 0) return None
+        if ((flags & FwzFormat.FlagHasValue) != 0) {
+          val slice = if (wantMax) entry.maxs(0) else entry.mins(0)
+          val v =
+            try FwzStatsDecode.decode(f.ftype, slice, block.trimId, block.charsetName)
+            catch { case _: Exception => return None }
+          val better = best == null || {
+            val c = v.asInstanceOf[Comparable[Any]].compareTo(best)
+            if (wantMax) c > 0 else c < 0
+          }
+          if (better) { best = v; bestSlice = slice }
+        }
+      }
+      Some(Option(bestSlice))
+    }
+
     /** Extreme of a partition column over the kept listing: None = not
       * answerable; Some(None) = no non-null value (SQL NULL result). */
     def extremeOf(f: FieldSpec, wantMax: Boolean): Option[Option[String]] =
@@ -241,11 +284,15 @@ class FixedWidthScanBuilder(
         val f = fieldOf(m.column()).getOrElse(return None)
         extremeOf(f, wantMax = false)
           .map(raw => FixedWidthValueCol(s"min(${f.name})", f, raw): FixedWidthListingCol)
+          .orElse(footerExtremeOf(f, wantMax = false)
+            .map(s => FixedWidthSliceCol(s"min(${f.name})", f, s): FixedWidthListingCol))
           .getOrElse(return None)
       case m: Max =>
         val f = fieldOf(m.column()).getOrElse(return None)
         extremeOf(f, wantMax = true)
           .map(raw => FixedWidthValueCol(s"max(${f.name})", f, raw): FixedWidthListingCol)
+          .orElse(footerExtremeOf(f, wantMax = true)
+            .map(s => FixedWidthSliceCol(s"max(${f.name})", f, s): FixedWidthListingCol))
           .getOrElse(return None)
       case _ => return None
     }
@@ -317,6 +364,11 @@ final case class FixedWidthCountCol(n: Long) extends FixedWidthListingCol
   * and decodes on the executor (None = SQL NULL — no non-null value). */
 final case class FixedWidthValueCol(alias: String, field: FieldSpec, raw: Option[String])
     extends FixedWidthListingCol
+/** min/max answered from fwz footer statistics: the winning record's raw
+  * field SLICE travels and decodes on the executor through the same
+  * parsers a record read uses (None = SQL NULL — no non-null value). */
+final case class FixedWidthSliceCol(alias: String, field: FieldSpec, slice: Option[Array[Byte]])
+    extends FixedWidthListingCol
 
 /** The whole scan when a global COUNT(*)/MIN/MAX-over-partition-columns
   * aggregate is fully pushed: one partition, ONE row, zero data IO. */
@@ -326,6 +378,7 @@ class FixedWidthListingAggScan(opts: FixedWidthOptions, cols: Seq[FixedWidthList
   override def readSchema(): StructType = StructType(cols.zipWithIndex.map {
     case (FixedWidthCountCol(_), i) => StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)
     case (FixedWidthValueCol(alias, f, _), _) => StructField(alias, f.dataType, nullable = true)
+    case (FixedWidthSliceCol(alias, f, _), _) => StructField(alias, f.dataType, nullable = true)
   })
 
   override def toBatch: Batch = this
@@ -333,6 +386,7 @@ class FixedWidthListingAggScan(opts: FixedWidthOptions, cols: Seq[FixedWidthList
     s"FixedWidthListingAggScan [PushedAggregates: ${cols.map {
       case FixedWidthCountCol(_) => "COUNT(*)"
       case FixedWidthValueCol(alias, _, _) => alias.toUpperCase
+      case FixedWidthSliceCol(alias, _, _) => alias.toUpperCase + " (fwz stats)"
     }.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -351,6 +405,9 @@ class FixedWidthListingAggScan(opts: FixedWidthOptions, cols: Seq[FixedWidthList
             case (FixedWidthValueCol(_, _, None), i) => row.setNullAt(i)
             case (FixedWidthValueCol(_, f, Some(raw)), i) =>
               row.update(i, FixedWidthTable.decodeDirValue(lp.opts, f, raw))
+            case (FixedWidthSliceCol(_, _, None), i) => row.setNullAt(i)
+            case (FixedWidthSliceCol(_, f, Some(b)), i) =>
+              row.update(i, FixedWidthTable.decodeSliceValue(lp.opts, f, b))
           }
           row
         }

@@ -214,6 +214,26 @@ object FixedWidthTable {
       (opts.charset.name, opts.trim, f, raw),
       _ => decodeDirValueUncached(opts, f, raw))
 
+  /** Decode a raw field SLICE (an fwz stats extreme) exactly as a record
+    * read would: placed at its field range in a blank record buffer and run
+    * through the same row decoders — a footer-answered min/max is therefore
+    * bit-identical to what scanning the winning record would return. */
+  def decodeSliceValue(opts: FixedWidthOptions, f: FieldSpec, slice: Array[Byte]): Any = {
+    val buf = new Array[Byte](opts.recordLength)
+    java.util.Arrays.fill(buf, ' '.toByte)
+    System.arraycopy(slice, 0, buf, f.start, math.min(slice.length, f.len))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    FixedWidthRowDecoders.plan(
+      opts,
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(f.name, f.dataType))),
+      buf, row, () => 0L)(0)()
+    row.get(0, f.dataType) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone() // buf-backed
+      case other => other
+    }
+  }
+
   private def decodeDirValueUncached(opts: FixedWidthOptions, f: FieldSpec, raw: String): Any = {
     val buf = new Array[Byte](opts.recordLength)
     java.util.Arrays.fill(buf, ' '.toByte)

@@ -173,6 +173,34 @@ object FwzStats {
     * reachable via a foreign-written block) — leaves degrade to may-match. */
   private object Undecodable
 
+  /** The stats entry of `block` usable for reader field `name`, applying
+    * every soundness gate consumers must share: names match
+    * case-insensitively; the byte range must be identical (a reader
+    * declaring different offsets reads different bytes than the writer
+    * ranked); the RECORDED type must equal the reader's (extremes were
+    * ranked under the writer's type ordering — numeric rank does not bound
+    * string rank over the same bytes, "9" > "10" as strings); and string
+    * entries require the reader's trim + charset to equal the block's
+    * recorded conventions (string ordering depends on both). */
+  def usableEntry(
+      opts: FixedWidthOptions,
+      block: FwzStatsBlock,
+      name: String): Option[(FieldSpec, FwzFieldStats)] =
+    opts.fields.find(_.name.equalsIgnoreCase(name)).flatMap { fs =>
+      val stringOk = fs.ftype != "string" ||
+        (FwzFormat.TrimIds.get(opts.trim).contains(block.trimId) &&
+          block.charsetName.equalsIgnoreCase(opts.charsetName))
+      val typeOk =
+        Set("int", "long", "date", "timestamp", "double").contains(fs.ftype) ||
+          FieldSpec.DecimalRe.matches(fs.ftype) ||
+          fs.ftype == "string"
+      if (!typeOk || !stringOk) None
+      else block.fields.find(b =>
+        b.name.equalsIgnoreCase(fs.name) && b.ftype == fs.ftype &&
+          b.start == fs.start && b.width == fs.len)
+        .map(fs -> _)
+    }
+
   /** Compile the pushed conjunction into a per-frame may-match predicate
     * over `block`'s stats, or None when no filter constrains a covered
     * field (skipping would test nothing). The predicate is a sound
@@ -185,31 +213,10 @@ object FwzStats {
       block: FwzStatsBlock): Option[Int => Boolean] = {
     if (filters.isEmpty || block.fields.isEmpty) return None
 
-    // String stats are ordered under the WRITER's trim+charset conventions;
-    // a reader decoding differently must not use them (numeric parses are
-    // convention-independent).
-    val stringStatsValid =
-      FwzFormat.TrimIds.get(opts.trim).contains(block.trimId) &&
-        block.charsetName.equalsIgnoreCase(opts.charsetName)
-
-    /** The stats entry usable for reader field `name`: names match
-      * case-insensitively, the byte range must be identical (a reader
-      * declaring different offsets reads different bytes than the writer
-      * ranked), and the RECORDED type must equal the reader's — extremes
-      * were ranked under the writer's type ordering, and numeric rank does
-      * not bound string rank over the same bytes ("9" > "10" as strings). */
+    /** Per-field soundness gates shared with the aggregate path — see
+      * [[usableEntry]]. */
     def statOf(name: String): Option[(FieldSpec, FwzFieldStats)] =
-      opts.fields.find(_.name.equalsIgnoreCase(name)).flatMap { fs =>
-        val typeOk =
-          Set("int", "long", "date", "timestamp", "double").contains(fs.ftype) ||
-            FieldSpec.DecimalRe.matches(fs.ftype) ||
-            (fs.ftype == "string" && stringStatsValid)
-        if (!typeOk) None
-        else block.fields.find(b =>
-          b.name.equalsIgnoreCase(fs.name) && b.ftype == fs.ftype &&
-            b.start == fs.start && b.width == fs.len)
-          .map(fs -> _)
-      }
+      usableEntry(opts, block, name)
 
     /** Decoded extreme bounds, memoized per (entry, bound, frame): a
       * conjunction with several leaves on one field decodes each frame's

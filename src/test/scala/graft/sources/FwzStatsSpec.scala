@@ -276,6 +276,46 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     touched should have size 1
   }
 
+  test("global MIN/MAX over a framed feed answers from footers with zero data IO") {
+    val withStats = Files.createTempDirectory("graft-fwzstats-minmax").toString
+    val noStats = Files.createTempDirectory("graft-fwzstats-minmax-ns").toString
+    writeData(withStats, Some("all"))
+    writeData(noStats, None)
+    def agg(dir: String) = spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .option("recordLength", recLen.toString).load(dir)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("grp")).as("gmn"), max(col("grp")).as("gmx"),
+        min(col("amt")).as("amn"), max(col("amt")).as("amx"),
+        count(lit(1)).as("n"))
+    val planned = agg(withStats).queryExecution.executedPlan.toString
+    planned should include("FixedWidthListingAggScan")
+    planned should include("(fwz stats)")
+    val r = agg(withStats).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)) shouldBe
+      ((0L, 39999L, "a00", "a07"))
+    r.getDecimal(4) shouldBe new java.math.BigDecimal("0.00")
+    r.getDecimal(5) shouldBe new java.math.BigDecimal("399.99")
+    r.getLong(6) shouldBe 40000L
+    // stats-less: no listing-agg plan, same values through a real scan
+    val plannedNs = agg(noStats).queryExecution.executedPlan.toString
+    plannedNs should not include "FixedWidthListingAggScan"
+    agg(noStats).collect()(0).toSeq shouldBe r.toSeq
+    // NULLs are ignored, all-null columns yield SQL NULL (the null fixture:
+    // ids 1000-1999 blank)
+    val nullDir = Files.createTempDirectory("graft-fwzstats-minmax-null").toString
+    import spark.implicits._
+    (0 until 4000).map(i => (if (i >= 1000 && i < 2000) None else Some(i.toLong), "g"))
+      .toDF("id", "grp").coalesce(1)
+      .write.format("fixedwidth").option("fields", "id:long:0:10,grp:string:10:4")
+      .option("recordLength", "14").option("compression", "zstd")
+      .option("frameBytes", (100 * 14).toString).option("frameStats", "id")
+      .mode("overwrite").save(nullDir)
+    val nr = spark.read.format("fixedwidth").option("fields", "id:long:0:10,grp:string:10:4")
+      .option("recordLength", "14").load(nullDir)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    (nr.getLong(0), nr.getLong(1)) shouldBe ((0L, 3999L)) // nulls ignored
+  }
+
   test("foreign stats with an unparsable slice degrade to may-match, never crash planning") {
     import graft.sources.fixedwidth.FwzFormat.{FlagHasValue, FwzFieldStats, FwzStatsBlock}
     // frame 0: tested bound (max) is all-blank — this writer never produces
