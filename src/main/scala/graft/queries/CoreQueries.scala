@@ -884,11 +884,48 @@ object CoreQueries {
       |  count(*) AS n
       |FROM lineitem""".stripMargin
 
+  /** q239: GROUPED min/max/count per partition directory from fwz footer
+    * statistics (r15) — the per-partition feed-audit query: lineitem laid
+    * out Hive-style by l_returnflag through the framed sink with
+    * frameStats, then `SELECT l_returnflag, min(key), max(ts), count(*)
+    * GROUP BY l_returnflag` plans a FixedWidthCountScan whose min/max come
+    * from each group's footer envelopes — zero frames decompressed at any
+    * feed size. The oracle computes the identical grouped aggregate from
+    * the original parquet. */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    val out = QueryRegistry.scratch(dir, "lineitem_fwz_stats_byflag")
+    val marker = new java.io.File(out, "_graft_done")
+    if (!marker.exists()) {
+      QueryRegistry.table(spark, dir, "lineitem")
+        .select(lineitemLayout.map(f => col(f.name)): _*)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("compression", "zstd").option("frameBytes", (64 * 1024).toString)
+        .option("frameStats", "l_orderkey,l_shipdate")
+        .partitionBy("l_returnflag")
+        .mode("overwrite").save(out)
+      marker.createNewFile()
+    }
+    spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
+      .groupBy($"l_returnflag")
+      .agg(
+        min($"l_orderkey").as("mn_key"), max($"l_orderkey").as("mx_key"),
+        max($"l_shipdate").as("mx_ship"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q239Oracle: String =
+    """SELECT l_returnflag, min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+      |  max(l_shipdate) AS mx_ship, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q233_fwz_compressed_roundtrip", q233, Some(q01Oracle)),
     Q("q235_fwz_stats_pruned_scan", q235, Some(q235Oracle)),
     Q("q238_fwz_stats_minmax", q238, Some(q238Oracle)),
+    Q("q239_fwz_grouped_minmax", q239, Some(q239Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),
     Q("q03_fw_decimal_money", q03, Some(q03Oracle)),
     Q("q04_fw_permissive_corrupt", q04, Some(q04Oracle)),

@@ -37,7 +37,7 @@ class FixedWidthScanBuilder(
 
   private var requiredSchema: StructType = opts.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStars: Int = -1 // #COUNT(*) columns when a GROUPED agg is fully pushed
+  private var groupedPushed = false // a GROUPED aggregate was fully pushed
   private var limitN: Long = -1L  // cap on raw record index (includes any offset)
   private var offsetN: Long = 0L  // records skipped from the front
 
@@ -121,7 +121,8 @@ class FixedWidthScanBuilder(
   // foreign `k=01` directory merges with `k=1`), validated driver-side;
   // doubles are refused (Catalyst normalizes -0.0/NaN in group keys — not
   // worth replicating for a pathological partition type).
-  private var groupedRows: Seq[(Seq[String], Long)] = Nil // raw dir strings per group col
+  private var groupedRows: Seq[(Seq[String], Seq[FixedWidthListingCol])] = Nil
+  private var groupedAggSchema: StructType = new StructType()
   private var groupFields: Seq[FieldSpec] = Nil
 
   private def groupColsOf(
@@ -142,11 +143,20 @@ class FixedWidthScanBuilder(
   private def decodeDirValue(f: FieldSpec, raw: String): Any =
     FixedWidthTable.decodeDirValue(opts, f, raw)
 
-  private def groupedCountOf(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Seq[FieldSpec], Seq[(Seq[String], Long)])] = {
+  /** Grouped aggregate over partition columns, answered per DIRECTORY
+    * group: COUNT(*) from per-file exact counts (plain length math, framed
+    * footer reads — the original grouped-count push), and — r15 — MIN/MAX
+    * of fwz-stats-covered fields from the group's files' footer envelopes:
+    * `SELECT date, min(ts), max(ts), count(*) ... GROUP BY date` on a
+    * compressed feed is a footer walk, zero data IO. Any unanswerable
+    * position (unknowable count, plain/foreign member under min/max,
+    * uncovered field) declines the whole push. */
+  private def groupedAggOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Seq[FieldSpec], Seq[(Seq[String], Seq[FixedWidthListingCol])])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(
-          _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])) return None
+        !agg.aggregateExpressions.forall(e =>
+          e.isInstanceOf[CountStar] || e.isInstanceOf[Min] || e.isInstanceOf[Max])) return None
     val fields = groupColsOf(agg).getOrElse(return None)
     if (opts.dropMalformed) return None
     val res = prunedForPushed()
@@ -155,27 +165,85 @@ class FixedWidthScanBuilder(
     val keptPaths = res.kept.map(_.getPath.toString).toSet
     val kept = listedFiles.filter(pf => keptPaths.contains(pf.status.getPath.toString))
     val recLen = opts.recordLength.toLong
-    // per-file exact counts (plain length math, framed footer reads);
-    // any unknowable file disables the push
-    val fileCounts = kept.map(pf =>
-      pf -> FixedWidthTable.exactRecordCount(pf.status, recLen, opts.tolerant, conf))
-    if (fileCounts.exists(_._2.isEmpty)) return None
     val lowerNames = fields.map(_.name.toLowerCase)
     if (kept.exists(pf => !lowerNames.forall(pf.partValues.contains))) return None
     try {
-      // merge by decoded key; keep the first raw representative per group
-      val merged = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Seq[String], Long)]
-      fileCounts.foreach { case (pf, cnt) =>
+      // group files by decoded key; keep the first raw representative
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], (Seq[String], scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus])]
+      kept.foreach { pf =>
         val raws = lowerNames.map(pf.partValues)
         val key = fields.zip(raws).map { case (f, r) => decodeDirValue(f, r) }
-        val n = cnt.get
-        merged.updateWith(key) {
-          case Some((rep, c)) => Some((rep, c + n))
-          case None => Some((raws, n))
-        }
+        grouped.getOrElseUpdate(key,
+          (raws, scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]))._2 += pf.status
       }
-      Some((fields, merged.values.toSeq))
+      val rows = grouped.values.toSeq.map { case (raws, sts) =>
+        val cols: Seq[FixedWidthListingCol] = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            // per-file exact counts; any unknowable file disables the push
+            val counts = sts.map(FixedWidthTable.exactRecordCount(_, recLen, opts.tolerant, conf))
+            if (counts.exists(_.isEmpty)) return None
+            FixedWidthCountCol(counts.flatten.sum): FixedWidthListingCol
+          case m: Min =>
+            val f = minMaxFieldOf(m.column()).getOrElse(return None)
+            footerExtremeOver(sts.toSeq, f, wantMax = false)
+              .map(s => FixedWidthSliceCol(s"min(${f.name})", f, s): FixedWidthListingCol)
+              .getOrElse(return None)
+          case m: Max =>
+            val f = minMaxFieldOf(m.column()).getOrElse(return None)
+            footerExtremeOver(sts.toSeq, f, wantMax = true)
+              .map(s => FixedWidthSliceCol(s"max(${f.name})", f, s): FixedWidthListingCol)
+              .getOrElse(return None)
+          case _ => return None
+        }
+        (raws, cols)
+      }
+      Some((fields, rows))
     } catch { case _: NumberFormatException => None }
+  }
+
+  /** A declared field a MIN/MAX aggregate may target (doubles refused:
+    * Catalyst normalizes -0.0/NaN in ways not worth replicating). */
+  private def minMaxFieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[FieldSpec] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference if nr.fieldNames.length == 1 =>
+      opts.fields.find(f => f.name.equalsIgnoreCase(nr.fieldNames()(0))).filter(_.ftype != "double")
+    case _ => None
+  }
+
+  /** Extreme of a stats-covered field over the given ALL-FRAMED files, from
+    * their cached footers' whole-file envelopes — see the scaladoc on the
+    * global path's footerExtremeOf wrapper inside globalListingAggOf. None
+    * = not answerable; Some(None) = no non-null value (SQL NULL). */
+  private def footerExtremeOver(
+      files: Seq[org.apache.hadoop.fs.FileStatus], f: FieldSpec, wantMax: Boolean): Option[Option[Array[Byte]]] = {
+    val recLen = opts.recordLength.toLong
+    var best: Any = null
+    var bestSlice: Array[Byte] = null
+    files.foreach { st =>
+      if (!FwzFormat.isFramed(st.getPath)) return None
+      val footer =
+        try FwzFormat.readFooterCached(st.getPath, st.getLen, st.getModificationTime, conf)
+        catch { case _: Exception => return None }
+      if (footer.totalDLen % recLen != 0) return None // foreign trailing fragment
+      val block = footer.stats.getOrElse(return None)
+      val entry = FwzStats.usableEntry(opts, block.envelope, f.name)
+        .getOrElse(return None)._2
+      val flags = entry.flags(0)
+      if ((flags & FwzFormat.FlagUnknown) != 0) return None
+      if ((flags & FwzFormat.FlagHasValue) != 0) {
+        val slice = if (wantMax) entry.maxs(0) else entry.mins(0)
+        val v =
+          try FwzStatsDecode.decode(f.ftype, slice, block.trimId, block.charsetName)
+          catch { case _: Exception => return None }
+        val better = best == null || {
+          val c = v.asInstanceOf[Comparable[Any]].compareTo(best)
+          if (wantMax) c > 0 else c < 0
+        }
+        if (better) { best = v; bestSlice = slice }
+      }
+    }
+    Some(Option(bestSlice))
   }
 
   // Global MIN/MAX over a partition column composes too: the distinct
@@ -202,11 +270,8 @@ class FixedWidthScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
 
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[FieldSpec] = e match {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference if nr.fieldNames.length == 1 =>
-        opts.fields.find(f => f.name.equalsIgnoreCase(nr.fieldNames()(0))).filter(_.ftype != "double")
-      case _ => None
-    }
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[FieldSpec] =
+      minMaxFieldOf(e)
 
     lazy val keptWithParts: Option[Seq[FixedWidthTable.PartitionedFile]] =
       if (!minMaxPreconditionsOk) None
@@ -230,33 +295,7 @@ class FixedWidthScanBuilder(
     def footerExtremeOf(f: FieldSpec, wantMax: Boolean): Option[Option[Array[Byte]]] = {
       val res = prunedForPushed()
       if (!res.exact || opts.dropMalformed) return None
-      val recLen = opts.recordLength.toLong
-      var best: Any = null
-      var bestSlice: Array[Byte] = null
-      res.kept.foreach { st =>
-        if (!FwzFormat.isFramed(st.getPath)) return None
-        val footer =
-          try FwzFormat.readFooterCached(st.getPath, st.getLen, st.getModificationTime, conf)
-          catch { case _: Exception => return None }
-        if (footer.totalDLen % recLen != 0) return None // foreign trailing fragment
-        val block = footer.stats.getOrElse(return None)
-        val entry = FwzStats.usableEntry(opts, block.envelope, f.name)
-          .getOrElse(return None)._2
-        val flags = entry.flags(0)
-        if ((flags & FwzFormat.FlagUnknown) != 0) return None
-        if ((flags & FwzFormat.FlagHasValue) != 0) {
-          val slice = if (wantMax) entry.maxs(0) else entry.mins(0)
-          val v =
-            try FwzStatsDecode.decode(f.ftype, slice, block.trimId, block.charsetName)
-            catch { case _: Exception => return None }
-          val better = best == null || {
-            val c = v.asInstanceOf[Comparable[Any]].compareTo(best)
-            if (wantMax) c > 0 else c < 0
-          }
-          if (better) { best = v; bestSlice = slice }
-        }
-      }
-      Some(Option(bestSlice))
+      footerExtremeOver(res.kept, f, wantMax)
     }
 
     /** Extreme of a partition column over the kept listing: None = not
@@ -302,7 +341,7 @@ class FixedWidthScanBuilder(
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     if (agg.groupByExpressions.isEmpty) globalListingAggOf(agg).isDefined
-    else groupedCountOf(agg).isDefined
+    else groupedAggOf(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -316,11 +355,22 @@ class FixedWidthScanBuilder(
         case None => false
       }
     else
-      groupedCountOf(agg) match {
+      groupedAggOf(agg) match {
         case Some((fields, rows)) =>
+          import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
           groupFields = fields
           groupedRows = rows
-          countStars = agg.aggregateExpressions.length
+          groupedAggSchema = StructType(agg.aggregateExpressions.toSeq.zipWithIndex.map {
+            case (m: Min, _) =>
+              val f = minMaxFieldOf(m.column()).get
+              StructField(s"min(${f.name})", f.dataType, nullable = true)
+            case (m: Max, _) =>
+              val f = minMaxFieldOf(m.column()).get
+              StructField(s"max(${f.name})", f.dataType, nullable = true)
+            case (_, i) =>
+              StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)
+          })
+          groupedPushed = true
           true
         case None => false
       }
@@ -350,8 +400,8 @@ class FixedWidthScanBuilder(
   override def build(): Scan =
     if (listingCols.nonEmpty)
       new FixedWidthListingAggScan(opts, listingCols)
-    else if (countStars >= 0)
-      new FixedWidthCountScan(opts, groupFields, groupedRows, countStars)
+    else if (groupedPushed)
+      new FixedWidthCountScan(opts, groupFields, groupedRows, groupedAggSchema)
     else new FixedWidthScan(opts, tableOptions, requiredSchema, conf, pushed,
       recordRange = if (limitN >= 0 || offsetN > 0)
         Some((offsetN, if (limitN >= 0) limitN else Long.MaxValue)) else None)
@@ -419,29 +469,32 @@ class FixedWidthListingAggScan(opts: FixedWidthOptions, cols: Seq[FixedWidthList
 final case class FixedWidthListingAggPartition(
     opts: FixedWidthOptions, cols: Seq[FixedWidthListingCol]) extends InputPartition
 
-/** The whole scan when a COUNT(*) aggregate is fully pushed down: zero data
-  * IO — counts came from the driver-side (pruned) file listing, one row per
-  * group (a single all-records group when `groupFields` is empty). Group
+/** The whole scan when a GROUPED aggregate over partition columns is fully
+  * pushed down: zero data IO — COUNT(*) from the driver-side (pruned) file
+  * listing, and MIN/MAX of fwz-stats-covered fields from the group's
+  * files' footer envelopes (r15). One row per directory group. Group
   * values travel as the raw directory strings and decode on the executor
-  * through the same decoders a record read uses. */
+  * through the same decoders a record read uses; min/max values travel as
+  * the winning records' raw field slices and decode identically
+  * (FixedWidthTable.decodeSliceValue). */
 class FixedWidthCountScan(
     opts: FixedWidthOptions,
     groupFields: Seq[FieldSpec],
-    groups: Seq[(Seq[String], Long)],
-    countCols: Int) extends Scan with Batch {
+    groups: Seq[(Seq[String], Seq[FixedWidthListingCol])],
+    aggSchema: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
-    groupFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
-      (0 until countCols).map(i =>
-        StructField(s"count(*)${if (i == 0) "" else s"_$i"}", LongType, nullable = false)))
+    groupFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++ aggSchema.fields)
 
   override def toBatch: Batch = this
   override def description(): String =
-    s"FixedWidthCountScan(groups=${groups.length}) [PushedAggregates: COUNT(*)" +
+    s"FixedWidthCountScan(groups=${groups.length}) [PushedAggregates: " +
+      aggSchema.fieldNames.map(n =>
+        if (n.startsWith("count(*)")) "COUNT(*)" else n.toUpperCase).mkString(", ") +
       (if (groupFields.nonEmpty) s", GroupBy: ${groupFields.map(_.name).mkString(",")}" else "") + "]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(FixedWidthCountPartition(opts, groupFields, groups, countCols))
+    Array(FixedWidthCountPartition(opts, groupFields, groups, aggSchema))
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -452,15 +505,15 @@ class FixedWidthCountScan(
 final case class FixedWidthCountPartition(
     opts: FixedWidthOptions,
     groupFields: Seq[FieldSpec],
-    groups: Seq[(Seq[String], Long)],
-    countCols: Int) extends InputPartition
+    groups: Seq[(Seq[String], Seq[FixedWidthListingCol])],
+    aggSchema: StructType) extends InputPartition
 
 class FixedWidthCountReader(p: FixedWidthCountPartition) extends PartitionReader[InternalRow] {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   private val nGroup = p.groupFields.length
   private val buf = new Array[Byte](p.opts.recordLength)
-  private val row = new GenericInternalRow(nGroup + p.countCols)
+  private val row = new GenericInternalRow(nGroup + p.aggSchema.length)
   private val decoders: Array[() => Unit] =
     FixedWidthRowDecoders.plan(
       p.opts,
@@ -468,13 +521,13 @@ class FixedWidthCountReader(p: FixedWidthCountPartition) extends PartitionReader
       buf, row, () => 0L)
   private val proj = UnsafeProjection.create(
     StructType(p.groupFields.map(f => StructField(f.name, f.dataType)) ++
-      (0 until p.countCols).map(i => StructField(s"c$i", LongType))))
+      p.aggSchema.fields.zipWithIndex.map { case (f, i) => StructField(s"c$i", f.dataType) }))
   private var idx = -1
 
   override def next(): Boolean = { idx += 1; idx < p.groups.length }
 
   override def get(): InternalRow = {
-    val (raws, count) = p.groups(idx)
+    val (raws, aggVals) = p.groups(idx)
     java.util.Arrays.fill(buf, ' '.toByte)
     p.groupFields.zip(raws).foreach { case (f, raw) =>
       val bytes =
@@ -484,8 +537,15 @@ class FixedWidthCountReader(p: FixedWidthCountPartition) extends PartitionReader
     }
     var i = 0
     while (i < decoders.length) { decoders(i)(); i += 1 }
-    i = 0
-    while (i < p.countCols) { row.setLong(nGroup + i, count); i += 1 }
+    aggVals.zipWithIndex.foreach {
+      case (FixedWidthCountCol(n), j) => row.setLong(nGroup + j, n)
+      case (FixedWidthSliceCol(_, _, None), j) => row.setNullAt(nGroup + j)
+      case (FixedWidthSliceCol(_, f, Some(b)), j) =>
+        row.update(nGroup + j, FixedWidthTable.decodeSliceValue(p.opts, f, b))
+      case (FixedWidthValueCol(_, _, None), j) => row.setNullAt(nGroup + j)
+      case (FixedWidthValueCol(_, f, Some(raw)), j) =>
+        row.update(nGroup + j, FixedWidthTable.decodeDirValue(p.opts, f, raw))
+    }
     proj(row)
   }
 

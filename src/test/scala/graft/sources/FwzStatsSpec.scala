@@ -316,6 +316,29 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     (nr.getLong(0), nr.getLong(1)) shouldBe ((0L, 3999L)) // nulls ignored
   }
 
+  test("grouped MIN/MAX per partition directory answers from footers, zero data IO") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fwzstats-groupagg").toString
+    (0 until 20000).map(i => (i.toLong, if (i % 2 == 0) "ev" else "od"))
+      .toDF("id", "par").coalesce(1)
+      .write.format("fixedwidth").option("fields", "id:long:0:10,par:string:10:2")
+      .option("recordLength", "12").option("compression", "zstd")
+      .option("frameBytes", (500 * 12).toString).option("frameStats", "id")
+      .partitionBy("par")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("fixedwidth")
+      .option("fields", "id:long:0:10,par:string:10:2").option("recordLength", "12")
+      .load(dir)
+      .groupBy(col("par"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"), count(lit(1)).as("n"))
+    val planned = df.queryExecution.executedPlan.toString
+    planned should include("FixedWidthCountScan")
+    planned should include("MIN(ID)")
+    val rows = df.orderBy(col("par")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.toSeq shouldBe Seq(("ev", 0L, 19998L, 10000L), ("od", 1L, 19999L, 10000L))
+  }
+
   test("foreign stats with an unparsable slice degrade to may-match, never crash planning") {
     import graft.sources.fixedwidth.FwzFormat.{FlagHasValue, FwzFieldStats, FwzStatsBlock}
     // frame 0: tested bound (max) is all-blank — this writer never produces
