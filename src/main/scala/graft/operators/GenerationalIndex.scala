@@ -31,16 +31,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the retry re-reads the appender's manifest. Readers always see a fully
   * committed set — never a half-folded one.
   *
-  * Commit atomicity leans only on an atomic create-exclusive claim —
-  * `FileSystem.create(overwrite=false)` on HDFS (a single namenode op) and
-  * POSIX `O_CREAT|O_EXCL` via `File.createNewFile` on `file:` schemes,
-  * because RawLocalFileSystem's own create is a non-atomic
-  * exists-then-create (see [[tryCommit]]); content lands
-  * after the claim, so a reader can observe a CLAIMED-but-unwritten
-  * manifest — [[read]] treats unparsable manifests as uncommitted and
-  * falls back to the highest parsable version; writers bump their
-  * attempted version past every failed claim, so an abandoned claim
-  * (writer crashed post-claim) is walked over, never a deadlock.
+  * Commit atomicity: the manifest's CONTENT is written fully to a
+  * uniquely-named temp file first, then published onto the final
+  * `manifest-V.json` name by an atomic claim-with-content primitive —
+  * POSIX `link(2)` (`Files.createLink`, fails EEXIST) on `file:` schemes,
+  * `FileSystem.rename` (a single namenode op that FAILS when the
+  * destination exists) on HDFS-like schemes. Claim and content are one
+  * operation, so a reader — including a RACING COMMITTER's re-read — can
+  * never observe a claimed-but-unwritten manifest and derive its next
+  * version from stale state (the lost-update window a claim-then-write
+  * protocol opens: the loser re-reads mid-write, sees V-1, and commits
+  * V+1 dirs that silently erase the winner's V). [[read]] still skips
+  * unparsable manifests (defense against manual damage) and writers still
+  * bump their attempted version past every failed claim, so a corrupt or
+  * foreign `manifest-*.json` is walked over, never a deadlock.
+  *
+  * Object stores without atomic rename-or-link need no port of THIS
+  * protocol — [[ManifestLog]] is the same exactly-once contract rebuilt on
+  * the only primitive they all give (PUT of a new unique key + list), and
+  * is the deployment choice at 100 TB where the index lives on S3-style
+  * storage.
   */
 object GenerationalIndex {
 
@@ -52,7 +62,9 @@ object GenerationalIndex {
   private def manifestPath(root: Path, v: Long) = new Path(root, f"manifest-$v%020d.json")
 
   /** Highest fully-committed manifest under `root`; version 0 / no dirs when
-    * none exists yet. Claimed-but-unwritten (or torn) manifests are skipped. */
+    * none exists yet. Unparsable manifests are skipped — commits are atomic
+    * ([[tryCommit]]), so these only arise from manual damage or a foreign
+    * writer, never from an in-flight commit. */
   def read(fs: FileSystem, root: Path): Manifest = {
     if (!fs.exists(root)) return Manifest(0L, Nil)
     val versions = fs.listStatus(root).map(_.getPath.getName).collect {
@@ -81,38 +93,61 @@ object GenerationalIndex {
       }
     } catch { case _: Exception => None }
 
-  /** Claim + write manifest `version` — false when another writer already
-    * claimed it (the CAS failure; re-read and retry).
+  /** Commit manifest `version` atomically — false when another writer
+    * already claimed it (the CAS failure; re-read and retry).
     *
-    * Claim atomicity per scheme: HDFS `create(overwrite=false)` is an
-    * atomic namenode op, but RawLocalFileSystem's is exists-then-create — a
-    * TOCTOU window where two racing committers both "win" and one commit is
-    * silently lost. On `file:` schemes the claim therefore goes through
-    * `java.io.File.createNewFile` (POSIX O_CREAT|O_EXCL — genuinely atomic)
-    * and only the claim winner opens the path for content. Object stores
-    * without atomic create-exclusive need an external lock; out of scope. */
-  def tryCommit(fs: FileSystem, root: Path, version: Long, dirs: Seq[String]): Boolean = {
+    * The JSON content lands FULLY in a uniquely-named temp file before any
+    * claim is attempted, and the publish step binds claim and content in
+    * ONE filesystem operation:
+    *  - `file:` — `Files.createLink(final, temp)`: POSIX link(2) fails
+    *    EEXIST atomically, and the link target already carries the full
+    *    content. (RawLocalFileSystem's own create(overwrite=false) is a
+    *    non-atomic exists-then-create, and a claim-then-write protocol —
+    *    even with an atomic `createNewFile` claim — leaves a window where
+    *    a racing committer re-reads, sees only the previous version, and
+    *    commits a successor derived from it, erasing the claim winner's
+    *    update.)
+    *  - otherwise — `rename(temp, final)`: on HDFS a single atomic
+    *    namenode op that fails when the destination exists.
+    * A crashed writer leaves only a `.tmp-*` file, which [[read]]'s
+    * manifest-name filter never even lists — there is no observable
+    * claimed-but-unwritten state.
+    *
+    * `beforePublish` is a test seam (spec-only) running after the temp
+    * write, immediately before the atomic publish — the widest window a
+    * racing commit can land in. */
+  def tryCommit(fs: FileSystem, root: Path, version: Long, dirs: Seq[String],
+      beforePublish: () => Unit = () => ()): Boolean = {
     if (!fs.exists(root)) fs.mkdirs(root)
     val p = manifestPath(root, version)
-    val out =
-      if ("file".equalsIgnoreCase(fs.getScheme)) {
-        val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
-        val claimed = try local.createNewFile() catch { case _: java.io.IOException => false }
-        if (!claimed) return false
-        // we own the (empty) file; overwrite it with content through the
-        // same FileSystem so checksums/permissions match other writers
-        fs.create(p, true)
-      } else {
-        try fs.create(p, false) // atomic claim on HDFS-like schemes
-        catch { case _: java.io.IOException => return false }
-      }
     val node = mapper.createObjectNode()
     node.put("version", version)
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
-    out.write(mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    true
+    val bytes = mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tmp = new Path(root,
+      s".tmp-manifest-$version-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      java.nio.file.Files.write(src, bytes)
+      beforePublish()
+      try {
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false // e.g. cross-device: lost or unsupported — treat as CAS miss
+        }
+      } finally java.nio.file.Files.deleteIfExists(src)
+    } else {
+      val out = fs.create(tmp, true)
+      out.write(bytes)
+      out.close()
+      beforePublish()
+      val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
+      if (!won) fs.delete(tmp, false)
+      won
+    }
   }
 
   /** Publish `deltaDir` (already fully written) as a new live generation. */
@@ -121,10 +156,10 @@ object GenerationalIndex {
 
   /** CAS retry loop shared by append/compact. The attempted version is
     * monotonically bumped past every FAILED claim (not just past the last
-    * READ version): a writer that crashed after claiming version V leaves
-    * an unparsable manifest-V forever, and retrying `read().version + 1`
-    * would collide with it endlessly — the local bump walks over the
-    * corpse. */
+    * READ version): a corrupt or foreign `manifest-V.json` (crashed
+    * commits leave only `.tmp-*` files, but manual damage happens) is
+    * unparsable forever, and retrying `read().version + 1` would collide
+    * with it endlessly — the local bump walks over the corpse. */
   private def casLoop(fs: FileSystem, root: Path, who: String)(
       next: Manifest => Seq[String]): Manifest = {
     var v = 0L

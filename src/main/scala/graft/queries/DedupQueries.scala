@@ -226,6 +226,8 @@ object DedupQueries {
       Some(minhashIndexRefreshOracle)),
     Q("q237_compaction_racing_append", minhashCompactionRacingAppend,
       Some(minhashIndexRefreshOracle)),
+    Q("q240_objectstore_log_compaction", minhashLogCompactionRacingAppend,
+      Some(minhashIndexRefreshOracle)),
     Q("q231_minhash_index_compaction", minhashIndexCompaction,
       Some(minhashIndexRefreshOracle)))
 
@@ -496,6 +498,55 @@ object DedupQueries {
     val live = GenerationalIndex.read(fs, manifestRoot).dirs
     require(live.size == 2 && live.contains(compacted),
       s"q237: manifest should hold [compacted, racing delta], got $live")
+    live.map(load).reduce(_ unionByName _)
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
+  /** q240: the q237 race rerun on the OBJECT-STORE-SAFE pointer
+    * ([[graft.operators.ManifestLog]]) — same base + three published deltas,
+    * same compaction with a fourth delta landing between the fold and the
+    * commit, but the pointer is a commit log of uniquely-named entries with
+    * a deterministic read-time fold instead of a create-exclusive CAS:
+    * the protocol a 100 TB index on S3-style storage (no atomic
+    * rename-or-link) actually needs. Hash equality against the same
+    * full-corpus oracle is the exactly-once claim; ManifestLogSpec pins the
+    * adversarial interleavings (racing seq, compact-vs-compact, torn
+    * entries) the lane's single race can't reach. */
+  def minhashLogCompactionRacingAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestLog
+    val base = persistedMinhashIndexPath(spark, dir)
+    val tmpRoot = QueryRegistry.scratch(dir, "minhash_idx_mlog_fw")
+    val rootPath = new org.apache.hadoop.fs.Path(tmpRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true) // invocation-start wipe (bench reps reuse the dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$tmpRoot/_log")
+    def writeDelta(g: Long): String = {
+      val out = s"$tmpRoot/gen-$g"
+      Dedup.minhashSketches(
+          table(spark, dir, "documents").filter(col("doc_id") % 8 === g),
+          "doc_id", "text", IdxShingle, IdxHashes, IdxBands)
+        .select(col("id").as("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(out)
+      out
+    }
+    def load(path: String) =
+      spark.read.format("fixedwidth").option("fields", idxFields).load(path)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    ManifestLog.append(fs, logRoot, base)
+    Seq(1L, 3L, 5L).foreach(g => ManifestLog.append(fs, logRoot, writeDelta(g)))
+    val compacted = s"$tmpRoot/base-v2"
+    val (_, applied) = ManifestLog.compact(
+      fs, logRoot, compacted,
+      rewrite = dirs => dirs.map(load).reduce(_ unionByName _)
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(compacted),
+      beforeCommit = () => { ManifestLog.append(fs, logRoot, writeDelta(7L)); () })
+    require(applied, "q240: an uncontended compaction fold must apply")
+    val live = ManifestLog.read(fs, logRoot).dirs
+    require(live.size == 2 && live.contains(compacted),
+      s"q240: log should fold to [compacted, racing delta], got $live")
     live.map(load).reduce(_ unionByName _)
       .orderBy(col("doc_id"), col("band_idx"))
   }

@@ -84,6 +84,39 @@ class GenerationalIndexSpec extends SparkSpec with Matchers {
     readAll(m.dirs) shouldBe (0L until 30L)
   }
 
+  test("lost-update race: a full commit landing between a racer's content write and its " +
+      "publish is never erased") {
+    // The r15 hazard: with claim-then-write, committer A claims version N,
+    // B re-reads while A is mid-write, sees N-1 (unparsable N), and commits
+    // N+1 derived from N-1 — silently erasing A's successfully committed
+    // dirs. Commits are now atomic (content lands in a temp file, publish
+    // is link/rename-with-content), so the widest race B can win is landing
+    // its ENTIRE commit inside A's pre-publish window — and then A must
+    // LOSE the publish and retry against B's state, not overwrite it.
+    val tmp = Files.createTempDirectory("graft-genidx-lostupd").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    GenerationalIndex.append(fs, root, writeDelta(tmp, "base", 0 until 10))
+    val v = GenerationalIndex.read(fs, root).version
+    val dA = writeDelta(tmp, "dA", 10 until 20)
+    val dB = writeDelta(tmp, "dB", 20 until 30)
+    // A attempts version v+1; B's complete append lands pre-publish
+    val won = GenerationalIndex.tryCommit(fs, root, v + 1,
+      GenerationalIndex.read(fs, root).dirs :+ dA,
+      beforePublish = () => { GenerationalIndex.append(fs, root, dB); () })
+    won shouldBe false // B claimed v+1 with full content; A's publish must lose
+    // B's commit is intact and readable — never erased, never torn
+    val afterB = GenerationalIndex.read(fs, root)
+    afterB.version shouldBe v + 1
+    afterB.dirs.exists(_.endsWith("/dB")) shouldBe true
+    // A's production-path retry folds in on top of B's state
+    val m = GenerationalIndex.append(fs, root, dA)
+    m.version shouldBe v + 2
+    readAll(m.dirs) shouldBe (0L until 30L)
+    // no stray temp files survive the lost publish
+    fs.listStatus(root).map(_.getPath.getName).count(_.startsWith(".tmp-")) shouldBe 0
+  }
+
   test("abandoned claim: unreadable manifest is skipped by readers, walked over by writers") {
     val tmp = Files.createTempDirectory("graft-genidx-crash").toString
     val root = new Path(s"$tmp/idx")
