@@ -858,6 +858,47 @@ object CoreQueries {
        |WHERE l_orderkey <= 1000 AND l_returnflag = 'R'
        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** q241: the fwz ordered-frame BINARY-SEARCH skip under the oracle (r16,
+    * SURVEY §7.5 open item 2 closed) — the same stats fixture as q235 is
+    * written ordered by l_orderkey, so the writer PROVES frame-orderedness
+    * at close and sets the v3 `ordered` flag; a TWO-SIDED key range then
+    * resolves to a frame interval by binary search (O(log frames) bound
+    * decodes per file instead of O(frames)) — the planning path that stays
+    * flat past ~10^5 frames/file. The lane asserts the flag actually
+    * round-tripped (no vacuous pass if the writer ever stops proving it)
+    * and the oracle hash proves the interval dropped exactly the frames
+    * with zero matches. FwzOrderedSpec pins binary ≡ linear decisions
+    * frame-by-frame; this pins end-to-end value fidelity at suite scale. */
+  def q241(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = lineitemFwzStatsPath(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val framed = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".fwz"))
+    require(framed.nonEmpty, s"q241: no framed files under $path")
+    framed.foreach { f =>
+      val footer = graft.sources.fixedwidth.FwzFormat.readFooter(
+        new org.apache.hadoop.fs.Path(f.getPath), f.length(), conf)
+      val key = footer.stats.get.fields.find(_.name == "l_orderkey").get
+      require(key.ordered,
+        s"q241: ${f.getName} did not prove l_orderkey frame-ordered — " +
+          "the binary-search path would silently degrade to linear")
+    }
+    val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
+    spark.read.format("fixedwidth").option("fields", fieldsOpt)
+      .load(path)
+      .filter($"l_orderkey" >= 600L && $"l_orderkey" <= 1400L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q241Oracle: String =
+    s"""SELECT l_returnflag, count(*) AS n_lines, ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey >= 600 AND l_orderkey <= 1400
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q238: global MIN/MAX answered from fwz FOOTER STATISTICS (r15) — the
     * min/max twin of the framed count(*) pushdown: over a stats-framed
     * compressed feed, `SELECT min(key), max(key), min(ts), max(ts),
@@ -924,6 +965,7 @@ object CoreQueries {
     Q("q01_fw_pricing_summary", q01, Some(q01Oracle)),
     Q("q233_fwz_compressed_roundtrip", q233, Some(q01Oracle)),
     Q("q235_fwz_stats_pruned_scan", q235, Some(q235Oracle)),
+    Q("q241_fwz_ordered_binary_skip", q241, Some(q241Oracle)),
     Q("q238_fwz_stats_minmax", q238, Some(q238Oracle)),
     Q("q239_fwz_grouped_minmax", q239, Some(q239Oracle)),
     Q("q02_fw_raw_scan", q02, Some(q02Oracle)),

@@ -208,6 +208,16 @@ class FixedWidthMicroBatchStream(
   private val maxRecordsPerTrigger: Option[Long] = posLongOpt("maxRecordsPerTrigger")
   private val maxBytesPerTrigger: Option[Long] = posLongOpt("maxBytesPerTrigger")
 
+  /** How long a framed file may stay unreadable AT A STABLE LENGTH before
+    * the stream fails loudly instead of excluding it for another trigger.
+    * A file still being written completes (or at least grows) within any
+    * sane grace; one that sits frozen with an unreadable footer is
+    * permanently corrupt, and silently under-reporting it forever behind a
+    * WARN is the one place the streaming path was weaker than the batch
+    * path (which fails loudly on the same directory). */
+  private val fwzUnreadableGraceMs: Long =
+    posLongOpt("fwzUnreadableGraceMs").getOrElse(10L * 60 * 1000)
+
   /** Backlog snapshot for Trigger.AvailableNow: fixed at query start, so the
     * drain has a definite end even while files keep landing. */
   private var availableNowBacklog: Option[Vector[(String, Long)]] = None
@@ -232,10 +242,14 @@ class FixedWidthMicroBatchStream(
   @volatile private var fwzRecords: Map[String, Long] = Map.empty
   // One WARN per (path, length): an excluded file must be visible in the
   // logs — "not yet complete" and "permanently corrupt" are
-  // indistinguishable from outside (the batch path fails LOUDLY on the
-  // same directory), so at least the operator can see what the stream is
-  // waiting on. Bounded: wholesale-cleared if pathological growth.
+  // indistinguishable from outside at first sight, so the operator can see
+  // what the stream is waiting on. Bounded: wholesale-cleared if
+  // pathological growth.
   private val fwzWarned = scala.collection.mutable.Set.empty[(String, Long)]
+  // First time each path was seen unreadable at its CURRENT length — a
+  // length change (the file grew: still being written) resets the clock; a
+  // stable-length unreadable file past the grace fails the stream.
+  private val fwzFirstUnreadable = scala.collection.mutable.Map.empty[String, (Long, Long)]
   private val logger = org.slf4j.LoggerFactory.getLogger(classOf[FixedWidthMicroBatchStream])
 
   private def snapshot(): Map[String, Long] = {
@@ -249,14 +263,30 @@ class FixedWidthMicroBatchStream(
           st.getPath, st.getLen, st.getModificationTime, conf)) match {
           case scala.util.Success(footer) =>
             meta += st.getPath.toString -> footer.totalDLen / opts.recordLength
+            fwzFirstUnreadable.remove(st.getPath.toString)
             true
           case scala.util.Failure(e) =>
+            val pathStr = st.getPath.toString
+            val now = System.currentTimeMillis()
+            fwzFirstUnreadable.get(pathStr) match {
+              case Some((len0, t0)) if len0 == st.getLen =>
+                if (now - t0 > fwzUnreadableGraceMs)
+                  throw new IllegalStateException(
+                    s"fixedwidth stream: framed file $pathStr has been unreadable at " +
+                      s"a stable ${st.getLen} B for ${now - t0} ms (> " +
+                      s"fwzUnreadableGraceMs=$fwzUnreadableGraceMs) — permanently " +
+                      s"corrupt, not still-being-written; failing loudly like the " +
+                      s"batch path would: $e", e)
+              case _ =>
+                if (fwzFirstUnreadable.size > 10000) fwzFirstUnreadable.clear()
+                fwzFirstUnreadable(pathStr) = (st.getLen, now)
+            }
             if (fwzWarned.size > 10000) fwzWarned.clear()
-            if (fwzWarned.add((st.getPath.toString, st.getLen)))
+            if (fwzWarned.add((pathStr, st.getLen)))
               logger.warn(s"fixedwidth stream: excluding framed file ${st.getPath} " +
                 s"(${st.getLen} B) until its footer becomes readable — a file " +
-                "still being written completes on its own; a permanently corrupt " +
-                s"one stays excluded (batch reads of it would fail loudly): $e")
+                "still being written completes (or grows) on its own; one frozen " +
+                s"at this length past ${fwzUnreadableGraceMs} ms fails the stream: $e")
             false
         }
       }

@@ -286,6 +286,9 @@ class FixedWidthDataWriter(
     var frameBuf: Array[Byte] = if (framed) new Array[Byte](frameCap) else null
     var frameFill = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // whole-file CRC-32 over compressed frame bytes, recorded in the v3
+    // trailer so the reader's footer-cache tail fingerprint covers CONTENT
+    val contentCrc = new java.util.zip.CRC32
     // per-frame column statistics tracker — one per OPEN FILE (reset on
     // roll: each file's footer describes exactly its own frames)
     var tracker: FwzStats.Tracker = null
@@ -303,6 +306,7 @@ class FixedWidthDataWriter(
     if (st.tracker != null) st.tracker.frameDone(st.frameBuf, st.frameFill)
     val c = FwzFormat.compressFrame(framedCodec, st.frameBuf, st.frameFill)
     st.stream.write(c)
+    st.contentCrc.update(c)
     st.frames += ((c.length.toLong, st.frameFill.toLong))
     st.frameFill = 0
   }
@@ -315,8 +319,9 @@ class FixedWidthDataWriter(
     if (framed) {
       flushFrame(st)
       FwzFormat.writeFooter(st.stream, framedCodec, st.frames.toSeq,
-        Option(st.tracker).map(_.block()))
+        Option(st.tracker).map(_.block()), st.contentCrc.getValue)
       st.frames.clear()
+      st.contentCrc.reset()
       st.tracker = null
     }
     st.stream.close()

@@ -33,10 +33,9 @@ import org.apache.hadoop.fs.Path
   * self-framing codecs, so a chunk reader decompresses a frame RUN through
   * one continuous stream without per-frame bookkeeping.
   *
-  * Layout (version 2 — written only when the writer declares `frameStats`
-  * fields; the parquet row-group-statistics idea applied to this framed
-  * layout, so a pushed range filter can skip whole frames WITHOUT
-  * decompressing them):
+  * Layout (version 2 — READ-compatibility only since r16; the parquet
+  * row-group-statistics idea applied to this framed layout, so a pushed
+  * range filter can skip whole frames WITHOUT decompressing them):
   * {{{
   *   file    := frame* stats frameTable trailer2
   *   stats   := csLen: u8 | charsetName (UTF-8) | trimId: u8
@@ -57,6 +56,31 @@ import org.apache.hadoop.fs.Path
   * per-record predicate. `flags`: bit0 = frame has a non-null value (min/
   * max valid), bit1 = frame has a SQL-NULL (blank numeric field), bit2 =
   * stats unknown for this frame (tracker bailed; never skip).
+  *
+  * Layout (version 3 — what the writer emits for stats files since r16):
+  * v2 with two additions, each closing a measured gap:
+  * {{{
+  *   fieldEntry := ... | start: int32 BE | width: int32 BE | ordered: u8
+  *            | nFrames × { flags: u8 | minBytes[width] | maxBytes[width] }
+  *   trailer3 := contentCrc: int64 BE | statsLen: int32 BE | nFrames: int32 BE
+  *            | codecId: u8 | version: u8 = 3 | magic "GFZ1"
+  * }}}
+  *  - `ordered` (0/1): the writer PROVED at close that this field's frame
+  *    extremes are non-overlapping ascending (max_i ≤ min_{i+1}, every
+  *    frame holding a value) — the license for the plan-time skipper to
+  *    binary-search a pushed comparison to a frame interval instead of
+  *    walking every frame ([[FwzStats.compileSkipper]]); what keeps driver
+  *    planning flat past ~10^5 frames/file on key-ordered feeds.
+  *  - `contentCrc`: CRC-32 over ALL compressed frame bytes in file order,
+  *    maintained incrementally by the writer. It lives in the trailer so
+  *    the footer CACHE's tail fingerprint (below) covers file CONTENT, not
+  *    just framing — the footer now answers count-star and MIN/MAX
+  *    directly, so a stale cache hit would be a wrong ANSWER. Readers do
+  *    not re-verify it against the frames (that would cost a full read);
+  *    it is a fingerprint, not an integrity seal — the per-frame zstd/gzip
+  *    checksums already cover corruption.
+  * `statsLen` sits at the same end-relative offset (EOF-14) in v2 and v3,
+  * and the last 10 bytes dispatch identically across all versions.
   */
 object FwzFormat {
 
@@ -64,10 +88,12 @@ object FwzFormat {
   val Magic: Int = 0x47465A31 // "GFZ1"
   val Version: Byte = 1
   val VersionStats: Byte = 2
+  val VersionStatsV3: Byte = 3
   val CodecZstd: Byte = 0
   val CodecGzip: Byte = 1
   val TrailerLen = 10
   val TrailerLenV2 = 14
+  val TrailerLenV3 = 22
 
   /** flags bit0: the frame holds at least one non-null value (min/max valid). */
   val FlagHasValue: Int = 1
@@ -101,10 +127,15 @@ object FwzFormat {
     * i. `ftype` is the writer's layout type token (`long`, `decimal(9,2)`,
     * ...): extremes were RANKED under that type's ordering, so a reader
     * declaring a different type over the same bytes must ignore the entry
-    * (numeric rank does not bound string rank and vice versa). */
+    * (numeric rank does not bound string rank and vice versa). `ordered`
+    * (v3) asserts the frame extremes are non-overlapping ascending with
+    * every frame holding a value — the binary-search license; consumers
+    * re-check the flag invariant before trusting a foreign block
+    * ([[FwzStats.compileSkipper]]). */
   final case class FwzFieldStats(
       name: String, ftype: String, start: Int, width: Int,
-      flags: Array[Byte], mins: Array[Array[Byte]], maxs: Array[Array[Byte]])
+      flags: Array[Byte], mins: Array[Array[Byte]], maxs: Array[Array[Byte]],
+      ordered: Boolean = false)
 
   /** The v2 stats block: the string-tracking conventions (charset + trim)
     * travel with the data so a reader with DIFFERENT string semantics
@@ -206,15 +237,28 @@ object FwzFormat {
     }
 
   // ---- Footer memoization: the footer is immutable for a given
-  // (path, length, mtime) and is consulted by count-star, grouped-count,
-  // min/max preconditions, estimateStatistics AND split planning — without
-  // the memo one query plan over a directory of framed files paid repeated
-  // driver-side positioned-read round-trips per file (the same reason
-  // Bz2SplitIndex memoizes its phase-1 index). Bounded by total cached
-  // frames; wholesale-cleared past the bound (entries are cheap to rebuild:
-  // two bounded reads).
+  // (path, length, mtime, tail fingerprint) and is consulted by count-star,
+  // grouped-count, min/max ANSWERS, estimateStatistics AND split planning —
+  // without the memo one query plan over a directory of framed files paid
+  // repeated driver-side positioned-read round-trips per file (the same
+  // reason Bz2SplitIndex memoizes its phase-1 index). Bounded by total
+  // cached frames; wholesale-cleared past the bound (entries are cheap to
+  // rebuild: two bounded reads).
+  //
+  // The TAIL FINGERPRINT (r16, mirroring the r14 Bz2SplitIndex fix): mtime
+  // alone cannot see a same-length rewrite inside the filesystem's mtime
+  // granularity, and since r15 the footer's statistics are answer-bearing
+  // (q238/q239 MIN-MAX come straight from it), so a stale hit is a wrong
+  // RESULT, not just a bad plan. The key therefore folds in a hash of the
+  // file's last ≤4 KiB — trailer + frame-table tail + stats tail, and for
+  // v3 files the writer's whole-file contentCrc, so ANY rewrite this
+  // library's own sink produces changes the fingerprint. Residual honesty:
+  // a v1/v2 file rewritten to identical length with identical framing and
+  // identical last-4KiB stats bytes is undetectable — v3 exists to close
+  // exactly that. Cost: one bounded positioned read per cache consult,
+  // strictly cheaper than the trailer+table+stats reads a miss pays.
   private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FwzFooter]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), FwzFooter]()
   private val cachedWeight = new java.util.concurrent.atomic.AtomicLong(0L)
   // Weight ≈ RETAINED BYTES (frames at ~48 B each, stats at their actual
   // per-frame slice size — a width-2000 stat field retains ~4 KB/frame, so
@@ -227,9 +271,26 @@ object FwzFormat {
     f.frames.length.toLong * (48L + statBytes)
   }
 
-  /** [[readFooter]] memoized per (path, length, mtime). */
+  /** Content fingerprint folded into the cache key: FNV-1a-style hash of
+    * the file's last ≤4 KiB (see the cache comment above for exactly what
+    * that window covers per version). One bounded positioned read. */
+  private def tailFingerprint(path: Path, fileLen: Long, conf: Configuration): Long = {
+    val n = math.min(4096L, fileLen).toInt
+    if (n <= 0) return 0L
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val buf = new Array[Byte](n)
+      in.readFully(fileLen - n, buf, 0, n)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = h * 31 + buf(i); i += 1 }
+      h
+    } finally in.close()
+  }
+
+  /** [[readFooter]] memoized per (path, length, mtime, tail fingerprint). */
   def readFooterCached(path: Path, fileLen: Long, mtime: Long, conf: Configuration): FwzFooter = {
-    val key = (path.toString, fileLen, mtime)
+    val key = (path.toString, fileLen, mtime, tailFingerprint(path, fileLen, conf))
     val hit = footerCache.get(key)
     if (hit != null) return hit
     val f = readFooter(path, fileLen, conf)
@@ -243,10 +304,13 @@ object FwzFormat {
   /** [[readFooterCached]] with the mtime resolved by one driver-side stat
     * call — for callers that only know (path, length), e.g. planning from a
     * streaming source's recorded state. A stat is far cheaper than the two
-    * positioned footer reads it saves on every repeat. */
+    * positioned footer reads it saves on every repeat. A FAILED stat
+    * bypasses the memo entirely (an uncached direct read): caching under a
+    * sentinel mtime would make every stat-failing read of a same-length
+    * path share one entry. */
   def readFooterCachedStat(path: Path, fileLen: Long, conf: Configuration): FwzFooter = {
     val mtime = try path.getFileSystem(conf).getFileStatus(path).getModificationTime
-                catch { case _: java.io.IOException => -1L }
+                catch { case _: java.io.IOException => return readFooter(path, fileLen, conf) }
     readFooterCached(path, fileLen, mtime, conf)
   }
 
@@ -270,16 +334,22 @@ object FwzFormat {
       if (magic != Magic)
         throw new IllegalArgumentException(
           s"fixedwidth: $path is not an fwz file (bad magic)")
-      if (version != Version && version != VersionStats)
+      if (version != Version && version != VersionStats && version != VersionStatsV3)
         throw new IllegalArgumentException(
           s"fixedwidth: $path has fwz version $version, this reader supports " +
-            s"$Version and $VersionStats")
+            s"$Version, $VersionStats and $VersionStatsV3")
       codecNameOf(codec) // validates
-      val trailerLen = if (version == VersionStats) TrailerLenV2 else TrailerLen
+      val trailerLen = version match {
+        case VersionStatsV3 => TrailerLenV3
+        case VersionStats => TrailerLenV2
+        case _ => TrailerLen
+      }
       require(fileLen >= trailerLen,
         s"fixedwidth: $path is too short (${fileLen}B) for an fwz v$version trailer")
+      // statsLen sits at EOF-14 in BOTH stats versions (v3 only prepends
+      // the contentCrc, which planning never needs to read)
       val statsLen: Long =
-        if (version != VersionStats) 0L
+        if (version == Version) 0L
         else {
           val sb = new Array[Byte](4)
           in.readFully(fileLen - TrailerLenV2, sb, 0, 4)
@@ -319,13 +389,14 @@ object FwzFormat {
             s"fixedwidth: $path fwz stats block too large (${statsLen}B)")
           val sbuf = new Array[Byte](statsLen.toInt)
           in.readFully(fileLen - trailerLen - table.length - statsLen, sbuf, 0, sbuf.length)
-          Some(parseStats(path, sbuf, nFrames))
+          Some(parseStats(path, sbuf, nFrames, hasOrdered = version == VersionStatsV3))
         }
       FwzFooter(codec, frames.result(), stats)
     } finally in.close()
   }
 
-  private def parseStats(path: Path, buf: Array[Byte], nFrames: Int): FwzStatsBlock = {
+  private def parseStats(
+      path: Path, buf: Array[Byte], nFrames: Int, hasOrdered: Boolean): FwzStatsBlock = {
     val bb = java.nio.ByteBuffer.wrap(buf)
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(s"fixedwidth: $path fwz stats block corrupt: $why")
@@ -349,6 +420,12 @@ object FwzFormat {
       val start = bb.getInt
       val width = bb.getInt
       if (start < 0 || width <= 0 || width > 0xffff) fail(s"field '$name' bad range [$start,+$width)")
+      val ordered =
+        if (!hasOrdered) false
+        else {
+          if (bb.remaining() < 1) fail(s"truncated field entry '$name'")
+          bb.get() != 0
+        }
       if (bb.remaining().toLong < (1L + 2L * width) * nFrames)
         fail(s"field '$name' per-frame table overruns block")
       val flags = new Array[Byte](nFrames)
@@ -361,13 +438,18 @@ object FwzFormat {
         val mx = new Array[Byte](width); bb.get(mx); maxs(i) = mx
         i += 1
       }
-      FwzFieldStats(name, ftype, start, width, flags, mins, maxs)
+      FwzFieldStats(name, ftype, start, width, flags, mins, maxs, ordered)
     }
     if (bb.remaining() != 0) fail(s"${bb.remaining()} trailing bytes")
     FwzStatsBlock(charsetName, trimId, fields)
   }
 
-  /** Render a stats block to its on-disk bytes. */
+  /** Render a v3 stats block to its on-disk bytes. Size math is Long all
+    * the way down — Int arithmetic overflows for wide stat fields over
+    * ~10^5 frames (a negative `allocate` AFTER the whole expensive data
+    * write); the Tracker's incremental guard fails such a write at the
+    * first over-budget frame instead, so reaching the require here means a
+    * caller bypassed the Tracker. */
   private def renderStats(stats: FwzStatsBlock, nFrames: Int): Array[Byte] = {
     val cs = stats.charsetName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     require(cs.length <= 255, s"fixedwidth: charset name too long for fwz stats")
@@ -380,14 +462,21 @@ object FwzFormat {
         s"fixedwidth: stats for '${f.name}' cover ${f.flags.length} frames, file has $nFrames")
       (f, name, ftype)
     }
-    val size = 1 + cs.length + 1 + 2 +
-      entries.map { case (f, n, t) => 1 + n.length + 1 + t.length + 8 + (1 + 2 * f.width) * nFrames }.sum
-    val bb = java.nio.ByteBuffer.allocate(size)
+    val size: Long = 1L + cs.length + 1 + 2 +
+      entries.map { case (f, n, t) =>
+        1L + n.length + 1L + t.length + 9L + (1L + 2L * f.width) * nFrames
+      }.sum
+    require(size <= FwzStats.MaxStatsBlockBytes,
+      s"fixedwidth: fwz stats block would be ${size}B (limit " +
+        s"${FwzStats.MaxStatsBlockBytes}B — the trailer's statsLen is int32); " +
+        "narrow 'frameStats' or raise 'frameBytes'")
+    val bb = java.nio.ByteBuffer.allocate(size.toInt)
     bb.put(cs.length.toByte).put(cs).put(stats.trimId).putShort(stats.fields.length.toShort)
     entries.foreach { case (f, name, ftype) =>
       bb.put(name.length.toByte).put(name)
         .put(ftype.length.toByte).put(ftype)
         .putInt(f.start).putInt(f.width)
+        .put(if (f.ordered) 1.toByte else 0.toByte)
       var i = 0
       while (i < nFrames) {
         require(f.mins(i).length == f.width && f.maxs(i).length == f.width,
@@ -400,18 +489,19 @@ object FwzFormat {
   }
 
   /** Append the footer + trailer for `frames` (written in order) to `out` —
-    * version 1 without stats, version 2 with. */
+    * version 1 without stats, version 3 with (`contentCrc` = CRC-32 over
+    * all compressed frame bytes, ignored for v1). */
   def writeFooter(
       out: java.io.OutputStream, codec: Byte, frames: Seq[(Long, Long)],
-      stats: Option[FwzStatsBlock] = None): Unit = {
+      stats: Option[FwzStatsBlock] = None, contentCrc: Long = 0L): Unit = {
     val statsBytes = stats.map(renderStats(_, frames.length))
     statsBytes.foreach(out.write)
-    val trailerLen = if (statsBytes.isDefined) TrailerLenV2 else TrailerLen
+    val trailerLen = if (statsBytes.isDefined) TrailerLenV3 else TrailerLen
     val bb = java.nio.ByteBuffer.allocate(16 * frames.length + trailerLen)
     frames.foreach { case (cLen, dLen) => bb.putLong(cLen).putLong(dLen) }
-    statsBytes.foreach(s => bb.putInt(s.length))
+    statsBytes.foreach { s => bb.putLong(contentCrc); bb.putInt(s.length) }
     bb.putInt(frames.length).put(codec)
-      .put(if (statsBytes.isDefined) VersionStats else Version).putInt(Magic)
+      .put(if (statsBytes.isDefined) VersionStatsV3 else Version).putInt(Magic)
     out.write(bb.array())
   }
 }

@@ -44,11 +44,21 @@ object FwzStats {
       val maxs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     }
     private val accs = statFields.map(new FieldAcc(_)).toArray
+    // Incremental size guard: per-frame stats bytes this layout adds, and
+    // the block's fixed header/field-entry overhead — checked BEFORE each
+    // frame is folded so an over-budget write dies at the first bad frame,
+    // not in renderStats after hours of data landed (checkStatsSize).
+    private val perFrameBytes: Long = statFields.map(f => 1L + 2L * f.len).sum
+    private val fixedBytes: Long = 4L + opts.charsetName.length +
+      statFields.map(f => 11L + f.name.length + f.ftype.length).sum
+    private var framesDone = 0L
 
     /** Fold one completed frame (`buf[0, len)`, an exact record multiple)
       * into the per-frame tables. Cost: one typed parse + compare per stat
       * field per record — write-path only, never on the scan hot path. */
     def frameDone(buf: Array[Byte], len: Int): Unit = {
+      checkStatsSize(fixedBytes, perFrameBytes, framesDone + 1)
+      framesDone += 1
       var ai = 0
       while (ai < accs.length) {
         val acc = accs(ai)
@@ -121,13 +131,71 @@ object FwzStats {
       }
     }
 
+    /** True iff no frame is unknown, at least one holds a value, and the
+      * decoded extremes of the VALUE-BEARING frames are non-overlapping
+      * ascending in file order (max_i ≤ min_j for consecutive value frames
+      * i < j) — the writer PROVING frame-orderedness at close rather than
+      * trusting a clustered-write hint. Frames with no value (all-null
+      * runs, e.g. NULLS FIRST under a sort) carry no extremes and are
+      * outside the lattice; a compare predicate can never match them, so
+      * the skipper handles them by flag, not by bound. O(frames) decodes
+      * of already-tracked slices, once per file close; a decode failure
+      * just yields `false` (the flag is an optimization license, never
+      * load-bearing). */
+    private def proveOrdered(a: FieldAcc): Boolean = {
+      val n = a.flags.length
+      if (n == 0) return false
+      var any = false
+      var i = 0
+      while (i < n) {
+        val fl = a.flags(i)
+        if ((fl & FlagUnknown) != 0) return false
+        if ((fl & FlagHasValue) != 0) any = true
+        i += 1
+      }
+      if (!any) return false
+      try {
+        var prevMax: Any = null
+        i = 0
+        while (i < n) {
+          if ((a.flags(i) & FlagHasValue) != 0) {
+            val mn = FwzStatsDecode.decode(
+              a.f.ftype, a.mins(i), FwzFormat.TrimIds(opts.trim), opts.charsetName)
+            if (prevMax != null && prevMax.asInstanceOf[Comparable[Any]].compareTo(mn) > 0)
+              return false
+            prevMax = FwzStatsDecode.decode(
+              a.f.ftype, a.maxs(i), FwzFormat.TrimIds(opts.trim), opts.charsetName)
+          }
+          i += 1
+        }
+        true
+      } catch { case _: Exception => false }
+    }
+
     def block(): FwzStatsBlock =
       FwzStatsBlock(
         opts.charsetName,
         FwzFormat.TrimIds(opts.trim),
         accs.toSeq.map(a => FwzFieldStats(
           a.f.name, a.f.ftype, a.f.start, a.f.len,
-          a.flags.toArray, a.mins.toArray, a.maxs.toArray)))
+          a.flags.toArray, a.mins.toArray, a.maxs.toArray,
+          ordered = proveOrdered(a))))
+  }
+
+  /** Hard ceiling on a rendered stats block: the trailer's statsLen is an
+    * int32 and the render buffer a JVM array. */
+  val MaxStatsBlockBytes: Long = Int.MaxValue.toLong - 64
+
+  /** Fail fast when a stats block of `nFrames` frames would blow
+    * [[MaxStatsBlockBytes]] — called per frame by the Tracker so the write
+    * dies at the first over-budget frame, not at file close. */
+  def checkStatsSize(fixedBytes: Long, perFrameBytes: Long, nFrames: Long): Unit = {
+    val size = fixedBytes + perFrameBytes * nFrames
+    if (size > MaxStatsBlockBytes)
+      throw new IllegalArgumentException(
+        s"fixedwidth: fwz stats block would reach ${size}B at frame $nFrames " +
+          s"(limit ${MaxStatsBlockBytes}B — the trailer's statsLen is int32); " +
+          "narrow 'frameStats' or raise 'frameBytes'")
   }
 
   /** Widest field the stats layout supports: parseStats bounds `width` at
@@ -172,6 +240,12 @@ object FwzStats {
   /** Memoized sentinel for a stats slice that fails its typed parse (only
     * reachable via a foreign-written block) — leaves degrade to may-match. */
   private object Undecodable
+
+  /** Control-flow escape from the ordered binary search back to the linear
+    * leaf when a consulted bound is [[Undecodable]] (foreign block). */
+  private object BailToLinear extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
 
   /** The stats entry of `block` usable for reader field `name`, applying
     * every soundness gate consumers must share: names match
@@ -288,18 +362,100 @@ object FwzStats {
     def hasVal(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasValue) != 0
     def hasNull(st: FwzFieldStats, i: Int): Boolean = (st.flags(i) & FlagHasNull) != 0
 
-    /** Interval leaf: frame i may hold a value v with test(cmp(v, lit)).
-      * Only the bounds the comparison tests are decoded (`needMin`/
-      * `needMax`); an undecodable bound degrades to may-match. */
-    def rangeLeaf(name: String, value: Any, needMin: Boolean, needMax: Boolean)(
-        may: (Any, Any, Any) => Boolean): Pred =
+    /** The ordered flag is only a LICENSE when its invariant could hold:
+      * no frame is unknown (a foreign block could set the bit vacuously).
+      * The memo carries the indices of the VALUE-BEARING frames — the
+      * subsequence the ordering invariant actually covers and the lattice
+      * the binary search runs over (all-null frames can never match a
+      * compare predicate and are excluded by flag). One O(frames) flag
+      * scan, memoized per entry — bytes, not decodes. */
+    val orderedOkMemo = scala.collection.mutable.HashMap.empty[FwzFieldStats, Option[Array[Int]]]
+    def orderedValIdx(st: FwzFieldStats): Option[Array[Int]] =
+      orderedOkMemo.getOrElseUpdate(st, {
+        if (!st.ordered || st.flags.exists(fl => (fl & FlagUnknown) != 0)) None
+        else {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          while (i < st.flags.length) {
+            if ((st.flags(i) & FlagHasValue) != 0) b += i
+            i += 1
+          }
+          Some(b.result())
+        }
+      })
+
+    /** First index in [0, n) where monotone `p` flips to true; n if none. */
+    def firstTrue(n: Int, p: Int => Boolean): Int = {
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (p(mid)) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+
+    /** Comparison leaf with the ordered fast path: on a proved-ordered
+      * field (mins AND maxs both ascend, since max_i ≤ min_{i+1}), the kept
+      * frames of any single comparison form one contiguous INTERVAL, found
+      * by binary search over the decoded extremes — O(log frames) decodes
+      * against the linear walk's O(frames). The interval reproduces the
+      * linear decisions EXACTLY (FwzOrderedSpec pins this differentially):
+      *   keep(i) for `op lit` ⇔ lo(op) ≤ i ≤ hi(op) where
+      *     lo: first max_i ≥ lit (=, ≥) / first max_i > lit (>) / 0
+      *     hi: last min_i ≤ lit (=, ≤) / last min_i < lit (<) / n-1. */
+    def cmpLeaf(name: String, value: Any, op: String): Pred =
       statOf(name).flatMap { case (fs, st) =>
         literal(fs, value).map { lit =>
-          Pred(i => unknown(st, i) || (hasVal(st, i) && {
-            val mn: AnyRef = if (needMin) bound(fs, st, i, wantMax = false) else null
-            val mx: AnyRef = if (needMax) bound(fs, st, i, wantMax = true) else null
-            (mn eq Undecodable) || (mx eq Undecodable) || may(mn, mx, lit)
-          }), trivial = false)
+          def linear: Pred = op match {
+            case "=" => Pred(i => unknown(st, i) || (hasVal(st, i) && {
+              val mn = bound(fs, st, i, wantMax = false)
+              val mx = bound(fs, st, i, wantMax = true)
+              (mn eq Undecodable) || (mx eq Undecodable) ||
+                (cmpVals(mn, lit) <= 0 && cmpVals(mx, lit) >= 0)
+            }), trivial = false)
+            case ">" | ">=" => Pred(i => unknown(st, i) || (hasVal(st, i) && {
+              val mx = bound(fs, st, i, wantMax = true)
+              (mx eq Undecodable) ||
+                (if (op == ">") cmpVals(mx, lit) > 0 else cmpVals(mx, lit) >= 0)
+            }), trivial = false)
+            case _ => Pred(i => unknown(st, i) || (hasVal(st, i) && {
+              val mn = bound(fs, st, i, wantMax = false)
+              (mn eq Undecodable) ||
+                (if (op == "<") cmpVals(mn, lit) < 0 else cmpVals(mn, lit) <= 0)
+            }), trivial = false)
+          }
+          orderedValIdx(st) match {
+            case None => linear
+            case Some(valIdx) =>
+              val m = valIdx.length
+              def b(j: Int, wantMax: Boolean): Any = {
+                val v = bound(fs, st, valIdx(j), wantMax)
+                if (v eq Undecodable) throw BailToLinear
+                v
+              }
+              try {
+                // ranks within the value-frame subsequence, mapped back to
+                // frame indices; all-null frames inside the interval are
+                // excluded by the hasVal check (a compare never matches null)
+                val lo = op match {
+                  case ">" => firstTrue(m, j => cmpVals(b(j, wantMax = true), lit) > 0)
+                  case ">=" | "=" => firstTrue(m, j => cmpVals(b(j, wantMax = true), lit) >= 0)
+                  case _ => 0
+                }
+                val hi = op match {
+                  case "<" => firstTrue(m, j => cmpVals(b(j, wantMax = false), lit) >= 0) - 1
+                  case "<=" | "=" => firstTrue(m, j => cmpVals(b(j, wantMax = false), lit) > 0) - 1
+                  case _ => m - 1
+                }
+                if (lo >= m || hi < 0 || lo > hi) Pred(_ => false, trivial = false)
+                else {
+                  val loF = valIdx(lo)
+                  val hiF = valIdx(hi)
+                  Pred(i => i >= loF && i <= hiF && hasVal(st, i), trivial = false)
+                }
+              } catch { case BailToLinear => linear }
+          }
         }
       }.getOrElse(AlwaysTrue)
 
@@ -323,16 +479,11 @@ object FwzStats {
     }
 
     def compile(f: Filter): Pred = f match {
-      case EqualTo(a, v) => rangeLeaf(a, v, needMin = true, needMax = true)((mn, mx, lit) =>
-        cmpVals(mn, lit) <= 0 && cmpVals(mx, lit) >= 0)
-      case GreaterThan(a, v) => rangeLeaf(a, v, needMin = false, needMax = true)(
-        (_, mx, lit) => cmpVals(mx, lit) > 0)
-      case GreaterThanOrEqual(a, v) => rangeLeaf(a, v, needMin = false, needMax = true)(
-        (_, mx, lit) => cmpVals(mx, lit) >= 0)
-      case LessThan(a, v) => rangeLeaf(a, v, needMin = true, needMax = false)(
-        (mn, _, lit) => cmpVals(mn, lit) < 0)
-      case LessThanOrEqual(a, v) => rangeLeaf(a, v, needMin = true, needMax = false)(
-        (mn, _, lit) => cmpVals(mn, lit) <= 0)
+      case EqualTo(a, v) => cmpLeaf(a, v, "=")
+      case GreaterThan(a, v) => cmpLeaf(a, v, ">")
+      case GreaterThanOrEqual(a, v) => cmpLeaf(a, v, ">=")
+      case LessThan(a, v) => cmpLeaf(a, v, "<")
+      case LessThanOrEqual(a, v) => cmpLeaf(a, v, "<=")
       case In(a, vs) =>
         statOf(a).flatMap { case (fs, st) =>
           val lits = vs.map(literal(fs, _))

@@ -338,4 +338,33 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
     ids shouldBe (0L until 900L).toArray
   }
+
+  test("a persistently unreadable .fwz fails the stream once the grace window lapses") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-fwz-corrupt").toString
+    val ckpt = Files.createTempDirectory("graft-fwz-corrupt-ckpt").toString
+    val fieldsOpt = "id:long:0:10"
+    (0 until 100).map(_.toLong).toDF("id").coalesce(1)
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("compression", "zstd").mode("append").save(data)
+    // permanently corrupt: a stable-length file whose tail will never become
+    // a valid trailer — without a grace bound the stream would exclude it
+    // FOREVER on a WARN while the batch path fails loudly on the same dir
+    java.nio.file.Files.write(java.nio.file.Path.of(data, "broken.fwz"),
+      Array.fill[Byte](256)(0x42))
+    val q = spark.readStream.format("fixedwidth").option("fields", fieldsOpt)
+      .option("fwzUnreadableGraceMs", "1")
+      .load(data)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000); fail("stream should have failed on the corrupt file")
+    }
+    q.stop()
+    val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.getMessage
+    msg should include("broken.fwz")
+    msg.toLowerCase should include("unreadable")
+  }
 }

@@ -25,10 +25,12 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
   // The foreign decoder: from the format note, no graft classes.
   //
   //   file      := frame* [stats] frameTable trailer
-  //   trailer   := [statsLen: i32] nFrames: i32 | codecId: u8 | version: u8
+  //   trailer   := [contentCrc: i64 (v3)] [statsLen: i32 (v2/v3)]
+  //              | nFrames: i32 | codecId: u8 | version: u8
   //              | magic "GFZ1" (0x47465A31)
-  //     (last 10 bytes are the same for v1 and v2; v2 prepends statsLen,
-  //      total 14 bytes)
+  //     (last 10 bytes are the same for v1/v2/v3; statsLen sits at EOF-14
+  //      in v2 and v3; v3 prepends an 8-byte CRC-32 of all compressed
+  //      frame bytes — trailer totals 10 / 14 / 22 bytes)
   //   frameTable := nFrames × (cLen: i64 BE, dLen: i64 BE)
   //   frames    := concatenated zstd frames (codec 0) / gzip members (1),
   //                frame i decompressing to exactly dLen_i bytes
@@ -45,10 +47,10 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
       val version = tb.get
       val magic = tb.getInt
       require(magic == 0x47465A31, "not an fwz file")
-      require(version == 1 || version == 2, s"unknown version $version")
-      val trailerLen = if (version == 2) 14 else 10
+      require(version == 1 || version == 2 || version == 3, s"unknown version $version")
+      val trailerLen = version match { case 3 => 22; case 2 => 14; case _ => 10 }
       val statsLen =
-        if (version == 2) {
+        if (version >= 2) {
           val sb = new Array[Byte](4)
           raf.seek(len - 14); raf.readFully(sb)
           ByteBuffer.wrap(sb).getInt.toLong
@@ -63,12 +65,22 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
         cLens(i) = fb.getLong; dLens(i) = fb.getLong; cTotal += cLens(i)
       }
       require(cTotal + statsLen + table.length + trailerLen == len, "bad tiling")
+      // v3: the trailer's contentCrc must equal CRC-32 over the compressed
+      // frame bytes we are about to read — checked at the end
+      val expectCrc =
+        if (version == 3) {
+          val cb = new Array[Byte](8)
+          raf.seek(len - 22); raf.readFully(cb)
+          Some(ByteBuffer.wrap(cb).getLong)
+        } else None
+      val crc = new java.util.zip.CRC32
       // decompress frame by frame, each from its own compressed slice
       val out = new ByteArrayOutputStream()
       raf.seek(0)
       for (i <- 0 until nFrames) {
         val c = new Array[Byte](cLens(i).toInt)
         raf.readFully(c)
+        crc.update(c)
         val d: Array[Byte] = codec match {
           case 0 => // zstd
             val dst = new Array[Byte](dLens(i).toInt)
@@ -90,13 +102,17 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
         }
         out.write(d)
       }
+      expectCrc.foreach { e =>
+        require(e == crc.getValue, s"contentCrc mismatch: trailer $e, frames ${crc.getValue}")
+      }
       out.toByteArray
     } finally raf.close()
   }
 
-  /** Parse the v2 stats block from the note alone and return
-    * (charset, trimId, fields as (name, ftype, start, width, perFrame flags)). */
-  private def foreignStats(path: String): (String, Byte, Seq[(String, String, Int, Int, Array[Byte])]) = {
+  /** Parse the v3 stats block from the note alone and return (charset,
+    * trimId, fields as (name, ftype, start, width, ordered, perFrame
+    * flags)). v3 field entries carry one `ordered` byte after `width`. */
+  private def foreignStats(path: String): (String, Byte, Seq[(String, String, Int, Int, Boolean, Array[Byte])]) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
@@ -106,9 +122,9 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
       val statsLen = tb.getInt
       val nFrames = tb.getInt
       tb.get() // codec
-      require(tb.get() == 2, "stats require version 2")
+      require(tb.get() == 3, "stats require version 3")
       val sbuf = new Array[Byte](statsLen)
-      raf.seek(len - 14 - 16L * nFrames - statsLen); raf.readFully(sbuf)
+      raf.seek(len - 22 - 16L * nFrames - statsLen); raf.readFully(sbuf)
       val bb = ByteBuffer.wrap(sbuf)
       def str(n: Int) = { val b = new Array[Byte](n); bb.get(b); new String(b, "UTF-8") }
       val charset = str(bb.get() & 0xff)
@@ -119,12 +135,13 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
         val ftype = str(bb.get() & 0xff)
         val start = bb.getInt
         val width = bb.getInt
+        val ordered = bb.get() != 0
         val flags = new Array[Byte](nFrames)
         for (i <- 0 until nFrames) {
           flags(i) = bb.get()
           bb.position(bb.position() + 2 * width) // skip min+max slices
         }
-        (name, ftype, start, width, flags)
+        (name, ftype, start, width, ordered, flags)
       }
       require(bb.remaining() == 0, "trailing stats bytes")
       (charset, trimId, fields)
@@ -147,7 +164,7 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
   private def fwzFile(dir: String): java.io.File =
     new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz")).head
 
-  test("foreign decoder reproduces exact record bytes for both codecs, v1 and v2") {
+  test("foreign decoder reproduces exact record bytes for both codecs, v1 and v3") {
     for (codec <- Seq("zstd", "gzip"); stats <- Seq(false, true)) {
       val dir = Files.createTempDirectory(s"graft-foreign-$codec-$stats").toString
       write(dir, codec, stats)
@@ -177,7 +194,10 @@ class FwzForeignDecodeSpec extends SparkSpec with Matchers {
     charset shouldBe "UTF-8"
     trimId shouldBe 0 // right
     fields.map(f => (f._1, f._2, f._3, f._4)) shouldBe Seq(("id", "long", 0, 8))
+    // ids are written ascending in one task: the writer must have PROVED
+    // frame-orderedness and set the v3 ordered byte
+    fields.head._5 shouldBe true
     // every frame holds non-null ids: bit0 set, bit1/bit2 clear
-    fields.head._5.foreach { fl => (fl & 0x7) shouldBe 1 }
+    fields.head._6.foreach { fl => (fl & 0x7) shouldBe 1 }
   }
 }

@@ -20,11 +20,13 @@ import graft.sources.fixedwidth.{FixedWidthInputPartition, FixedWidthOptions, Fi
 class FwzStatsFuzzSpec extends SparkSpec with Matchers {
 
   private val fieldsOpt =
-    "k:long:0:8,cat:string:8:3,price:decimal(8,2):11:10,ts:timestamp:21:16,score:double:37:24"
-  private val recLen = 61
+    "k:long:0:8,cat:string:8:3,price:decimal(8,2):11:10,ts:timestamp:21:16," +
+      "score:double:37:24,dt:date:61:8,n:int:69:7"
+  private val recLen = 76
 
   /** Seeded rows; `clustered` sorts by k so frames get tight ranges. Nulls
-    * land in every numeric column; doubles include -0.0/extremes. */
+    * land in every numeric column (incl. date and int — every declared
+    * stat type's bound decode gets fuzzed); doubles include -0.0/extremes. */
   private def makeData(dir: String, seed: Long, clustered: Boolean): Unit = {
     import spark.implicits._
     val rnd = new java.util.Random(seed)
@@ -41,11 +43,15 @@ class FwzStatsFuzzSpec extends SparkSpec with Matchers {
           case 0 => -0.0d
           case 1 => 0.0d
           case _ => rnd.nextDouble() * 200 - 100
-        }))
+        }),
+        if (rnd.nextInt(18) == 0) None else Some((18000 + k / 4).toInt),
+        if (rnd.nextInt(22) == 0) None else Some(rnd.nextInt(100000) - 50000))
     }
-    val df = rows.toDF("k", "cat", "price", "ts", "score")
+    val df = rows.toDF("k", "cat", "price", "ts", "score", "dt", "n")
       .select(col("k"), col("cat"), col("price").cast("decimal(8,2)"),
-        timestamp_micros(col("ts")).as("ts"), col("score"))
+        timestamp_micros(col("ts")).as("ts"), col("score"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("dt")).as("dt"),
+        col("n"))
     (if (clustered) df.orderBy(col("k")) else df).coalesce(1)
       .write.format("fixedwidth").option("fields", fieldsOpt)
       .option("recordLength", recLen.toString)
@@ -75,7 +81,15 @@ class FwzStatsFuzzSpec extends SparkSpec with Matchers {
   }
 
   private def randomFilter(rnd: java.util.Random, depth: Int): Filter = {
-    def leaf(): Filter = rnd.nextInt(12) match {
+    def leaf(): Filter = rnd.nextInt(15) match {
+      case 12 =>
+        val d = java.time.LocalDate.ofEpochDay(18000 + rnd.nextInt(6000))
+        if (rnd.nextBoolean()) GreaterThanOrEqual("dt", d)
+        else LessThan("dt", java.sql.Date.valueOf(d))
+      case 13 => EqualTo("dt", java.time.LocalDate.ofEpochDay(18000 + rnd.nextInt(6000)))
+      case 14 =>
+        if (rnd.nextBoolean()) GreaterThan("n", rnd.nextInt(120000) - 60000)
+        else LessThanOrEqual("n", rnd.nextInt(120000) - 60000)
       case 0 => EqualTo("k", rnd.nextInt(22000).toLong)
       case 1 => GreaterThan("k", rnd.nextInt(22000).toLong)
       case 2 => LessThan("k", rnd.nextInt(22000).toLong)
@@ -84,8 +98,8 @@ class FwzStatsFuzzSpec extends SparkSpec with Matchers {
       case 5 => EqualTo("cat", Seq("aa", "ab", "b", "cc", "zz", "nope")(rnd.nextInt(6)))
       case 6 => StringStartsWith("cat", Seq("a", "b", "z", "q")(rnd.nextInt(4)))
       case 7 => In("k", Array.fill(3)(rnd.nextInt(22000).toLong.asInstanceOf[Any]))
-      case 8 => IsNull(Seq("k", "price", "ts", "score")(rnd.nextInt(4)))
-      case 9 => IsNotNull(Seq("k", "price", "ts", "score")(rnd.nextInt(4)))
+      case 8 => IsNull(Seq("k", "price", "ts", "score", "dt", "n")(rnd.nextInt(6)))
+      case 9 => IsNotNull(Seq("k", "price", "ts", "score", "dt", "n")(rnd.nextInt(6)))
       case 10 => GreaterThan("score", rnd.nextDouble() * 200 - 100)
       case _ => LessThan("ts", java.time.Instant.ofEpochSecond(1600000000L + rnd.nextInt(20000)))
     }
@@ -115,7 +129,7 @@ class FwzStatsFuzzSpec extends SparkSpec with Matchers {
     spark.read.format("fixedwidth").option("fields", fieldsOpt)
       .option("recordLength", recLen.toString).load(dir)
       .filter(cond)
-      .selectExpr("concat_ws('|', k, cat, price, ts, score)")
+      .selectExpr("concat_ws('|', k, cat, price, ts, score, dt, n)")
       .collect().map(_.getString(0)).sorted
 
   test("random predicates: stats-framed read == stats-less read, and skipping engages") {

@@ -124,7 +124,7 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("footer v2 round-trips stats and count/statistics shortcuts still work") {
+  test("stats footer round-trips and count/statistics shortcuts still work") {
     val dir = Files.createTempDirectory("graft-fwzstats-footer").toString
     writeData(dir, Some("id,grp"))
     val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz")).head
@@ -142,7 +142,7 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     new String(idStats.maxs(3), "US-ASCII").trim.toLong shouldBe 1999L
     (idStats.flags(3) & FwzFormat.FlagHasValue) should not be 0
     (idStats.flags(3) & FwzFormat.FlagHasNull) shouldBe 0
-    // count(*) pushdown still exact on a v2 file
+    // count(*) pushdown still exact on a stats file
     spark.read.format("fixedwidth").option("fields", fieldsOpt)
       .option("recordLength", recLen.toString).load(dir)
       .count() shouldBe 40000L
@@ -154,8 +154,9 @@ class FwzStatsSpec extends SparkSpec with Matchers {
     val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fwz")).head
     val raf = new java.io.RandomAccessFile(f, "rw")
     try {
-      // truncate the stats length in the v2 trailer: statsLen sits 14 bytes
-      // before EOF — halving it breaks the tiling check
+      // truncate the stats length in the trailer: statsLen sits 14 bytes
+      // before EOF in both stats versions — halving it breaks the tiling
+      // check
       raf.seek(f.length() - FwzFormat.TrailerLenV2)
       val statsLen = raf.readInt()
       raf.seek(f.length() - FwzFormat.TrailerLenV2)
@@ -168,6 +169,20 @@ class FwzStatsSpec extends SparkSpec with Matchers {
       FwzFormat.readFooter(new Path(f.getPath), f.length(), conf)
     }
     e.getMessage should include("corrupt")
+  }
+
+  test("stats block size guard: an over-int32 projected block fails at the first bad frame") {
+    // a 2000-byte stat field over ~537k frames (a ~35 GB file at
+    // frameBytes=64KiB) — the r15 render would overflow Int arithmetic and
+    // die in ByteBuffer.allocate AFTER the whole write; the guard the
+    // Tracker calls per frame must fail fast with an actionable message
+    val perFrame = 1L + 2L * 2000L
+    val e = intercept[IllegalArgumentException] {
+      FwzStats.checkStatsSize(50L, perFrame, 537000L)
+    }
+    e.getMessage should include("frameStats")
+    e.getMessage should include("frameBytes")
+    noException should be thrownBy FwzStats.checkStatsSize(50L, perFrame, 500000L)
   }
 
   test("trim-convention mismatch deactivates string stats but never numeric ones") {
