@@ -18,8 +18,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * all readers resolve the same live set because they run the same fold over
   * the same total order (seq, then uuid):
   *
-  *  - `append D`:  live :+ D       (applied unconditionally — appends of
-  *                                  distinct deltas commute)
+  *  - `append D`:  live :+ D       (applied iff D was never appended
+  *                                  before — appends of distinct deltas
+  *                                  commute, client-retry duplicates are
+  *                                  inert even when they land after a
+  *                                  compaction folded D)
   *  - `compact folded → B`: applied ONLY when `folded ⊆ live`; otherwise the
   *                          entry is inert (a compactor that lost a
   *                          compact-vs-compact race folded dirs that are no
@@ -49,6 +52,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * POSIX). Entry timestamps and clocks are never consulted — ordering is
   * entirely (seq, uuid), and seq needs no coordination beyond "past my own
   * snapshot".
+  *
+  * Arbitrary writer LATENESS (a stalled writer's entry landing after
+  * higher-seq entries exist, retro-inserting into the fold order) is safe
+  * for ROWS but not for pointer identity: a late compact can apply at its
+  * sort position and flip a previously-applied compact to inert (both
+  * bases hold the same folded rows, so the row multiset is unchanged —
+  * the subset rule is all-or-nothing), and a late duplicate APPEND is kept
+  * inert by the ever-appended guard in [[read]]. Consequence for garbage
+  * collection: an entry's applied/inert status is NOT final while writers
+  * may still be stalled, so deleting an inert compaction's base is only
+  * safe behind a staleness horizon (no writer older than H). Left to the
+  * deployment; this module never deletes anything.
   */
 object ManifestLog {
 
@@ -82,7 +97,14 @@ object ManifestLog {
       }
     } catch { case _: Exception => None }
 
-  /** Fold the log under `root` into the current live set. */
+  /** Fold the log under `root` into the current live set.
+    *
+    * The append guard is EVER-APPENDED, not currently-live: a client retry
+    * of a successful append can land arbitrarily late — including AFTER a
+    * compaction folded the delta into a base — and a currently-live guard
+    * would re-admit the folded dir then, serving its rows twice (once via
+    * the base, once live). Ever-appended makes every duplicate inert
+    * regardless of where it sorts. */
   def read(fs: FileSystem, root: Path): State = {
     if (!fs.exists(root)) return State(0L, Nil)
     val entries = fs.listStatus(root).toSeq.flatMap { st =>
@@ -92,12 +114,13 @@ object ManifestLog {
       }
     }.sortBy { case (seq, uuid, _) => (seq, uuid) }
     var live = Vector.empty[String]
+    val appended = scala.collection.mutable.HashSet.empty[String]
     var maxSeq = 0L
     entries.foreach { case (seq, _, p) =>
       maxSeq = math.max(maxSeq, seq)
       parse(fs, p) match {
         case Some(Append(dir)) =>
-          if (!live.contains(dir)) live :+= dir // idempotent under retried appends
+          if (appended.add(dir)) live :+= dir // duplicates (client retries) inert
         case Some(Compact(folded, base)) =>
           val f = folded.toSet
           if (f.nonEmpty && f.subsetOf(live.toSet)) live = base +: live.filterNot(f)

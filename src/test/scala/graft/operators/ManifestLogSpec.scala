@@ -100,23 +100,28 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     }
     // compactor B runs ENTIRELY inside compactor A's commit window — the
     // worst interleaving: both snapshots are identical, both folds complete,
-    // both log entries land at the same seq
+    // both log entries land at the SAME seq, and the uuid tiebreak decides
+    // the winner at READ time (not commit-wall-clock: B reads applied=true
+    // before A's entry exists, and can flip inert once it lands — the
+    // stall-flip in miniature; pointer churn only, both bases hold the
+    // same rows)
     val baseA = s"$tmp/base-A"
     val baseB = s"$tmp/base-B"
     var bApplied = false
-    val (sA, aApplied) = ManifestLog.compact(
+    val (_, aApplied) = ManifestLog.compact(
       fs, root, baseA, rewrite = dirs => fold(dirs, baseA),
       beforeCommit = () => {
         val (_, ok) = ManifestLog.compact(fs, root, baseB, rewrite = dirs => fold(dirs, baseB))
         bApplied = ok
       })
-    // B committed first inside A's window, so B applied and A's entry is
-    // inert — exactly one fold wins, deterministically
-    bApplied shouldBe true
-    aApplied shouldBe false
-    sA.dirs should have size 1
-    sA.dirs.head shouldBe baseB
-    readAll(sA.dirs) shouldBe (0L until 150L)
+    bApplied shouldBe true // B's read preceded A's entry: its fold had applied
+    // final fold: EXACTLY one base live, consistent with A's own reading,
+    // rows exactly once whichever uuid won
+    val s = ManifestLog.read(fs, root)
+    s.dirs should have size 1
+    Set(baseA, baseB) should contain(s.dirs.head)
+    aApplied shouldBe (s.dirs.head == baseA)
+    readAll(s.dirs) shouldBe (0L until 150L)
   }
 
   test("torn entry mid-write: skipped this read, no crash, appends remain visible next read") {
@@ -148,5 +153,67 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     val s = ManifestLog.read(fs, root)
     s.dirs should have size 1
     readAll(s.dirs) shouldBe (0L until 7L)
+  }
+
+  test("a duplicate append landing AFTER a compaction folded the delta stays inert") {
+    // the re-animation hazard: with a currently-live dedup guard, a client
+    // retry that lands after compact(D) would re-admit D and serve its rows
+    // twice (once via the base, once live); the ever-appended guard makes
+    // it inert wherever it sorts
+    val tmp = Files.createTempDirectory("graft-mlog-latedup").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 40)
+    val d2 = writeDelta(tmp, "d2", 40 until 90)
+    ManifestLog.append(fs, root, d1)
+    ManifestLog.append(fs, root, d2)
+    val compacted = s"$tmp/base-2"
+    val (_, applied) = ManifestLog.compact(
+      fs, root, compacted,
+      rewrite = dirs => {
+        import spark.implicits._
+        readAll(dirs).toDF("id").coalesce(1)
+          .write.format("fixedwidth").option("fields", "id:long:0:10")
+          .mode("overwrite").save(compacted)
+      })
+    applied shouldBe true
+    // the stale client's retry of d1 lands now
+    val s = ManifestLog.append(fs, root, d1)
+    s.dirs shouldBe Seq(compacted)
+    readAll(s.dirs) shouldBe (0L until 90L) // every row exactly once
+  }
+
+  test("a STALLED compactor's entry retro-inserting before an applied one: pointer may flip, " +
+      "rows never do") {
+    // worst-case lateness: compactor E snapshotted {d1}, stalled, and its
+    // entry lands AFTER compactor W already folded {d1}->BW — but at a
+    // sort position BEFORE W's (same seq, smaller uuid). The deterministic
+    // re-fold applies E and flips W to inert. That is pointer churn only:
+    // both bases hold exactly d1's rows, and the all-or-nothing subset rule
+    // guarantees the flip can never drop or double a row.
+    val tmp = Files.createTempDirectory("graft-mlog-stall").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 30)
+    ManifestLog.append(fs, root, d1)
+    def fold(out: String): Unit = {
+      import spark.implicits._
+      readAll(Seq(d1)).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(out)
+    }
+    val bw = s"$tmp/base-W"
+    val (sW, appliedW) = ManifestLog.compact(fs, root, bw, rewrite = _ => fold(bw))
+    appliedW shouldBe true
+    sW.dirs shouldBe Seq(bw)
+    // E's stalled entry: same seq as W's compact, uuid 00000000 sorts first
+    val be = s"$tmp/base-E"
+    fold(be)
+    val entry = f"""{"seq":${sW.seq},"op":"compact","base":"$be","folded":["$d1"]}"""
+    val out = fs.create(new Path(root, f"log-${sW.seq}%020d-00000000.json"), true)
+    out.write(entry.getBytes("UTF-8")); out.close()
+    val s = ManifestLog.read(fs, root)
+    s.dirs shouldBe Seq(be) // E applied, W flipped inert — deterministically
+    readAll(s.dirs) shouldBe (0L until 30L) // rows exactly once, regardless
   }
 }
