@@ -126,17 +126,26 @@ object GenerationalIndex {
     dirs.foreach(arr.add)
     val bytes = mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = new Path(root,
-      s".tmp-manifest-$version-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      s".tmp-manifest-$version-${java.util.UUID.randomUUID()}.json")
     if ("file".equalsIgnoreCase(fs.getScheme)) {
       val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
       val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
       java.nio.file.Files.write(src, bytes)
       beforePublish()
       try {
+        // ONLY an existing destination is a CAS miss. Any other IOException
+        // (no hard-link support on this mount, cross-device, permissions)
+        // must propagate loudly: swallowing it as a miss would spin the
+        // CAS loop 1000 times and then misreport an environment problem as
+        // contention.
         try { java.nio.file.Files.createLink(dst, src); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException => false // e.g. cross-device: lost or unsupported — treat as CAS miss
+          case _: java.nio.file.FileSystemException if dst.toFile.exists() => false
+          case e: java.io.IOException => throw new java.io.IOException(
+            s"generational index: cannot publish $p via hard link — the " +
+              "filesystem may not support link(2); use ManifestLog for " +
+              s"stores without atomic claim primitives: $e", e)
         }
       } finally java.nio.file.Files.deleteIfExists(src)
     } else {

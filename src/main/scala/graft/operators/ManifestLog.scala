@@ -73,10 +73,13 @@ object ManifestLog {
   final case class State(seq: Long, dirs: Seq[String])
 
   private val mapper = new ObjectMapper()
-  private val EntryRe = """log-(\d{20})-([0-9a-f]{8})\.json""".r
+  // full 36-char UUID: collision-free BY CONSTRUCTION is the module's load-
+  // bearing claim, and a truncated id plus overwrite-create would let two
+  // same-seq writers replace each other's entry at birthday-problem odds
+  private val EntryRe = """log-(\d{20})-([0-9a-f-]{36})\.json""".r
 
   private def entryPath(root: Path, seq: Long): Path =
-    new Path(root, f"log-$seq%020d-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    new Path(root, f"log-$seq%020d-${java.util.UUID.randomUUID()}.json")
 
   private sealed trait Op
   private final case class Append(dir: String) extends Op
@@ -106,7 +109,12 @@ object ManifestLog {
     * the base, once live). Ever-appended makes every duplicate inert
     * regardless of where it sorts. */
   def read(fs: FileSystem, root: Path): State = {
-    if (!fs.exists(root)) return State(0L, Nil)
+    val (seq, live, _) = foldLog(fs, root)
+    State(seq, live)
+  }
+
+  private def foldLog(fs: FileSystem, root: Path): (Long, Vector[String], Set[String]) = {
+    if (!fs.exists(root)) return (0L, Vector.empty, Set.empty)
     val entries = fs.listStatus(root).toSeq.flatMap { st =>
       st.getPath.getName match {
         case EntryRe(seq, uuid) => Some((seq.toLong, uuid, st.getPath))
@@ -128,7 +136,7 @@ object ManifestLog {
         case None => // torn or foreign entry: skipped, deterministically
       }
     }
-    State(maxSeq, live)
+    (maxSeq, live, appended.toSet)
   }
 
   private def writeEntry(fs: FileSystem, root: Path, seq: Long,
@@ -144,11 +152,14 @@ object ManifestLog {
 
   /** Publish `deltaDir` (already fully written) as a new live generation.
     * Never retries, never loses: appends of distinct dirs commute under the
-    * fold, so there is no CAS to lose. */
+    * fold, so there is no CAS to lose. Returns the WRITER'S view (its entry
+    * folded over its snapshot) — any return value is a snapshot the moment
+    * it exists, and folding locally halves the per-append LIST+GET cost of
+    * an O(entries) log walk on the object-store target. */
   def append(fs: FileSystem, root: Path, deltaDir: String): State = {
-    val s = read(fs, root)
-    writeEntry(fs, root, s.seq + 1, _.put("op", "append").put("dir", deltaDir))
-    read(fs, root)
+    val (seq, live, appended) = foldLog(fs, root)
+    writeEntry(fs, root, seq + 1, _.put("op", "append").put("dir", deltaDir))
+    State(seq + 1, if (appended.contains(deltaDir)) live else live :+ deltaDir)
   }
 
   /** Snapshot the live set, have the caller rewrite exactly those
@@ -156,9 +167,12 @@ object ManifestLog {
     * between the rewrite and the log entry (test seam — a racing append
     * landing exactly there is the interleaving this design exists to
     * survive). Returns the post-commit state plus whether THIS fold applied:
-    * `applied = false` means a concurrent compaction won and `newBaseDir` is
-    * unreferenced garbage the caller may delete (it holds the same rows the
-    * winner's base does — nothing is lost). */
+    * `applied = false` means a concurrent compaction won and `newBaseDir`
+    * is unreferenced (it holds the same rows the winner's base does —
+    * nothing is lost). Deleting it is safe ONLY behind the staleness
+    * horizon in the module note: applied/inert is not final while writers
+    * may still be stalled, and a retro-inserting late entry can flip the
+    * fold's choice of winner. */
   def compact(
       fs: FileSystem, root: Path, newBaseDir: String,
       rewrite: Seq[String] => Unit,

@@ -817,7 +817,10 @@ object CoreQueries {
   private[queries] def lineitemFwzStatsPath(spark: SparkSession, dir: String): String = {
     val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
     val out = QueryRegistry.scratch(dir, "lineitem_fwz_stats")
-    val marker = new java.io.File(out, "_graft_done")
+    // format-versioned marker: q241 REQUIRES the v3 ordered flag, so a
+    // stale pre-v3 fixture must regenerate, not hard-fail the lane
+    val marker = new java.io.File(out,
+      s"_graft_done_v${graft.sources.fixedwidth.FwzFormat.VersionStatsV3}")
     if (!marker.exists()) {
       QueryRegistry.table(spark, dir, "lineitem")
         .select(lineitemLayout.map(f => col(f.name)): _*)
@@ -937,7 +940,10 @@ object CoreQueries {
     import spark.implicits._
     val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
     val out = QueryRegistry.scratch(dir, "lineitem_fwz_stats_byflag")
-    val marker = new java.io.File(out, "_graft_done")
+    // format-versioned marker: a pre-v3 fixture surviving in scratch would
+    // silently lack the stats features later lanes assert on
+    val marker = new java.io.File(out,
+      s"_graft_done_v${graft.sources.fixedwidth.FwzFormat.VersionStatsV3}")
     if (!marker.exists()) {
       QueryRegistry.table(spark, dir, "lineitem")
         .select(lineitemLayout.map(f => col(f.name)): _*)

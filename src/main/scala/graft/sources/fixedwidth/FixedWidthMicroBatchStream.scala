@@ -254,11 +254,20 @@ class FixedWidthMicroBatchStream(
 
   private def snapshot(): Map[String, Long] = {
     val meta = Map.newBuilder[String, Long]
+    val failingNow = scala.collection.mutable.Set.empty[String]
     val kept = FixedWidthTable.pruneFiles(
       FixedWidthTable.listPartitionedFiles(tableOptions, conf), opts, pushedFilters)
       .kept
       .filter { st =>
         if (!FwzFormat.isFramed(st.getPath)) true
+        // ALREADY-ADMITTED framed files skip the footer probe entirely: the
+        // footer was complete when they were admitted, their record counts
+        // are checkpointed, and nothing about them can affect admission
+        // again — without this, a 10k-file watched directory pays 10k tail
+        // reads per trigger forever (the r16 fingerprint fold made cache
+        // hits a positioned read, which is fine per QUERY plan but not per
+        // streaming trigger per processed file)
+        else if (seen.contains(st.getPath.toString)) true
         else scala.util.Try(FwzFormat.readFooterCached(
           st.getPath, st.getLen, st.getModificationTime, conf)) match {
           case scala.util.Success(footer) =>
@@ -267,6 +276,7 @@ class FixedWidthMicroBatchStream(
             true
           case scala.util.Failure(e) =>
             val pathStr = st.getPath.toString
+            failingNow += pathStr
             val now = System.currentTimeMillis()
             fwzFirstUnreadable.get(pathStr) match {
               case Some((len0, t0)) if len0 == st.getLen =>
@@ -278,7 +288,6 @@ class FixedWidthMicroBatchStream(
                       s"corrupt, not still-being-written; failing loudly like the " +
                       s"batch path would: $e", e)
               case _ =>
-                if (fwzFirstUnreadable.size > 10000) fwzFirstUnreadable.clear()
                 fwzFirstUnreadable(pathStr) = (st.getLen, now)
             }
             if (fwzWarned.size > 10000) fwzWarned.clear()
@@ -290,6 +299,13 @@ class FixedWidthMicroBatchStream(
             false
         }
       }
+    // Evict deadline entries for files no longer listed-and-failing (they
+    // vanished, were admitted, or became readable): the map stays bounded
+    // by the directory's CURRENT failing set, and — unlike a wholesale
+    // clear at a size cap — a genuinely corrupt file's grace clock is
+    // never reset, so the fail-loudly deadline survives pathological
+    // directories, which is exactly when it matters.
+    fwzFirstUnreadable.filterInPlace { case (p, _) => failingNow.contains(p) }
     fwzRecords = meta.result()
     kept.map(st => st.getPath.toString -> st.getLen).toMap
   }

@@ -399,7 +399,14 @@ object FwzStats {
       * field (mins AND maxs both ascend, since max_i ≤ min_{i+1}), the kept
       * frames of any single comparison form one contiguous INTERVAL, found
       * by binary search over the decoded extremes — O(log frames) decodes
-      * against the linear walk's O(frames). The interval reproduces the
+      * against the linear walk's O(frames). Because only O(log) bounds are
+      * PROBED, the `ordered` contract (format note) includes decodability
+      * of every extreme under the recorded conventions — this writer
+      * proves it at close (proveOrdered decodes all of them); a foreign
+      * block setting the bit over an undecodable slice is as
+      * out-of-contract as one recording wrong extreme bytes. A probed
+      * bound that still fails to decode bails the whole leaf back to the
+      * linear walk. The interval reproduces the
       * linear decisions EXACTLY (FwzOrderedSpec pins this differentially):
       *   keep(i) for `op lit` ⇔ lo(op) ≤ i ≤ hi(op) where
       *     lo: first max_i ≥ lit (=, ≥) / first max_i > lit (>) / 0

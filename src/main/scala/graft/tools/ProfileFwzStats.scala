@@ -29,7 +29,8 @@ object ProfileFwzStats {
 
     val fieldsOpt = FixedWidthOptions.renderFields(CoreQueries.lineitemLayout)
     def encode(out: String, stats: Boolean): Unit = {
-      val marker = new java.io.File(out, "_graft_done")
+      val marker = new java.io.File(out,
+        s"_graft_done_v${graft.sources.fixedwidth.FwzFormat.VersionStatsV3}")
       if (marker.exists()) return
       // ordered by the write key, like a real feed (and like the q235
       // fixture): the driver's synthetic lineitem is shuffled, which makes

@@ -131,7 +131,8 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     ManifestLog.append(fs, root, writeDelta(tmp, "base", 0 until 5))
     val s0 = ManifestLog.read(fs, root)
     // a half-written entry caught by a racing reader: valid name, torn JSON
-    val torn = new Path(root, f"log-${s0.seq + 1}%020d-deadbeef.json")
+    val torn = new Path(root,
+      f"log-${s0.seq + 1}%020d-deadbeef-dead-beef-dead-beefdeadbeef.json")
     val out = fs.create(torn, true)
     out.write("""{"seq":2,"op":"app""".getBytes("UTF-8"))
     out.close()
@@ -210,7 +211,8 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     val be = s"$tmp/base-E"
     fold(be)
     val entry = f"""{"seq":${sW.seq},"op":"compact","base":"$be","folded":["$d1"]}"""
-    val out = fs.create(new Path(root, f"log-${sW.seq}%020d-00000000.json"), true)
+    val out = fs.create(new Path(root,
+      f"log-${sW.seq}%020d-00000000-0000-0000-0000-000000000000.json"), true)
     out.write(entry.getBytes("UTF-8")); out.close()
     val s = ManifestLog.read(fs, root)
     s.dirs shouldBe Seq(be) // E applied, W flipped inert — deterministically

@@ -104,9 +104,12 @@ class FwzAggPushFuzzSpec extends SparkSpec with Matchers {
     for (seed <- 0 until 3) {
       val dir = Files.createTempDirectory(s"graft-aggfuzz-g-$seed").toString
       writeData(dir, seed, partitioned = true)
-      val got = read(dir).groupBy(col("grp"))
+      val agg = read(dir).groupBy(col("grp"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("mn_k"), max(col("k")).as("mx_k"))
         .orderBy(col("grp"))
+      // non-vacuity: the grouped shape must answer from the footer scan too
+      agg.queryExecution.executedPlan.toString should include("FixedWidthCountScan")
+      val got = agg
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2)),
