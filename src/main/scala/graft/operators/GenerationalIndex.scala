@@ -153,8 +153,33 @@ object GenerationalIndex {
       out.write(bytes)
       out.close()
       beforePublish()
-      val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
-      if (!won) fs.delete(tmp, false)
+      // Same diagnosis discipline as the link branch: a rename that fails
+      // WITH the destination present is the CAS miss (the other writer's
+      // manifest claimed the name — manifests are never deleted, so the
+      // check is race-free); one that fails with the destination ABSENT is
+      // an environment problem (permissions, quota, FS quirk) and must
+      // propagate loudly — swallowed as a miss it would spin casLoop 1000
+      // times and misreport itself as contention.
+      val won =
+        try fs.rename(tmp, p)
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(p)) false
+            else {
+              fs.delete(tmp, false)
+              throw new java.io.IOException(
+                s"generational index: cannot publish $p via rename and the " +
+                  "destination does not exist — an environment failure, not a " +
+                  s"CAS miss; fix the store before retrying: $e", e)
+            }
+        }
+      if (!won) {
+        fs.delete(tmp, false)
+        if (!fs.exists(p))
+          throw new java.io.IOException(
+            s"generational index: rename to $p returned false with no " +
+              "destination present — an environment failure, not a CAS miss")
+      }
       won
     }
   }

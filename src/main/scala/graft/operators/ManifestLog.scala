@@ -28,6 +28,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *                          compact-vs-compact race folded dirs that are no
   *                          longer live — its base holds the same rows as
   *                          the winner's, so dropping it loses nothing).
+  *  - `checkpoint`: a pure SNAPSHOT of the fold state (live set +
+  *                  ever-appended set) under its own name pattern
+  *                  (`ckpt-<seq>-<uuid>.json`), never a state transition —
+  *                  folds resume from the newest one instead of GETting
+  *                  every entry ever written ([[checkpoint]]).
   *
   * Why the fold is exactly-once under every race the CAS design handles:
   *  - compact-vs-append: a compactor only folds dirs it LISTED, and every
@@ -41,17 +46,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    longer a subset of the live set, so the second is inert.
   *  - torn reads: an entry is visible-with-full-content or skipped —
   *    object-store PUT is all-or-nothing, and on filesystems a reader that
-  *    catches a half-written entry fails to parse it and skips it, which is
-  *    indistinguishable from reading a moment earlier. A skipped-this-read
-  *    APPEND is seen by the next read; a compactor that didn't see it
-  *    doesn't fold it — safe, per the compact-vs-append argument.
+  *    catches a half-written entry reads its bytes fine but fails the JSON
+  *    parse and skips it, which is indistinguishable from reading a moment
+  *    earlier. A skipped-this-read APPEND is seen by the next read; a
+  *    compactor that didn't see it doesn't fold it — safe, per the
+  *    compact-vs-append argument. That argument covers PARSE failures only:
+  *    an IO failure opening or reading an already-committed entry is NOT a
+  *    torn write (earlier reads may have folded it), and skipping it would
+  *    return a live set silently missing that delta's rows — and inert any
+  *    applied compaction that folded it. IO failures are therefore retried
+  *    bounded and then FAIL THE FOLD LOUDLY ([[readEntryBytes]]).
   *
   * The requirements on the store, stated honestly: PUT of a distinct new key
   * never overwrites another writer's object, and LIST-after-PUT is
   * read-after-write consistent (true of S3 since 2020, GCS, Azure, HDFS and
-  * POSIX). Entry timestamps and clocks are never consulted — ordering is
-  * entirely (seq, uuid), and seq needs no coordination beyond "past my own
-  * snapshot".
+  * POSIX). Entry timestamps and clocks are never consulted for ORDERING —
+  * ordering is entirely (seq, uuid), and seq needs no coordination beyond
+  * "past my own snapshot". ([[sweepInertBases]] consults entry AGE, never
+  * order — see its note.)
   *
   * Arbitrary writer LATENESS (a stalled writer's entry landing after
   * higher-seq entries exist, retro-inserting into the fold order) is safe
@@ -59,11 +71,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * sort position and flip a previously-applied compact to inert (both
   * bases hold the same folded rows, so the row multiset is unchanged —
   * the subset rule is all-or-nothing), and a late duplicate APPEND is kept
-  * inert by the ever-appended guard in [[read]]. Consequence for garbage
-  * collection: an entry's applied/inert status is NOT final while writers
-  * may still be stalled, so deleting an inert compaction's base is only
-  * safe behind a staleness horizon (no writer older than H). Left to the
-  * deployment; this module never deletes anything.
+  * inert by the ever-appended guard in [[read]]. Consequence: an entry's
+  * applied/inert status is NOT final while writers may still be stalled, so
+  * both maintenance operations are gated on a STALENESS HORIZON H — the
+  * deployment's bound on a writer's snapshot-to-PUT window:
+  *  - [[checkpoint]] assumes every entry with seq ≤ its snapshot max has
+  *    already landed (folds resume from the snapshot, so a sub-horizon
+  *    retro-insert would be invisible to them);
+  *  - [[sweepInertBases]] deletes an inert compaction's base only when its
+  *    entry is older than H (a flip to applied requires a retro-insert
+  *    below it, which only a writer already older than H could produce).
   */
 object ManifestLog {
 
@@ -77,18 +94,49 @@ object ManifestLog {
   // bearing claim, and a truncated id plus overwrite-create would let two
   // same-seq writers replace each other's entry at birthday-problem odds
   private val EntryRe = """log-(\d{20})-([0-9a-f-]{36})\.json""".r
+  private val CkptRe = """ckpt-(\d{20})-([0-9a-f-]{36})\.json""".r
 
-  private def entryPath(root: Path, seq: Long): Path =
-    new Path(root, f"log-$seq%020d-${java.util.UUID.randomUUID()}.json")
+  private val MaxReadAttempts = 4
+
+  private def entryPath(root: Path, prefix: String, seq: Long): Path =
+    new Path(root, f"$prefix-$seq%020d-${java.util.UUID.randomUUID()}.json")
 
   private sealed trait Op
   private final case class Append(dir: String) extends Op
   private final case class Compact(folded: Seq[String], base: String) extends Op
+  private final case class Checkpoint(live: Seq[String], appended: Seq[String]) extends Op
 
-  private def parse(fs: FileSystem, p: Path): Option[Op] =
+  /** GET one LISTED entry's bytes. Every listed entry is COMMITTED (PUT is
+    * all-or-nothing on the object-store target; on filesystems a half
+    * write is readable and fails the JSON parse instead), so an IO failure
+    * here is transient store adversity on an entry earlier reads may
+    * already have folded — retried bounded, then thrown: a fold missing a
+    * committed delta is a silently-short live set, the one failure mode
+    * this module exists to rule out. */
+  private def readEntryBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    var attempt = 1
+    while (true) {
+      try {
+        val in = fs.open(p)
+        return try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt >= MaxReadAttempts)
+            throw new java.io.IOException(
+              s"manifest log: cannot read committed entry $p after $attempt attempts — " +
+                "failing the fold loudly instead of returning a live set missing its rows", e)
+          Thread.sleep(15L * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Decode one entry's bytes; None = torn or foreign content, skipped
+    * deterministically (see the torn-reads note — PARSE failures only;
+    * IO failures never reach here). */
+  private def decode(bytes: Array[Byte]): Option[Op] =
     try {
-      val in = fs.open(p)
-      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
       val node = mapper.readTree(bytes)
       node.get("op").asText() match {
         case "append" => Some(Append(node.get("dir").asText()))
@@ -96,9 +144,28 @@ object ManifestLog {
           val folded = Seq.newBuilder[String]
           node.get("folded").forEach(n => folded += n.asText())
           Some(Compact(folded.result(), node.get("base").asText()))
+        case "checkpoint" =>
+          val live = Seq.newBuilder[String]
+          node.get("live").forEach(n => live += n.asText())
+          val appended = Seq.newBuilder[String]
+          node.get("appended").forEach(n => appended += n.asText())
+          Some(Checkpoint(live.result(), appended.result()))
         case _ => None
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private final case class Entry(seq: Long, uuid: String, path: Path, ckpt: Boolean, mtimeMs: Long)
+
+  private def listEntries(fs: FileSystem, root: Path): Seq[Entry] =
+    fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case EntryRe(seq, uuid) =>
+          Some(Entry(seq.toLong, uuid, st.getPath, ckpt = false, st.getModificationTime))
+        case CkptRe(seq, uuid) =>
+          Some(Entry(seq.toLong, uuid, st.getPath, ckpt = true, st.getModificationTime))
+        case _ => None
+      }
+    }.sortBy(e => (e.seq, e.uuid))
 
   /** Fold the log under `root` into the current live set.
     *
@@ -113,39 +180,63 @@ object ManifestLog {
     State(seq, live)
   }
 
+  /** The fold, resumed from the newest readable checkpoint when one exists.
+    *
+    * Resume rule: a checkpoint C recorded the full fold of every entry it
+    * saw, all with seq ≤ C.seq − 1 (its seq is snapshot.max + 1, exactly
+    * like a compact's). Entries AT C.seq — same-snapshot racers — were by
+    * construction not folded by C, so the suffix fold replays every
+    * non-checkpoint entry with seq ≥ C.seq over C's state, whichever side
+    * of C's uuid they sort on: C is a pure snapshot (a no-op transition),
+    * so applying a same-seq-smaller-uuid racer after restoring C's state
+    * yields the same result as the full fold applying it just before C.
+    * Equivalence therefore needs exactly the checkpoint horizon contract:
+    * no entry with seq < C.seq lands after C was written. A torn
+    * checkpoint is skipped (the fold falls back to the next-newest, then
+    * to entry 1) — skipping a snapshot costs GETs, never rows. */
   private def foldLog(fs: FileSystem, root: Path): (Long, Vector[String], Set[String]) = {
     if (!fs.exists(root)) return (0L, Vector.empty, Set.empty)
-    val entries = fs.listStatus(root).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case EntryRe(seq, uuid) => Some((seq.toLong, uuid, st.getPath))
-        case _ => None
-      }
-    }.sortBy { case (seq, uuid, _) => (seq, uuid) }
+    val entries = listEntries(fs, root)
+    val maxSeq = entries.foldLeft(0L)((m, e) => math.max(m, e.seq))
     var live = Vector.empty[String]
     val appended = scala.collection.mutable.HashSet.empty[String]
-    var maxSeq = 0L
-    entries.foreach { case (seq, _, p) =>
-      maxSeq = math.max(maxSeq, seq)
-      parse(fs, p) match {
-        case Some(Append(dir)) =>
-          if (appended.add(dir)) live :+= dir // duplicates (client retries) inert
-        case Some(Compact(folded, base)) =>
-          val f = folded.toSet
-          if (f.nonEmpty && f.subsetOf(live.toSet)) live = base +: live.filterNot(f)
-        // else: inert — lost a compact-vs-compact race, its base is garbage
-        case None => // torn or foreign entry: skipped, deterministically
+    var fromSeq = Long.MinValue
+    val ckpts = entries.filter(_.ckpt).reverseIterator
+    var resumed = false
+    while (!resumed && ckpts.hasNext) {
+      val c = ckpts.next()
+      decode(readEntryBytes(fs, c.path)) match {
+        case Some(Checkpoint(l, a)) =>
+          live = l.toVector
+          appended ++= a
+          fromSeq = c.seq
+          resumed = true
+        case _ => // torn/foreign checkpoint: fall back to the next-newest
+      }
+    }
+    entries.foreach { e =>
+      if (!e.ckpt && e.seq >= fromSeq) {
+        decode(readEntryBytes(fs, e.path)) match {
+          case Some(Append(dir)) =>
+            if (appended.add(dir)) live :+= dir // duplicates (client retries) inert
+          case Some(Compact(folded, base)) =>
+            val f = folded.toSet
+            if (f.nonEmpty && f.subsetOf(live.toSet)) live = base +: live.filterNot(f)
+          // else: inert — lost a compact-vs-compact race, its base is garbage
+          case _ => // torn or foreign entry: skipped, deterministically
+        }
       }
     }
     (maxSeq, live, appended.toSet)
   }
 
-  private def writeEntry(fs: FileSystem, root: Path, seq: Long,
+  private def writeEntry(fs: FileSystem, root: Path, prefix: String, seq: Long,
       render: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
     if (!fs.exists(root)) fs.mkdirs(root)
     val node = mapper.createObjectNode()
     node.put("seq", seq)
     render(node)
-    val out = fs.create(entryPath(root, seq), true) // unique key — never a claim
+    val out = fs.create(entryPath(root, prefix, seq), true) // unique key — never a claim
     out.write(mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
@@ -158,7 +249,7 @@ object ManifestLog {
     * an O(entries) log walk on the object-store target. */
   def append(fs: FileSystem, root: Path, deltaDir: String): State = {
     val (seq, live, appended) = foldLog(fs, root)
-    writeEntry(fs, root, seq + 1, _.put("op", "append").put("dir", deltaDir))
+    writeEntry(fs, root, "log", seq + 1, _.put("op", "append").put("dir", deltaDir))
     State(seq + 1, if (appended.contains(deltaDir)) live else live :+ deltaDir)
   }
 
@@ -172,7 +263,7 @@ object ManifestLog {
     * nothing is lost). Deleting it is safe ONLY behind the staleness
     * horizon in the module note: applied/inert is not final while writers
     * may still be stalled, and a retro-inserting late entry can flip the
-    * fold's choice of winner. */
+    * fold's choice of winner ([[sweepInertBases]] is that rule as code). */
   def compact(
       fs: FileSystem, root: Path, newBaseDir: String,
       rewrite: Seq[String] => Unit,
@@ -181,7 +272,7 @@ object ManifestLog {
     require(s0.dirs.nonEmpty, s"manifest log: nothing to compact under $root")
     rewrite(s0.dirs)
     beforeCommit()
-    writeEntry(fs, root, s0.seq + 1, { node =>
+    writeEntry(fs, root, "log", s0.seq + 1, { node =>
       node.put("op", "compact")
       node.put("base", newBaseDir)
       val arr = node.putArray("folded")
@@ -189,5 +280,93 @@ object ManifestLog {
     })
     val s1 = read(fs, root)
     (s1, s1.dirs.contains(newBaseDir))
+  }
+
+  /** Write a fold CHECKPOINT so later folds resume from it instead of
+    * GETting every entry ever written — without it the log only grows and
+    * every read/append is O(entries) LIST+GET forever, a real serving cost
+    * at the object-store cadence this module targets (compaction folds
+    * DATA dirs, never the log itself).
+    *
+    * HORIZON GATE (caller's contract, same H as [[sweepInertBases]]): call
+    * only when no writer's snapshot-to-PUT window can still be open from
+    * before this call's snapshot — i.e. every entry with seq ≤ the current
+    * max has already landed. A retro-insert below the checkpoint's seq
+    * would be invisible to resumed folds; behind the horizon it cannot
+    * occur. The natural call site is the same maintenance cycle that runs
+    * compaction and GC, which already owns that assertion.
+    *
+    * The checkpoint is a pure snapshot under its own name pattern — it
+    * never changes any fold's result (ManifestLogSpec pins
+    * checkpoint-resumed ≡ full fold differentially), it only bounds the
+    * suffix a fold must GET. The ever-appended set travels inside it, so
+    * the duplicate-append guard keeps its full history. Entries below the
+    * checkpoint stay on the store (this module still deletes nothing but
+    * swept bases); deleting them behind the same horizon is a deployment
+    * choice the checkpoint makes safe. */
+  def checkpoint(fs: FileSystem, root: Path): State = {
+    val (seq, live, appended) = foldLog(fs, root)
+    if (seq == 0L) return State(0L, live) // empty log: nothing to snapshot
+    writeEntry(fs, root, "ckpt", seq + 1, { node =>
+      node.put("op", "checkpoint")
+      val la = node.putArray("live")
+      live.foreach(la.add)
+      val aa = node.putArray("appended")
+      appended.toSeq.sorted.foreach(aa.add)
+    })
+    State(seq + 1, live)
+  }
+
+  /** Delete the base directories of LOSING compactions — garbage today,
+    * but only PROVABLY garbage behind the staleness horizon: an inert
+    * compact entry X flips to applied only if some entry retro-inserts
+    * below X's sort position, and such an entry can only come from a
+    * writer whose fold snapshot predates X's landing. If no writer's
+    * snapshot-to-PUT window exceeds `horizonMs` and X has been on the
+    * store longer than that, no such writer can still exist — X's inert
+    * status is final and its base (which holds only rows the winning
+    * fold already serves) is safe to drop.
+    *
+    * Deletes ONLY dirs that (a) are the `base` of a compact entry that is
+    * inert under the current fold, (b) are not live, (c) were never
+    * appended as a delta, and (d) are no applied compact's base — then
+    * returns what it deleted. Entry AGE comes from store mtimes, used
+    * solely as a conservative gate (never for ordering). The fold here is
+    * the FULL one — checkpoints summarize live state but not per-entry
+    * applied/inert status, and a maintenance-cadence O(entries) walk is
+    * the right price for deleting data. */
+  def sweepInertBases(
+      fs: FileSystem, root: Path, horizonMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    val entries = listEntries(fs, root)
+    var live = Vector.empty[String]
+    val appended = scala.collection.mutable.HashSet.empty[String]
+    val appliedBases = scala.collection.mutable.HashSet.empty[String]
+    val inertOldBases = scala.collection.mutable.LinkedHashSet.empty[String]
+    entries.foreach { e =>
+      if (!e.ckpt) {
+        decode(readEntryBytes(fs, e.path)) match {
+          case Some(Append(dir)) =>
+            if (appended.add(dir)) live :+= dir
+          case Some(Compact(folded, base)) =>
+            val f = folded.toSet
+            if (f.nonEmpty && f.subsetOf(live.toSet)) {
+              live = base +: live.filterNot(f)
+              appliedBases += base
+            } else if (nowMs - e.mtimeMs > horizonMs) {
+              inertOldBases += base
+            }
+          case _ => // torn/foreign: skipped (never aged into a candidate)
+        }
+      }
+    }
+    val liveSet = live.toSet
+    inertOldBases.toSeq
+      .filterNot(b => liveSet.contains(b) || appended.contains(b) || appliedBases.contains(b))
+      .filter { b =>
+        val p = new Path(b)
+        fs.exists(p) && fs.delete(p, true)
+      }
   }
 }

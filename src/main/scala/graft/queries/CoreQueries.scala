@@ -87,7 +87,11 @@ object CoreQueries {
     import spark.implicits._
     val fieldsOpt = FixedWidthOptions.renderFields(lineitemLayout)
     val out = QueryRegistry.scratch(dir, "lineitem_fwz")
-    val marker = new java.io.File(out, "_graft_done")
+    // format-versioned marker (like the stats fixtures): a scratch dir
+    // persisted by an older round holds pre-v3 files without the contentCrc
+    // the footer cache's honesty note wants — bump the marker, regenerate
+    val marker = new java.io.File(out,
+      s"_graft_done_v${graft.sources.fixedwidth.FwzFormat.VersionStatsV3}")
     if (!marker.exists()) {
       QueryRegistry.table(spark, dir, "lineitem")
         .select(lineitemLayout.map(f => col(f.name)): _*)

@@ -228,6 +228,8 @@ object DedupQueries {
       Some(minhashIndexRefreshOracle)),
     Q("q240_objectstore_log_compaction", minhashLogCompactionRacingAppend,
       Some(minhashIndexRefreshOracle)),
+    Q("q242_objectstore_ckpt_sweep", minhashLogCheckpointSweep,
+      Some(minhashIndexRefreshOracle)),
     Q("q231_minhash_index_compaction", minhashIndexCompaction,
       Some(minhashIndexRefreshOracle)))
 
@@ -547,6 +549,71 @@ object DedupQueries {
     val live = ManifestLog.read(fs, logRoot).dirs
     require(live.size == 2 && live.contains(compacted),
       s"q240: log should fold to [compacted, racing delta], got $live")
+    live.map(load).reduce(_ unionByName _)
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
+  /** q242: the full object-store MAINTENANCE CYCLE on the q240 log — the
+    * two operations a long-lived 100 TB serving index needs beyond
+    * append/compact/read, both gated on the staleness horizon
+    * ([[graft.operators.ManifestLog]] module note):
+    *  - a compact-vs-compact race leaves a LOSING base dir (same rows as
+    *    the winner's, unreferenced garbage);
+    *  - `checkpoint` snapshots the fold so reads GET only the suffix
+    *    instead of every entry ever written (the log-only-grows cost);
+    *  - `sweepInertBases` deletes the loser — only past the horizon.
+    * The lane's hash equality against the same full-corpus oracle proves
+    * rows survive the whole cycle exactly once; ManifestLogSpec pins the
+    * adversarial interleavings (same-seq racers around the checkpoint,
+    * too-young entries never swept) the lane's single pass can't reach. */
+  def minhashLogCheckpointSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestLog
+    val base = persistedMinhashIndexPath(spark, dir)
+    val tmpRoot = QueryRegistry.scratch(dir, "minhash_idx_mlog_ckpt_fw")
+    val rootPath = new org.apache.hadoop.fs.Path(tmpRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true) // invocation-start wipe (bench reps reuse the dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$tmpRoot/_log")
+    def writeDelta(g: Long): String = {
+      val out = s"$tmpRoot/gen-$g"
+      Dedup.minhashSketches(
+          table(spark, dir, "documents").filter(col("doc_id") % 8 === g),
+          "doc_id", "text", IdxShingle, IdxHashes, IdxBands)
+        .select(col("id").as("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(out)
+      out
+    }
+    def load(path: String) =
+      spark.read.format("fixedwidth").option("fields", idxFields).load(path)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    def foldInto(out: String)(dirs: Seq[String]): Unit =
+      dirs.map(load).reduce(_ unionByName _)
+        .write.format("fixedwidth").option("fields", idxFields)
+        .option("strictWidth", "true").mode("overwrite").save(out)
+    ManifestLog.append(fs, logRoot, base)
+    Seq(1L, 3L, 5L).foreach(g => ManifestLog.append(fs, logRoot, writeDelta(g)))
+    val v2 = s"$tmpRoot/base-v2"
+    val (_, applied) = ManifestLog.compact(fs, logRoot, v2, rewrite = foldInto(v2),
+      beforeCommit = () => { ManifestLog.append(fs, logRoot, writeDelta(7L)); () })
+    require(applied, "q242: an uncontended compaction fold must apply")
+    // compact-vs-compact: B runs entirely inside A's commit window — the
+    // fold applies exactly one; the other's base becomes horizon-gated garbage
+    val v3 = s"$tmpRoot/base-v3"
+    val v4 = s"$tmpRoot/base-v4"
+    ManifestLog.compact(fs, logRoot, v3, rewrite = foldInto(v3),
+      beforeCommit = () => { ManifestLog.compact(fs, logRoot, v4, rewrite = foldInto(v4)); () })
+    // maintenance, behind the horizon (single-process here, so it holds
+    // trivially): snapshot the fold, then sweep the losing base
+    ManifestLog.checkpoint(fs, logRoot)
+    val swept = ManifestLog.sweepInertBases(fs, logRoot,
+      horizonMs = 1000L, nowMs = System.currentTimeMillis() + 60000L)
+    require(swept.size == 1 && Set(v3, v4).contains(swept.head),
+      s"q242: exactly the losing base must be swept, got $swept")
+    val live = ManifestLog.read(fs, logRoot).dirs // checkpoint-resumed fold
+    require(live.size == 1 && Set(v3, v4).contains(live.head) && !swept.contains(live.head),
+      s"q242: log should fold to exactly the winning base, got $live")
     live.map(load).reduce(_ unionByName _)
       .orderBy(col("doc_id"), col("band_idx"))
   }

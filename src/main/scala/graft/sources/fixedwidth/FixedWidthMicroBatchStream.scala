@@ -246,10 +246,14 @@ class FixedWidthMicroBatchStream(
   // what the stream is waiting on. Bounded: wholesale-cleared if
   // pathological growth.
   private val fwzWarned = scala.collection.mutable.Set.empty[(String, Long)]
-  // First time each path was seen unreadable at its CURRENT length — a
-  // length change (the file grew: still being written) resets the clock; a
-  // stable-length unreadable file past the grace fails the stream.
-  private val fwzFirstUnreadable = scala.collection.mutable.Map.empty[String, (Long, Long)]
+  // Per path: (length, first seen unreadable at that length, last seen
+  // failing). A length change (the file grew: still being written) resets
+  // the first-unreadable clock; a stable-length unreadable file past the
+  // grace fails the stream. The last-failing stamp exists ONLY for
+  // eviction: a corrupt file that intermittently drops out of the listing
+  // (eventually-consistent store, flapping partition prune) must not get
+  // its grace clock reset by each absence.
+  private val fwzFirstUnreadable = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
   private val logger = org.slf4j.LoggerFactory.getLogger(classOf[FixedWidthMicroBatchStream])
 
   private def snapshot(): Map[String, Long] = {
@@ -279,7 +283,7 @@ class FixedWidthMicroBatchStream(
             failingNow += pathStr
             val now = System.currentTimeMillis()
             fwzFirstUnreadable.get(pathStr) match {
-              case Some((len0, t0)) if len0 == st.getLen =>
+              case Some((len0, t0, _)) if len0 == st.getLen =>
                 if (now - t0 > fwzUnreadableGraceMs)
                   throw new IllegalStateException(
                     s"fixedwidth stream: framed file $pathStr has been unreadable at " +
@@ -287,8 +291,9 @@ class FixedWidthMicroBatchStream(
                       s"fwzUnreadableGraceMs=$fwzUnreadableGraceMs) — permanently " +
                       s"corrupt, not still-being-written; failing loudly like the " +
                       s"batch path would: $e", e)
+                fwzFirstUnreadable(pathStr) = (len0, t0, now)
               case _ =>
-                fwzFirstUnreadable(pathStr) = (st.getLen, now)
+                fwzFirstUnreadable(pathStr) = (st.getLen, now, now)
             }
             if (fwzWarned.size > 10000) fwzWarned.clear()
             if (fwzWarned.add((pathStr, st.getLen)))
@@ -299,13 +304,20 @@ class FixedWidthMicroBatchStream(
             false
         }
       }
-    // Evict deadline entries for files no longer listed-and-failing (they
-    // vanished, were admitted, or became readable): the map stays bounded
-    // by the directory's CURRENT failing set, and — unlike a wholesale
-    // clear at a size cap — a genuinely corrupt file's grace clock is
-    // never reset, so the fail-loudly deadline survives pathological
-    // directories, which is exactly when it matters.
-    fwzFirstUnreadable.filterInPlace { case (p, _) => failingNow.contains(p) }
+    // Evict deadline entries only for files CONFIRMED resolved: admitted or
+    // became readable (explicit remove above), or absent from the listing
+    // for longer than the grace window (deleted for real — a file that
+    // merely FLAPS out of an eventually-consistent listing or a moving
+    // partition prune reappears within the grace, keeping its clock, so
+    // the fail-loudly deadline still fires on a corrupt flapping file).
+    // Still bounded: by the current failing set plus files failing within
+    // the last grace window — unlike a wholesale clear at a size cap, a
+    // genuinely corrupt file's grace clock is never reset, so the deadline
+    // survives pathological directories, which is exactly when it matters.
+    val evictNow = System.currentTimeMillis()
+    fwzFirstUnreadable.filterInPlace { case (p, (_, _, lastFailing)) =>
+      failingNow.contains(p) || evictNow - lastFailing <= fwzUnreadableGraceMs
+    }
     fwzRecords = meta.result()
     kept.map(st => st.getPath.toString -> st.getLen).toMap
   }

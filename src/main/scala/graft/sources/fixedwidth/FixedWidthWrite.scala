@@ -318,8 +318,16 @@ class FixedWidthDataWriter(
   private def closeFile(st: DirState): Unit = if (st.stream != null) {
     if (framed) {
       flushFrame(st)
+      // ALWAYS v3, even with no stat fields (an empty stats block): the
+      // footer cache's tail fingerprint covers file CONTENT only through
+      // the v3 contentCrc, and a v1 file rewritten to identical length
+      // with identical framing would be undetectable — no file this sink
+      // writes should carry that residual gap (r16 closed it for stats
+      // files; r17 for all).
       FwzFormat.writeFooter(st.stream, framedCodec, st.frames.toSeq,
-        Option(st.tracker).map(_.block()), st.contentCrc.getValue)
+        Some(Option(st.tracker).map(_.block()).getOrElse(
+          FwzFormat.FwzStatsBlock(opts.charsetName, FwzFormat.TrimIds(opts.trim), Nil))),
+        st.contentCrc.getValue)
       st.frames.clear()
       st.contentCrc.reset()
       st.tracker = null

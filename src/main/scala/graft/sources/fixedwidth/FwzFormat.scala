@@ -255,8 +255,11 @@ object FwzFormat {
   // library's own sink produces changes the fingerprint. Residual honesty:
   // a v1/v2 file rewritten to identical length with identical framing and
   // identical last-4KiB stats bytes is undetectable — v3 exists to close
-  // exactly that. Cost: one bounded positioned read per cache consult,
-  // strictly cheaper than the trailer+table+stats reads a miss pays.
+  // exactly that, and since r17 the sink writes v3 unconditionally (empty
+  // stats block when no fields are tracked), so the gap survives only on
+  // pre-r17 or foreign legacy files. Cost: one bounded positioned read per
+  // cache consult, strictly cheaper than the trailer+table+stats reads a
+  // miss pays.
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), FwzFooter]()
   private val cachedWeight = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -490,7 +493,11 @@ object FwzFormat {
 
   /** Append the footer + trailer for `frames` (written in order) to `out` —
     * version 1 without stats, version 3 with (`contentCrc` = CRC-32 over
-    * all compressed frame bytes, ignored for v1). */
+    * all compressed frame bytes, ignored for v1). The production sink
+    * ALWAYS passes a stats block since r17 — an empty one (no fields) when
+    * no `frameStats` were requested — so every file it writes is v3 and
+    * carries the contentCrc; the None→v1 branch remains only so read-compat
+    * tests can craft legacy fixtures. */
   def writeFooter(
       out: java.io.OutputStream, codec: Byte, frames: Seq[(Long, Long)],
       stats: Option[FwzStatsBlock] = None, contentCrc: Long = 0L): Unit = {

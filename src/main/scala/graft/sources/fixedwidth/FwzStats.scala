@@ -395,18 +395,27 @@ object FwzStats {
       lo
     }
 
+    /** Probe extreme `j` of an ordered lattice (an index into `valIdx`):
+      * only O(log) bounds are probed, so the `ordered` contract (format
+      * note) includes decodability of every extreme under the recorded
+      * conventions — this writer proves it at close (proveOrdered decodes
+      * all of them); a foreign block setting the bit over an undecodable
+      * slice is as out-of-contract as one recording wrong extreme bytes. A
+      * probed bound that still fails to decode bails the whole leaf back
+      * to its linear walk. */
+    def orderedBound(fs: FieldSpec, st: FwzFieldStats, valIdx: Array[Int])(
+        j: Int, wantMax: Boolean): Any = {
+      val v = bound(fs, st, valIdx(j), wantMax)
+      if (v eq Undecodable) throw BailToLinear
+      v
+    }
+
     /** Comparison leaf with the ordered fast path: on a proved-ordered
       * field (mins AND maxs both ascend, since max_i ≤ min_{i+1}), the kept
       * frames of any single comparison form one contiguous INTERVAL, found
       * by binary search over the decoded extremes — O(log frames) decodes
-      * against the linear walk's O(frames). Because only O(log) bounds are
-      * PROBED, the `ordered` contract (format note) includes decodability
-      * of every extreme under the recorded conventions — this writer
-      * proves it at close (proveOrdered decodes all of them); a foreign
-      * block setting the bit over an undecodable slice is as
-      * out-of-contract as one recording wrong extreme bytes. A probed
-      * bound that still fails to decode bails the whole leaf back to the
-      * linear walk. The interval reproduces the
+      * against the linear walk's O(frames) (probe/decodability contract:
+      * [[orderedBound]]). The interval reproduces the
       * linear decisions EXACTLY (FwzOrderedSpec pins this differentially):
       *   keep(i) for `op lit` ⇔ lo(op) ≤ i ≤ hi(op) where
       *     lo: first max_i ≥ lit (=, ≥) / first max_i > lit (>) / 0
@@ -436,23 +445,19 @@ object FwzStats {
             case None => linear
             case Some(valIdx) =>
               val m = valIdx.length
-              def b(j: Int, wantMax: Boolean): Any = {
-                val v = bound(fs, st, valIdx(j), wantMax)
-                if (v eq Undecodable) throw BailToLinear
-                v
-              }
+              val b = orderedBound(fs, st, valIdx) _
               try {
                 // ranks within the value-frame subsequence, mapped back to
                 // frame indices; all-null frames inside the interval are
                 // excluded by the hasVal check (a compare never matches null)
                 val lo = op match {
-                  case ">" => firstTrue(m, j => cmpVals(b(j, wantMax = true), lit) > 0)
-                  case ">=" | "=" => firstTrue(m, j => cmpVals(b(j, wantMax = true), lit) >= 0)
+                  case ">" => firstTrue(m, j => cmpVals(b(j, true), lit) > 0)
+                  case ">=" | "=" => firstTrue(m, j => cmpVals(b(j, true), lit) >= 0)
                   case _ => 0
                 }
                 val hi = op match {
-                  case "<" => firstTrue(m, j => cmpVals(b(j, wantMax = false), lit) >= 0) - 1
-                  case "<=" | "=" => firstTrue(m, j => cmpVals(b(j, wantMax = false), lit) > 0) - 1
+                  case "<" => firstTrue(m, j => cmpVals(b(j, false), lit) >= 0) - 1
+                  case "<=" | "=" => firstTrue(m, j => cmpVals(b(j, false), lit) > 0) - 1
                   case _ => m - 1
                 }
                 if (lo >= m || hi < 0 || lo > hi) Pred(_ => false, trivial = false)
@@ -495,12 +500,57 @@ object FwzStats {
         statOf(a).flatMap { case (fs, st) =>
           val lits = vs.map(literal(fs, _))
           if (lits.exists(_.isEmpty)) None
-          else Some(Pred(i => unknown(st, i) || (hasVal(st, i) && {
-            val mn = bound(fs, st, i, wantMax = false)
-            val mx = bound(fs, st, i, wantMax = true)
-            (mn eq Undecodable) || (mx eq Undecodable) ||
-              lits.exists(l => cmpVals(mn, l.get) <= 0 && cmpVals(mx, l.get) >= 0)
-          }), trivial = false))
+          else {
+            def linear: Pred = Pred(i => unknown(st, i) || (hasVal(st, i) && {
+              val mn = bound(fs, st, i, wantMax = false)
+              val mx = bound(fs, st, i, wantMax = true)
+              (mn eq Undecodable) || (mx eq Undecodable) ||
+                lits.exists(l => cmpVals(mn, l.get) <= 0 && cmpVals(mx, l.get) >= 0)
+            }), trivial = false)
+            // Ordered fast path: an IN list is a disjunction of equalities,
+            // and each equality resolves to one frame interval exactly as
+            // cmpLeaf's `=` does — so the kept set is the UNION of
+            // per-literal binary-searched intervals, O(|lits|·log frames)
+            // decodes instead of O(|lits|·frames). Without this, IN-list
+            // pushdowns on the ordered key were the one leaf where the
+            // "planning stays flat past ~10^5 frames/file" property
+            // silently did not hold. Adjacent/overlapping intervals merge
+            // (integer frame indices, so merging at gap 0 is the exact
+            // union) and the per-frame eval binary-searches the merged
+            // starts — decisions identical to the linear walk, pinned by
+            // FwzOrderedSpec.
+            Some(orderedValIdx(st) match {
+              case None => linear
+              case Some(valIdx) =>
+                val m = valIdx.length
+                val b = orderedBound(fs, st, valIdx) _
+                try {
+                  val ivs = lits.flatMap { l =>
+                    val lit = l.get
+                    val lo = firstTrue(m, j => cmpVals(b(j, true), lit) >= 0)
+                    val hi = firstTrue(m, j => cmpVals(b(j, false), lit) > 0) - 1
+                    if (lo >= m || hi < 0 || lo > hi) None
+                    else Some((valIdx(lo), valIdx(hi)))
+                  }.sortBy(_._1)
+                  if (ivs.isEmpty) Pred(_ => false, trivial = false)
+                  else {
+                    val merged = scala.collection.mutable.ArrayBuffer(ivs.head)
+                    ivs.tail.foreach { case (s, e) =>
+                      val (ms, me) = merged.last
+                      if (s <= me + 1) merged(merged.length - 1) = (ms, math.max(me, e))
+                      else merged += ((s, e))
+                    }
+                    val starts = merged.map(_._1).toArray
+                    val ends = merged.map(_._2).toArray
+                    Pred(i => hasVal(st, i) && {
+                      var k = java.util.Arrays.binarySearch(starts, i)
+                      if (k < 0) k = -k - 2 // greatest start <= i
+                      k >= 0 && i <= ends(k)
+                    }, trivial = false)
+                  }
+                } catch { case BailToLinear => linear }
+            })
+          }
         }.getOrElse(AlwaysTrue)
       case IsNull(a) =>
         statOf(a).map { case (fs, st) =>
@@ -517,13 +567,39 @@ object FwzStats {
       case StringStartsWith(a, v) =>
         statOf(a).filter(_._1.ftype == "string").map { case (fs, st) =>
           val p = UTF8String.fromString(v)
-          Pred(i => unknown(st, i) || (hasVal(st, i) && {
+          def linear: Pred = Pred(i => unknown(st, i) || (hasVal(st, i) && {
             val mn = bound(fs, st, i, wantMax = false)
             val mx = bound(fs, st, i, wantMax = true)
             (mn eq Undecodable) || (mx eq Undecodable) ||
               (prefixCmp(mn.asInstanceOf[UTF8String], p) <= 0 &&
                 prefixCmp(mx.asInstanceOf[UTF8String], p) >= 0)
           }), trivial = false)
+          // Ordered fast path: prefixCmp(·, p) is monotone in the UTF8
+          // byte order (truncation to |p| bytes preserves lexicographic
+          // rank, and a strict prefix of p ranks below every p-prefixed
+          // string), so on ascending extremes the kept frames form ONE
+          // interval exactly as a comparison leaf's do:
+          //   lo = first max_i with prefixCmp ≥ 0, hi = last min_i with
+          //   prefixCmp ≤ 0 — binary-searched, decisions identical to the
+          //   linear walk (FwzOrderedSpec pins this differentially).
+          orderedValIdx(st) match {
+            case None => linear
+            case Some(valIdx) =>
+              val m = valIdx.length
+              val b = orderedBound(fs, st, valIdx) _
+              try {
+                val lo = firstTrue(m,
+                  j => prefixCmp(b(j, true).asInstanceOf[UTF8String], p) >= 0)
+                val hi = firstTrue(m,
+                  j => prefixCmp(b(j, false).asInstanceOf[UTF8String], p) > 0) - 1
+                if (lo >= m || hi < 0 || lo > hi) Pred(_ => false, trivial = false)
+                else {
+                  val loF = valIdx(lo)
+                  val hiF = valIdx(hi)
+                  Pred(i => i >= loF && i <= hiF && hasVal(st, i), trivial = false)
+                }
+              } catch { case BailToLinear => linear }
+          }
         }.getOrElse(AlwaysTrue)
       case And(l, r) =>
         val (lp, rp) = (compile(l), compile(r))

@@ -117,6 +117,57 @@ class GenerationalIndexSpec extends SparkSpec with Matchers {
     fs.listStatus(root).map(_.getPath.getName).count(_.startsWith(".tmp-")) shouldBe 0
   }
 
+  /** FS wrapper with a non-file scheme (forcing tryCommit's rename branch)
+    * and injectable rename behavior — the HDFS-like publish path under an
+    * environment failure vs a genuine CAS miss. */
+  private class RenameFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    setConf(underlying.getConf)
+    @volatile var mode: String = "ok" // "ok" | "throw" | "false"
+    override def getScheme: String = "mockhdfs"
+    override def rename(src: Path, dst: Path): Boolean = mode match {
+      case "throw" => throw new java.io.IOException("injected rename failure")
+      case "false" => false
+      case _ => super.rename(src, dst)
+    }
+  }
+
+  test("rename-branch publish failure: environment problems propagate loudly, " +
+      "only an existing destination is a CAS miss") {
+    // the r16-advice finding: any rename failure was treated as a CAS miss,
+    // so a persistent environment problem (permissions, quota) spun casLoop
+    // 1000 times and misreported itself as contention
+    val tmp = Files.createTempDirectory("graft-genidx-rename").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = new RenameFs(root.getFileSystem(conf))
+    val d = writeDelta(tmp, "base", 0 until 10)
+    // a rename that throws with NO destination present: an environment
+    // failure — must throw the diagnostic, not return false
+    fs.mode = "throw"
+    val e1 = intercept[java.io.IOException] {
+      GenerationalIndex.tryCommit(fs, root, 1L, Seq(d))
+    }
+    e1.getMessage should include("environment failure")
+    // same for a rename that RETURNS false with no destination
+    fs.mode = "false"
+    val e2 = intercept[java.io.IOException] {
+      GenerationalIndex.tryCommit(fs, root, 1L, Seq(d))
+    }
+    e2.getMessage should include("environment failure")
+    // no stray temp files from the failed publishes
+    fs.listStatus(root).map(_.getPath.getName).count(_.startsWith(".tmp-")) shouldBe 0
+    // commit v1 for real, then a failing rename WITH the destination present
+    // is the genuine CAS miss: false, not a throw
+    fs.mode = "ok"
+    GenerationalIndex.tryCommit(fs, root, 1L, Seq(d)) shouldBe true
+    fs.mode = "throw"
+    GenerationalIndex.tryCommit(fs, root, 1L, Seq(d)) shouldBe false
+    fs.mode = "false"
+    GenerationalIndex.tryCommit(fs, root, 1L, Seq(d)) shouldBe false
+    fs.mode = "ok"
+    GenerationalIndex.read(fs, root).version shouldBe 1L
+  }
+
   test("abandoned claim: unreadable manifest is skipped by readers, walked over by writers") {
     val tmp = Files.createTempDirectory("graft-genidx-crash").toString
     val root = new Path(s"$tmp/idx")

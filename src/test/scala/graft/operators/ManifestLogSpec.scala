@@ -184,6 +184,157 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     readAll(s.dirs) shouldBe (0L until 90L) // every row exactly once
   }
 
+  /** FS wrapper injecting open() failures on entries whose path contains
+    * `failSubstring` — the transient-GET adversity an object store actually
+    * serves. failRemaining < 0 = fail forever. */
+  private class FlakyFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    setConf(underlying.getConf)
+    @volatile var failSubstring: String = null
+    @volatile var failRemaining = 0
+    @volatile var opens = 0
+    override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+      opens += 1
+      if (failSubstring != null && f.toString.contains(failSubstring) && failRemaining != 0) {
+        if (failRemaining > 0) failRemaining -= 1
+        throw new java.io.IOException(s"injected IO failure opening $f")
+      }
+      super.open(f, bufferSize)
+    }
+  }
+
+  test("transient GET failure on a COMMITTED entry: retried, rows never silently missing") {
+    // the r16-review defect: parse() caught ALL exceptions and returned
+    // None, so a transient IO failure on a committed append made its delta
+    // invisible for that read — and inerted any applied compaction that
+    // folded it. A torn WRITE fails the JSON parse (skip is sound); an IO
+    // failure on open/read of a committed entry must retry, then fail loudly.
+    val tmp = Files.createTempDirectory("graft-mlog-flaky").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    ManifestLog.append(fs, root, writeDelta(tmp, "base", 0 until 20))
+    ManifestLog.append(fs, root, writeDelta(tmp, "d1", 20 until 35))
+    val entryName = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("log-")).sorted.last // d1's committed entry
+    val flaky = new FlakyFs(fs)
+    flaky.failSubstring = entryName
+    flaky.failRemaining = 2 // fails twice, then the store recovers
+    val s = ManifestLog.read(flaky, root)
+    s.dirs should have size 2
+    readAll(s.dirs) shouldBe (0L until 35L) // every committed row visible
+  }
+
+  test("persistent GET failure on a committed entry: the fold fails LOUDLY, " +
+      "never returns a short live set") {
+    val tmp = Files.createTempDirectory("graft-mlog-dead").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    ManifestLog.append(fs, root, writeDelta(tmp, "base", 0 until 10))
+    ManifestLog.append(fs, root, writeDelta(tmp, "d1", 10 until 15))
+    val entryName = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("log-")).sorted.last
+    val flaky = new FlakyFs(fs)
+    flaky.failSubstring = entryName
+    flaky.failRemaining = -1 // the store never recovers
+    val e = intercept[java.io.IOException] { ManifestLog.read(flaky, root) }
+    e.getMessage should include("committed entry")
+    // self-healing: once the store recovers, the same log reads complete
+    flaky.failSubstring = null
+    ManifestLog.read(flaky, root).dirs should have size 2
+  }
+
+  test("checkpoint: resumed fold ≡ full fold under racing writers, and reads GET only the suffix") {
+    val tmp = Files.createTempDirectory("graft-mlog-ckpt").toString
+    val rootA = new Path(s"$tmp/idxA") // checkpointed
+    val rootB = new Path(s"$tmp/idxB") // same entries, no checkpoint (control)
+    val fs = rootA.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 40)
+    val d2 = writeDelta(tmp, "d2", 40 until 70)
+    ManifestLog.append(fs, rootA, d1)
+    ManifestLog.append(fs, rootA, d2)
+    val compacted = s"$tmp/base-2"
+    ManifestLog.compact(fs, rootA, compacted, rewrite = dirs => {
+      import spark.implicits._
+      readAll(dirs).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(compacted)
+    })._2 shouldBe true
+    val d3 = writeDelta(tmp, "d3", 70 until 90)
+    ManifestLog.append(fs, rootA, d3)
+    val sC = ManifestLog.checkpoint(fs, rootA)
+    sC.dirs shouldBe Seq(compacted, d3)
+    // a SAME-SEQ racer (snapshotted just before the checkpoint wrote) whose
+    // uuid sorts BEFORE the checkpoint's — by construction not folded by
+    // it, so the resumed fold must still apply it
+    val d4 = writeDelta(tmp, "d4", 90 until 100)
+    val racer = new Path(rootA,
+      f"log-${sC.seq}%020d-00000000-0000-0000-0000-000000000000.json")
+    val out = fs.create(racer, true)
+    out.write(s"""{"seq":${sC.seq},"op":"append","dir":"$d4"}""".getBytes("UTF-8"))
+    out.close()
+    // and a normal post-checkpoint append
+    val d5 = writeDelta(tmp, "d5", 100 until 120)
+    ManifestLog.append(fs, rootA, d5)
+    // control: every non-checkpoint entry bit-copied to rootB
+    fs.mkdirs(rootB)
+    fs.listStatus(rootA).map(_.getPath).filter(_.getName.startsWith("log-")).foreach { p =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.Paths.get(new Path(rootB, p.getName).toUri.getPath))
+    }
+    val counting = new FlakyFs(fs)
+    val sA = ManifestLog.read(counting, rootA)
+    val entryGets = counting.opens
+    val sB = ManifestLog.read(fs, rootB)
+    sA.dirs shouldBe sB.dirs // live VECTOR identical, not just the row set
+    readAll(sA.dirs) shouldBe (0L until 120L)
+    // the resumed fold GETs the checkpoint + the suffix (racer, d5), never
+    // the five pre-checkpoint entries
+    val totalEntries = fs.listStatus(rootA).count(_.getPath.getName.startsWith("log-"))
+    entryGets should be < totalEntries
+    entryGets shouldBe 3 // ckpt + racer + d5
+  }
+
+  test("sweepInertBases: a losing base is deleted only PAST the horizon, rows intact") {
+    // the stalled-compactor scenario again: W applied, E retro-inserts and
+    // flips W inert. W's base is garbage — but only provably so once no
+    // writer stalled from before W's entry can still exist.
+    val tmp = Files.createTempDirectory("graft-mlog-sweep").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 30)
+    ManifestLog.append(fs, root, d1)
+    def fold(out: String): Unit = {
+      import spark.implicits._
+      readAll(Seq(d1)).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(out)
+    }
+    val bw = s"$tmp/base-W"
+    val (sW, _) = ManifestLog.compact(fs, root, bw, rewrite = _ => fold(bw))
+    val be = s"$tmp/base-E"
+    fold(be)
+    val entry = f"""{"seq":${sW.seq},"op":"compact","base":"$be","folded":["$d1"]}"""
+    val out = fs.create(new Path(root,
+      f"log-${sW.seq}%020d-00000000-0000-0000-0000-000000000000.json"), true)
+    out.write(entry.getBytes("UTF-8")); out.close()
+    ManifestLog.read(fs, root).dirs shouldBe Seq(be) // E applied, W inert
+    val now = System.currentTimeMillis()
+    // entries younger than the horizon: NOTHING is deleted — W's inert
+    // status is not final while a writer may still be stalled
+    ManifestLog.sweepInertBases(fs, root, horizonMs = 60000L, nowMs = now) shouldBe empty
+    fs.exists(new Path(bw)) shouldBe true
+    // past the horizon: exactly the losing base goes; the live base and the
+    // ever-appended delta stay, and the reader still sees every row once
+    val swept = ManifestLog.sweepInertBases(fs, root, horizonMs = 60000L,
+      nowMs = now + 120000L)
+    swept shouldBe Seq(bw)
+    fs.exists(new Path(bw)) shouldBe false
+    fs.exists(new Path(be)) shouldBe true
+    fs.exists(new Path(d1)) shouldBe true // folded but ever-appended: never swept
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 30L)
+  }
+
   test("a STALLED compactor's entry retro-inserting before an applied one: pointer may flip, " +
       "rows never do") {
     // worst-case lateness: compactor E snapshotted {d1}, stalled, and its

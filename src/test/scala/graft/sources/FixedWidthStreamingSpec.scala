@@ -367,4 +367,50 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     msg should include("broken.fwz")
     msg.toLowerCase should include("unreadable")
   }
+
+  test("a corrupt .fwz FLAPPING out of the listing still hits the fail-loudly deadline") {
+    // the r16-advice finding: deadline entries were evicted whenever a path
+    // was not in the current trigger's failing set, so a permanently
+    // corrupt file that intermittently drops out of the listing
+    // (eventually-consistent store, flapping partition prune) had its
+    // grace clock reset on each absence and the deadline never fired.
+    // Eviction now requires absence LONGER than the grace window, so a
+    // sub-grace flapper keeps its first-unreadable clock.
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-fwz-flap").toString
+    val ckpt = Files.createTempDirectory("graft-fwz-flap-ckpt").toString
+    val fieldsOpt = "id:long:0:10"
+    (0 until 100).map(_.toLong).toDF("id").coalesce(1)
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("compression", "zstd").mode("append").save(data)
+    val corrupt = Array.fill[Byte](256)(0x42)
+    val broken = java.nio.file.Path.of(data, "broken.fwz")
+    java.nio.file.Files.write(broken, corrupt)
+    val q = spark.readStream.format("fixedwidth").option("fields", fieldsOpt)
+      .option("fwzUnreadableGraceMs", "800")
+      .load(data)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    // flap the file out of the listing every ~200 ms — each absence well
+    // under the 800 ms grace, so the clock must survive it
+    val deadline = System.currentTimeMillis() + 45000
+    var failure: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+    while (failure.isEmpty && System.currentTimeMillis() < deadline) {
+      java.nio.file.Files.deleteIfExists(broken)
+      Thread.sleep(100)
+      java.nio.file.Files.write(broken, corrupt)
+      Thread.sleep(100)
+      failure = q.exception
+    }
+    q.stop()
+    withClue("the deadline must fire despite the flapping (clock not reset by absences): ") {
+      failure.isDefined shouldBe true
+    }
+    val msg = failure.map(e =>
+      Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage).get
+    msg should include("broken.fwz")
+    msg.toLowerCase should include("unreadable")
+  }
 }

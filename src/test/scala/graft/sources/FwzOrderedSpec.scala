@@ -76,13 +76,21 @@ class FwzOrderedSpec extends SparkSpec with Matchers {
     val rnd = new java.util.Random(0x07de5ed)
     for (_ <- 0 until 300) {
       val lit = rnd.nextInt(14000).toLong - 1000L
-      val f: Filter = rnd.nextInt(6) match {
+      val f: Filter = rnd.nextInt(8) match {
         case 0 => EqualTo("id", lit)
         case 1 => GreaterThan("id", lit)
         case 2 => GreaterThanOrEqual("id", lit)
         case 3 => LessThan("id", lit)
         case 4 => LessThanOrEqual("id", lit)
-        case _ => And(GreaterThanOrEqual("id", lit), LessThanOrEqual("id", lit + rnd.nextInt(500)))
+        case 5 => And(GreaterThanOrEqual("id", lit), LessThanOrEqual("id", lit + rnd.nextInt(500)))
+        // IN compiles to the union of per-literal binary-searched intervals
+        // on an ordered field — scattered, clustered (forcing interval
+        // merges), and out-of-range literals all must reproduce the linear
+        // walk's decisions exactly
+        case 6 => In("id",
+          Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(14000).toLong - 1000L: Any))
+        case _ => In("id",
+          Array.tabulate(2 + rnd.nextInt(6))(k => lit + k * (1 + rnd.nextInt(3)): Any))
       }
       val fast = FwzStats.compileSkipper(Array(f), opts, stats).get
       val slow = FwzStats.compileSkipper(Array(f), opts, linearStats).get
@@ -126,6 +134,51 @@ class FwzOrderedSpec extends SparkSpec with Matchers {
       val b = FwzStats.compileSkipper(Array(f), opts, control).get
       (0 until n).map(a) shouldBe (0 until n).map(b)
       a(0) shouldBe true // the unknown frame is never skipped
+    }
+  }
+
+  test("ordered STRING field: IN and StartsWith binary-search to the linear decisions") {
+    import org.apache.spark.sql.functions.col
+    val fields2 = "k:string:0:8,id:long:8:10"
+    val opts2 = {
+      import scala.jdk.CollectionConverters._
+      graft.sources.fixedwidth.FixedWidthOptions(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("fields" -> fields2, "recordLength" -> "18").asJava))
+    }
+    val dir = Files.createTempDirectory("graft-ord-str").toString
+    locally {
+      import spark.implicits._
+      (0 until 12000).map(i => (f"k$i%06d", i.toLong)).toDF("k", "id")
+        .orderBy(col("k")).coalesce(1)
+        .write.format("fixedwidth").option("fields", fields2)
+        .option("recordLength", "18")
+        .option("compression", "zstd").option("frameBytes", (200 * 18).toString)
+        .option("frameStats", "k")
+        .mode("overwrite").save(dir)
+    }
+    val stats = footerOf(dir).stats.get
+    val kStat = stats.fields.find(_.name == "k").get
+    kStat.ordered shouldBe true
+    val nFrames = kStat.flags.length
+    val linearStats = stats.copy(fields = stats.fields.map(_.copy(ordered = false)))
+    val rnd = new java.util.Random(0x5742a11)
+    for (t <- 0 until 200) {
+      val r = rnd.nextInt(14000) - 1000
+      val f: Filter = rnd.nextInt(4) match {
+        // prefixes of every length, incl. "" (keeps all value frames), the
+        // constant head "k" and prefixes past the data's range
+        case 0 => StringStartsWith("k", f"k$r%06d".take(1 + rnd.nextInt(7)))
+        case 1 => StringStartsWith("k", if (t % 2 == 0) "" else "z")
+        case 2 => In("k",
+          Array.fill(1 + rnd.nextInt(6))(f"k${rnd.nextInt(14000) - 1000}%06d": Any))
+        case _ => EqualTo("k", f"k$r%06d")
+      }
+      val fast = FwzStats.compileSkipper(Array(f), opts2, stats).get
+      val slow = FwzStats.compileSkipper(Array(f), opts2, linearStats).get
+      withClue(s"filter=$f: ") {
+        (0 until nFrames).map(fast) shouldBe (0 until nFrames).map(slow)
+      }
     }
   }
 
