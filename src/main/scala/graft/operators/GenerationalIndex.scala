@@ -64,7 +64,13 @@ object GenerationalIndex {
   /** Highest fully-committed manifest under `root`; version 0 / no dirs when
     * none exists yet. Unparsable manifests are skipped — commits are atomic
     * ([[tryCommit]]), so these only arise from manual damage or a foreign
-    * writer, never from an in-flight commit. */
+    * writer, never from an in-flight commit. SKIP covers SHAPE failures
+    * only: a transient IO failure reading a LISTED (hence committed)
+    * manifest must not make this reader fall back to version V−1 — a
+    * writer folding that stale read would commit V+1 derived from it and
+    * erase V's update, the exact lost-update tryCommit's atomicity exists
+    * to prevent (the ManifestLog fold had the same conflation; fixed the
+    * same way). IO failures retry bounded, then throw. */
   def read(fs: FileSystem, root: Path): Manifest = {
     if (!fs.exists(root)) return Manifest(0L, Nil)
     val versions = fs.listStatus(root).map(_.getPath.getName).collect {
@@ -73,16 +79,34 @@ object GenerationalIndex {
     versions.foreach { v =>
       parse(fs, manifestPath(root, v)) match {
         case Some(dirs) => return Manifest(v, dirs)
-        case None => // claimed, not yet written (or torn) — fall through
+        case None => // damaged/foreign content — fall through to the next
       }
     }
     Manifest(0L, Nil)
   }
 
-  private def parse(fs: FileSystem, p: Path): Option[Seq[String]] =
+  private val MaxReadAttempts = 4
+
+  private def parse(fs: FileSystem, p: Path): Option[Seq[String]] = {
+    var bytes: Array[Byte] = null
+    var attempt = 1
+    while (bytes == null) {
+      try {
+        val in = fs.open(p)
+        bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt >= MaxReadAttempts)
+            throw new java.io.IOException(
+              s"generational index: cannot read committed manifest $p after " +
+                s"$attempt attempts — failing loudly instead of falling back " +
+                "to a stale version (a writer deriving from it would erase " +
+                "the newest commit)", e)
+          Thread.sleep(15L * attempt)
+          attempt += 1
+      }
+    }
     try {
-      val in = fs.open(p)
-      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
       val node = mapper.readTree(bytes)
       val arr = node.get("dirs")
       if (arr == null || !arr.isArray) None
@@ -91,7 +115,8 @@ object GenerationalIndex {
         arr.forEach(n => out += n.asText())
         Some(out.result())
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Commit manifest `version` atomically — false when another writer
     * already claimed it (the CAS failure; re-read and retry).

@@ -168,6 +168,53 @@ class GenerationalIndexSpec extends SparkSpec with Matchers {
     GenerationalIndex.read(fs, root).version shouldBe 1L
   }
 
+  /** FS wrapper injecting open() failures on paths containing
+    * `failSubstring`; failRemaining < 0 = fail forever. */
+  private class FlakyFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    setConf(underlying.getConf)
+    @volatile var failSubstring: String = null
+    @volatile var failRemaining = 0
+    override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+      if (failSubstring != null && f.toString.contains(failSubstring) && failRemaining != 0) {
+        if (failRemaining > 0) failRemaining -= 1
+        throw new java.io.IOException(s"injected IO failure opening $f")
+      }
+      super.open(f, bufferSize)
+    }
+  }
+
+  test("transient GET failure on the NEWEST manifest: retried, never a stale-version read") {
+    // the ManifestLog conflation's sibling: if an IO failure on the newest
+    // committed manifest were skipped like damaged content, read() would
+    // fall back to V-1 and a writer folding that stale view would commit
+    // V+1 derived from it — erasing V's update, the exact lost-update the
+    // atomic claim+content publish exists to prevent
+    val tmp = Files.createTempDirectory("graft-genidx-flaky").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    GenerationalIndex.append(fs, root, writeDelta(tmp, "base", 0 until 20))
+    val m1 = GenerationalIndex.append(fs, root, writeDelta(tmp, "d1", 20 until 35))
+    val newest = f"manifest-${m1.version}%020d.json"
+    val flaky = new FlakyFs(fs)
+    flaky.failSubstring = newest
+    flaky.failRemaining = 2 // fails twice, then the store recovers
+    val m = GenerationalIndex.read(flaky, root)
+    m.version shouldBe m1.version // NEVER the stale V-1 view
+    readAll(m.dirs) shouldBe (0L until 35L)
+    // persistent failure: loud, not a silent stale read — and a writer on
+    // the flaky store propagates instead of committing a stale successor
+    flaky.failRemaining = -1
+    val e = intercept[java.io.IOException] { GenerationalIndex.read(flaky, root) }
+    e.getMessage should include("committed manifest")
+    intercept[java.io.IOException] {
+      GenerationalIndex.append(flaky, root, writeDelta(tmp, "d2", 35 until 40))
+    }
+    // the real store is intact throughout: V's update never erased
+    flaky.failSubstring = null
+    readAll(GenerationalIndex.read(fs, root).dirs) shouldBe (0L until 35L)
+  }
+
   test("abandoned claim: unreadable manifest is skipped by readers, walked over by writers") {
     val tmp = Files.createTempDirectory("graft-genidx-crash").toString
     val root = new Path(s"$tmp/idx")
