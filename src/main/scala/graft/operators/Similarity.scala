@@ -727,11 +727,9 @@ object Similarity {
       })
       .toDF("id", "vec", "buckets"), checkpointDir)
 
-    val candidates = sigs
-      .select(col("id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
-      .groupBy(col("t"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, bucketCap))
+    val candidates = Dedup.cappedBuckets(
+        sigs.select(col("id"), posexplode(col("buckets")).as(Seq("t", "bucket"))),
+        "t", "bucket", "id", bucketCap)
       .select(explode(Dedup.pairsOf(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()

@@ -49,9 +49,7 @@ object ProfileMinhash {
       time("sigs.count")(sigs.count())
 
       val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      val buckets = banded.groupBy(col("band_idx"), col("band_hash"))
-        .agg(collect_list(col("id")).as("ids"))
-        .filter(size(col("ids")).between(2, 2000))
+      val buckets = Dedup.cappedBuckets(banded, "band_idx", "band_hash", "id", 2000)
       time("bucket agg count")(println(s"  buckets=${buckets.count()}"))
       val candidates = buckets
         .select(explode(Dedup.pairsOf(array_sort(col("ids")))).as("p"))

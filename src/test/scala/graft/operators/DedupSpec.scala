@@ -74,6 +74,50 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("all-identical adversary: hot bucket is count-dropped before any collect_list") {
+    import spark.implicits._
+    // The corpus bucketCap's own doc names as the adversary: every doc
+    // identical, so every band puts ALL ids in ONE bucket. The cap must
+    // drop that bucket via the count pre-filter — never by materializing
+    // the full id array first (a single group's ObjectHashAggregate buffer
+    // cannot spill; at 100 TB that's an OOM, not a slow task).
+    val spam = (0L until 60L)
+      .map(i => (i, "identical spam payload repeated verbatim in every document of this corpus"))
+      .toDF("doc_id", "text")
+
+    val capped = Dedup.minhashNearDups(spam, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 16, threshold = 0.0, bucketCap = 10)
+    capped.count() shouldBe 0L
+
+    // Plan shape: collect_list's input is already cap-filtered — a LeftSemi
+    // join sits BELOW the collect aggregate (later in the plan string) and
+    // a count aggregate below that. The old shape (filter(size ≤ cap) ABOVE
+    // collect_list, no semi join) must not come back.
+    val plan = capped.queryExecution.executedPlan.toString
+    val collectAt = plan.indexOf("collect_list")
+    val semiAt = plan.indexOf("LeftSemi")
+    withClue(plan) {
+      collectAt should be >= 0
+      semiAt should be >= 0
+      collectAt should be < semiAt // collect is a parent of the semi join
+      plan.indexOf("count(1)", semiAt) should be >= 0 // count agg feeds it
+    }
+
+    // Cap at the corpus size: the same pipeline emits every identical pair.
+    Dedup.minhashNearDups(spam, "doc_id", "text",
+      shingleLen = 2, numHashes = 64, bands = 16, threshold = 1.0, bucketCap = 60)
+      .count() shouldBe 60L * 59 / 2
+
+    // Same guarantee for the banded-simhash form of the shape.
+    val sim = Dedup.simhashNearDupsBanded(spam, "doc_id", "text",
+      maxHamming = 3, bands = 4, bucketCap = 10)
+    sim.count() shouldBe 0L
+    val simPlan = sim.queryExecution.executedPlan.toString
+    withClue(simPlan) {
+      simPlan.indexOf("collect_list") should be < simPlan.indexOf("LeftSemi")
+    }
+  }
+
   test("simhash: exact dups at hamming 0; unrelated docs far apart") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)

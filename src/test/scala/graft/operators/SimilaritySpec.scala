@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec with Matchers {
     bucketed.foreach { case (a, b) => a / 10 shouldBe b / 10 }
   }
 
+  test("all-identical adversary: hot bucket is count-dropped before any collect_list") {
+    import spark.implicits._
+    // Every vector identical → every (table, bucket) holds the whole corpus.
+    // The cap must fire on COUNTS, before any id array is materialized in a
+    // single aggregation buffer (see Dedup.cappedBuckets).
+    val same = (0L until 50L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupsBucketed(same, "vec_id", "embedding", 0.9,
+      dim = 8, tables = 4, planes = 3, bucketCap = 10)
+    capped.count() shouldBe 0L
+    val plan = capped.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan.indexOf("collect_list") should be < plan.indexOf("LeftSemi")
+    }
+    // cap at corpus size: every identical pair comes out, cosine 1.0
+    Similarity.cosineNearDupsBucketed(same, "vec_id", "embedding", 0.9999,
+      dim = 8, tables = 4, planes = 3, bucketCap = 50)
+      .count() shouldBe 50L * 49 / 2
+  }
+
   test("autoPlanesOccupancy keeps recall on planted clusters while shrinking buckets") {
     // the sf1 rehearsal finding: fixed planes → occupancy (and pair cost)
     // grows n²/2^planes. With the auto knob, planes rise to
