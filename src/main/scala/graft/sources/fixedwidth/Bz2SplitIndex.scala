@@ -35,7 +35,14 @@ final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
   * Net cost: the corpus is decompressed twice, both times fully parallel —
   * the honest floor for record-grid alignment over a block codec with no
   * self-framing. The index is memoized per (path, length, mtime, rangeBytes,
-  * tail fingerprint) for the life of the JVM.
+  * tail fingerprint) for the life of the JVM, and — when the reader sets
+  * `bz2IndexDir` — PERSISTED as a fingerprint-keyed JSON sidecar in that
+  * directory, so a fresh driver JVM pays zero phase-1 jobs at plan time
+  * (at 100 TB the once-per-JVM full-corpus decompress is the feature's
+  * dominant cost; the sidecar amortizes it to once per file ever). The
+  * sidecar is a pure cache: its name AND body carry the full key, a
+  * mismatch or unreadable file is a miss that rebuilds, and the scan-time
+  * fileDLen early-EOF guard stays the loud backstop.
   *
   * Block-boundary semantics (established empirically against Hadoop's
   * BZip2Codec, see the range-ownership rules below):
@@ -50,7 +57,13 @@ final case class Bz2Range(cStart: Long, cLen: Long, dStart: Long, dLen: Long)
   */
 object Bz2SplitIndex {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(Bz2SplitIndex.getClass)
+
   private val cache = new ConcurrentHashMap[(String, Long, Long, Long, Long), Seq[Bz2Range]]()
+
+  /** Test hook: drop the JVM memo so a spec can prove the sidecar path
+    * alone (zero phase-1 jobs) serves a fresh "driver". */
+  private[sources] def clearMemoForTest(): Unit = cache.clear()
 
   /** Content fingerprint folded into the cache key: the file's last
     * ≤16 bytes, which for bzip2 contain the stream footer + COMBINED CRC32
@@ -85,7 +98,7 @@ object Bz2SplitIndex {
     * range wide skip indexing entirely (whole-file read with an unbounded
     * grid — no phase-1 cost for small files). */
   def rangesOfAll(files: Seq[(String, Long)], rangeBytes: Long,
-      conf: Configuration): Map[String, Seq[Bz2Range]] = {
+      conf: Configuration, indexDir: Option[String] = None): Map[String, Seq[Bz2Range]] = {
     val (small, big) = files.partition(_._2 <= rangeBytes)
     val smallOut = small.map { case (p, len) =>
       p -> Seq(Bz2Range(0L, len, 0L, Long.MaxValue))
@@ -95,7 +108,18 @@ object Bz2SplitIndex {
       val mtime = hp.getFileSystem(conf).getFileStatus(hp).getModificationTime
       (p, len, (p, len, mtime, rangeBytes, tailFingerprint(hp, len, conf)))
     }
-    val uncached = keyed.filter { case (_, _, k) => !cache.containsKey(k) }
+    val unmemoized = keyed.filter { case (_, _, k) => !cache.containsKey(k) }
+    // Sidecar tier between the JVM memo and phase 1: a hit with every key
+    // field equal (path, len, mtime, rangeBytes, tail CRC fingerprint) is
+    // the same index a fresh phase-1 pass would measure — load it into the
+    // memo and skip the decompress entirely. Any miss/mismatch/IO failure
+    // is just a cache miss: phase 1 rebuilds and overwrites.
+    indexDir.foreach { dir =>
+      unmemoized.foreach { case (_, _, k) =>
+        loadSidecar(dir, k, conf).foreach(rs => cache.put(k, rs))
+      }
+    }
+    val uncached = unmemoized.filter { case (_, _, k) => !cache.containsKey(k) }
     if (uncached.nonEmpty) {
       val bounds = uncached.flatMap { case (p, len, _) =>
         (0L until len by rangeBytes).map(s => (p, s, math.min(rangeBytes, len - s)))
@@ -126,11 +150,101 @@ object Bz2SplitIndex {
           val dLen = lens((p, s))
           if (dLen > 0) { out += Bz2Range(s, l, dOff, dLen); dOff += dLen }
         }
-        cache.put(key, out.result())
+        val ranges = out.result()
+        cache.put(key, ranges)
+        indexDir.foreach(dir => writeSidecar(dir, key, ranges, conf))
       }
     }
     (smallOut ++ keyed.map { case (p, _, k) => p -> cache.get(k) }).toMap
   }
+
+  /** Sidecar object name for a cache key: content-addressed by a hash of
+    * every key field, so a changed file (mtime/tail CRC), length, or range
+    * granularity resolves to a DIFFERENT name — stale sidecars are never
+    * read, they just age out as garbage. The full key is ALSO stored in the
+    * sidecar body and verified on load (a name-hash collision degrades to a
+    * cache miss, never a wrong index). */
+  private def sidecarPath(dir: String, key: (String, Long, Long, Long, Long)): Path = {
+    val (p, len, mtime, rb, tail) = key
+    var h = 1125899906842597L
+    p.foreach(c => h = h * 31 + c)
+    Seq(len, mtime, rb, tail).foreach(v => h = h * 6364136223846793005L + v)
+    new Path(dir, f"bz2idx-$h%016x-$len.json")
+  }
+
+  private def loadSidecar(dir: String, key: (String, Long, Long, Long, Long),
+      conf: Configuration): Option[Seq[Bz2Range]] =
+    try {
+      val sp = sidecarPath(dir, key)
+      val fs = sp.getFileSystem(conf)
+      if (!fs.exists(sp)) return None
+      val in = fs.open(sp)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val (p, len, mtime, rb, tail) = key
+      val keyOk = node.get("path").asText() == p &&
+        node.get("len").asLong() == len && node.get("mtime").asLong() == mtime &&
+        node.get("rangeBytes").asLong() == rb && node.get("tailCrc").asLong() == tail
+      if (!keyOk) return None
+      val arr = node.get("ranges")
+      val rs = (0 until arr.size()).map { i =>
+        val r = arr.get(i)
+        Bz2Range(r.get(0).asLong(), r.get(1).asLong(), r.get(2).asLong(), r.get(3).asLong())
+      }
+      // Sanity against hand-damage: ranges must tile a prefix-summed grid —
+      // ascending disjoint compressed ranges inside the file, decompressed
+      // offsets an exact prefix sum. A violated invariant is a miss (phase 1
+      // rebuilds); a PASSED one still leaves the reader's own fileDLen
+      // early-EOF guard as the loud backstop at scan time.
+      var cEnd = 0L; var dOff = 0L; var ok = true
+      rs.foreach { r =>
+        ok &&= r.cStart >= cEnd && r.cStart + r.cLen <= len && r.dLen > 0 && r.dStart == dOff
+        cEnd = r.cStart + r.cLen; dOff = r.dStart + r.dLen
+      }
+      if (ok) Some(rs) else None
+    } catch {
+      case e: Exception =>
+        logger.warn(s"fixedwidth: unreadable bz2 index sidecar in $dir " +
+          s"for ${key._1} — rebuilding via phase 1 ($e)")
+        None
+    }
+
+  /** Best-effort, atomically published (temp + rename): a concurrent writer
+    * races to an identical result, a failed write costs only the next JVM's
+    * phase-1 pass — never the plan. */
+  private def writeSidecar(dir: String, key: (String, Long, Long, Long, Long),
+      ranges: Seq[Bz2Range], conf: Configuration): Unit =
+    try {
+      val sp = sidecarPath(dir, key)
+      val fs = sp.getFileSystem(conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      val (p, len, mtime, rb, tail) = key
+      node.put("path", p); node.put("len", len); node.put("mtime", mtime)
+      node.put("rangeBytes", rb); node.put("tailCrc", tail)
+      val arr = node.putArray("ranges")
+      ranges.foreach { r =>
+        val e = arr.addArray()
+        e.add(r.cStart); e.add(r.cLen); e.add(r.dStart); e.add(r.dLen)
+      }
+      val tmp = new Path(dir, s"${sp.getName}.inprogress-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, sp)) { // racer published first — identical content
+        fs.delete(tmp, false); ()
+      }
+    } catch {
+      case e: Exception =>
+        logger.warn(s"fixedwidth: bz2 index sidecar write to $dir failed " +
+          s"for ${key._1} — next JVM re-pays phase 1 ($e)")
+    }
 
   /** Single-file convenience over [[rangesOfAll]] (specs, small callers). */
   def rangesOf(path: String, fileLen: Long, rangeBytes: Long,

@@ -57,7 +57,8 @@ final case class FixedWidthOptions(
     mode: String = "FAILFAST",
     allowCompressed: Boolean = false,
     corruptRecordCol: Option[String] = None,
-    strictWidth: Boolean = false) {
+    strictWidth: Boolean = false,
+    bz2IndexDir: Option[String] = None) {
 
   def permissive: Boolean = mode == "PERMISSIVE"
   def dropMalformed: Boolean = mode == "DROPMALFORMED"
@@ -200,6 +201,20 @@ object FixedWidthOptions {
       throw new IllegalArgumentException(
         s"fixedwidth: option 'mode' must be FAILFAST, PERMISSIVE or DROPMALFORMED, got '$mode'")
 
+    val allowCompressed0 =
+      Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true"))
+    // Persisted phase-1 split-index cache for splittable bz2 reads (see
+    // Bz2SplitIndex): sidecars land fingerprint-keyed in this directory,
+    // amortizing the plan-time full-corpus decompress to once per file
+    // ever instead of once per driver JVM.
+    val bz2IndexDir = Option(map.get("bz2IndexDir")).map(_.trim).filter(_.nonEmpty)
+    bz2IndexDir.foreach { _ =>
+      if (!allowCompressed0)
+        throw new IllegalArgumentException(
+          "fixedwidth: 'bz2IndexDir' requires allowCompressed=true " +
+            "(it caches the bz2 split index, which only exists for compressed reads)")
+    }
+
     val corruptCol = Option(map.get("columnNameOfCorruptRecord")).map(_.trim).filter(_.nonEmpty)
     corruptCol.foreach { c =>
       if (fields.isEmpty)
@@ -223,13 +238,14 @@ object FixedWidthOptions {
       charsetName = charsetName,
       trim = trim,
       mode = mode,
-      allowCompressed = Option(map.get("allowCompressed")).exists(_.trim.equalsIgnoreCase("true")),
+      allowCompressed = allowCompressed0,
       corruptRecordCol = corruptCol,
       // write-side: over-width STRING values truncate by default (pad/
       // truncate is the documented fixed-width contract); strictWidth=true
       // turns that into a loud per-record error — silent truncation of a
       // payload field surfaces only as a downstream digest mismatch
-      strictWidth = Option(map.get("strictWidth")).exists(_.trim.equalsIgnoreCase("true")))
+      strictWidth = Option(map.get("strictWidth")).exists(_.trim.equalsIgnoreCase("true")),
+      bz2IndexDir = bz2IndexDir)
   }
 
   /** Layout grammar: `name:type:start:len[,name:type:start:len...]`.

@@ -979,7 +979,7 @@ object FixedWidthScan {
     // serially at plan time and underutilize the cluster on each
     val bz2Ranges =
       if (bz2Files.isEmpty) Map.empty[String, Seq[Bz2Range]]
-      else Bz2SplitIndex.rangesOfAll(bz2Files, bz2RangeBytes, conf)
+      else Bz2SplitIndex.rangesOfAll(bz2Files, bz2RangeBytes, conf, opts.bz2IndexDir)
     val gzChunks = bz2Files.flatMap { case (p, _) =>
       val rs = bz2Ranges(p)
       // total decompressed length, carried per chunk so the reader can

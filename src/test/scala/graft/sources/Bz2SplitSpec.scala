@@ -165,6 +165,78 @@ class Bz2SplitSpec extends SparkSpec with Matchers {
     got should contain theSameElementsInOrderAs expected
   }
 
+  test("sidecar: a fresh JVM (cleared memo) plans from the persisted index with ZERO phase-1 jobs") {
+    import graft.sources.fixedwidth.Bz2SplitIndex
+    val (plainDir, bz2Dir) = fixture(150000)
+    val idxDir = Files.createTempDirectory("graft-bz2-idx").toString
+    val conf = new Configuration()
+    val p = s"$bz2Dir/data.fwb.bz2"
+    val cLen = new java.io.File(p).length()
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Seq[graft.sources.fixedwidth.Bz2Range]): (Seq[graft.sources.fixedwidth.Bz2Range], Int) = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      val r = try body finally sc.clearJobGroup()
+      Thread.sleep(500) // status store is async; lag can only undercount — see control below
+      (r, sc.statusTracker.getJobIdsForGroup(group).length)
+    }
+
+    // control: the counting mechanism sees the phase-1 job of a cold build
+    Bz2SplitIndex.clearMemoForTest()
+    val (built, buildJobs) = jobsIn("bz2-idx-build")(
+      Bz2SplitIndex.rangesOfAll(Seq(p -> cLen), 256 * 1024, conf, Some(idxDir))(p))
+    buildJobs should be > 0
+    built.length should be > 1
+    new java.io.File(idxDir).listFiles.count(_.getName.startsWith("bz2idx-")) shouldBe 1
+
+    // the headline: cleared memo (= fresh driver JVM) + sidecar present
+    // ⇒ the plan-time full-corpus decompress is GONE, ranges identical
+    Bz2SplitIndex.clearMemoForTest()
+    val (cached, cachedJobs) = jobsIn("bz2-idx-cached")(
+      Bz2SplitIndex.rangesOfAll(Seq(p -> cLen), 256 * 1024, conf, Some(idxDir))(p))
+    cachedJobs shouldBe 0
+    cached should contain theSameElementsInOrderAs built
+
+    // a CORRUPT sidecar is a miss, not an error: phase 1 rebuilds
+    new java.io.File(idxDir).listFiles.filter(_.getName.startsWith("bz2idx-")).foreach { f =>
+      val w = new java.io.FileOutputStream(f); w.write("not json".getBytes); w.close()
+    }
+    Bz2SplitIndex.clearMemoForTest()
+    val (rebuilt, rebuildJobs) = jobsIn("bz2-idx-corrupt")(
+      Bz2SplitIndex.rangesOfAll(Seq(p -> cLen), 256 * 1024, conf, Some(idxDir))(p))
+    rebuildJobs should be > 0
+    rebuilt should contain theSameElementsInOrderAs built
+
+    // end-to-end through the reader option: records equal the plain file
+    Bz2SplitIndex.clearMemoForTest()
+    val expected = readAll(plainDir, compressed = false)
+    val got = spark.read.format("fixedwidth").option("recordLength", recLen)
+      .option("allowCompressed", "true").option("bz2IndexDir", idxDir).load(bz2Dir)
+      .select(col("offset"), col("value").cast("string"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
+    got should contain theSameElementsInOrderAs expected
+
+    // stale fingerprint: rewrite with different content → different tail
+    // CRC → the old sidecar cannot be served; the rebuilt index reads the
+    // NEW records
+    val fs = new Path(bz2Dir).getFileSystem(conf)
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val out = codec.createOutputStream(fs.create(new Path(p), true))
+    (0 until 150000).foreach(i => out.write(record(i + 13)))
+    out.close()
+    Bz2SplitIndex.clearMemoForTest()
+    val got2 = spark.read.format("fixedwidth").option("recordLength", recLen)
+      .option("allowCompressed", "true").option("bz2IndexDir", idxDir).load(bz2Dir)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).sorted
+    val expected2 = (0 until 150000).map(i => new String(record(i + 13), "US-ASCII")).sorted
+    got2 should contain theSameElementsInOrderAs expected2
+
+    // option gate: the cache dir only makes sense with compressed reads on
+    an[IllegalArgumentException] should be thrownBy
+      spark.read.format("fixedwidth").option("recordLength", recLen)
+        .option("bz2IndexDir", idxDir).load(bz2Dir).collect()
+  }
+
   test("phase-1 index tiles the decompressed stream exactly (no gap, no overlap)") {
     val (plainDir, bz2Dir) = fixture(300000)
     val plainLen = new java.io.File(s"$plainDir/data.fwb").length()
