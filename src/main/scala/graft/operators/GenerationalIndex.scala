@@ -95,6 +95,16 @@ object GenerationalIndex {
         val in = fs.open(p)
         bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
       } catch {
+        case e: java.io.FileNotFoundException =>
+          // A LISTED manifest is gone: the documented store contract
+          // (manifests are never deleted) makes this a PERMANENT condition
+          // — an external cleaner or human intervened. Fail immediately
+          // with the diagnosis instead of burning the bounded-retry sleeps
+          // reserved for genuinely transient IO.
+          throw new java.io.IOException(
+            s"generational index: committed manifest $p was listed but no longer " +
+              "exists — something outside this module deleted it (the store " +
+              "contract forbids that); restore it rather than retrying", e)
         case e: java.io.IOException =>
           if (attempt >= MaxReadAttempts)
             throw new java.io.IOException(

@@ -80,7 +80,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    retro-insert would be invisible to them);
   *  - [[sweepInertBases]] deletes an inert compaction's base only when its
   *    entry is older than H (a flip to applied requires a retro-insert
-  *    below it, which only a writer already older than H could produce).
+  *    below it, which only a writer already older than H could produce);
+  *  - [[gcEntries]] deletes LOG ENTRIES made fold-redundant by a
+  *    checkpoint — anchored on the oldest of K ≥ 2 retained readable
+  *    checkpoints, every deleted object older than H, the prefix removed
+  *    newest-first so a crash leaves a complete shorter prefix. It is the
+  *    ONLY sanctioned deletion of log state; everything above still
+  *    treats entries as immutable history.
   */
 object ManifestLog {
 
@@ -104,7 +110,12 @@ object ManifestLog {
   private sealed trait Op
   private final case class Append(dir: String) extends Op
   private final case class Compact(folded: Seq[String], base: String) extends Op
-  private final case class Checkpoint(live: Seq[String], appended: Seq[String]) extends Op
+  /** `appendedAt` carries the ever-appended dirs with the store mtime of
+    * their newest append entry (absent in pre-r18 checkpoints — resumed
+    * folds then date them at the checkpoint's own mtime, which is an upper
+    * bound and therefore conservative for retention pruning). */
+  private final case class Checkpoint(
+      live: Seq[String], appended: Seq[String], appendedAt: Map[String, Long]) extends Op
 
   /** GET one LISTED entry's bytes. Every listed entry is COMMITTED (PUT is
     * all-or-nothing on the object-store target; on filesystems a half
@@ -120,12 +131,40 @@ object ManifestLog {
         val in = fs.open(p)
         return try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
       } catch {
+        case e: java.io.FileNotFoundException =>
+          // Not transient adversity: the listed entry is GONE. The one
+          // legitimate producer of this state is a concurrent [[gcEntries]]
+          // deleting pre-anchor entries between our LIST and this GET —
+          // thrown immediately (no retry sleeps; absence is definitive) so
+          // the caller can RE-LIST and fold the post-GC log instead.
+          throw e
         case e: java.io.IOException =>
           if (attempt >= MaxReadAttempts)
             throw new java.io.IOException(
               s"manifest log: cannot read committed entry $p after $attempt attempts — " +
                 "failing the fold loudly instead of returning a live set missing its rows", e)
           Thread.sleep(15L * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run `body` (a LIST-then-GET walk), re-LISTing from scratch when a
+    * listed entry vanishes mid-walk — the signature of a concurrent
+    * [[gcEntries]] having deleted a pre-anchor entry. One relist suffices
+    * per GC run (post-GC folds resume from the anchor checkpoint and never
+    * GET the deleted prefix); bounded anyway, then loud. */
+  private def withRelistOnVanish[A](root: Path)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= MaxReadAttempts)
+            throw new java.io.IOException(
+              s"manifest log: listed entries vanished mid-read $attempt times under " +
+                s"$root — more than concurrent entry GC can explain; failing loudly", e)
           attempt += 1
       }
     }
@@ -149,7 +188,13 @@ object ManifestLog {
           node.get("live").forEach(n => live += n.asText())
           val appended = Seq.newBuilder[String]
           node.get("appended").forEach(n => appended += n.asText())
-          Some(Checkpoint(live.result(), appended.result()))
+          val ages = Map.newBuilder[String, Long]
+          val at = node.get("appendedAt")
+          if (at != null && at.isObject) {
+            val it = at.fields()
+            while (it.hasNext) { val f = it.next(); ages += (f.getKey -> f.getValue.asLong()) }
+          }
+          Some(Checkpoint(live.result(), appended.result(), ages.result()))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -194,31 +239,54 @@ object ManifestLog {
     * no entry with seq < C.seq lands after C was written. A torn
     * checkpoint is skipped (the fold falls back to the next-newest, then
     * to entry 1) — skipping a snapshot costs GETs, never rows. */
-  private def foldLog(fs: FileSystem, root: Path): (Long, Vector[String], Set[String]) = {
-    if (!fs.exists(root)) return (0L, Vector.empty, Set.empty)
+  private def foldLog(fs: FileSystem, root: Path): (Long, Vector[String], Map[String, Long]) =
+    withRelistOnVanish(root) { foldOnce(fs, root) }
+
+  private def foldOnce(fs: FileSystem, root: Path): (Long, Vector[String], Map[String, Long]) = {
+    if (!fs.exists(root)) return (0L, Vector.empty, Map.empty)
     val entries = listEntries(fs, root)
     val maxSeq = entries.foldLeft(0L)((m, e) => math.max(m, e.seq))
     var live = Vector.empty[String]
-    val appended = scala.collection.mutable.HashSet.empty[String]
+    // ever-appended dir → mtime of its newest append entry (the retention
+    // clock for checkpoint pruning; Long.MaxValue would never prune)
+    val appendedAt = scala.collection.mutable.HashMap.empty[String, Long]
     var fromSeq = Long.MinValue
     val ckpts = entries.filter(_.ckpt).reverseIterator
     var resumed = false
     while (!resumed && ckpts.hasNext) {
       val c = ckpts.next()
       decode(readEntryBytes(fs, c.path)) match {
-        case Some(Checkpoint(l, a)) =>
+        case Some(Checkpoint(l, a, ages)) =>
           live = l.toVector
-          appended ++= a
+          // pre-r18 checkpoints carry no ages: date those dirs at the
+          // checkpoint's own mtime — an upper bound on their newest append,
+          // so retention pruning can only be LATER than exact, never early
+          a.foreach(d => appendedAt(d) = ages.getOrElse(d, c.mtimeMs))
           fromSeq = c.seq
           resumed = true
         case _ => // torn/foreign checkpoint: fall back to the next-newest
       }
     }
+    if (!resumed) {
+      // Entry GC deletes the prefix below a READABLE anchor checkpoint.
+      // Reaching here with the head of the log missing means every
+      // checkpoint has been damaged since (the store contract forbids it):
+      // a full replay would fold a truncated prefix into a silently-short
+      // live set — the failure mode this module exists to rule out.
+      val nonCkpt = entries.filter(!_.ckpt)
+      val truncated = (nonCkpt.nonEmpty && nonCkpt.head.seq > 1L) ||
+        (nonCkpt.isEmpty && entries.nonEmpty)
+      if (truncated) throw new IllegalStateException(
+        s"manifest log under $root is entry-GC'd (no seq-1 entry survives) but no " +
+          "checkpoint is readable — refusing to fold a truncated prefix; restore the " +
+          "anchor checkpoint object")
+    }
     entries.foreach { e =>
       if (!e.ckpt && e.seq >= fromSeq) {
         decode(readEntryBytes(fs, e.path)) match {
           case Some(Append(dir)) =>
-            if (appended.add(dir)) live :+= dir // duplicates (client retries) inert
+            if (!appendedAt.contains(dir)) live :+= dir // duplicates (client retries) inert
+            appendedAt(dir) = math.max(appendedAt.getOrElse(dir, 0L), e.mtimeMs)
           case Some(Compact(folded, base)) =>
             val f = folded.toSet
             if (f.nonEmpty && f.subsetOf(live.toSet)) live = base +: live.filterNot(f)
@@ -227,7 +295,7 @@ object ManifestLog {
         }
       }
     }
-    (maxSeq, live, appended.toSet)
+    (maxSeq, live, appendedAt.toMap)
   }
 
   private def writeEntry(fs: FileSystem, root: Path, prefix: String, seq: Long,
@@ -248,9 +316,9 @@ object ManifestLog {
     * it exists, and folding locally halves the per-append LIST+GET cost of
     * an O(entries) log walk on the object-store target. */
   def append(fs: FileSystem, root: Path, deltaDir: String): State = {
-    val (seq, live, appended) = foldLog(fs, root)
+    val (seq, live, appendedAt) = foldLog(fs, root)
     writeEntry(fs, root, "log", seq + 1, _.put("op", "append").put("dir", deltaDir))
-    State(seq + 1, if (appended.contains(deltaDir)) live else live :+ deltaDir)
+    State(seq + 1, if (appendedAt.contains(deltaDir)) live else live :+ deltaDir)
   }
 
   /** Snapshot the live set, have the caller rewrite exactly those
@@ -299,20 +367,40 @@ object ManifestLog {
     * The checkpoint is a pure snapshot under its own name pattern — it
     * never changes any fold's result (ManifestLogSpec pins
     * checkpoint-resumed ≡ full fold differentially), it only bounds the
-    * suffix a fold must GET. The ever-appended set travels inside it, so
-    * the duplicate-append guard keeps its full history. Entries below the
-    * checkpoint stay on the store (this module still deletes nothing but
-    * swept bases); deleting them behind the same horizon is a deployment
-    * choice the checkpoint makes safe. */
-  def checkpoint(fs: FileSystem, root: Path): State = {
-    val (seq, live, appended) = foldLog(fs, root)
+    * suffix a fold must GET. Entries below it stay on the store; do NOT
+    * delete them by hand — [[sweepInertBases]]' classification and
+    * [[foldLog]]'s torn-checkpoint fallback both still read the prefix.
+    * [[gcEntries]] is the one safe deletion path (checkpoint-aware
+    * classification, K ≥ 2 retained readable anchors, per-object age gate).
+    *
+    * SIZE: the snapshot carries the EVER-APPENDED set (the duplicate-append
+    * guard's full history), so without pruning every checkpoint grows
+    * O(total appends ever) even as compaction shrinks the live set.
+    * `appendedRetentionMs` bounds that: non-live appended dirs whose newest
+    * append entry is older than the retention window are dropped from the
+    * snapshot. Safe under the SAME horizon reasoning as everything else
+    * here — a duplicate client retry of an append older than H cannot
+    * still land, so the guard entry it would have needed is dead weight.
+    * Pass the deployment's H (or larger); the default keeps history
+    * forever. Live dirs are always kept regardless of age (a duplicate
+    * append of a LIVE dir must stay inert or its rows would serve twice). */
+  def checkpoint(fs: FileSystem, root: Path,
+      appendedRetentionMs: Long = Long.MaxValue,
+      nowMs: Long = System.currentTimeMillis()): State = {
+    val (seq, live, appendedAt) = foldLog(fs, root)
     if (seq == 0L) return State(0L, live) // empty log: nothing to snapshot
+    val liveSet = live.toSet
+    val kept = appendedAt.filter { case (d, at) =>
+      liveSet.contains(d) || nowMs - at <= appendedRetentionMs
+    }
     writeEntry(fs, root, "ckpt", seq + 1, { node =>
       node.put("op", "checkpoint")
       val la = node.putArray("live")
       live.foreach(la.add)
       val aa = node.putArray("appended")
-      appended.toSeq.sorted.foreach(aa.add)
+      kept.keys.toSeq.sorted.foreach(aa.add)
+      val at = node.putObject("appendedAt")
+      kept.toSeq.sortBy(_._1).foreach { case (d, ms) => at.put(d, ms) }
     })
     State(seq + 1, live)
   }
@@ -339,34 +427,163 @@ object ManifestLog {
       fs: FileSystem, root: Path, horizonMs: Long,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     if (!fs.exists(root)) return Nil
-    val entries = listEntries(fs, root)
-    var live = Vector.empty[String]
-    val appended = scala.collection.mutable.HashSet.empty[String]
-    val appliedBases = scala.collection.mutable.HashSet.empty[String]
-    val inertOldBases = scala.collection.mutable.LinkedHashSet.empty[String]
-    entries.foreach { e =>
-      if (!e.ckpt) {
-        decode(readEntryBytes(fs, e.path)) match {
-          case Some(Append(dir)) =>
-            if (appended.add(dir)) live :+= dir
-          case Some(Compact(folded, base)) =>
-            val f = folded.toSet
-            if (f.nonEmpty && f.subsetOf(live.toSet)) {
-              live = base +: live.filterNot(f)
-              appliedBases += base
-            } else if (nowMs - e.mtimeMs > horizonMs) {
-              inertOldBases += base
-            }
-          case _ => // torn/foreign: skipped (never aged into a candidate)
-        }
-      }
+    val c = withRelistOnVanish(root) { classify(fs, root) }
+    deleteInertBases(fs, c, horizonMs, nowMs, _ => true)
+  }
+
+  private def deleteInertBases(fs: FileSystem, c: Classification, horizonMs: Long,
+      nowMs: Long, entryFilter: Entry => Boolean): Seq[String] = {
+    val liveSet = c.live.toSet
+    val candidates = scala.collection.mutable.LinkedHashSet.empty[String]
+    c.inert.foreach { case (e, base) =>
+      if (entryFilter(e) && nowMs - e.mtimeMs > horizonMs) candidates += base
     }
-    val liveSet = live.toSet
-    inertOldBases.toSeq
-      .filterNot(b => liveSet.contains(b) || appended.contains(b) || appliedBases.contains(b))
+    candidates.toSeq
+      .filterNot(b => liveSet.contains(b) || c.appendedAt.contains(b) ||
+        c.appliedBases.contains(b))
       .filter { b =>
         val p = new Path(b)
         fs.exists(p) && fs.delete(p, true)
       }
+  }
+
+  /** Per-entry applied/inert classification of every surviving compact,
+    * sound WHETHER OR NOT [[gcEntries]] has deleted log prefix entries.
+    *
+    * The pre-r18 form replayed from entry 1, which note (a) of the entry-GC
+    * design (SURVEY §7.5) shows is unsound once any entry is missing: a
+    * hole in an applied compact's folded-append history flips the replay's
+    * classification and can age a LIVE base into a deletion candidate. The
+    * sound split is anchored on the OLDEST READABLE checkpoint A:
+    *
+    *  - entries BELOW A (seq < A.seq) replay from empty state. GC's
+    *    invariant is that this region is complete (no GC yet), empty
+    *    (post-GC), or a complete shorter prefix (a GC crashed mid-delete —
+    *    [[gcEntries]] deletes the prefix newest-first so survivors are
+    *    always a prefix). A complete prefix replayed from empty is the
+    *    genuine historical fold of those entries.
+    *  - entries AT/ABOVE A (seq ≥ A.seq) replay over A's snapshot — exact
+    *    by the same argument as [[foldLog]]'s resume rule.
+    *
+    * With no checkpoint at all, no GC can have run (gcEntries anchors on
+    * one), so the full replay from entry 1 stays sound. */
+  private final case class Classification(
+      entries: Seq[Entry],
+      live: Vector[String],
+      appendedAt: Map[String, Long],
+      appliedBases: Set[String],
+      inert: Seq[(Entry, String)])
+
+  private def classify(fs: FileSystem, root: Path): Classification = {
+    val entries = listEntries(fs, root)
+    // oldest READABLE checkpoint = the anchor; torn ones never anchor
+    val anchor: Option[(Entry, Checkpoint)] = entries.filter(_.ckpt).iterator
+      .map(e => e -> decode(readEntryBytes(fs, e.path)))
+      .collectFirst { case (e, Some(c: Checkpoint)) => (e, c) }
+    var live = Vector.empty[String]
+    val appendedAt = scala.collection.mutable.HashMap.empty[String, Long]
+    val appliedBases = scala.collection.mutable.HashSet.empty[String]
+    val inert = Seq.newBuilder[(Entry, String)]
+    def replay(e: Entry): Unit =
+      decode(readEntryBytes(fs, e.path)) match {
+        case Some(Append(dir)) =>
+          if (!appendedAt.contains(dir)) live :+= dir
+          appendedAt(dir) = math.max(appendedAt.getOrElse(dir, 0L), e.mtimeMs)
+        case Some(Compact(folded, base)) =>
+          val f = folded.toSet
+          if (f.nonEmpty && f.subsetOf(live.toSet)) {
+            live = base +: live.filterNot(f)
+            appliedBases += base
+          } else inert += (e -> base)
+        case _ => // torn/foreign: skipped (never a candidate)
+      }
+    anchor match {
+      case Some((a, ckpt)) =>
+        entries.foreach(e => if (!e.ckpt && e.seq < a.seq) replay(e))
+        live = ckpt.live.toVector
+        appendedAt.clear()
+        ckpt.appended.foreach(d => appendedAt(d) = ckpt.appendedAt.getOrElse(d, a.mtimeMs))
+        entries.foreach(e => if (!e.ckpt && e.seq >= a.seq) replay(e))
+      case None =>
+        entries.foreach(e => if (!e.ckpt) replay(e))
+    }
+    Classification(entries, live, appendedAt.toMap, appliedBases.toSet, inert.result())
+  }
+
+  /** What [[gcEntries]] did: deleted log entries, deleted (superseded)
+    * checkpoints, inert bases swept as part of retiring their entries, and
+    * the anchor's sequence (entries below it are the GC'd region). */
+  final case class GcReport(
+      anchorSeq: Long,
+      deletedEntries: Seq[String],
+      deletedCheckpoints: Seq[String],
+      sweptBases: Seq[String])
+
+  /** Delete log entries made fold-redundant by checkpointing — the only
+    * safe entry-deletion path (deleting by hand flips [[sweepInertBases]]'
+    * classification and strands [[foldLog]]'s torn-checkpoint fallback;
+    * see the checkpoint scaladoc).
+    *
+    * Anchor rule: among checkpoints that DECODE and are older than
+    * `horizonMs`, keep the newest `retainCheckpoints` (K ≥ 2 — if the
+    * newest retained object is later damaged, folds still fall back to a
+    * readable snapshot instead of a deleted prefix) and anchor on the
+    * OLDEST retained one. Then, oldest-first in fold order:
+    *
+    *  1. sweep inert bases referenced by pre-anchor compact entries (after
+    *     the entries are gone nothing references those bases — they would
+    *     leak forever; deleted base-before-entry so a crash leaves a
+    *     re-classifiable entry, never an orphan base);
+    *  2. delete checkpoints wholly below the anchor (folds resume from the
+    *     anchor or newer);
+    *  3. delete non-checkpoint entries with seq < anchor.seq, NEWEST FIRST,
+    *     so a crash mid-delete leaves a complete shorter prefix and
+    *     [[classify]]'s part-A replay stays sound. Same-seq racers of the
+    *     anchor are kept — resumed folds replay seq ≥ anchor.seq.
+    *
+    * Every deletion is gated on the object's own mtime being older than
+    * `horizonMs`: a YOUNG object below the anchor is a retro-insert that
+    * violated the checkpoint horizon contract — left in place (it is
+    * invisible to resumed folds either way) rather than silently erased.
+    *
+    * Horizon contract (same H as [[sweepInertBases]]): call from the
+    * maintenance cycle that owns the assertion that no writer's
+    * snapshot-to-PUT window from before the anchor's snapshot can still be
+    * open. */
+  def gcEntries(
+      fs: FileSystem, root: Path, horizonMs: Long,
+      retainCheckpoints: Int = 2,
+      nowMs: Long = System.currentTimeMillis()): GcReport = {
+    require(retainCheckpoints >= 2,
+      s"manifest log: gcEntries must retain >= 2 checkpoints (got $retainCheckpoints) — " +
+        "a single retained snapshot leaves no readable fallback if it is ever damaged")
+    if (!fs.exists(root)) return GcReport(0L, Nil, Nil, Nil)
+    withRelistOnVanish(root) {
+      val c = classify(fs, root)
+      val readableOld = c.entries.filter(_.ckpt)
+        .filter(e => nowMs - e.mtimeMs > horizonMs)
+        .filter(e => decode(
+          try readEntryBytes(fs, e.path)
+          catch { case _: java.io.FileNotFoundException => Array.emptyByteArray }
+        ).exists(_.isInstanceOf[Checkpoint]))
+      if (readableOld.size < retainCheckpoints)
+        return GcReport(0L, Nil, Nil, Nil) // not enough anchors yet: no-op
+      val anchor = readableOld(readableOld.size - retainCheckpoints)
+
+      // 1. bases referenced only by the region being retired
+      val swept = deleteInertBases(fs, c, horizonMs, nowMs, _.seq < anchor.seq)
+
+      // 2. superseded checkpoints below the anchor
+      val oldCkpts = c.entries.filter(e =>
+        e.ckpt && e.seq < anchor.seq && nowMs - e.mtimeMs > horizonMs)
+      val deletedCkpts = oldCkpts.filter(e => fs.delete(e.path, false)).map(_.path.getName)
+
+      // 3. the entry prefix, newest-first
+      val prefix = c.entries.filter(e =>
+        !e.ckpt && e.seq < anchor.seq && nowMs - e.mtimeMs > horizonMs)
+      val deleted = prefix.reverse.filter(e => fs.delete(e.path, false)).map(_.path.getName)
+
+      GcReport(anchor.seq, deleted, deletedCkpts, swept)
+    }
   }
 }

@@ -611,7 +611,16 @@ object DedupQueries {
       horizonMs = 1000L, nowMs = System.currentTimeMillis() + 60000L)
     require(swept.size == 1 && Set(v3, v4).contains(swept.head),
       s"q242: exactly the losing base must be swept, got $swept")
-    val live = ManifestLog.read(fs, logRoot).dirs // checkpoint-resumed fold
+    // entry GC (r18): a second snapshot (with the appended-history pruned
+    // behind the same horizon), then delete the log prefix behind the
+    // OLDEST retained checkpoint — the read below folds a log whose early
+    // entries are GONE and must still serve every row exactly once
+    val gcNow = System.currentTimeMillis() + 120000L
+    ManifestLog.checkpoint(fs, logRoot, appendedRetentionMs = 1000L, nowMs = gcNow)
+    val rep = ManifestLog.gcEntries(fs, logRoot, horizonMs = 1000L, nowMs = gcNow)
+    require(rep.deletedEntries.nonEmpty,
+      s"q242: entry GC behind the anchor checkpoint must retire the folded prefix, got $rep")
+    val live = ManifestLog.read(fs, logRoot).dirs // checkpoint-resumed, GC-truncated fold
     require(live.size == 1 && Set(v3, v4).contains(live.head) && !swept.contains(live.head),
       s"q242: log should fold to exactly the winning base, got $live")
     live.map(load).reduce(_ unionByName _)

@@ -335,6 +335,186 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 30L)
   }
 
+  test("gcEntries: prefix deleted behind the anchor, fold identical, K=2 survives a " +
+      "damaged newest checkpoint, and a wholly-damaged checkpoint set fails LOUDLY") {
+    val tmp = Files.createTempDirectory("graft-mlog-gc").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 30)
+    val d2 = writeDelta(tmp, "d2", 30 until 60)
+    ManifestLog.append(fs, root, d1) // seq 1
+    ManifestLog.append(fs, root, d2) // seq 2
+    val b1 = s"$tmp/base-1"
+    ManifestLog.compact(fs, root, b1, rewrite = dirs => { // seq 3
+      import spark.implicits._
+      readAll(dirs).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(b1)
+    })._2 shouldBe true
+    val d3 = writeDelta(tmp, "d3", 60 until 80)
+    ManifestLog.append(fs, root, d3) // seq 4
+    val ck1 = ManifestLog.checkpoint(fs, root) // seq 5 — the future anchor
+    val d4 = writeDelta(tmp, "d4", 80 until 95)
+    ManifestLog.append(fs, root, d4) // seq 6
+    ManifestLog.checkpoint(fs, root) // seq 7
+    val d5 = writeDelta(tmp, "d5", 95 until 110)
+    ManifestLog.append(fs, root, d5) // seq 8
+    val control = ManifestLog.read(fs, root)
+    readAll(control.dirs) shouldBe (0L until 110L)
+    val now = System.currentTimeMillis()
+
+    // guards: K >= 2 is enforced; inside the horizon nothing moves
+    an[IllegalArgumentException] should be thrownBy
+      ManifestLog.gcEntries(fs, root, 60000L, retainCheckpoints = 1, nowMs = now)
+    val noop = ManifestLog.gcEntries(fs, root, 60000L, nowMs = now)
+    noop.deletedEntries shouldBe empty
+    noop.deletedCheckpoints shouldBe empty
+
+    // past the horizon: anchor = the OLDEST of the newest 2 readable
+    // checkpoints (seq 5); the four pre-anchor entries go, same-or-newer
+    // entries and both checkpoints stay, and the fold is unchanged
+    val rep = ManifestLog.gcEntries(fs, root, 60000L, nowMs = now + 120000L)
+    rep.anchorSeq shouldBe ck1.seq
+    rep.deletedEntries should have size 4 // d1, d2, compact, d3
+    rep.deletedCheckpoints shouldBe empty
+    rep.sweptBases shouldBe empty // the one compact applied: its base is live
+    fs.listStatus(root).count(_.getPath.getName.startsWith("log-")) shouldBe 2 // d4, d5
+    val after = ManifestLog.read(fs, root)
+    after.dirs shouldBe control.dirs
+    readAll(after.dirs) shouldBe (0L until 110L)
+
+    // the log keeps working: append + compact post-GC
+    val d6 = writeDelta(tmp, "d6", 110 until 120)
+    ManifestLog.append(fs, root, d6)
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 120L)
+
+    // K=2 rationale: damage the NEWEST checkpoint — folds fall back to the
+    // anchor and still see everything (the GC'd prefix is inside it)
+    val ckpts = fs.listStatus(root).map(_.getPath).filter(_.getName.startsWith("ckpt-")).sorted
+    ckpts should have size 2
+    val o1 = fs.create(ckpts.last, true); o1.write("damaged".getBytes); o1.close()
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 120L)
+
+    // damage the anchor too: a truncated prefix with no readable snapshot
+    // must fail loudly, never fold into a silently-short live set
+    val o2 = fs.create(ckpts.head, true); o2.write("damaged".getBytes); o2.close()
+    val e = intercept[IllegalStateException] { ManifestLog.read(fs, root) }
+    e.getMessage should include("entry-GC'd")
+  }
+
+  test("post-GC sweep: classification resumes from the anchor — a live base is never " +
+      "misjudged inert by replaying a truncated prefix (SURVEY note (a) trap)") {
+    val tmp = Files.createTempDirectory("graft-mlog-gcsweep").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 40)
+    ManifestLog.append(fs, root, d1) // seq 1
+    def fold(dirs: Seq[String], out: String): Unit = {
+      import spark.implicits._
+      readAll(dirs).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(out)
+    }
+    val bx = s"$tmp/base-X"
+    ManifestLog.compact(fs, root, bx, rewrite = fold(_, bx))._2 shouldBe true // seq 2
+    ManifestLog.checkpoint(fs, root) // seq 3 — the anchor
+    ManifestLog.checkpoint(fs, root) // seq 4
+    val now = System.currentTimeMillis()
+    val rep = ManifestLog.gcEntries(fs, root, 60000L, nowMs = now + 120000L)
+    rep.deletedEntries should have size 2 // d1's append + X's compact
+
+    // post-GC history: a fresh append and a compact folding {BX, d4}
+    val d4 = writeDelta(tmp, "d4", 40 until 70)
+    ManifestLog.append(fs, root, d4)
+    val by = s"$tmp/base-Y"
+    ManifestLog.compact(fs, root, by, rewrite = fold(_, by))._2 shouldBe true
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 70L)
+
+    // the trap: replaying the SURVIVING entries from empty state would see
+    // live={d4} when Y's compact folds {BX, d4} — Y misjudged inert, BY
+    // (the CURRENT live base) aged into a deletion candidate. The
+    // checkpoint-aware classification must sweep NOTHING here.
+    val swept = ManifestLog.sweepInertBases(fs, root, 60000L, nowMs = now + 240000L)
+    swept shouldBe empty
+    fs.exists(new Path(by)) shouldBe true
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 70L)
+  }
+
+  test("checkpoint pruning: non-live appends older than the retention window leave the " +
+      "snapshot; LIVE dirs stay guarded at any age") {
+    val tmp = Files.createTempDirectory("graft-mlog-prune").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "del1", 0 until 20)
+    val d2 = writeDelta(tmp, "del2", 20 until 45)
+    ManifestLog.append(fs, root, d1)
+    ManifestLog.append(fs, root, d2)
+    val b = s"$tmp/base-1"
+    ManifestLog.compact(fs, root, b, rewrite = dirs => {
+      import spark.implicits._
+      readAll(dirs).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(b)
+    })._2 shouldBe true
+    val d3 = writeDelta(tmp, "del3", 45 until 60)
+    ManifestLog.append(fs, root, d3) // live alongside the base
+    val now = System.currentTimeMillis()
+    // retention 0 at a far-future clock: d1/d2 (folded, non-live) prune out
+    // of the snapshot; d3 survives because it is LIVE, whatever its age
+    ManifestLog.checkpoint(fs, root, appendedRetentionMs = 0L, nowMs = now + 3600000L)
+    val ckpt = fs.listStatus(root).map(_.getPath).filter(_.getName.startsWith("ckpt-")).head
+    val json = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(ckpt)), "UTF-8")
+    json should include("del3")
+    json should not include "del1"
+    json should not include "del2"
+    json should include("appendedAt")
+    // the pruned snapshot folds identically
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 60L)
+    // duplicate retry of the LIVE dir after pruning: still inert
+    ManifestLog.append(fs, root, d3)
+    val s = ManifestLog.read(fs, root)
+    s.dirs.count(_ == d3) shouldBe 1
+    readAll(s.dirs) shouldBe (0L until 60L)
+  }
+
+  test("an entry vanishing between LIST and GET (concurrent gcEntries): the fold " +
+      "re-LISTs and succeeds; a store that keeps vanishing entries fails loudly") {
+    val tmp = Files.createTempDirectory("graft-mlog-vanish").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    ManifestLog.append(fs, root, writeDelta(tmp, "d1", 0 until 10))
+    ManifestLog.append(fs, root, writeDelta(tmp, "d2", 10 until 25))
+    val entryName = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("log-")).sorted.last
+    val vanish = new VanishFs(fs)
+    vanish.fnfSubstring = entryName
+    vanish.fnfRemaining = 1 // one FNF (the concurrent-GC signature), then fine
+    val s = ManifestLog.read(vanish, root)
+    readAll(s.dirs) shouldBe (0L until 25L)
+    // permanent vanishing (more than a concurrent GC explains): loud
+    vanish.fnfRemaining = -1
+    val e = intercept[java.io.IOException] { ManifestLog.read(vanish, root) }
+    e.getMessage should include("vanished")
+  }
+
+  /** FS wrapper serving FileNotFoundException on open() — the
+    * listed-then-deleted race a concurrent [[ManifestLog.gcEntries]]
+    * produces. fnfRemaining < 0 = vanished forever. */
+  private class VanishFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    setConf(underlying.getConf)
+    @volatile var fnfSubstring: String = null
+    @volatile var fnfRemaining = 0
+    override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+      if (fnfSubstring != null && f.toString.contains(fnfSubstring) && fnfRemaining != 0) {
+        if (fnfRemaining > 0) fnfRemaining -= 1
+        throw new java.io.FileNotFoundException(s"injected vanish: $f")
+      }
+      super.open(f, bufferSize)
+    }
+  }
+
   test("a STALLED compactor's entry retro-inserting before an applied one: pointer may flip, " +
       "rows never do") {
     // worst-case lateness: compactor E snapshotted {d1}, stalled, and its
