@@ -1324,7 +1324,71 @@ object StreamingQueries {
     prior.unionByName(appended).orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q243
+  /** STREAMING index maintenance THROUGH THE COMMIT LOG — q227 with the
+    * delta publication routed via [[graft.operators.ManifestLog.append]],
+    * so streaming ingestion and the maintenance fold (q240/q242) share ONE
+    * exactly-once story on an object store. q227's batchId-subdir
+    * overwrite is idempotent under foreachBatch's at-least-once
+    * redelivery, but it lives OUTSIDE the commit log: a compactor folding
+    * the log cannot see (or race correctly against) deltas that only exist
+    * as directory listings. Here each micro-batch writes its rows to an
+    * immutable batchId-named generation dir (the retry overwrites the same
+    * dir with the same content — band rows are a pure function of each
+    * document) and then APPENDS that dir to the log; the redelivered
+    * append is a duplicate of an ever-appended dir and stays INERT under
+    * the fold. Pinned by injecting a full redelivery (data rewrite +
+    * second append) of the first delivered batch: the oracle's
+    * from-scratch rebuild hash-matches only if the duplicate publication
+    * contributed nothing. */
+  def streamIndexAppendLogged(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestLog
+    val idxPath = DedupQueries.persistedMinhashIndexPath(spark, dir)
+    val fieldsOpt = DedupQueries.idxFields
+    val scratch = QueryRegistry.scratch(dir, "minhash_idx_mlog_stream_fw")
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(scratchPath, true) // invocation-start wipe (bench reps reuse the dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$scratch/_log")
+    ManifestLog.append(fs, logRoot, idxPath) // the prior index is generation 0
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    @volatile var injectedRetry = false
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      def deliver(): Unit = {
+        val gen = s"$scratch/batch-$batchId"
+        batch.write.format("fixedwidth").option("fields", fieldsOpt)
+          .option("strictWidth", "true").mode("overwrite").save(gen)
+        ManifestLog.append(fs, logRoot, gen)
+        ()
+      }
+      deliver()
+      if (!injectedRetry) { injectedRetry = true; deliver() }
+    }
+    val ckpt = freshCkpt("idxappendlog")
+    val q = arrivalBandRows(ss, dir)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      try { if (q.isActive) q.stop() }
+      finally dropCkpt(ckpt)
+    }
+    val live = ManifestLog.read(fs, logRoot).dirs
+    require(live.contains(idxPath), "q243: the prior index generation must stay live")
+    require(live.distinct.size == live.size,
+      s"q243: duplicate publication leaked into the live set: $live")
+    live.map(g => spark.read.format("fixedwidth").option("fields", fieldsOpt).load(g)
+        .select(col("doc_id"), col("band_idx"), col("band_hash")))
+      .reduce(_ unionByName _)
+      .orderBy(col("doc_id"), col("band_idx"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q243_stream_index_append_logged", streamIndexAppendLogged,
+      Some(DedupQueries.minhashIndexRefreshOracle)),
     Q("q223_stream_bloom_gate", streamBloomGate, Some(streamBloomGateOracle)),
     Q("q225_stream_neardup_serve", streamNearDupServe,
       Some(streamNearDupServeOracle)),
