@@ -246,14 +246,16 @@ class FixedWidthMicroBatchStream(
   // what the stream is waiting on. Bounded: wholesale-cleared if
   // pathological growth.
   private val fwzWarned = scala.collection.mutable.Set.empty[(String, Long)]
-  // Per path: (length, first seen unreadable at that length, last seen
-  // failing). A length change (the file grew: still being written) resets
-  // the first-unreadable clock; a stable-length unreadable file past the
-  // grace fails the stream. The last-failing stamp exists ONLY for
-  // eviction: a corrupt file that intermittently drops out of the listing
-  // (eventually-consistent store, flapping partition prune) must not get
-  // its grace clock reset by each absence.
-  private val fwzFirstUnreadable = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+  // Per path: (length, mtime, first seen unreadable in that state, last
+  // seen failing). A length OR mtime change (the file grew / was rewritten
+  // — including a deleted corrupt file REPLACED by a new same-length
+  // still-being-written file within the grace) resets the first-unreadable
+  // clock; a stable unreadable file past the grace fails the stream. The
+  // last-failing stamp exists ONLY for eviction: a corrupt file that
+  // intermittently drops out of the listing (eventually-consistent store,
+  // flapping partition prune) must not get its grace clock reset by each
+  // absence.
+  private val fwzFirstUnreadable = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
   private val logger = org.slf4j.LoggerFactory.getLogger(classOf[FixedWidthMicroBatchStream])
 
   private def snapshot(): Map[String, Long] = {
@@ -283,7 +285,8 @@ class FixedWidthMicroBatchStream(
             failingNow += pathStr
             val now = System.currentTimeMillis()
             fwzFirstUnreadable.get(pathStr) match {
-              case Some((len0, t0, _)) if len0 == st.getLen =>
+              case Some((len0, mtime0, t0, _))
+                  if len0 == st.getLen && mtime0 == st.getModificationTime =>
                 if (now - t0 > fwzUnreadableGraceMs)
                   throw new IllegalStateException(
                     s"fixedwidth stream: framed file $pathStr has been unreadable at " +
@@ -291,9 +294,9 @@ class FixedWidthMicroBatchStream(
                       s"fwzUnreadableGraceMs=$fwzUnreadableGraceMs) — permanently " +
                       s"corrupt, not still-being-written; failing loudly like the " +
                       s"batch path would: $e", e)
-                fwzFirstUnreadable(pathStr) = (len0, t0, now)
+                fwzFirstUnreadable(pathStr) = (len0, mtime0, t0, now)
               case _ =>
-                fwzFirstUnreadable(pathStr) = (st.getLen, now, now)
+                fwzFirstUnreadable(pathStr) = (st.getLen, st.getModificationTime, now, now)
             }
             if (fwzWarned.size > 10000) fwzWarned.clear()
             if (fwzWarned.add((pathStr, st.getLen)))
@@ -315,7 +318,7 @@ class FixedWidthMicroBatchStream(
     // genuinely corrupt file's grace clock is never reset, so the deadline
     // survives pathological directories, which is exactly when it matters.
     val evictNow = System.currentTimeMillis()
-    fwzFirstUnreadable.filterInPlace { case (p, (_, _, lastFailing)) =>
+    fwzFirstUnreadable.filterInPlace { case (p, (_, _, _, lastFailing)) =>
       failingNow.contains(p) || evictNow - lastFailing <= fwzUnreadableGraceMs
     }
     fwzRecords = meta.result()

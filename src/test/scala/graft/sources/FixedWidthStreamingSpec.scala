@@ -394,13 +394,22 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
       .start()
     // flap the file out of the listing every ~200 ms — each absence well
-    // under the 800 ms grace, so the clock must survive it
+    // under the 800 ms grace, so the clock must survive it. The flap is
+    // simulated by MOVING the file aside and back (mtime preserved): a real
+    // eventually-consistent listing omits an UNCHANGED object. A delete +
+    // rewrite would be a genuinely recreated file, which correctly gets a
+    // fresh clock since the stability key gained mtime (r18).
+    val aside = java.nio.file.Path.of(data, "..", "broken.fwz.aside").normalize()
     val deadline = System.currentTimeMillis() + 45000
     var failure: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
     while (failure.isEmpty && System.currentTimeMillis() < deadline) {
-      java.nio.file.Files.deleteIfExists(broken)
+      if (java.nio.file.Files.exists(broken))
+        java.nio.file.Files.move(broken, aside,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Thread.sleep(100)
-      java.nio.file.Files.write(broken, corrupt)
+      if (java.nio.file.Files.exists(aside))
+        java.nio.file.Files.move(aside, broken,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Thread.sleep(100)
       failure = q.exception
     }
@@ -410,6 +419,54 @@ class FixedWidthStreamingSpec extends SparkSpec with Matchers {
     }
     val msg = failure.map(e =>
       Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage).get
+    msg should include("broken.fwz")
+    msg.toLowerCase should include("unreadable")
+  }
+
+  test("a RECREATED same-length file (new mtime) gets its own fresh grace clock") {
+    // the r17-advice finding: the grace clock was keyed by (path, length)
+    // only, so a genuinely deleted corrupt file replaced by a NEW
+    // still-being-written file of the same length inherited the old
+    // first-unreadable timestamp and could fail the stream before the new
+    // file's own grace elapsed. The stability key now includes mtime: a
+    // recreation resets the clock; a file frozen in ONE state past the
+    // grace still fails loudly.
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-fwz-recreate").toString
+    val ckpt = Files.createTempDirectory("graft-fwz-recreate-ckpt").toString
+    val fieldsOpt = "id:long:0:10"
+    (0 until 100).map(_.toLong).toDF("id").coalesce(1)
+      .write.format("fixedwidth").option("fields", fieldsOpt)
+      .option("compression", "zstd").mode("append").save(data)
+    val broken = java.nio.file.Path.of(data, "broken.fwz")
+    java.nio.file.Files.write(broken, Array.fill[Byte](256)(0x42))
+    val q = spark.readStream.format("fixedwidth").option("fields", fieldsOpt)
+      .option("fwzUnreadableGraceMs", "1200")
+      .load(data)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    // keep recreating a same-length corrupt file well inside the grace for
+    // 4x the grace window: every recreation is a NEW upload whose own grace
+    // restarts, so the stream must not fail while uploads keep arriving
+    val keepUntil = System.currentTimeMillis() + 4800
+    var i = 0
+    while (System.currentTimeMillis() < keepUntil && q.exception.isEmpty) {
+      Thread.sleep(500)
+      java.nio.file.Files.delete(broken)
+      java.nio.file.Files.write(broken, Array.fill[Byte](256)((0x43 + i).toByte))
+      i += 1
+    }
+    withClue("recreated files must each get a fresh grace clock: ") {
+      q.exception shouldBe empty
+    }
+    // uploads stop: the LAST recreation freezes and its own deadline fires
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000); fail("stream should have failed once the file froze")
+    }
+    q.stop()
+    val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.getMessage
     msg should include("broken.fwz")
     msg.toLowerCase should include("unreadable")
   }
