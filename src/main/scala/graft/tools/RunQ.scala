@@ -21,6 +21,17 @@ object RunQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Per-lane MAX of task peakExecutionMemory — the scale-rehearsal
+    // receipt that a skew guard actually bounds memory (an unbounded
+    // aggregation buffer shows up here long before it OOMs a real
+    // executor; shuffle-spill keeps elapsed time looking innocent).
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      }
+    })
     val all = QueryRegistry.queries
     names.foreach { raw =>
       val (doExplain, name) =
@@ -29,9 +40,13 @@ object RunQ {
       else {
         // time CONSTRUCTION + count: streaming queries execute their stream
         // eagerly inside the builder, so timing only count() undercounts them
+        peak.set(0L)
         val t0 = System.nanoTime()
         val n = all(name)(spark, sfDir).count()
-        println(f"RUNQ $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener bus is async; give the final task-end events a beat
+        Thread.sleep(300)
+        println(f"RUNQ $name rows=$n time=$secs%.2fs peakTaskMem=${peak.get() / (1024.0 * 1024)}%.1fMB")
         // same between-lane reset as Bench, so warm RunQ repeats measure the
         // query, not a leftover cache/checkpoint from the previous repeat
         graft.LaneReset(spark)
