@@ -478,6 +478,54 @@ class ManifestLogSpec extends SparkSpec with Matchers {
     readAll(s.dirs) shouldBe (0L until 60L)
   }
 
+  test("a CRASHED gcEntries (newest-first deletion interrupted) leaves a complete " +
+      "shorter prefix: fold and sweep classification both stay exact") {
+    val tmp = Files.createTempDirectory("graft-mlog-gccrash").toString
+    val root = new Path(s"$tmp/idx")
+    val fs = root.getFileSystem(conf)
+    val d1 = writeDelta(tmp, "d1", 0 until 25)
+    val d2 = writeDelta(tmp, "d2", 25 until 55)
+    ManifestLog.append(fs, root, d1) // seq 1
+    ManifestLog.append(fs, root, d2) // seq 2
+    val b1 = s"$tmp/base-1"
+    ManifestLog.compact(fs, root, b1, rewrite = dirs => { // seq 3, applied
+      import spark.implicits._
+      readAll(dirs).toDF("id").coalesce(1)
+        .write.format("fixedwidth").option("fields", "id:long:0:10")
+        .mode("overwrite").save(b1)
+    })._2 shouldBe true
+    val d3 = writeDelta(tmp, "d3", 55 until 70)
+    ManifestLog.append(fs, root, d3) // seq 4
+    ManifestLog.checkpoint(fs, root) // seq 5 — the anchor
+    ManifestLog.checkpoint(fs, root) // seq 6
+    val control = ManifestLog.read(fs, root)
+    readAll(control.dirs) shouldBe (0L until 70L)
+
+    // simulate the crash: gcEntries deletes the prefix NEWEST-FIRST, so an
+    // interrupted run has removed only the TAIL of the prefix — here the
+    // seq-4 append and the seq-3 compact, leaving the seq-1/2 appends
+    val names = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("log-")).sorted
+    names should have size 4
+    names.reverse.take(2).foreach(n => fs.delete(new Path(root, n), false) shouldBe true)
+
+    // fold: resumes from a readable checkpoint, unchanged
+    val after = ManifestLog.read(fs, root)
+    after.dirs shouldBe control.dirs
+    readAll(after.dirs) shouldBe (0L until 70L)
+    // sweep classification: part-A replay over the complete shorter prefix
+    // (the two surviving appends) is exact — the applied compact's LIVE
+    // base must never age into a candidate
+    ManifestLog.sweepInertBases(fs, root, 60000L,
+      nowMs = System.currentTimeMillis() + 240000L) shouldBe empty
+    fs.exists(new Path(b1)) shouldBe true
+    // and a RESUMED gcEntries finishes the job
+    val rep = ManifestLog.gcEntries(fs, root, 60000L,
+      nowMs = System.currentTimeMillis() + 240000L)
+    rep.deletedEntries should have size 2 // the surviving seq-1/2 appends
+    readAll(ManifestLog.read(fs, root).dirs) shouldBe (0L until 70L)
+  }
+
   test("an entry vanishing between LIST and GET (concurrent gcEntries): the fold " +
       "re-LISTs and succeeds; a store that keeps vanishing entries fails loudly") {
     val tmp = Files.createTempDirectory("graft-mlog-vanish").toString
