@@ -734,9 +734,14 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
+    // Verification: sigs carries the full vector per row — hint SHUFFLE_HASH
+    // so the join builds a hash map instead of SORT-MERGING the
+    // vector-laden rows (the same reasoning as Dedup.minhashNearDups'
+    // verify join; measured at sf4: the SMJ's sort buffers were the
+    // family's largest per-task memory acquisition).
     candidates
-      .join(sigs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("v_a")).hint("shuffle_hash"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("v_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
