@@ -1118,6 +1118,11 @@ object PipelineQueries {
         .mode("overwrite").save(out)
       marker.createNewFile()
     }
+    // VERIFY digest, not the production artifact: the export itself is the
+    // fixedwidth write above (scales with the sink); this per-shard
+    // collect+md5 exists only for the cross-engine compare and materializes
+    // one shard per buffer — the ExactFold convention (KMeans.updateCells),
+    // sized for verify corpora, not the 100 TB path.
     spark.read.format("fixedwidth").option("fields", fieldsOpt).load(out)
       .withColumn("h", Hashing.mix64Col($"doc_id"))
       .withColumn("payload", concat_ws(":", $"doc_id".cast("string"), $"ids"))

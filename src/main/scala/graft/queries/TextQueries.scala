@@ -242,23 +242,32 @@ object TextQueries {
 
   /** Inverted-index build (token → sorted posting list): the IR-prep
     * reshape behind every sparse retrieval system. One explode + one
-    * distinct + one groupBy(token) shuffle; posting lists are sorted
-    * doc-id arrays (serialized for the cross-engine compare) and fan-in
-    * per token is bounded by document frequency. The df band keeps the
-    * dumped output compact — at scale the same plan materializes the whole
-    * index, with hot (stopword) tokens handled by the df cutoff exactly as
-    * here. */
+    * distinct, then the df cutoff fires on COUNTS before any posting list
+    * exists: df per token is a combinable count aggregate (constant state
+    * per token), tokens outside the band are dropped by a LEFT SEMI join,
+    * and only surviving tokens' postings are collected — every
+    * collect_set buffer is bounded by the band's upper edge. The earlier
+    * collect-then-filter shape built a stopword token's FULL corpus-sized
+    * posting list in one non-spillable aggregation buffer before the df
+    * filter could drop it (the same defect class as the pre-r18 LSH
+    * banding — `Dedup.cappedBuckets` is the shared pattern). The semi-join
+    * output stays hash-partitioned on token, so the final collect reuses
+    * that partitioning. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
+    val pairs = table(spark, dir, "documents")
       .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .distinct()
+    val banded = pairs.groupBy($"token")
+      .agg(count(lit(1)).as("_df"))
+      .filter($"_df".between(5L, 60L))
+      .select($"token")
+    pairs.join(banded, Seq("token"), "left_semi")
       .groupBy($"token")
       .agg(sort_array(collect_set($"doc_id")).as("ids"))
       .select($"token", size($"ids").cast("long").as("df"),
         concat_ws(",", transform($"ids", _.cast("string"))).as("postings"))
-      .filter($"df".between(5, 60))
       .orderBy($"token")
   }
 

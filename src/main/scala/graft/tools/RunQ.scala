@@ -7,12 +7,18 @@ import graft.queries.QueryRegistry
 /** Run named queries against a scale dir and print row count + wall time.
   * Usage: sbt "runMain graft.tools.RunQ <sfDir> <query...>"
   * Add `explain` as a query name prefix (e.g. explain:q52...) to dump the
-  * formatted physical plan instead of executing.
+  * formatted physical plan instead of executing. The literal name `all`
+  * expands to every registered lane in sorted order — the full-suite
+  * peak-task-memory audit (rank the RUNQ lines by peakTaskMem to find
+  * non-spillable buffers before a real corpus does).
   */
 object RunQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.drop(1)
+    val names = args.drop(1).flatMap {
+      case "all" => QueryRegistry.queries.keys.toSeq.sorted
+      case n     => Seq(n)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

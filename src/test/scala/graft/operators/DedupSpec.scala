@@ -211,6 +211,67 @@ class DedupSpec extends SparkSpec with Matchers {
     new java.io.File(dir).listFiles should not be empty
   }
 
+  test("star rounds never collect a hub's neighborhood: min-agg + hash-join plan") {
+    import spark.implicits._
+    // A near-dup hub (spam clique center): node 0 adjacent to every other
+    // node. The old collect_set(v) form built the hub's entire neighbor set
+    // in ONE non-spillable aggregation buffer — the LSH-banding defect class,
+    // but uncappable (correctness needs every edge). The rounds must plan a
+    // combinable MIN aggregate with a join back, never a collected array,
+    // and never sort-merge (the sort buffers are the memory the hash join
+    // exists to avoid).
+    val star = (1L to 2000L).map(i => (0L, i)).toDF("u", "v")
+    for (stepped <- Seq(Dedup.ccLargeStar(star), Dedup.ccSmallStar(star))) {
+      stepped.collect()
+      val plan = stepped.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should not include "collect_set"
+        plan should not include "collect_list"
+        plan should not include "SortMergeJoin"
+        plan should include("min(")
+      }
+    }
+    // end-to-end on the hub graph: one component rooted at the hub's min id
+    val comps = Dedup.connectedComponents(star.select($"u".as("id_a"), $"v".as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    comps.length shouldBe 2001
+    comps.foreach { case (_, c) => c shouldBe 0L }
+  }
+
+  test("star rounds emit exactly the old collected-array semantics") {
+    import spark.implicits._
+    // Differential pin against the pre-r18 collect_set formulation, on a
+    // graph with chains, a clique, an isolated pair, and hub overlap.
+    val edges = (Seq((1L, 7L), (5L, 7L), (2L, 9L), (2L, 4L), (4L, 9L),
+      (100L, 101L)) ++ (10L until 16L).map(i => (i, i + 1)))
+      .toDF("u", "v")
+    def oldLargeStar(e: org.apache.spark.sql.DataFrame) = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      nbrs.groupBy(col("u")).agg(collect_set(col("v")).as("nv"))
+        .select(col("u"), least(col("u"), array_min(col("nv"))).as("m"), col("nv"))
+        .select(col("m"), explode(filter(col("nv"), x => x > col("u"))).as("bigger"))
+        .select(col("m").as("u"), col("bigger").as("v"))
+        .distinct()
+    }
+    def oldSmallStar(e: org.apache.spark.sql.DataFrame) = {
+      e.groupBy(col("v")).agg(collect_set(col("u")).as("nu"))
+        .select(col("v"), array_min(col("nu")).as("m"), col("nu"))
+        .select(col("m"),
+          explode(concat(filter(col("nu"), x => x =!= col("m")), array(col("v")))).as("member"))
+        .filter(col("m") =!= col("member"))
+        .select(col("m").as("u"), col("member").as("v"))
+        .distinct()
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs(Dedup.ccLargeStar(edges)) shouldBe pairs(oldLargeStar(edges))
+    pairs(Dedup.ccSmallStar(edges)) shouldBe pairs(oldSmallStar(edges))
+    // and one full alternation agrees too
+    pairs(Dedup.ccSmallStar(Dedup.ccLargeStar(edges))) shouldBe
+      pairs(oldSmallStar(oldLargeStar(edges)))
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))

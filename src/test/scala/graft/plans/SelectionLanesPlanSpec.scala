@@ -35,6 +35,22 @@ class SelectionLanesPlanSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("q121 inverted index: df band fires on counts below the LeftSemi, postings collected above it") {
+    assume(docsExist)
+    // A stopword token's posting list is corpus-sized; the df cutoff must
+    // drop it by COUNT before any collect_set buffer materializes it
+    // (one group's aggregation buffer cannot spill — the LSH-banding
+    // defect class, see Dedup.cappedBuckets).
+    val p = plan(TextQueries.invertedIndex(spark, sfDir))
+    withClue(p) {
+      p should include("LeftSemi")
+      // tree prints parents first: the collecting aggregate sits ABOVE the
+      // semi join that already dropped the out-of-band tokens
+      p.indexOf("collect_set") should be < p.indexOf("LeftSemi")
+      p.indexOf("collect_set") should be > -1
+    }
+  }
+
   test("q177 mmr: greedy runs as MapGroups; no cartesian product") {
     assume(embsExist)
     val p = plan(SimilarityQueries.mmrRerank(spark, sfDir))
