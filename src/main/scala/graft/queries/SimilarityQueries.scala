@@ -1411,7 +1411,12 @@ object SimilarityQueries {
     val embs = table(spark, dir, "embeddings")
     val knn = Similarity.knnBruteForce(
       embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
-    val cands = knn.select(col("query_id"), col("neighbor_id"))
+    // candidates are ≤ |queries|·k rows by construction — broadcast THEM,
+    // not the corpus: the static planner only sees parquet stats, so at
+    // test scale it would broadcast the embeddings side (fine here, wrong
+    // at 100 TB where it flips to sort-merging the corpus to serve ~100
+    // candidate rows)
+    val cands = broadcast(knn.select(col("query_id"), col("neighbor_id")))
       .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(embs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), "query_id")

@@ -51,12 +51,18 @@ class SelectionLanesPlanSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("q177 mmr: greedy runs as MapGroups; no cartesian product") {
+  test("q177 mmr: greedy runs as MapGroups; candidates broadcast, corpus never sorted") {
     assume(embsExist)
     val p = plan(SimilarityQueries.mmrRerank(spark, sfDir))
     withClue(p) {
       p should include("MapGroups")
       p should not include "CartesianProduct"
+      // the ≤ queries·k candidate list is the broadcast side by explicit
+      // hint (BuildLeft on the candidates→corpus join) — a plan that
+      // instead builds on the corpus side (what static parquet stats pick)
+      // would sort-merge the embeddings at scale
+      p should not include "SortMergeJoin"
+      p should include regex "BroadcastHashJoin \\[neighbor_id#\\d+L?\\], \\[neighbor_id#\\d+L?\\], Inner, BuildLeft"
     }
   }
 
