@@ -82,11 +82,16 @@ object RelationalQueries {
        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): customers with no URGENT orders. (The
+    * natural "customers with no orders at all" is EMPTY on the driver's
+    * data at every SF — an empty result hash-matches any broken anti-join
+    * trivially, so the predicate is chosen to keep the result non-empty:
+    * ~10% of customers lack an urgent order regardless of scale.) */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "customer")
-      .join(table(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(table(spark, dir, "orders").filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"c_mktsegment")
@@ -94,7 +99,9 @@ object RelationalQueries {
 
   val antiJoinOracle: String =
     """SELECT c_mktsegment, count(*) AS n_customers
-      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |FROM customer c WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Outer join with null handling: order counts per customer incl. zero. */
@@ -212,13 +219,23 @@ object RelationalQueries {
     """SELECT c_nationkey AS nationkey FROM customer INTERSECT
       |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
 
+  /** EXCEPT over custkeys: ordering customers minus those with nonnegative
+    * balance = negative-balance customers who placed orders. (The q19/q20
+    * nation-key pair is EMPTY under EXCEPT on the driver's data — suppliers
+    * cover every customer nation — and an empty result hash-matches any
+    * broken EXCEPT trivially, so this lane uses a pair that stays non-empty
+    * at every SF: ~9% of customers carry a negative balance.) */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
-    val (c, s) = nationSets(spark, dir)
-    c.except(s).orderBy("nationkey")
+    import spark.implicits._
+    table(spark, dir, "orders").select($"o_custkey".as("custkey"))
+      .except(table(spark, dir, "customer")
+        .filter($"c_acctbal" >= 0).select($"c_custkey".as("custkey")))
+      .orderBy("custkey")
   }
   val setExceptOracle: String =
-    """SELECT c_nationkey AS nationkey FROM customer EXCEPT
-      |SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+    """SELECT o_custkey AS custkey FROM orders EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+      |ORDER BY custkey""".stripMargin
 
   /** Multiset set operations (ALL variants — q19–q21 cover the distinct
     * forms): INTERSECT ALL keeps min(multiplicity) per value, EXCEPT ALL

@@ -1386,7 +1386,90 @@ object StreamingQueries {
       .orderBy(col("doc_id"), col("band_idx"))
   }
 
+  // ---------------------------------------------------------------- q244
+  /** STREAMING IVF ingestion → commit-log COMPACTION → serve: the vector
+    * family's full lifecycle under ONE log, composing q229's map-side
+    * assignment stream, q243's logged publication, and q240's compaction
+    * fold. Each micro-batch's (vec_id, cluster) rows land in an immutable
+    * batchId-named generation dir and are PUBLISHED via
+    * [[graft.operators.ManifestLog.append]] — an injected FULL redelivery
+    * of the first delivered batch (data rewrite + second append,
+    * foreachBatch is at-least-once) stays inert under the ever-appended
+    * guard. After the stream drains, the maintenance cycle folds the live
+    * set — prior base + streamed generations — into ONE new base through
+    * [[graft.operators.ManifestLog.compact]], and the lane serves from the
+    * post-compact live set (asserted to be exactly the new base). The
+    * oracle re-derives the full-corpus assignment from scratch, so
+    * equality certifies the chain end-to-end exactly-once: stream → log →
+    * fold neither duplicates nor drops a vector. This is what q232's
+    * multi-generation fold looks like when the generations arrived over a
+    * commit log instead of bare directory listings — the compactor folds
+    * exactly the set the log says is live, never a racing delta it cannot
+    * see. */
+  def streamIvfLoggedCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestLog
+    val idxPath = SimilarityQueries.persistedIvfIndexPath(spark, dir)
+    val cents = SimilarityQueries.persistedCentroidVectors(spark, dir)
+    val fieldsOpt = SimilarityQueries.ivfIdxFields
+    val scratch = QueryRegistry.scratch(dir, "ivf_idx_mlog_stream_fw")
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(scratchPath, true) // invocation-start wipe (bench reps reuse the dir)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$scratch/_log")
+    ManifestLog.append(fs, logRoot, idxPath) // the prior index is generation 0
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    @volatile var injectedRetry = false
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      def deliver(): Unit = {
+        val gen = s"$scratch/batch-$batchId"
+        batch.write.format("fixedwidth").option("fields", fieldsOpt)
+          .option("strictWidth", "true").mode("overwrite").save(gen)
+        ManifestLog.append(fs, logRoot, gen)
+        ()
+      }
+      deliver()
+      if (!injectedRetry) { injectedRetry = true; deliver() }
+    }
+    val ckpt = freshCkpt("ivfloggedcompact")
+    val schema = table(ss, dir, "embeddings").schema
+    val q = graft.operators.KMeans.assignWith(
+        ss.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", cents)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      try { if (q.isActive) q.stop() }
+      finally dropCkpt(ckpt)
+    }
+    def load(p: String) =
+      spark.read.format("fixedwidth").option("fields", fieldsOpt).load(p)
+        .select(col("vec_id"), col("cluster"))
+    val compacted = s"$scratch/base-1"
+    val (st, applied) = ManifestLog.compact(fs, logRoot, compacted, { dirs =>
+      require(dirs.contains(idxPath),
+        s"q244: the prior index generation must be live at fold time, got $dirs")
+      require(dirs.distinct.size == dirs.size,
+        s"q244: duplicate publication leaked into the folded set: $dirs")
+      dirs.map(load).reduce(_ unionByName _)
+        .write.format("fixedwidth").option("fields", fieldsOpt)
+        .option("strictWidth", "true").mode("overwrite").save(compacted)
+    })
+    require(applied, "q244: the single-maintainer compact must apply")
+    require(st.dirs == Seq(compacted),
+      s"q244: post-compact live set must be exactly the new base, got ${st.dirs}")
+    load(compacted).orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q244_stream_ivf_logged_compact", streamIvfLoggedCompact,
+      Some(SimilarityQueries.ivfIndexRefreshOracle)),
     Q("q243_stream_index_append_logged", streamIndexAppendLogged,
       Some(DedupQueries.minhashIndexRefreshOracle)),
     Q("q223_stream_bloom_gate", streamBloomGate, Some(streamBloomGateOracle)),
