@@ -712,7 +712,12 @@ object StreamingQueries {
     * 64-bit sigs, so ~16 B per doc per band; buckets are capped by the
     * 2^16 key domain spreading the corpus, and a production feed bounds
     * them further with wider band values (more/wider bands shrink buckets
-    * while keeping the pigeonhole radius) plus state TTL. The verdict is
+    * while keeping the pigeonhole radius) plus state TTL. An identical-
+    * spam feed defeats the key-domain spreading (every spam doc lands in
+    * the SAME 4 buckets — the batch banding's adversary, aimed at stream
+    * state instead of an aggregation buffer), so `stateCap` bounds a
+    * single bucket's list the way `bucketCap` bounds the batch form; the
+    * default keeps the exactness guarantee, the knob is for skewed feeds. The verdict is
     * "vs lower doc_id", not arrival order, so the answer is deterministic
     * under any micro-batch split or state-shard interleaving. Per-band
     * verdicts drain to the sink and the 4-row-per-doc OR runs batch-side
@@ -723,7 +728,9 @@ object StreamingQueries {
     * (doc_id, band_no, band_dup) from a streaming (doc_id, sig) Dataset —
     * OR the 4 band rows per doc downstream. */
   private[graft] def nearDupVerdicts(
-      sigs: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+      sigs: org.apache.spark.sql.Dataset[(Long, Long)],
+      stateCap: Int = Int.MaxValue): DataFrame = {
+    require(stateCap > 0, s"stateCap must be positive, got $stateCap")
     import sigs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val bandBits = 16
@@ -755,7 +762,14 @@ object StreamingQueries {
               val dup = seen.exists { case (pid, psig) =>
                 pid < id && java.lang.Long.bitCount(psig ^ sig) <= maxHamming
               }
-              seen += ((id, sig))
+              // a saturated bucket stops ACCUMULATING but keeps issuing
+              // verdicts against its lowest-`stateCap` prefix (rows process
+              // in ascending id, so the retained set is deterministic) —
+              // the streaming analog of simhashNearDupsBanded's finite
+              // bucketCap: pairs whose lower member lies beyond the prefix
+              // are lost, and exact duplicates are the exact-dedup pass's
+              // job. The default keeps the exactness guarantee (unbounded).
+              if (seen.size < stateCap) seen += ((id, sig))
               (id, key._1, if (dup) 1 else 0)
           }
           state.update(seen.toList)

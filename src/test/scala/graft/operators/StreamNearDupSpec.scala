@@ -67,6 +67,37 @@ class StreamNearDupSpec extends SparkSpec with Matchers {
     implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
   }
 
+  test("stateCap: a spam-saturated bucket stops accumulating but keeps issuing verdicts") {
+    import spark.implicits._
+    // 200 identical sigs (the spam adversary: all land in the same 4 band
+    // buckets) + a Hamming-3 pair (400, 500) that shares ONLY the spam-
+    // saturated band-0 bucket with each other (they differ in one bit of
+    // each other band, and are far from the spam sig). Batch-mode run
+    // (empty initial state, rows process in ascending id): with cap 10
+    // the bucket retains ids 1..10; every later spam doc still matches
+    // id 1 (dup), but 400 is never retained, so 500's only possible
+    // meeting place is saturated and its pair is lost — the documented
+    // bucketCap tradeoff in streaming form.
+    val spam = (1L to 200L).map(i => (i, A))
+    val x = A ^ (0x7fL << 24) // 7 bits off in band 1: same band-0 value, not a spam dup
+    val y = x ^ (1L << 20) ^ (1L << 40) ^ (1L << 56) // Hamming 3 from x, shares only band 0
+    val df = (spam ++ Seq((400L, x), (500L, y))).toDF("doc_id", "sig")
+    val out = StreamingQueries.nearDupVerdicts(
+        df.as[(Long, Long)](newLongLongEncoder), stateCap = 10)
+      .groupBy($"doc_id").agg(max($"band_dup").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out(1L) shouldBe 0
+    (2L to 200L).foreach(i => out(i) shouldBe 1) // matched against the prefix
+    out(400L) shouldBe 0
+    out(500L) shouldBe 0 // pair lost to the cap: 400 was never retained
+    // and the uncapped default still finds it
+    val exact = StreamingQueries.nearDupVerdicts(
+        df.as[(Long, Long)](newLongLongEncoder))
+      .groupBy($"doc_id").agg(max($"band_dup").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact(500L) shouldBe 1
+  }
+
   test("NULL sig rows are dropped before the primitive encoder (batch-mode run)") {
     import spark.implicits._
     // (flat)MapGroupsWithState also runs on batch Datasets (empty state) —
