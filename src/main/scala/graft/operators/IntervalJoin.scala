@@ -49,16 +49,28 @@ object IntervalJoin {
       loL: String, hiL: String,
       loR: String, hiR: String,
       width: Double,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      extraKeys: Seq[String] = Nil,
+      maxChunksPerRow: Long = 1L << 20): DataFrame = {
     require(width > 0, s"chunk width must be positive, got $width")
-    def chunked(df: DataFrame, lo: String, hi: String): DataFrame = df
+    require(maxChunksPerRow > 0, s"maxChunksPerRow must be positive, got $maxChunksPerRow")
+    def chunked(df: DataFrame, lo: String, hi: String): DataFrame = {
       // ceil(hi/w) - 1 is the last chunk a half-open [lo, hi) touches;
       // greatest() keeps zero-length intervals from producing an empty
       // sequence error (they are filtered by the overlap predicate anyway).
-      .withColumn("_gi_chunk", explode(sequence(
-        floor(col(lo) / width).cast("long"),
-        greatest(ceil(col(hi) / width).cast("long") - 1L,
-          floor(col(lo) / width).cast("long")))))
+      val first = floor(col(lo) / width).cast("long")
+      val last = greatest(ceil(col(hi) / width).cast("long") - 1L, first)
+      // LOUD fan-out guard (see RangeJoin.bucketed): one row's chunk array
+      // is materialized in memory, so a pathological interval spanning the
+      // domain at a fine width is an error, not a silent giant array.
+      val lastGuarded = when(last - first >= maxChunksPerRow,
+          raise_error(format_string(
+            s"intervalJoin: interval [%s, %s) spans >= $maxChunksPerRow chunks at " +
+              s"width $width; widen the chunk width or split the interval (one " +
+              "row's chunk array is materialized in memory)", col(lo), col(hi)))
+            .cast("long"))
+        .otherwise(last)
+      df.withColumn("_gi_chunk", explode(sequence(first, lastGuarded)))
+    }
     val lc = chunked(left, loL, hiL)
     val rc = chunked(right, loR, hiR).withColumnRenamed("_gi_chunk", "_gi_chunk_r")
     val joinKeys = (col("_gi_chunk") === col("_gi_chunk_r")) +:

@@ -32,6 +32,15 @@ object RangeJoin {
   /** Join `points` to every `ranges` row whose `[lo, hi)` interval contains
     * the point's `value`. All three columns must be numeric; `width` > 0.
     * Output columns: all of `points` then all of `ranges`.
+    *
+    * `maxChunksPerRow` is a LOUD guard on the bucket fan-out: one range
+    * row's bucket array is materialized in memory by `sequence`, so a
+    * pathological range spanning the whole domain at a fine `width` builds
+    * a single giant array inside one task (the single-buffer defect class)
+    * — and silently multiplies the row by its span. Exceeding the cap
+    * raises an error naming the offending interval instead; widen `width`
+    * or split the range. The default (2^20 buckets ≈ 8 MB) is far above
+    * any sane width choice.
     */
   def bucketed(
       points: DataFrame,
@@ -39,16 +48,22 @@ object RangeJoin {
       valueCol: String,
       loCol: String,
       hiCol: String,
-      width: Double): DataFrame = {
+      width: Double,
+      maxChunksPerRow: Long = 1L << 20): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
+    require(maxChunksPerRow > 0, s"maxChunksPerRow must be positive, got $maxChunksPerRow")
     // hi is exclusive, but emitting its bucket unconditionally is harmless:
     // a spurious trailing bucket only adds candidates the exact containment
     // filter drops — and keeping the math branch-free keeps it replayable.
-    val rb = ranges.withColumn(
-      "_gr_bucket",
-      explode(sequence(
-        floor(col(loCol) / width).cast("long"),
-        floor(col(hiCol) / width).cast("long"))))
+    val first = floor(col(loCol) / width).cast("long")
+    val last = floor(col(hiCol) / width).cast("long")
+    val lastGuarded = when(last - first >= maxChunksPerRow,
+        raise_error(format_string(
+          s"rangeJoin: range [%s, %s) spans >= $maxChunksPerRow buckets at width $width; " +
+            "widen the bucket width or split the range (one row's bucket array " +
+            "is materialized in memory)", col(loCol), col(hiCol))).cast("long"))
+      .otherwise(last)
+    val rb = ranges.withColumn("_gr_bucket", explode(sequence(first, lastGuarded)))
     val pb = points.withColumn("_gr_bucket", floor(col(valueCol) / width).cast("long"))
     pb.join(rb, "_gr_bucket")
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))

@@ -75,6 +75,22 @@ class IntervalJoinSpec extends SparkSpec with Matchers {
     got.toSeq shouldBe Seq((1L, 8L))
   }
 
+  test("fan-out guard: an interval spanning >= maxChunksPerRow chunks fails loudly") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 100.0)).toDF("id", "lo", "hi") // 100 chunks at width 1
+    val b = Seq((9L, 5.0, 6.0)).toDF("rid", "rlo", "rhi")
+    val e = intercept[Exception] {
+      IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", width = 1.0,
+        maxChunksPerRow = 10L).collect()
+    }
+    e.getMessage should include("spans >= 10 chunks")
+    // just at the boundary still works and answers exactly
+    IntervalJoin.overlap(a, b, "lo", "hi", "rlo", "rhi", width = 1.0,
+        maxChunksPerRow = 101L)
+      .select($"id", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq shouldBe Seq((1L, 9L))
+  }
+
   test("plans as an equi-join on the chunk id — no nested loop") {
     val a = intervals(3, 500, 30)
     val b = intervals(4, 500, 30).toDF("rid", "rlo", "rhi")

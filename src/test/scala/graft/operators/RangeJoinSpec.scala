@@ -48,6 +48,23 @@ class RangeJoinSpec extends SparkSpec with Matchers {
     plainPlan should include("BroadcastNestedLoopJoin")
   }
 
+  test("fan-out guard: a range spanning >= maxChunksPerRow buckets fails loudly") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val ranges = Seq(("r", 0.0, 100.0)).toDF("rid", "lo", "hi")
+    // 100 buckets at width 1.0 under a cap of 10: the row's bucket array
+    // would be materialized in memory — must raise, naming the interval
+    val e = intercept[Exception] {
+      RangeJoin.bucketed(points, ranges, "v", "lo", "hi", width = 1.0,
+        maxChunksPerRow = 10L).collect()
+    }
+    e.getMessage should include("spans >= 10 buckets")
+    // just under the cap still works and answers exactly
+    RangeJoin.bucketed(points, ranges, "v", "lo", "hi", width = 1.0,
+        maxChunksPerRow = 101L)
+      .select($"pid").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
   test("non-positive width rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("pid", "v")
