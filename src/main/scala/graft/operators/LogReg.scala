@@ -80,7 +80,19 @@ object LogReg {
     import spark.implicits._
     val buckets = 1 << logBuckets
     val base = docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"), col(textCol).as("text"))
-    val db = features(base, "doc_id", "text", logBuckets, Seq("y")).persist()
+    // Hash-partition the persisted feature table by doc_id ONCE: every
+    // round's margin aggregate (groupBy doc_id, y — doc_id is a subset of
+    // the grouping keys, so the clustering is satisfied) and error join
+    // (on doc_id) then reuse this layout, removing two full-width
+    // exchanges of the feature table PER ROUND (guide §2.4 — two
+    // operations keyed the same way share one exchange). The union with
+    // the bias rows erases any incidental partitioning, so without this
+    // the persisted table is unpartitioned and re-shuffled 2×/round.
+    // Values are unchanged: every per-group sum is the order-free
+    // decimal(30,10) fold, so partition layout cannot drift a result.
+    val db = features(base, "doc_id", "text", logBuckets, Seq("y"))
+      .repartition(col("doc_id"))
+      .persist()
     try {
       val n = base.count()
       require(n > 0, "logreg: empty corpus")
@@ -95,7 +107,13 @@ object LogReg {
           .agg(sum(($"w" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
           .select($"doc_id", $"y",
             round(lit(1.0) / (lit(1.0) + exp(-$"m")), 8).as("p"))
-        val grads = db.join(p.select($"doc_id", ($"p" - $"y").as("err")), "doc_id")
+        // SHUFFLE_HASH on the skinny (doc_id, err) side: both sides are
+        // already hash(doc_id)-partitioned (db by the persist-time
+        // repartition, p as the margin aggregate's output), so the join
+        // plans with zero exchanges either way — the hint only swaps the
+        // per-round SORT of the feature table (sort-merge) for a hash
+        // build over the doc-level rows (guide §3.1).
+        val grads = db.join(p.select($"doc_id", ($"p" - $"y").as("err")).hint("shuffle_hash"), "doc_id")
           .groupBy($"b")
           .agg(sum(($"err" * $"c").cast("decimal(30,10)")).cast("double").as("g"))
         w = wdf.join(grads, Seq("b"), "left")

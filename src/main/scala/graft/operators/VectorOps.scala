@@ -170,7 +170,14 @@ object VectorOps {
         "vectors) — nothing to decompose")
     // single-component run stays fully LAZY (one action at the end): the
     // subtree duplication is a bounded 2^iters here, cheaper than per-round
-    // materializing actions — only the deflated run needs those
+    // materializing actions — only the deflated run needs those.
+    // r18 re-measured this trade at sf0.1/iters=3 and the comment stands:
+    // lazy 2.6 s warm vs 3.0 s (persist + per-round pulls) vs 5.7 s
+    // (persist + lazy — cache encode plus planning the duplicated tree)
+    // vs 5.4 s (repartition-by-id persist — pinned partitions defeat AQE
+    // coalescing of the d-bounded round exchanges). At corpus scale the
+    // 2^iters re-execution of the centering pass is the known cost of
+    // this mode; callers with a big corpus use topTwoComponents' shape.
     val ex = centeredRows(embs, idCol, vecCol, sumMode)
     val (v, lambda) = leadingDirection(ex, idCol,
       startVector(ex, alternate = false), iters, None,
@@ -192,7 +199,14 @@ object VectorOps {
   def topTwoComponents(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
       sumMode: SumMode): DataFrame = {
-    val ex = centeredRows(embs, idCol, vecCol, sumMode).persist() // see powerIteration
+    // NOT repartitioned by id (r18 measured): pre-hashing the persisted
+    // rows by id would let every round's score aggregate and re-projection
+    // join reuse one layout (guide §2.4), but it PINS the partition count —
+    // the per-round exchanges this removes are exactly the ones AQE
+    // coalesces to the data's actual size, and the pinned layout ran the
+    // d-bounded rounds 2× slower at bench scale (32 near-empty tasks per
+    // stage). The AQE-sized exchanges are the scale-adaptive choice.
+    val ex = centeredRows(embs, idCol, vecCol, sumMode).persist()
     try {
       val (v1, l1) = leadingDirection(ex, idCol,
         startVector(ex, alternate = false), iters, None,

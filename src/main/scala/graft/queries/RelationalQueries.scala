@@ -786,11 +786,22 @@ object RelationalQueries {
   def profileAuditExactScan(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val cols = li.columns.toSeq
-    val aggs = count(lit(1)).as("_n") +:
-      cols.flatMap(c => Seq(count(col(c)).as(s"_cnt_$c"), countDistinct(col(c)).as(s"_dst_$c")))
-    val row = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', _n - _cnt_$c, _dst_$c").mkString(", ")
-    row.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+    // r18 optimization: one agg with 11 countDistinct's planned through
+    // Catalyst's Expand — every row replicated ×(ncols+1) and the partial
+    // aggregate keyed on the full 12-slot (gid, col…) tuple, 200 MB task
+    // peaks at sf0.1. One single-distinct aggregate PER COLUMN instead
+    // plans the classic two-phase distinct (partial dedup keyed on the one
+    // value column, no Expand, ~12× less key hashing), each branch scans
+    // only its own parquet column, and the branches are independent stages
+    // inside one union job so they fill the cores concurrently (guide
+    // §2.3 aggregate-before-shuffle; §2.6 overlap independent work). Same
+    // exact values — this is the UNION-ALL shape the DuckDB oracle runs.
+    cols.map { c =>
+      li.agg(count(lit(1)).as("_n"), count(col(c)).as("_cnt"),
+          countDistinct(col(c)).as("_dst"))
+        .select(lit(c).as("col_name"), (col("_n") - col("_cnt")).as("n_nulls"),
+          col("_dst").as("n_distinct"))
+    }.reduce(_ unionByName _)
   }
 
   /** Exact profile rows, trained ONCE per scale dir through the
@@ -1578,10 +1589,23 @@ object RelationalQueries {
       .filter($"rn" <= 2).select($"a", $"b", $"w")
     // union-symmetrize the kept arcs (weights are already symmetric in
     // `full`, so max == the shared weight)
-    val und = arcs.unionByName(arcs.select($"b".as("a"), $"a".as("b"), $"w"))
-      .groupBy($"a", $"b").agg(max($"w").as("w"))
+    // r18 optimization: the sparsified graph and the per-round label table
+    // are both nation-bounded (≤ 2·25² edge rows, 25 label rows), but left
+    // LAZY each round referenced the previous round's tree twice (lbl and
+    // pick) and the edge list once — the final plan measured 5,379 lines /
+    // 346 Exchanges, re-running the 4-way customer⋈orders⋈lineitem⋈supplier
+    // join ~7× per action. One bounded pull of each (the BoundedPull
+    // no-leak idiom) makes every round a small plan over local relations
+    // and the corpus-sized join run exactly ONCE (guide §1.2 step 1;
+    // §3.3 — materialize to truncate giant plans). Values unchanged:
+    // integer counts, pulls happen after each round's exact aggregates.
+    val und = graft.operators.BoundedPull(
+      arcs.unionByName(arcs.select($"b".as("a"), $"a".as("b"), $"w"))
+        .groupBy($"a", $"b").agg(max($"w").as("w")),
+      maxRows = 1 << 16, what = "label-propagation sparsified kNN graph (≤ 2·|nations|² rows)")
     val nodes = table(spark, dir, "nation").select($"n_nationkey".as("node"))
-    var lbl = nodes.withColumn("lbl", $"node")
+    var lbl = graft.operators.BoundedPull(nodes.withColumn("lbl", $"node"),
+      maxRows = 1 << 16, what = "label-propagation node labels (|nations| rows)")
     for (_ <- 1 to 3) {
       val votes = und.join(lbl.select($"node".as("b"), $"lbl"), "b")
         .groupBy($"a", $"lbl").agg(sum($"w").as("sw"))
@@ -1590,8 +1614,10 @@ object RelationalQueries {
           Window.partitionBy($"a").orderBy($"sw".desc, $"lbl")))
         .filter($"rn" === 1)
         .select($"a".as("node"), $"lbl".as("new_lbl"))
-      lbl = lbl.join(pick, Seq("node"), "left")
-        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+      lbl = graft.operators.BoundedPull(
+        lbl.join(pick, Seq("node"), "left")
+          .select($"node", coalesce($"new_lbl", $"lbl").as("lbl")),
+        maxRows = 1 << 16, what = "label-propagation node labels (|nations| rows)")
     }
     lbl.orderBy($"node")
   }

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Explain INTERNAL (non-lane) frames that lanes serve from memos — the
+  * lane-level `RunQ explain:` only shows the post-memo local relation, so
+  * plan-shape evidence for trainer-side changes needs the raw frame.
+  * Usage: sbt "runMain graft.tools.ExplainInternal <sfDir> <name...>"
+  * Names: profile_exact_scan (the train_profile_exact corpus pass).
+  */
+object ExplainInternal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach {
+      case "profile_exact_scan" =>
+        println("=== profile_exact_scan ===")
+        graft.queries.RelationalQueries.profileAuditExactScan(spark, sfDir)
+          .explain("formatted")
+      case other => System.err.println(s"unknown internal frame: $other")
+    }
+  }
+}

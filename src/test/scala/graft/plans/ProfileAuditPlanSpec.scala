@@ -22,12 +22,21 @@ class ProfileAuditPlanSpec extends SparkSpec with Matchers {
     if (i >= 0) s.substring(0, i) else s
   }
 
-  test("exact profile scan plans through Expand (the documented cost of exactness)") {
+  test("exact profile scan: one single-distinct branch per column, no Expand") {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
     // the raw scan the train_profile_exact trainer pays once per dir;
-    // q125/q214 then serve its memoized 11 rows
+    // q125/q214 then serve its memoized 11 rows. r18: the multi-distinct
+    // Expand form (row replication ×ncols+1, 12-slot partial-agg keys) was
+    // replaced by a union of per-column single-distinct aggregates — the
+    // classic two-phase distinct, no row multiplication, each branch
+    // scanning only its own parquet column. Still EXACT: countDistinct per
+    // branch, the same UNION-ALL shape the DuckDB oracle executes.
     val p = plan(RelationalQueries.profileAuditExactScan(spark, sfDir))
-    withClue(p) { p should include("Expand") }
+    withClue(p) {
+      p should not include "Expand"
+      p should include("Union")
+      p should include("count(distinct ")
+    }
   }
 
   test("approx profile has NO Expand and no distinct aggregation") {
