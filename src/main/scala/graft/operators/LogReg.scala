@@ -80,49 +80,84 @@ object LogReg {
     import spark.implicits._
     val buckets = 1 << logBuckets
     val base = docs.select(col(idCol).as("doc_id"), label.cast("int").as("y"), col(textCol).as("text"))
-    // Hash-partition the persisted feature table by doc_id ONCE: every
-    // round's margin aggregate (groupBy doc_id, y — doc_id is a subset of
-    // the grouping keys, so the clustering is satisfied) and error join
-    // (on doc_id) then reuse this layout, removing two full-width
-    // exchanges of the feature table PER ROUND (guide §2.4 — two
-    // operations keyed the same way share one exchange). The union with
-    // the bias rows erases any incidental partitioning, so without this
-    // the persisted table is unpartitioned and re-shuffled 2×/round.
-    // Values are unchanged: every per-group sum is the order-free
-    // decimal(30,10) fold, so partition layout cannot drift a result.
+    // r18 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    // shuffles outright): the round loop used to join the (doc, b, c)
+    // feature table against a broadcast weight table, aggregate margins by
+    // doc, and JOIN the per-doc error back onto the feature table — two
+    // corpus-wide exchanges (+ sorts) per round. Instead, fold each doc's
+    // feature rows into ONE bounded array column up front (≤ 2^logBuckets
+    // + 1 entries — min(distinct buckets, 2^logBuckets) plus the bias
+    // element; 65 at the callers' logBuckets = 6): margins then evaluate
+    // MAP-SIDE per doc against the weight vector as a plan literal (the
+    // [[marginExpr]] equivalence this module already proves for serving),
+    // the error is a map-side expression, and a round's only shuffle is
+    // the skinny (bucket, partial-decimal-sum) gradient aggregate — zero
+    // joins, zero doc-keyed exchanges, per round.
+    // Values are IDENTICAL: each per-term product is the same
+    // double-multiply-then-decimal(30,10)-cast, and decimal sums are
+    // order-free, so fold order / partitioning cannot drift a result.
     val db = features(base, "doc_id", "text", logBuckets, Seq("y"))
-      .repartition(col("doc_id"))
+      .groupBy($"doc_id", $"y")
+      .agg(collect_list(struct($"b", $"c")).as("fs"))
       .persist()
     try {
+      // n stays the RAW row count (not db's distinct (doc, y) count): the
+      // gradient divisor must be value-identical to the previous
+      // formulation for any input, including degenerate duplicate ids
       val n = base.count()
       require(n > 0, "logreg: empty corpus")
       // weight state crosses rounds as collected (bucket, weight) pairs —
       // values are EXACTLY the doubles Spark's round() produced, so each
-      // broadcast literal table replays bit-identically in the oracle
+      // literal vector replays bit-identically in the oracle
       var w: Seq[(Long, Double)] = (0L to buckets.toLong).map(_ -> 0.0)
       for (_ <- 1 to rounds) {
-        val wdf = w.toDF("b", "w")
-        val p = db.join(broadcast(wdf), "b")
-          .groupBy($"doc_id", $"y")
-          .agg(sum(($"w" * $"c").cast("decimal(30,10)")).cast("double").as("m"))
-          .select($"doc_id", $"y",
-            round(lit(1.0) / (lit(1.0) + exp(-$"m")), 8).as("p"))
-        // SHUFFLE_HASH on the skinny (doc_id, err) side: both sides are
-        // already hash(doc_id)-partitioned (db by the persist-time
-        // repartition, p as the margin aggregate's output), so the join
-        // plans with zero exchanges either way — the hint only swaps the
-        // per-round SORT of the feature table (sort-merge) for a hash
-        // build over the doc-level rows (guide §3.1).
-        val grads = db.join(p.select($"doc_id", ($"p" - $"y").as("err")).hint("shuffle_hash"), "doc_id")
-          .groupBy($"b")
-          .agg(sum(($"err" * $"c").cast("decimal(30,10)")).cast("double").as("g"))
-        w = wdf.join(grads, Seq("b"), "left")
+        val wLit = typedlit(w.sortBy(_._1).map(_._2).toIndexedSeq)
+        // margin = Σ decimal(w_b · c) over the doc's array (bias element
+        // included) — textually the same per-term arithmetic as the old
+        // sum(), evaluated map-side against the literal weight vector
+        val m = aggregate($"fs", lit(0.0).cast("decimal(30,10)"),
+          (acc, f) => (acc + (element_at(wLit, (f.getField("b") + lit(1L)).cast("int")) *
+            f.getField("c")).cast("decimal(30,10)")).cast("decimal(30,10)"))
+          .cast("double")
+        val perDoc = db.select($"fs",
+          (round(lit(1.0) / (lit(1.0) + exp(-m)), 8) - $"y").as("err"))
+        val grads = perDoc
+          .select(explode($"fs").as("f"), $"err")
+          .groupBy($"f.b".as("b"))
+          .agg(sum(($"err" * $"f.c").cast("decimal(30,10)")).cast("double").as("g"))
+        w = w.toDF("b", "w").join(grads, Seq("b"), "left")
           .select($"b",
             round($"w" - lit(lr) * (coalesce($"g", lit(0.0)) / lit(n.toDouble)), 8).as("w"))
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
       }
       w.toDF("b", "weight").select($"b".cast("int").as("bucket"), $"weight")
     } finally db.unpersist(blocking = false)
+  }
+
+  /** Diagnostic (tools.ExplainInternal): print the formatted plan of one
+    * GD round's gradient aggregate at zero weights over the per-doc
+    * feature arrays — the per-round shape `trainWeights` executes. Builds
+    * the same frames as one loop iteration, explains instead of running. */
+  private[graft] def explainRoundShape(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val logBuckets = 6
+    val buckets = 1 << logBuckets
+    val base = docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
+      col("text"))
+    val db = features(base, "doc_id", "text", logBuckets, Seq("y"))
+      .groupBy($"doc_id", $"y")
+      .agg(collect_list(struct($"b", $"c")).as("fs"))
+    val wLit = typedlit(IndexedSeq.fill(buckets + 1)(0.0))
+    val m = aggregate($"fs", lit(0.0).cast("decimal(30,10)"),
+      (acc, f) => (acc + (element_at(wLit, (f.getField("b") + lit(1L)).cast("int")) *
+        f.getField("c")).cast("decimal(30,10)")).cast("decimal(30,10)"))
+      .cast("double")
+    db.select($"fs", (round(lit(1.0) / (lit(1.0) + exp(-m)), 8) - $"y").as("err"))
+      .select(explode($"fs").as("f"), $"err")
+      .groupBy($"f.b".as("b"))
+      .agg(sum(($"err" * $"f.c").cast("decimal(30,10)")).cast("double").as("g"))
+      .explain("formatted")
   }
 
   /** SERVING-side margin of a raw token array under a bucket-indexed

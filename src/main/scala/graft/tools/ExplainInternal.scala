@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * lane-level `RunQ explain:` only shows the post-memo local relation, so
   * plan-shape evidence for trainer-side changes needs the raw frame.
   * Usage: sbt "runMain graft.tools.ExplainInternal <sfDir> <name...>"
-  * Names: profile_exact_scan (the train_profile_exact corpus pass).
+  * Names: profile_exact_scan (the train_profile_exact corpus pass);
+  * logreg_round (one GD round's gradient aggregate over the per-doc
+  * feature arrays — the train_logreg_weights per-round shape).
   */
 object ExplainInternal {
   def main(args: Array[String]): Unit = {
@@ -24,6 +26,10 @@ object ExplainInternal {
         println("=== profile_exact_scan ===")
         graft.queries.RelationalQueries.profileAuditExactScan(spark, sfDir)
           .explain("formatted")
+      case "logreg_round" =>
+        println("=== logreg_round ===")
+        graft.operators.LogReg.explainRoundShape(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
       case other => System.err.println(s"unknown internal frame: $other")
     }
   }
