@@ -1319,40 +1319,66 @@ object CurationQueries {
     * (rounded to 8), per-doc weights are the decimal-cast order-free
     * `dsum` of c·lr, and (weight desc, doc_id) is a total order. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for THIS lane only: the top-50 result is materialized
+    // eagerly (bounded by construction) so the cache is released in the
+    // same call — the bpeEncodeLane no-leak pattern
+    val db = dsirBucketCounts(spark, dir).persist()
+    try {
+      val result = dsirResultFrame(db, m = 1024)
+      val rows = result.collect() // ≤ 50 rows — TopKByScore bounds it
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally db.unpersist(blocking = false)
+  }
+
+  /** The q179 corpus pass: (doc_id, lang, bucket, count) hashed n-gram
+    * profile rows — split out (with [[dsirResultFrame]]) so plan evidence
+    * can explain the computation `dsirSelect` eagerly collects. */
+  private[graft] def dsirBucketCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = 1024
-    val feats = Dedup.ensureParallelism(table(spark, dir, "documents"))
+    Dedup.ensureParallelism(table(spark, dir, "documents"))
       .select($"doc_id", $"lang",
         explode(concat(TextFunctions.tokens($"text"),
           graft.functions.Spans.wordGrams($"text", 2))).as("f"))
       .select($"doc_id", $"lang",
         shiftrightunsigned(Hashing.hash64Col($"f"), 64 - 10).as("b"))
-    // persisted for THIS lane only: the top-50 result is materialized
-    // eagerly (bounded by construction) so the cache is released in the
-    // same call — the bpeEncodeLane no-leak pattern
-    val db = feats.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
-      .persist()
-    try {
-      val raw = db.groupBy($"b").agg(sum($"c").as("cr"))
-      val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
-      val tot = db.agg(sum($"c").as("nr"),
-        sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"))
-      val lr = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct")).crossJoin(tot)
-        .select($"b",
-          round(log(($"ct" + lit(1.0)) / ($"nt" + lit(m.toDouble))) -
-                log(($"cr" + lit(1.0)) / ($"nr" + lit(m.toDouble))), 8).as("lr"))
-      val weights = db.join(broadcast(lr), "b")
-        .groupBy($"doc_id")
-        .agg(CoreQueries.dsum($"c" * $"lr").as("weight"))
-      val topk = udaf(new graft.functions.TopKByScore(50))
-      val result = weights.agg(topk($"weight", $"doc_id").as("tk"))
-        .select(posexplode($"tk").as(Seq("pos", "p")))
-        .select(($"pos" + 1).cast("int").as("sel_rank"),
-          $"p._2".as("doc_id"), $"p._1".as("weight"))
-        .orderBy($"sel_rank")
-      val rows = result.collect() // ≤ 50 rows — TopKByScore bounds it
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally db.unpersist(blocking = false)
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Log-ratio scoring + top-50 selection over the (persisted) bucket
+    * counts. r18: ONE (b)-keyed conditional-sum pass over the corpus table
+    * instead of three (raw, en-filtered tgt, full-table tot) plus a
+    * raw⋈tgt bucket join — the statistics are all exact integer sums, so
+    * folding the en slice as sum(when(...)) and rolling the totals up from
+    * the ≤1024-row bucket frame is value-identical (guide §1.2 step 1:
+    * don't re-read what one pass can produce). tgt's old left-join +
+    * na.fill(0) semantics are preserved by otherwise(0L). */
+  private[graft] def dsirResultFrame(db: DataFrame, m: Int): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
+    val byB = db.groupBy($"b").agg(sum($"c").as("cr"),
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"))
+    // corpus totals as a GLOBAL WINDOW over the ≤ m-row bucket frame (not a
+    // separate aggregate + cross join, which re-derives byB from db a third
+    // time — Catalyst does not reuse common subtrees): one single-partition
+    // window over ≤ 1024 rows, bounded by construction, exact integer sums
+    // either way
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val lr = byB
+      .select($"b", $"cr", $"ct",
+        sum($"cr").over(w).as("nr"), sum($"ct").over(w).as("nt"))
+      .select($"b",
+        round(log(($"ct" + lit(1.0)) / ($"nt" + lit(m.toDouble))) -
+              log(($"cr" + lit(1.0)) / ($"nr" + lit(m.toDouble))), 8).as("lr"))
+    val weights = db.join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(CoreQueries.dsum($"c" * $"lr").as("weight"))
+    val topk = udaf(new graft.functions.TopKByScore(50))
+    weights.agg(topk($"weight", $"doc_id").as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "p")))
+      .select(($"pos" + 1).cast("int").as("sel_rank"),
+        $"p._2".as("doc_id"), $"p._1".as("weight"))
+      .orderBy($"sel_rank")
   }
 
   val dsirSelectOracle: String = {

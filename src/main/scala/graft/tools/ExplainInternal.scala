@@ -30,6 +30,16 @@ object ExplainInternal {
         println("=== logreg_round ===")
         graft.operators.LogReg.explainRoundShape(
           spark.read.parquet(s"$sfDir/documents.parquet"))
+      case "dsir_frame" =>
+        // the q179 computation dsirSelect eagerly collects (the lane-level
+        // explain only shows the collected LocalTableScan)
+        println("=== dsir_frame ===")
+        // persisted exactly as dsirSelect runs it, so the plan shows the
+        // InMemoryRelation reuse instead of a re-derived corpus subtree
+        val db = graft.queries.CurationQueries.dsirBucketCounts(spark, sfDir).persist()
+        graft.queries.CurationQueries.dsirResultFrame(db, m = 1024)
+          .explain("formatted")
+        db.unpersist(blocking = false)
       case other => System.err.println(s"unknown internal frame: $other")
     }
   }
