@@ -152,35 +152,36 @@ object VectorOps {
     * and normalization are exact/textually-identical expressions — so a
     * 3-iteration TRAJECTORY hash-matches the oracle, not just a converged
     * direction. Under PlaneSums the same reductions are plain partial-agg
-    * sums — the corpus-scale shape. Scale shape: each iteration is two
-    * skinny shuffles over (id, dim, x) rows — a d-row broadcast join for
-    * the scores, an id-keyed join for the re-projection. */
+    * sums — the corpus-scale shape. Scale shape: centering is a map-side
+    * transform against the pulled means literal ([[centeredVectors]]);
+    * each iteration of the materialized path is one corpus pass ending in
+    * a single skinny (dim)-keyed exchange (see [[leadingDirection]]). */
   def powerIteration(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
       sumMode: SumMode): DataFrame = {
     // the lazy path never reaches leadingDirection's materializing guard,
     // so probe the input here — a limit-1 job (first valid row short-
-    // circuits the scan), loud on zero rows / all-empty vectors. This is
-    // the ONLY probe site: topTwoComponents (materializeEachRound = true)
-    // relies on the in-loop take(1) guard instead, so the deflated path
-    // never pays a duplicate probe job
+    // circuits the scan), loud on zero rows / all-empty vectors
     require(!embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
         size(col(vecCol)) > 0).isEmpty,
       "power iteration over empty input: zero embedding rows (or empty " +
         "vectors) — nothing to decompose")
-    // single-component run stays fully LAZY (one action at the end): the
-    // subtree duplication is a bounded 2^iters here, cheaper than per-round
-    // materializing actions — only the deflated run needs those.
-    // r18 re-measured this trade at sf0.1/iters=3 and the comment stands:
-    // lazy 2.6 s warm vs 3.0 s (persist + per-round pulls) vs 5.7 s
-    // (persist + lazy — cache encode plus planning the duplicated tree)
-    // vs 5.4 s (repartition-by-id persist — pinned partitions defeat AQE
-    // coalescing of the d-bounded round exchanges). At corpus scale the
-    // 2^iters re-execution of the centering pass is the known cost of
-    // this mode; callers with a big corpus use topTwoComponents' shape.
-    val ex = centeredRows(embs, idCol, vecCol, sumMode)
-    val (v, lambda) = leadingDirection(ex, idCol,
-      startVector(ex, alternate = false), iters, None,
+    // r18 restructure (see leadingDirection): rounds are map-side scores
+    // over per-id CENTERED ARRAYS plus one skinny (dim)-keyed aggregate.
+    // The single-component run stays fully LAZY (one action at the end) —
+    // r18 re-measured the trade with the array rounds and lazy still wins
+    // at bench scale (warm 2.6-3.0 s lazy vs 4.0-4.5 s with per-round
+    // pulls: four driver actions cost more than the duplicated map-side
+    // subtrees). At corpus scale the 2^iters re-execution of the centering
+    // scan is the known cost of this mode; callers with a big corpus use
+    // topTwoComponents' per-round-materialized shape.
+    val (exv, maxDim) = centeredVectors(embs, idCol, vecCol, sumMode)
+    // NOT persisted (r18 measured): centering is map-side, so a round's
+    // re-derivation is scan + transform — cheaper per round than encoding
+    // the array column into the block store once (persist cost ~2 s at
+    // sf0.1 vs ~0.2 s per cache-free round)
+    val (v, lambda, _) = leadingDirection(exv, idCol,
+      startVector(maxDim, alternate = false), iters, None,
       materializeEachRound = false, sumMode)
     v.crossJoin(broadcast(lambda))
       .select(col("dim"), round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
@@ -199,97 +200,185 @@ object VectorOps {
   def topTwoComponents(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
       sumMode: SumMode): DataFrame = {
-    // NOT repartitioned by id (r18 measured): pre-hashing the persisted
-    // rows by id would let every round's score aggregate and re-projection
-    // join reuse one layout (guide §2.4), but it PINS the partition count —
-    // the per-round exchanges this removes are exactly the ones AQE
-    // coalesces to the data's actual size, and the pinned layout ran the
-    // d-bounded rounds 2× slower at bench scale (32 near-empty tasks per
-    // stage). The AQE-sized exchanges are the scale-adaptive choice.
-    val ex = centeredRows(embs, idCol, vecCol, sumMode).persist()
-    try {
-      val (v1, l1) = leadingDirection(ex, idCol,
-        startVector(ex, alternate = false), iters, None,
-        materializeEachRound = true, sumMode)
-      val (v2, l2) = leadingDirection(ex, idCol,
-        startVector(ex, alternate = true), iters, Some(v1),
-        materializeEachRound = true, sumMode)
-      def out(pc: Int, v: DataFrame, l: DataFrame) =
-        v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
-          round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
-      out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
-    } finally ex.unpersist(blocking = false)
+    val (exv, maxDim) = centeredVectors(embs, idCol, vecCol, sumMode)
+    // not persisted — same measured trade as powerIteration: map-side
+    // centering re-derives cheaper than the array-column cache encode
+    val (v1, l1, v1Arr) = leadingDirection(exv, idCol,
+      startVector(maxDim, alternate = false), iters, None,
+      materializeEachRound = true, sumMode)
+    val (v2, l2, _) = leadingDirection(exv, idCol,
+      startVector(maxDim, alternate = true), iters, Some(v1Arr),
+      materializeEachRound = true, sumMode)
+    def out(pc: Int, v: DataFrame, l: DataFrame) =
+      v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
+        round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+    out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
   }
 
-  /** Mean-centered (idCol, dim, xc) rows — per-dim means under `mode`. */
-  private def centeredRows(
-      embs: DataFrame, idCol: String, vecCol: String, sumMode: SumMode): DataFrame = {
-    val ex0 = embs
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+  /** Mean-centered vectors kept as per-id ARRAYS (idCol, xcv) plus the max
+    * dimension index: the per-dim means are computed exactly as before
+    * (explode + per-dim reduction under `mode`), pulled through the loud
+    * d-row [[BoundedPull]], and re-enter the plan as one literal array —
+    * centering is then a map-side `transform`, and the corpus never
+    * materializes as (id, dim, x) rows outside the means pass. Each
+    * centered element is the same `x − mean_dim` double subtraction the
+    * old exploded form computed, so values are bit-identical. (Dims are
+    * contiguous 0..maxDim by construction — posexplode indexes every
+    * vector 0..len−1. A null vector ELEMENT, which the old form carried as
+    * a null xc, becomes NaN here — no oracle input contains one; null
+    * rows/vectors are filtered identically in both forms.) */
+  private def centeredVectors(
+      embs: DataFrame, idCol: String, vecCol: String,
+      sumMode: SumMode): (DataFrame, Int) = {
+    val valid = embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val ex0 = valid
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
     val means = ex0.groupBy(col("dim"))
       .agg(foldSum(sumMode, col(idCol), col("x")).as("sx"),
         count(lit(1)).cast("double").as("n"))
       .select(col("dim"), (col("sx") / col("n")).as("mean"))
-    ex0.join(broadcast(means), Seq("dim"))
-      .select(col(idCol), col("dim"), (col("x") - col("mean")).as("xc"))
+    val mRows = BoundedPull(means, MaxPulledDims, "per-dim means (d rows)").collect()
+    val maxDim = if (mRows.isEmpty) -1 else mRows.map(_.getInt(0)).max
+    val mArr = Array.fill(maxDim + 1)(Double.NaN)
+    mRows.foreach(r => mArr(r.getInt(0)) = if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+    val mLit = typedLit(mArr.toIndexedSeq)
+    val exv = valid.select(col(idCol),
+      transform(col(vecCol).cast("array<double>"),
+        (x, i) => x - element_at(mLit, (i + lit(1)).cast("int"))).as("xcv"))
+    (exv, maxDim)
   }
 
-  /** Exact start vector over the dims of `ex`: all ⅛, or alternating ±⅛. */
-  private def startVector(ex: DataFrame, alternate: Boolean): DataFrame = {
-    val dims = ex.select(col("dim")).distinct()
-    if (alternate)
-      dims.select(col("dim"),
-        when(col("dim") % 2 === 0, 0.125).otherwise(-0.125).as("v"))
-    else dims.select(col("dim"), lit(0.125).as("v"))
-  }
+  /** Exact start vector over dims 0..maxDim: all ⅛, or alternating ±⅛. */
+  private def startVector(maxDim: Int, alternate: Boolean): IndexedSeq[Double] =
+    IndexedSeq.tabulate(maxDim + 1)(d =>
+      if (alternate && d % 2 != 0) -0.125 else 0.125)
 
-  /** `iters` power-iteration rounds from `v0`; when `orthoTo` is given,
-    * every un-normalized step is re-projected off that unit direction
-    * before normalizing. Returns the UNROUNDED (dim, v) direction and the
-    * single-row (nrm) of the final step. */
+  /** `iters` power-iteration rounds from the `v0` direction vector; when
+    * `orthoTo` is given, every un-normalized step is re-projected off that
+    * unit direction before normalizing. Returns the UNROUNDED (dim, v)
+    * direction, the single-row (nrm) of the final step, and the direction
+    * as a dim-indexed vector (for the caller's deflation pass).
+    *
+    * r18 round shape (the guide §8 proxy rule applied to GD-style
+    * iteration, same as LogReg.trainWeights): the current direction enters
+    * the plan as ONE literal d-array, so the per-row score
+    * s = Σ_d xcv_d·v_d is a MAP-SIDE array fold over the persisted
+    * centered vectors — no broadcast join, no (id)-keyed aggregate, no
+    * id-keyed join of the corpus-sized table. A round's only corpus
+    * shuffle is the skinny (dim)-keyed re-projection aggregate, whose
+    * d-row result is pulled through the loud [[BoundedPull]]; deflation,
+    * the norm and the direction update then run over that LOCAL d-row
+    * frame (zero further corpus passes — the old lazy form re-executed
+    * the round subtree once per reference). Under ExactFold every value is
+    * bit-identical: the array fold runs in dim order, exactly the order
+    * the old sort_array(collect_list(struct(dim, …))) fold used, and the
+    * re-projection/norm folds are textually unchanged. (Under PlaneSums
+    * the score fold is now deterministic dim-order instead of
+    * partial-agg-order — last-ulp drift either way, gated by
+    * SumModePlanSpec's tolerance.) */
   private def leadingDirection(
-      ex: DataFrame, idCol: String, v0: DataFrame, iters: Int,
-      orthoTo: Option[DataFrame], materializeEachRound: Boolean,
-      sumMode: SumMode): (DataFrame, DataFrame) = {
+      exv: DataFrame, idCol: String, v0: IndexedSeq[Double], iters: Int,
+      orthoTo: Option[IndexedSeq[Double]], materializeEachRound: Boolean,
+      sumMode: SumMode): (DataFrame, DataFrame, IndexedSeq[Double]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var v = v0
+    require(materializeEachRound || orthoTo.isEmpty,
+      "deflated (orthoTo) iteration requires per-round materialization")
+    // the current direction, as whichever representation this round uses:
+    // a driver-side vector (entering the plan as ONE literal array), or —
+    // lazy mode — a 1-row single-column "varr" frame derived from the
+    // previous round's u (cross-joined in as a broadcast; dims are
+    // contiguous, so varr[d] IS v_d)
+    if (!materializeEachRound) return leadingDirectionLazy(exv, idCol, v0, iters, sumMode)
+    var vArr = v0
+    var vLocal: DataFrame = null
+    var lambdaLocal: DataFrame = null
+    for (_ <- 1 to iters) {
+      val vLit = typedLit(vArr)
+      // transform (not zip_with): iterates exactly the vector's own dims,
+      // so a short vector contributes exactly its own (id, dim) terms —
+      // the old join-on-dim semantics
+      val s = aggregate(
+        transform(col("xcv"), (x, i) => x * element_at(vLit, (i + lit(1)).cast("int"))),
+        lit(0.0), (a, b) => a + b)
+      val u = exv.select(col(idCol), s.as("s"), posexplode(col("xcv")).as(Seq("dim", "xc")))
+        .groupBy(col("dim"))
+        .agg(foldSum(sumMode, col(idCol), col("s") * col("xc")).as("u"))
+      // the round's ONE corpus action: pull the d-row re-projection
+      // before anything references it (dot/norm/update each referencing
+      // a lazy u would re-execute the corpus pass per reference)
+      var uLocal = BoundedPull(u, MaxPulledDims, "power-iteration re-projection (d rows)")
+      require(uLocal.take(1).nonEmpty, // local relation — a driver-side peek
+        "power iteration over empty input: zero embedding rows (or empty " +
+          "vectors) reached leadingDirection — nothing to decompose")
+      orthoTo.foreach { v1Arr =>
+        val v1c = element_at(typedLit(v1Arr), (col("dim") + lit(1)).cast("int"))
+        val dot = uLocal.agg(foldSum(sumMode, col("dim"), col("u") * v1c).as("dt"))
+        uLocal = uLocal.crossJoin(broadcast(dot))
+          .select(col("dim"), (col("u") - col("dt") * v1c).as("u"))
+      }
+      val lambda = uLocal
+        .agg(sqrt(foldSum(sumMode, col("dim"), col("u") * col("u"))).as("nrm"))
+      val pulled = BoundedPull(
+        uLocal.crossJoin(broadcast(lambda))
+          .select(col("dim"), (col("u") / col("nrm")).as("v"), col("nrm")),
+        maxRows = MaxPulledDims, what = "power-iteration direction (d rows)")
+      vLocal = pulled.select(col("dim"), col("v"))
+      lambdaLocal = pulled.select(col("nrm")).limit(1)
+      val next = Array.fill(vArr.length)(0.0)
+      pulled.collect().foreach(r => next(r.getInt(0)) = r.getDouble(1))
+      vArr = next.toIndexedSeq
+    }
+    (vLocal, lambdaLocal, vArr)
+  }
+
+  /** The fully-LAZY single-component rounds (q193's measured-best shape at
+    * bench scale: one action at the end, ~2.6-3.0 s warm at sf0.1 vs
+    * 4.0-4.5 s with per-round pulls — four driver actions cost more than
+    * the duplicated subtrees at this scale). Rounds are the classic
+    * exploded form — broadcast-join the lazy d-row direction, (id)-keyed
+    * score aggregate, id join, (dim)-keyed re-projection — over rows
+    * exploded from the map-side-centered arrays, so values are identical
+    * to the materialized path (same xc doubles, same ordered folds).
+    * Returned vector slot is the (unused) start vector — deflation needs
+    * the materialized path. */
+  private def leadingDirectionLazy(
+      exv: DataFrame, idCol: String, v0: IndexedSeq[Double], iters: Int,
+      sumMode: SumMode): (DataFrame, DataFrame, IndexedSeq[Double]) = {
+    val ex = exv.select(col(idCol), posexplode(col("xcv")).as(Seq("dim", "xc")))
+    val spark = exv.sparkSession
+    import spark.implicits._
+    var v = v0.zipWithIndex.map { case (x, d) => (d, x) }.toDF("dim", "v")
     var lambda: DataFrame = null
     for (_ <- 1 to iters) {
       val s = ex.join(broadcast(v), Seq("dim"))
         .groupBy(col(idCol))
         .agg(foldSum(sumMode, col("dim"), col("xc") * col("v")).as("s"))
-      var u = ex.join(s, Seq(idCol))
+      val u = ex.join(s, Seq(idCol))
         .groupBy(col("dim"))
         .agg(foldSum(sumMode, col(idCol), col("s") * col("xc")).as("u"))
-      orthoTo.foreach { v1 =>
-        val dot = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
-          .agg(foldSum(sumMode, col("dim"), col("u") * col("v1")).as("dt"))
-        u = u.join(broadcast(v1.select(col("dim"), col("v").as("v1"))), Seq("dim"))
-          .crossJoin(broadcast(dot))
-          .select(col("dim"), (col("u") - col("dt") * col("v1")).as("u"))
-      }
       lambda = u
         .agg(sqrt(foldSum(sumMode, col("dim"), col("u") * col("u"))).as("nrm"))
       v = u.crossJoin(broadcast(lambda)).select(col("dim"), (col("u") / col("nrm")).as("v"))
-      if (materializeEachRound) {
-        // materialize the d-row direction (and 1-row norm) each round —
-        // ONE bounded pull that CUTS the lineage: left lazy, every
-        // iteration re-derives all prior subtrees (u is referenced by
-        // dot/ortho/norm/v, each reference duplicating the tree →
-        // combinatorial plan growth by round 3 of the deflated run).
-        // Values are unchanged — the pull is after the exact folds.
-        val pulled = BoundedPull(v.crossJoin(broadcast(lambda)),
-          maxRows = MaxPulledDims, what = "power-iteration direction (d rows)")
-        require(pulled.take(1).nonEmpty, // local relation — a driver-side peek
-          "power iteration over empty input: zero embedding rows (or empty " +
-            "vectors) reached leadingDirection — nothing to decompose")
-        v = pulled.select(col("dim"), col("v"))
-        lambda = pulled.select(col("nrm")).limit(1)
-      }
     }
-    (v, lambda)
+    (v, lambda, v0)
+  }
+
+  /** Diagnostic (tools.ExplainInternal): print the formatted plan of one
+    * materialized power-iteration round's re-projection frame at the all-⅛
+    * start — the per-round corpus action `topTwoComponents` executes.
+    * Builds the same frames as one loop round, explains instead of
+    * pulling. */
+  private[graft] def explainRoundShape(embs: DataFrame): Unit = {
+    val (exv, maxDim) = centeredVectors(embs, "vec_id", "embedding", SumMode.ExactFold)
+    val vLit = typedLit(startVector(maxDim, alternate = false))
+    val s = aggregate(
+      transform(col("xcv"), (x, i) => x * element_at(vLit, (i + lit(1)).cast("int"))),
+      lit(0.0), (a, b) => a + b)
+    exv.select(col("vec_id"), s.as("s"), posexplode(col("xcv")).as(Seq("dim", "xc")))
+      .groupBy(col("dim"))
+      .agg(foldSum(SumMode.ExactFold, col("vec_id"), col("s") * col("xc")).as("u"))
+      .explain("formatted")
   }
 
   /** JL projection to `k` dimensions: (idCol, j, y) where

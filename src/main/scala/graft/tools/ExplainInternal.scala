@@ -40,6 +40,13 @@ object ExplainInternal {
         graft.queries.CurationQueries.dsirResultFrame(db, m = 1024)
           .explain("formatted")
         db.unpersist(blocking = false)
+      case "pca_round" =>
+        // one materialized power-iteration round's re-projection frame (the
+        // per-round corpus action q201's topTwoComponents executes; the
+        // lane-level explain only shows the pulled local relations)
+        println("=== pca_round ===")
+        graft.operators.VectorOps.explainRoundShape(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"))
       case other => System.err.println(s"unknown internal frame: $other")
     }
   }
