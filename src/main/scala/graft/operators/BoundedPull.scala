@@ -26,13 +26,21 @@ object BoundedPull {
 
   /** `df` as a local relation, failing loudly beyond `maxRows`. `what`
     * names the intermediate in the failure message. */
-  def apply(df: DataFrame, maxRows: Int, what: String): DataFrame = {
+  def apply(df: DataFrame, maxRows: Int, what: String): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows(df, maxRows, what): _*), df.schema)
+
+  /** The raw bounded pull: the collected rows under the same loud bound,
+    * for callers that continue with DRIVER-side arithmetic over the small
+    * frame instead of building further local-relation plans (each such
+    * plan costs an analysis+codegen cycle that dwarfs its d-row compute —
+    * the r19 VectorOps profiling receipt). */
+  def rows(df: DataFrame, maxRows: Int, what: String): Array[org.apache.spark.sql.Row] = {
     require(maxRows >= 1, s"boundedPull($what): maxRows must be >= 1, got $maxRows")
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"boundedPull($what): more than $maxRows rows — this intermediate was " +
         "asserted bounded, so either the bound or the producing plan is wrong")
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    rows
   }
 }

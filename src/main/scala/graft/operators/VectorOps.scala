@@ -59,6 +59,17 @@ object VectorOps {
     * loud error instead of a driver OOM. */
   private val MaxPulledDims = 1 << 16
 
+  // Diagnostic phase timing behind SPARK_GRAFT_PCA_PROFILE (see
+  // tools.ProfilePca): attributes a lane's wall-clock to the driver
+  // actions. No effect when the env var is unset.
+  private def prof[A](label: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_PCA_PROFILE")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[pca-profile] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
   /** Group-sum of `t` under `mode`: ordered fold by `ord` (exact, q103
     * convention) or plain partial-agg double sum (scale). Usable wherever
     * an aggregate expression is (groupBy.agg or global agg). */
@@ -200,19 +211,30 @@ object VectorOps {
   def topTwoComponents(
       embs: DataFrame, idCol: String, vecCol: String, iters: Int = 3,
       sumMode: SumMode): DataFrame = {
-    val (exv, maxDim) = centeredVectors(embs, idCol, vecCol, sumMode)
-    // not persisted — same measured trade as powerIteration: map-side
-    // centering re-derives cheaper than the array-column cache encode
-    val (v1, l1, v1Arr) = leadingDirection(exv, idCol,
-      startVector(maxDim, alternate = false), iters, None,
-      materializeEachRound = true, sumMode)
-    val (v2, l2, _) = leadingDirection(exv, idCol,
-      startVector(maxDim, alternate = true), iters, Some(v1Arr),
-      materializeEachRound = true, sumMode)
-    def out(pc: Int, v: DataFrame, l: DataFrame) =
-      v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
-        round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
-    out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
+    val (exv0, maxDim) = centeredVectors(embs, idCol, vecCol, sumMode)
+    // PERSISTED for the call's 2·iters materialized rounds, released below
+    // (the dsirSelect no-leak pattern). r18 shipped this un-persisted on a
+    // warm same-JVM A/B ("cache encode ~+2 s"); the cold 32-core ground
+    // truth said otherwise — every round's BoundedPull re-scanned parquet
+    // and re-centered, and the driver bench read 6.5 s → 13.6 s (r18
+    // verdict item 1). Cold fresh-JVM A/B this round: 9.9/5.7/5.8 s
+    // before → see OPTIMIZATION_r19.md for the after numbers.
+    val exv = exv0.persist()
+    try {
+      val (v1, l1, v1Arr) = leadingDirection(exv, idCol,
+        startVector(maxDim, alternate = false), iters, None,
+        materializeEachRound = true, sumMode)
+      val (v2, l2, _) = leadingDirection(exv, idCol,
+        startVector(maxDim, alternate = true), iters, Some(v1Arr),
+        materializeEachRound = true, sumMode)
+      def out(pc: Int, v: DataFrame, l: DataFrame) =
+        v.crossJoin(broadcast(l)).select(lit(pc).as("pc"), col("dim"),
+          round(col("v"), 6).as("loading"), round(col("nrm"), 6).as("lambda"))
+      // eager: both components' rounds have already pulled their d-row
+      // results, so the output is built from LOCAL relations — safe to
+      // release the cache before returning the lazy frame
+      out(1, v1, l1).unionByName(out(2, v2, l2)).orderBy(col("pc"), col("dim"))
+    } finally exv.unpersist(blocking = false)
   }
 
   /** Mean-centered vectors kept as per-id ARRAYS (idCol, xcv) plus the max
@@ -238,7 +260,7 @@ object VectorOps {
       .agg(foldSum(sumMode, col(idCol), col("x")).as("sx"),
         count(lit(1)).cast("double").as("n"))
       .select(col("dim"), (col("sx") / col("n")).as("mean"))
-    val mRows = BoundedPull(means, MaxPulledDims, "per-dim means (d rows)").collect()
+    val mRows = prof("means pull")(BoundedPull(means, MaxPulledDims, "per-dim means (d rows)").collect())
     val maxDim = if (mRows.isEmpty) -1 else mRows.map(_.getInt(0)).max
     val mArr = Array.fill(maxDim + 1)(Double.NaN)
     mRows.foreach(r => mArr(r.getInt(0)) = if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
@@ -268,9 +290,11 @@ object VectorOps {
     * id-keyed join of the corpus-sized table. A round's only corpus
     * shuffle is the skinny (dim)-keyed re-projection aggregate, whose
     * d-row result is pulled through the loud [[BoundedPull]]; deflation,
-    * the norm and the direction update then run over that LOCAL d-row
-    * frame (zero further corpus passes — the old lazy form re-executed
-    * the round subtree once per reference). Under ExactFold every value is
+    * the norm and the direction update then run in DRIVER Scala over those
+    * ≤ d values (zero further corpus passes, zero further plans — r19
+    * measured the former local-relation plans for this arithmetic at
+    * 0.15-0.5 s each in analysis/codegen for ~nothing of compute, two per
+    * round). Under ExactFold every value is
     * bit-identical: the array fold runs in dim order, exactly the order
     * the old sort_array(collect_list(struct(dim, …))) fold used, and the
     * re-projection/norm folds are textually unchanged. (Under PlaneSums
@@ -291,8 +315,8 @@ object VectorOps {
     // contiguous, so varr[d] IS v_d)
     if (!materializeEachRound) return leadingDirectionLazy(exv, idCol, v0, iters, sumMode)
     var vArr = v0
-    var vLocal: DataFrame = null
-    var lambdaLocal: DataFrame = null
+    var vPairs: Array[(Int, Double)] = null
+    var nrm = 0.0
     for (_ <- 1 to iters) {
       val vLit = typedLit(vArr)
       // transform (not zip_with): iterates exactly the vector's own dims,
@@ -304,31 +328,51 @@ object VectorOps {
       val u = exv.select(col(idCol), s.as("s"), posexplode(col("xcv")).as(Seq("dim", "xc")))
         .groupBy(col("dim"))
         .agg(foldSum(sumMode, col(idCol), col("s") * col("xc")).as("u"))
-      // the round's ONE corpus action: pull the d-row re-projection
-      // before anything references it (dot/norm/update each referencing
-      // a lazy u would re-execute the corpus pass per reference)
-      var uLocal = BoundedPull(u, MaxPulledDims, "power-iteration re-projection (d rows)")
-      require(uLocal.take(1).nonEmpty, // local relation — a driver-side peek
+      // the round's ONE corpus action: pull the d-row re-projection.
+      // Deflation, the norm and the direction update then run on the
+      // DRIVER over those ≤ d rows — r19 profiling showed the previous
+      // local-relation plans for exactly this arithmetic cost 0.15-0.5 s
+      // EACH in analysis/codegen and ~nothing in compute, two of them per
+      // round. The driver folds below are bit-identical to what those
+      // plans computed: ascending-dim left fold from 0.0 (exactly
+      // foldSum's sort_array order over unique dims), the same per-term
+      // double multiply/subtract/divide, java.lang.Math.sqrt (what
+      // Spark's SQRT evaluates). A null u would previously have flowed
+      // through as SQL null — fail loudly instead (ADVICE r18).
+      val uRows = prof("round u pull")(BoundedPull.rows(
+        u, MaxPulledDims, "power-iteration re-projection (d rows)"))
+      require(uRows.nonEmpty,
         "power iteration over empty input: zero embedding rows (or empty " +
           "vectors) reached leadingDirection — nothing to decompose")
+      uRows.foreach(r => require(!r.isNullAt(1),
+        "power iteration: null re-projection value — a null vector element " +
+          "reached the corpus fold"))
+      var uPairs = uRows.map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
       orthoTo.foreach { v1Arr =>
-        val v1c = element_at(typedLit(v1Arr), (col("dim") + lit(1)).cast("int"))
-        val dot = uLocal.agg(foldSum(sumMode, col("dim"), col("u") * v1c).as("dt"))
-        uLocal = uLocal.crossJoin(broadcast(dot))
-          .select(col("dim"), (col("u") - col("dt") * v1c).as("u"))
+        val dt = uPairs.foldLeft(0.0) { case (a, (d, uv)) => a + uv * v1Arr(d) }
+        uPairs = uPairs.map { case (d, uv) => (d, uv - dt * v1Arr(d)) }
       }
-      val lambda = uLocal
-        .agg(sqrt(foldSum(sumMode, col("dim"), col("u") * col("u"))).as("nrm"))
-      val pulled = BoundedPull(
-        uLocal.crossJoin(broadcast(lambda))
-          .select(col("dim"), (col("u") / col("nrm")).as("v"), col("nrm")),
-        maxRows = MaxPulledDims, what = "power-iteration direction (d rows)")
-      vLocal = pulled.select(col("dim"), col("v"))
-      lambdaLocal = pulled.select(col("nrm")).limit(1)
+      nrm = math.sqrt(uPairs.foldLeft(0.0) { case (a, (_, uv)) => a + uv * uv })
+      vPairs = uPairs.map { case (d, uv) => (d, uv / nrm) }
       val next = Array.fill(vArr.length)(0.0)
-      pulled.collect().foreach(r => next(r.getInt(0)) = r.getDouble(1))
+      vPairs.foreach { case (d, vv) => next(d) = vv }
       vArr = next.toIndexedSeq
     }
+    // re-enter Spark as local relations carrying the exact driver doubles —
+    // same schema (non-null dim, nullable v/nrm) the pulled frames had
+    val spark = exv.sparkSession
+    val vLocal = spark.createDataFrame(
+      java.util.Arrays.asList(vPairs.map(p => org.apache.spark.sql.Row(p._1, p._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    val lambdaLocal = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(nrm)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
     (vLocal, lambdaLocal, vArr)
   }
 
@@ -370,15 +414,18 @@ object VectorOps {
     * Builds the same frames as one loop round, explains instead of
     * pulling. */
   private[graft] def explainRoundShape(embs: DataFrame): Unit = {
-    val (exv, maxDim) = centeredVectors(embs, "vec_id", "embedding", SumMode.ExactFold)
-    val vLit = typedLit(startVector(maxDim, alternate = false))
-    val s = aggregate(
-      transform(col("xcv"), (x, i) => x * element_at(vLit, (i + lit(1)).cast("int"))),
-      lit(0.0), (a, b) => a + b)
-    exv.select(col("vec_id"), s.as("s"), posexplode(col("xcv")).as(Seq("dim", "xc")))
-      .groupBy(col("dim"))
-      .agg(foldSum(SumMode.ExactFold, col("vec_id"), col("s") * col("xc")).as("u"))
-      .explain("formatted")
+    val (exv0, maxDim) = centeredVectors(embs, "vec_id", "embedding", SumMode.ExactFold)
+    val exv = exv0.persist() // as topTwoComponents runs it (r19)
+    try {
+      val vLit = typedLit(startVector(maxDim, alternate = false))
+      val s = aggregate(
+        transform(col("xcv"), (x, i) => x * element_at(vLit, (i + lit(1)).cast("int"))),
+        lit(0.0), (a, b) => a + b)
+      exv.select(col("vec_id"), s.as("s"), posexplode(col("xcv")).as(Seq("dim", "xc")))
+        .groupBy(col("dim"))
+        .agg(foldSum(SumMode.ExactFold, col("vec_id"), col("s") * col("xc")).as("u"))
+        .explain("formatted")
+    } finally exv.unpersist(blocking = false)
   }
 
   /** JL projection to `k` dimensions: (idCol, j, y) where

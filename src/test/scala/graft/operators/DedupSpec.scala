@@ -89,18 +89,24 @@ class DedupSpec extends SparkSpec with Matchers {
       shingleLen = 2, numHashes = 64, bands = 16, threshold = 0.0, bucketCap = 10)
     capped.count() shouldBe 0L
 
-    // Plan shape: collect_list's input is already cap-filtered — a LeftSemi
-    // join sits BELOW the collect aggregate (later in the plan string) and
-    // a count aggregate below that. The old shape (filter(size ≤ cap) ABOVE
-    // collect_list, no semi join) must not come back.
+    // Plan shape (r19): collect_list's input is already cap-filtered — the
+    // bucket count is a WINDOW over the bucket key (spillable buffer) that
+    // sits BELOW the collect aggregate (later in the plan string), with the
+    // cap filter between them, sharing the collect's own exchange. The
+    // unguarded shape (filter(size ≤ cap) ABOVE collect_list, no count
+    // below it) must not come back.
     val plan = capped.queryExecution.executedPlan.toString
     val collectAt = plan.indexOf("collect_list")
-    val semiAt = plan.indexOf("LeftSemi")
+    val windowAt = plan.indexOf("Window")
     withClue(plan) {
       collectAt should be >= 0
-      semiAt should be >= 0
-      collectAt should be < semiAt // collect is a parent of the semi join
-      plan.indexOf("count(1)", semiAt) should be >= 0 // count agg feeds it
+      windowAt should be >= 0
+      collectAt should be < windowAt // collect is a parent of the window count
+      plan.indexOf("count(1)", collectAt) should be >= 0 // the windowed count feeds it
+      // the fused guard must not pay a second exchange between the window
+      // and the collect: both run inside one hash partitioning
+      val betweenOps = plan.substring(collectAt, windowAt)
+      betweenOps should not include "Exchange"
     }
 
     // Cap at the corpus size: the same pipeline emits every identical pair.
@@ -114,7 +120,7 @@ class DedupSpec extends SparkSpec with Matchers {
     sim.count() shouldBe 0L
     val simPlan = sim.queryExecution.executedPlan.toString
     withClue(simPlan) {
-      simPlan.indexOf("collect_list") should be < simPlan.indexOf("LeftSemi")
+      simPlan.indexOf("collect_list") should be < simPlan.indexOf("Window")
     }
   }
 

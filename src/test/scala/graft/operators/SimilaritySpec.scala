@@ -158,7 +158,9 @@ class SimilaritySpec extends SparkSpec with Matchers {
     capped.count() shouldBe 0L
     val plan = capped.queryExecution.executedPlan.toString
     withClue(plan) {
-      plan.indexOf("collect_list") should be < plan.indexOf("LeftSemi")
+      // r19: the count guard is a window over the bucket key below the
+      // collect aggregate (see Dedup.cappedBuckets)
+      plan.indexOf("collect_list") should be < plan.indexOf("Window")
     }
     // cap at corpus size: every identical pair comes out, cosine 1.0
     Similarity.cosineNearDupsBucketed(same, "vec_id", "embedding", 0.9999,
