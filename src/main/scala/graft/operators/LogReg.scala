@@ -101,16 +101,30 @@ object LogReg {
       .agg(collect_list(struct($"b", $"c")).as("fs"))
       .persist()
     try {
-      // n stays the RAW row count (not db's distinct (doc, y) count): the
-      // gradient divisor must be value-identical to the previous
-      // formulation for any input, including degenerate duplicate ids
-      val n = base.count()
-      require(n > 0, "logreg: empty corpus")
+      // n (the gradient divisor) stays the RAW base row count — and that
+      // count equals the number of bias ELEMENTS across db's arrays, one
+      // per base row by construction (features emits one bias pseudo-row
+      // per input row; the per-doc collect keeps every one). Round 1's
+      // gradient pull therefore carries n as the bias bucket's sum(c) and
+      // the former dedicated base.count() corpus scan is gone (r19, guide
+      // §1.2: don't pay a full pass for a scalar another pass already
+      // computes).
+      var n = 0L
       // weight state crosses rounds as collected (bucket, weight) pairs —
       // values are EXACTLY the doubles Spark's round() produced, so each
-      // literal vector replays bit-identically in the oracle
+      // literal vector replays bit-identically in the oracle. The weight
+      // update itself runs DRIVER-side over the ≤ buckets+1 pulled
+      // gradient rows (the VectorOps r19 pattern — a per-round local-
+      // relation join plan costs an analysis+codegen cycle that dwarfs its
+      // 65-row compute) with the identical arithmetic: w − lr·(g/n) in the
+      // same association, null/absent gradients as 0.0 (the old left-join
+      // coalesce), and HALF_UP rounding through BigDecimal.valueOf —
+      // bit-for-bit what Spark's round(double, 8) evaluates.
+      def round8(v: Double): Double =
+        java.math.BigDecimal.valueOf(v).setScale(8, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
       var w: Seq[(Long, Double)] = (0L to buckets.toLong).map(_ -> 0.0)
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val wLit = typedlit(w.sortBy(_._1).map(_._2).toIndexedSeq)
         // margin = Σ decimal(w_b · c) over the doc's array (bias element
         // included) — textually the same per-term arithmetic as the old
@@ -124,11 +138,21 @@ object LogReg {
         val grads = perDoc
           .select(explode($"fs").as("f"), $"err")
           .groupBy($"f.b".as("b"))
-          .agg(sum(($"err" * $"f.c").cast("decimal(30,10)")).cast("double").as("g"))
-        w = w.toDF("b", "w").join(grads, Seq("b"), "left")
-          .select($"b",
-            round($"w" - lit(lr) * (coalesce($"g", lit(0.0)) / lit(n.toDouble)), 8).as("w"))
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+          .agg(sum(($"err" * $"f.c").cast("decimal(30,10)")).cast("double").as("g"),
+            sum($"f.c").as("cnt"))
+        val gRows = BoundedPull.rows(grads, buckets + 1,
+          s"logreg gradients (<= 2^$logBuckets + 1 rows)")
+        if (r == 1) {
+          n = gRows.collectFirst {
+            case row if row.getLong(0) == buckets.toLong => row.getLong(2)
+          }.getOrElse(0L)
+          require(n > 0, "logreg: empty corpus")
+        }
+        val gMap = gRows.map(row =>
+          row.getLong(0) -> (if (row.isNullAt(1)) 0.0 else row.getDouble(1))).toMap
+        w = w.map { case (b, wv) =>
+          b -> round8(wv - lr * (gMap.getOrElse(b, 0.0) / n.toDouble))
+        }.sortBy(_._1)
       }
       w.toDF("b", "weight").select($"b".cast("int").as("bucket"), $"weight")
     } finally db.unpersist(blocking = false)
