@@ -1599,27 +1599,48 @@ object RelationalQueries {
     // and the corpus-sized join run exactly ONCE (guide §1.2 step 1;
     // §3.3 — materialize to truncate giant plans). Values unchanged:
     // integer counts, pulls happen after each round's exact aggregates.
-    val und = graft.operators.BoundedPull(
+    // r19: the three voting rounds run in DRIVER Scala over the pulled
+    // graph — every quantity is an exact integer (long vote sums, argmax
+    // with the (sw desc, lbl asc) tie-break), so the replay is trivially
+    // value-identical, and each round stops paying a local-relation plan's
+    // analysis+codegen cycle (the q201 profiling receipt: 0.15–0.5 s per
+    // local plan for ~zero compute). The corpus-sized 4-way join still
+    // runs exactly once, inside the one bounded graph pull.
+    val undRows = graft.operators.BoundedPull.rows(
       arcs.unionByName(arcs.select($"b".as("a"), $"a".as("b"), $"w"))
         .groupBy($"a", $"b").agg(max($"w").as("w")),
       maxRows = 1 << 16, what = "label-propagation sparsified kNN graph (≤ 2·|nations|² rows)")
-    val nodes = table(spark, dir, "nation").select($"n_nationkey".as("node"))
-    var lbl = graft.operators.BoundedPull(nodes.withColumn("lbl", $"node"),
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))) // (a, b, w)
+    val lblFrame0 = table(spark, dir, "nation")
+      .select($"n_nationkey".as("node")).withColumn("lbl", $"node")
+    val lblSchema = lblFrame0.schema
+    var lbl: Map[Int, Int] = graft.operators.BoundedPull.rows(lblFrame0,
       maxRows = 1 << 16, what = "label-propagation node labels (|nations| rows)")
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
     for (_ <- 1 to 3) {
-      val votes = und.join(lbl.select($"node".as("b"), $"lbl"), "b")
-        .groupBy($"a", $"lbl").agg(sum($"w").as("sw"))
-      val pick = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"a").orderBy($"sw".desc, $"lbl")))
-        .filter($"rn" === 1)
-        .select($"a".as("node"), $"lbl".as("new_lbl"))
-      lbl = graft.operators.BoundedPull(
-        lbl.join(pick, Seq("node"), "left")
-          .select($"node", coalesce($"new_lbl", $"lbl").as("lbl")),
-        maxRows = 1 << 16, what = "label-propagation node labels (|nations| rows)")
+      // votes: (a, lbl(b)) → Σw over edges whose endpoint has a label
+      // (the old inner join); long sums are order-free
+      val votes = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+      undRows.foreach { case (a, b, w) =>
+        lbl.get(b).foreach { l =>
+          val k = (a, l); votes(k) = votes.getOrElse(k, 0L) + w
+        }
+      }
+      // pick: per a the (sw desc, lbl asc)-first label — row_number rn=1
+      val pick: Map[Int, Int] = votes.toSeq
+        .groupBy { case ((a, _), _) => a }
+        .map { case (a, vs) =>
+          a -> vs.map { case ((_, l), sw) => (l, sw) }
+            .minBy { case (l, sw) => (-sw, l) }._1
+        }
+      lbl = lbl.map { case (n, l) => n -> pick.getOrElse(n, l) } // left join + coalesce
     }
-    lbl.orderBy($"node")
+    // re-enter Spark with the exact integer labels, same schema the
+    // pulled frame had, in the lane's node order
+    spark.createDataFrame(
+      java.util.Arrays.asList(lbl.toSeq.sortBy(_._1)
+        .map(p => org.apache.spark.sql.Row(p._1, p._2)): _*), lblSchema)
+      .orderBy($"node")
   }
 
   val labelPropagationOracle: String = {
