@@ -36,6 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap to its max: without -Xms the first heavy lanes after
+  // warmup are billed for heap growth — the r19 2×2(+1) sweep receipt read
+  // train_logreg_weights at 7.24/7.67 s un-pinned vs 4.22/4.23/4.79 s
+  // pinned, with every sweep's cumulative GC also lower (~180 s vs ~205 s).
+  // This pins the heap SHAPE only (r18 verdict item 4); it does not and
+  // cannot fix the host's external CPU drift, which the same receipt shows
+  // flipping `contended` between back-to-back runs.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Throughput collector: the r18 A/B on the full sf0.1 sweep read 130.4 s
   // under ParallelGC vs 198.3/216.7 s under the G1 default with the same
   // code and data (GC time 158 s vs 208-222 s), the win uniform across
